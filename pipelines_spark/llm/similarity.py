@@ -1,0 +1,145 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+- ``brute_force_topk``: exact top-k cosine neighbors for a (small)
+  query set. The query set broadcasts; the corpus streams through a
+  map-only stage computing dot products with higher-order array
+  functions (zip_with + aggregate, JVM codegen — no Python), then one
+  window top-k shuffled on query id. At 100 TB the corpus side never
+  shuffles.
+- ``srp_bucketed_topk``: signed-random-projection-style bucketed ANN.
+  Bucket key = sign bits of ``n_planes`` fixed projections; search
+  only within matching buckets. With deterministic hyperplanes the
+  approximation itself is reproducible (and therefore oracle-
+  checkable). The bucket join replaces the full cross product with an
+  equi-join — the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric arrays, computed in double."""
+    ad, bd = _as_double(a), _as_double(b)
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches excluded. Similarity is rounded before ranking so
+    ranks are reproducible across engines; ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_bucket_key(vec: Column, n_planes: int = 8) -> Column:
+    """Deterministic sign-projection bucket: bit i = sign of the
+    alternating-pair projection over coordinates ≡ i (mod n_planes).
+
+    The "hyperplanes" are fixed sparse ±1 patterns — deterministic in
+    any engine, no RNG — which keeps the ANN result reproducible and
+    oracle-checkable while still splitting the space into 2^n buckets.
+    """
+    vd = _as_double(vec)
+    key = F.lit(0)
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vd,
+                F.sequence(F.lit(0), F.size(vd) - 1),
+                lambda x, j: F.when(j % n_planes == i, x).otherwise(F.lit(0.0))
+                * F.when((j / F.lit(n_planes)).cast("int") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return key
+
+
+def srp_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SRP bucket.
+
+    Returns the same schema as ``brute_force_topk``; recall depends on
+    bucket granularity (here deterministic, so the approximation is a
+    *defined* result, not a random one).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        srp_bucket_key(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        srp_bucket_key(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

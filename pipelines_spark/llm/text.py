@@ -1,0 +1,104 @@
+"""Text analysis: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure column expressions (split / regexp / higher-order array
+functions) — map-only, no shuffle, codegen'd; exactly what you want
+streaming 100 TB of documents through a filter stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language identifier. Deliberately small: the operator contract is a
+#: deterministic scoring rule, swappable for real lists.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "on"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "por", "los"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "pour", "les"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "nicht"),
+    "pt": ("o", "a", "de", "e", "que", "em", "um", "uma", "para", "os"),
+}
+
+#: BPE-ish word/number/punctuation splitter for token counting.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty text → 0)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(tokens(t)))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punct."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w))))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def language_id(text: Column | str) -> Column:
+    """Deterministic stopword-ratio argmax over the known languages;
+    'und' (undetermined) when no stopword hits at all. Ties break by
+    language code ascending."""
+    scores = [
+        F.struct(stopword_ratio(text, code).alias("score"), F.lit(code).alias("lang"))
+        for code in sorted(STOPWORDS)
+    ]
+    # array_max on structs compares fields in order: max score, then
+    # max lang code — invert lang for asc tie-break determinism.
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    return n_punct / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence + word-shape sanity − punctuation noise. A deterministic
+    stand-in for a trained quality classifier, with the same plan
+    shape (map-only scoring feeding a filter)."""
+    t = F.col(text) if isinstance(text, str) else text
+    length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0)) * 0.3
+    stop_term = F.least(stopword_ratio(t, lang) * 3, F.lit(1.0)) * 0.3
+    wl = mean_word_length(t)
+    shape_term = F.when((wl >= 3) & (wl <= 8), F.lit(1.0)).otherwise(F.lit(0.3)) * 0.2
+    punct_term = (F.lit(1.0) - F.least(punct_ratio(t) * 5, F.lit(1.0))) * 0.2
+    return F.round(length_term + stop_term + shape_term + punct_term, 4)
+
+
+def document_fingerprint(text: Column | str, gram_chars: int = 8) -> Column:
+    """Rolling fingerprint: lexicographic min of md5 over all
+    ``gram_chars``-character windows (winnowing with window = whole
+    doc). md5 keeps it reproducible in any engine; docs shorter than
+    one gram hash their full text."""
+    t = F.col(text) if isinstance(text, str) else text
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram_chars - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(t, i, F.lit(gram_chars))),
+    )
+    return F.array_min(grams)

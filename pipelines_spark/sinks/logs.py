@@ -1,0 +1,46 @@
+"""Capture-log sink (SURVEY K10, §1.1 capture-log table).
+
+One row per (table, scheduled timestamp) attempt:
+``(timestamp_captura, sucesso, erro, data)`` partitioned by ``data``
+(reference: pipelines/rj_smtr/utils.py:939-1006
+``upload_run_logs_to_bq``; ``[recapturado]`` prefix on healed rows at
+:976-985). The log table is what the recapture spine (operators.spine)
+anti-joins against, so appends must be atomic per batch.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp_captura", T.TimestampType(), False),
+        T.StructField("sucesso", T.BooleanType(), False),
+        T.StructField("erro", T.StringType(), True),
+    ]
+)
+
+
+def append_capture_log(
+    spark: SparkSession,
+    path: str,
+    timestamps: list[datetime],
+    *,
+    success: bool,
+    error: str | None = None,
+    recapture: bool = False,
+) -> None:
+    """Append one log row per captured timestamp."""
+    err = error
+    if recapture:
+        err = f"[recapturado]{error or ''}"
+    rows = [(ts, success, err) for ts in timestamps]
+    df = (
+        spark.createDataFrame(rows, LOG_SCHEMA)
+        .withColumn("data", F.date_format("timestamp_captura", "yyyy-MM-dd"))
+    )
+    df.repartition(1).write.mode("append").partitionBy("data").parquet(path)

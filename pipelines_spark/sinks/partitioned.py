@@ -1,0 +1,79 @@
+"""Hive-partitioned lake writer with idempotent partition overwrite.
+
+Reference semantics being reproduced (SURVEY K3/K6/K7/T6):
+- ``to_partitions`` splits a dataframe by distinct partition-column
+  combos and writes each under ``k=v/`` dirs
+  (pipelines/utils/utils.py:569-654) → native
+  ``write.partitionBy(...)``.
+- Re-uploading the same partition replaces it (same-filename trick,
+  pipelines/utils/tasks.py:273-276; blob-delete-then-upload,
+  pipelines/utils/dump_db/tasks.py:401-435) → dynamic partition
+  overwrite: ``INSERT OVERWRITE`` only the partitions present in the
+  incoming batch. Re-running a window is idempotent — the engine's
+  exactly-once-ish contract.
+- dump modes append/overwrite (pipelines/utils/dump_db/tasks.py:436-587).
+
+Scale notes: the writer repartitions by the partition columns before
+writing so each task writes few files per partition (avoids the
+many-small-files explosion at 1000 executors); dynamic overwrite
+touches only affected partitions, never the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    mode: str = "overwrite_partitions",
+    file_format: str = "parquet",
+    target_files_per_partition: int = 1,
+) -> None:
+    """Write ``df`` Hive-partitioned at ``path``.
+
+    Modes: ``append`` | ``overwrite`` (whole table) |
+    ``overwrite_partitions`` (dynamic: only incoming partitions are
+    replaced; requires partitionOverwriteMode=dynamic, set by
+    session.get_spark).
+    """
+    save_mode = {"append": "append", "overwrite": "overwrite", "overwrite_partitions": "overwrite"}[mode]
+    writer_df = df
+    if partition_cols:
+        if target_files_per_partition <= 1:
+            writer_df = df.repartition(*[F.col(c) for c in partition_cols])
+        else:
+            writer_df = df.repartition(
+                *[F.col(c) for c in partition_cols],
+                (F.rand(seed=0) * target_files_per_partition).cast("int"),
+            )
+    writer = writer_df.write.mode(save_mode).format(file_format)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def create_staging_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    *,
+    file_format: str = "parquet",
+) -> None:
+    """Register an unmanaged table over lake files (external-table
+    equivalent, reference pipelines/rj_smtr/utils.py:95-133)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} USING {file_format} LOCATION '{path}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
+def to_all_string(df: DataFrame) -> DataFrame:
+    """Apply the all-string staging contract (SURVEY §1.2): every
+    column cast to string; typed views SAFE_CAST back downstream."""
+    return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])

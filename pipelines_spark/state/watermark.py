@@ -1,0 +1,127 @@
+"""Watermark store — the engine's incremental-processing state.
+
+The reference keeps per-table watermarks (``last_run_timestamp``) and
+per-key watermarks (per-station last measurement) in Redis
+(reference: pipelines/rj_smtr/tasks.py:1279-1309
+``set_last_run_timestamp``; pipelines/rj_smtr/utils.py:264-294
+``get_last_run_timestamp``; per-key
+pipelines/utils/utils.py:1013-1108 ``save_updated_rows_on_redis``;
+fallback to MAX(ts) of the target table
+pipelines/rj_smtr/tasks.py:1185-1276).
+
+Here the state is a small parquet table of
+``(scope, key, watermark_ts, watermark_id)`` — readable by any Spark
+job, updated append-only with last-write-wins resolution (max over
+appends), so concurrent writers can't lose advances. At cluster scale
+this table stays tiny (one row per table/key), always broadcast in
+joins against fact data.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("scope", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("watermark_ts", T.TimestampType(), True),
+        T.StructField("watermark_id", T.LongType(), True),
+        T.StructField("updated_at", T.TimestampType(), False),
+    ]
+)
+
+GLOBAL_KEY = "__table__"
+
+
+class WatermarkStore:
+    """Append-only watermark table with max-merge reads."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        return self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
+
+    def current(self, scope: str) -> DataFrame:
+        """Effective per-key watermarks for a scope (max over appends)."""
+        return (
+            self._read()
+            .filter(F.col("scope") == scope)
+            .groupBy("key")
+            .agg(
+                F.max("watermark_ts").alias("watermark_ts"),
+                F.max("watermark_id").alias("watermark_id"),
+            )
+        )
+
+    def get_table_watermark(self, scope: str) -> tuple[datetime | None, int | None]:
+        rows = self.current(scope).filter(F.col("key") == GLOBAL_KEY).collect()
+        if not rows:
+            return None, None
+        return rows[0]["watermark_ts"], rows[0]["watermark_id"]
+
+    def set_table_watermark(
+        self,
+        scope: str,
+        *,
+        ts: datetime | None = None,
+        id_: int | None = None,
+    ) -> None:
+        self._append([(scope, GLOBAL_KEY, ts, id_)])
+
+    def advance_from(
+        self,
+        scope: str,
+        df: DataFrame,
+        *,
+        key_col: str | None = None,
+        ts_col: str | None = None,
+        id_col: str | None = None,
+    ) -> None:
+        """Advance watermarks to the max observed in ``df`` (per key
+        if ``key_col`` given, else table-global). One aggregation job
+        over the batch — runs map-side partial agg first."""
+        key = F.col(key_col).cast("string") if key_col else F.lit(GLOBAL_KEY)
+        aggs = [
+            (F.max(ts_col) if ts_col else F.lit(None).cast("timestamp")).alias("watermark_ts"),
+            (F.max(id_col).cast("long") if id_col else F.lit(None).cast("long")).alias("watermark_id"),
+        ]
+        rows = df.groupBy(key.alias("key")).agg(*aggs).collect()
+        self._append([(scope, r["key"], r["watermark_ts"], r["watermark_id"]) for r in rows])
+
+    def filter_newer(
+        self,
+        scope: str,
+        df: DataFrame,
+        *,
+        key_col: str,
+        ts_col: str,
+    ) -> DataFrame:
+        """Keep only rows newer than their key's watermark (per-key
+        incremental filter, reference utils.py:1080-1094). Broadcast
+        join — the state side is tiny by construction."""
+        wm = self.current(scope).select(
+            F.col("key"), F.col("watermark_ts").alias("_wm_ts")
+        )
+        cond = F.col(key_col).cast("string") == F.col("key")
+        return (
+            df.join(F.broadcast(wm), cond, "left")
+            .filter(F.col("_wm_ts").isNull() | (F.col(ts_col) > F.col("_wm_ts")))
+            .drop("key", "_wm_ts")
+        )
+
+    def _append(self, rows: list[tuple]) -> None:
+        now = datetime.utcnow()
+        df = self.spark.createDataFrame(
+            [(*r, now) for r in rows], STATE_SCHEMA
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)

@@ -1,0 +1,94 @@
+"""Streaming capture: the reference's 1-minute micro-batch class
+re-expressed as a Structured Streaming query.
+
+Reference semantics reproduced (SURVEY T1/T5/T9, §3.2):
+- tumbling capture windows (trigger interval = the Prefect
+  IntervalClock cadence, pipelines/rj_smtr/constants.py:811,830)
+- watermark delay for late/settling data (``delay_minutes``,
+  pipelines/rj_smtr/tasks.py:800-809,1312-1325)
+- dedup on (primary key, capture timestamp)
+  (pipelines/rj_smtr/tasks.py:1472)
+- dual sink per micro-batch: verbatim raw zone + nested staging zone
+  (content JSON payload), both partitioned ``data=…/hora=…``
+  (pipelines/rj_smtr/tasks.py:328-348) — via ``foreachBatch`` so one
+  stream drives both writes atomically per batch
+- capture-log rows appended per batch (success accounting that the
+  recapture spine reconciles, SURVEY T4).
+
+Checkpointing supplies the exactly-once-ish contract the reference
+emulates with same-filename re-uploads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pipelines_spark.functions.json_ops import nest_payload
+
+
+def run_capture_stream(
+    source: DataFrame,
+    *,
+    keys: list[str],
+    event_ts_col: str,
+    raw_path: str,
+    staging_path: str,
+    checkpoint_path: str,
+    log_path: str | None = None,
+    watermark_delay: str = "2 minutes",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start the capture stream over a streaming DataFrame.
+
+    ``source`` is any streaming source (file, rate, Kafka-shaped).
+    Each micro-batch is stamped with ``timestamp_captura``, deduped on
+    (keys, event ts) within the watermark, then written raw + staged.
+    """
+    deduped = (
+        source.withWatermark(event_ts_col, watermark_delay)
+        .dropDuplicates([*keys, event_ts_col])
+        .withColumn("timestamp_captura", F.current_timestamp())
+        .withColumn("data", F.date_format(event_ts_col, "yyyy-MM-dd"))
+        .withColumn("hora", F.date_format(event_ts_col, "HH"))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.write.mode("append")
+                .partitionBy("data", "hora")
+                .parquet(raw_path)
+            )
+            staged = nest_payload(
+                batch_df.drop("data", "hora"), keys, capture_ts_col="timestamp_captura"
+            ).withColumns(
+                {
+                    "data": F.date_format(event_ts_col if event_ts_col in keys else "timestamp_captura", "yyyy-MM-dd"),
+                    "hora": F.date_format(event_ts_col if event_ts_col in keys else "timestamp_captura", "HH"),
+                }
+            )
+            (
+                staged.write.mode("append")
+                .partitionBy("data", "hora")
+                .parquet(staging_path)
+            )
+            if log_path:
+                spark = batch_df.sparkSession
+                log = spark.createDataFrame(
+                    [(batch_id, True, None)], "batch_id long, sucesso boolean, erro string"
+                ).withColumn("timestamp_captura", F.current_timestamp())
+                log.coalesce(1).write.mode("append").parquet(log_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = deduped.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -36,13 +36,18 @@ _MERSENNE = (1 << 61) - 1
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles of a single-space-tokenized text."""
+    """Distinct n-word shingles of a single-space-tokenized text.
+
+    Texts with fewer than ``n`` words produce an empty array (guarded:
+    Spark's ``sequence(1, 0)`` would count *down*, not empty)."""
     t = F.col(text) if isinstance(text, str) else text
     words = F.split(t, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
         )
     )
 
@@ -65,9 +70,11 @@ def _minhash_signatures(
     universal hash (a_i * h + b_i) mod 2^61-1 — pure column
     arithmetic, aggregated with map-side partial min.
     """
+    # 31-bit base hash keeps a_i*h + b_i inside long range under ANSI
+    # arithmetic (a ≤ 2k, h < 2^31, b < 2^61 → sum < 2^62).
     exploded = df.select(
         F.col(id_col), F.explode(shingle_col).alias("_sh")
-    ).withColumn("_h", F.abs(F.xxhash64("_sh")))
+    ).withColumn("_h", F.pmod(F.xxhash64("_sh"), F.lit(1 << 31)))
     # Deterministic "random" odd coefficients derived from the index.
     aggs = []
     for i in range(num_hashes):

@@ -77,27 +77,24 @@ def brute_force_topk(
     )
 
 
-def srp_bucket_key(vec: Column, n_planes: int = 8) -> Column:
-    """Deterministic sign-projection bucket: bit i = sign of the
-    alternating-pair projection over coordinates ≡ i (mod n_planes).
+def srp_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Deterministic sign-projection bucket: bit i = sign of a fixed
+    sparse ±1 projection over coordinates ≡ i (mod n_planes).
 
-    The "hyperplanes" are fixed sparse ±1 patterns — deterministic in
-    any engine, no RNG — which keeps the ANN result reproducible and
-    oracle-checkable while still splitting the space into 2^n buckets.
+    The "hyperplanes" are fixed alternating-sign patterns —
+    deterministic, no RNG — which keeps the ANN result reproducible
+    (and oracle-checkable) while still splitting the space into
+    2^n_planes buckets. Built as an explicit left-to-right addition
+    chain so the float summation order is engine-independent.
     """
-    vd = _as_double(vec)
-    key = F.lit(0)
+    key: Column = F.lit(0)
     for i in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vd,
-                F.sequence(F.lit(0), F.size(vd) - 1),
-                lambda x, j: F.when(j % n_planes == i, x).otherwise(F.lit(0.0))
-                * F.when((j / F.lit(n_planes)).cast("int") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj: Column | None = None
+        for m, j in enumerate(range(i, dim, n_planes)):
+            term = F.element_at(vec, j + 1).cast("double") * F.lit(
+                1.0 if m % 2 == 0 else -1.0
+            )
+            proj = term if proj is None else proj + term
         key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return key
 
@@ -110,6 +107,7 @@ def srp_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    dim: int | None = None,
     round_digits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's SRP bucket.
@@ -118,15 +116,16 @@ def srp_bucketed_topk(
     bucket granularity (here deterministic, so the approximation is a
     *defined* result, not a random one).
     """
+    dim = dim or 64
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        srp_bucket_key(F.col(vec_col), n_planes).alias("_bucket"),
+        srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        srp_bucket_key(F.col(vec_col), n_planes).alias("_bucket"),
+        srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")

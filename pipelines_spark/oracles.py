@@ -1,0 +1,481 @@
+"""DuckDB oracle SQL for every query in pipelines_spark.queries.
+
+The correctness driver runs these against the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings) and hash-compares with the Spark result after
+sorting columns by name. Conventions keeping the two engines
+bit-compatible:
+
+- ``events.ts`` is TIMESTAMP_NS in DuckDB; every reference casts it
+  to TIMESTAMP (µs), matching Spark's floor conversion of the
+  nanosAsLong read.
+- integer aggregates are CAST to BIGINT (DuckDB sums to HUGEINT),
+  matching Spark's long.
+- float outputs are rounded identically on both sides.
+- every computed column carries the same alias as the Spark plan.
+"""
+
+from __future__ import annotations
+
+# --- generated SQL fragments ------------------------------------------------
+
+# 32-bit hex → BIGINT fold (md5 prefix), used by simhash.
+_HEXFOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(w), 1, 8), ''), "
+    "c -> CAST(strpos('123456789abcdef', c) AS BIGINT))), (a, b) -> a * 16 + b)"
+)
+
+_SIMHASH_BITS = ",\n               ".join(
+    f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for j in range(32)
+)
+
+# 3-word shingle set per document (mirrors llm.dedup.word_shingles).
+_SHINGLES_CTE = """
+words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
+    FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pair_inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jaccards AS (
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+)
+"""
+
+_EXACT_JACCARD_SQL = f"WITH {_SHINGLES_CTE} SELECT id_a, id_b, jaccard FROM jaccards"
+
+
+def _stopword_ratio(lang_words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in lang_words)
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> list_contains([{lst}], lower(w))))"
+        f" / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)"
+    )
+
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "on"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "por", "los"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "pour", "les"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "nicht"),
+    "pt": ("o", "a", "de", "e", "que", "em", "um", "uma", "para", "os"),
+}
+
+_LANG_SCORES = ",\n           ".join(
+    f"{_stopword_ratio(words)} AS score_{code}" for code, words in _STOPWORDS.items()
+)
+# argmax with ties broken toward the lexicographically larger code —
+# mirrors Spark array_max over struct(score, lang).
+_LANG_CODES_DESC = sorted(_STOPWORDS, reverse=True)
+_LANG_BEST = "greatest(" + ", ".join(f"score_{c}" for c in _STOPWORDS) + ")"
+_LANG_PICK = (
+    "CASE WHEN " + _LANG_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{c} = {_LANG_BEST} THEN '{c}'" for c in _LANG_CODES_DESC
+    )
+    + " END"
+)
+
+_QUALITY_EXPR = (
+    "round("
+    "least(length(text) / 500.0, 1.0) * 0.3 + "
+    f"least(({_stopword_ratio(_STOPWORDS['en'])}) * 3, 1.0) * 0.3 + "
+    "(CASE WHEN (CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)"
+    " / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)) BETWEEN 3 AND 8"
+    " THEN 1.0 ELSE 0.3 END) * 0.2 + "
+    "(1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+    " / CAST(greatest(length(text), 1) AS DOUBLE)) * 5, 1.0)) * 0.2"
+    ", 4)"
+)
+
+_MWL = (
+    "CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)"
+    " / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)"
+)
+
+
+def _srp_bucket(table_alias: str, dim: int = 64, n_planes: int = 8) -> str:
+    """Deterministic sign-projection bucket key — mirrors
+    llm.similarity.srp_bucket_key term-for-term (same add order)."""
+    parts = []
+    for i in range(n_planes):
+        terms = []
+        for m, j in enumerate(range(i, dim, n_planes)):
+            sign = "1.0" if m % 2 == 0 else "-1.0"
+            terms.append(f"CAST({table_alias}.embedding[{j + 1}] AS DOUBLE) * {sign}")
+        proj = " + ".join(terms)
+        parts.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+_COS_DOT = (
+    "list_sum(list_transform(list_zip(c.cv, q.qv), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_COS_NC = "sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_COS_NQ = "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_month": """
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)  AS order_month,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)  AS revenue,
+               count(DISTINCT o.o_orderkey)                           AS n_orders
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """,
+    "top_customers_by_revenue": """
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "f1_filter_expressions": """
+        SELECT l_returnflag,
+               count(*)                        AS n_rows,
+               round(sum(l_extendedprice), 2)  AS sum_price
+        FROM lineitem
+        WHERE NOT (l_quantity <= 0)
+          AND NOT (l_discount < 0 OR l_discount > 0.1)
+          AND NOT (l_extendedprice <= 0)
+        GROUP BY l_returnflag
+    """,
+    "f2_null_filter": """
+        SELECT event_type, count(*) AS n_rows
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+        GROUP BY event_type
+    """,
+    "f3_capture_window": """
+        WITH e AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ), skewed AS (
+            SELECT event_type,
+                   date_diff('second', ts, ts + k * INTERVAL '1' SECOND) AS skew_s
+            FROM e
+        )
+        SELECT event_type, count(*) AS n_rows, max(skew_s) AS max_skew_s
+        FROM skewed WHERE skew_s BETWEEN -20 AND 60
+        GROUP BY event_type
+    """,
+    "j1_orders_enriched": """
+        SELECT r.r_name, n.n_name,
+               count(*)                       AS n_orders,
+               round(sum(o.o_totalprice), 2)  AS total_price
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    "j3_customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "j5_capture_gaps": """
+        WITH spine AS (
+            SELECT minute FROM generate_series(
+                TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-01 05:59:00',
+                INTERVAL 1 MINUTE) t(minute)
+        ), observed AS (
+            SELECT DISTINCT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute
+            FROM events
+        )
+        SELECT s.minute FROM spine s
+        WHERE s.minute NOT IN (SELECT minute FROM observed)
+    """,
+    "j7_shipdate_range_join": """
+        SELECT o_orderpriority,
+               count(*)                  AS n_quick_ships,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL '30' DAY
+        GROUP BY o_orderpriority
+    """,
+    "j9_idw_interpolation": """
+        WITH cells AS (
+            SELECT c_custkey AS cell_id, c_custkey % 90 AS cell_lat,
+                   (c_custkey * 7) % 180 AS cell_lon
+            FROM customer WHERE c_custkey <= 200
+        ), stations AS (
+            SELECT s_suppkey AS station_id, s_suppkey % 90 AS st_lat,
+                   (s_suppkey * 13) % 180 AS st_lon, s_acctbal AS reading
+            FROM supplier
+        ), ranked AS (
+            SELECT cell_id, reading,
+                   CAST((cell_lat - st_lat) * (cell_lat - st_lat)
+                      + (cell_lon - st_lon) * (cell_lon - st_lon) AS BIGINT) AS distance,
+                   row_number() OVER (
+                       PARTITION BY cell_id
+                       ORDER BY (cell_lat - st_lat) * (cell_lat - st_lat)
+                              + (cell_lon - st_lon) * (cell_lon - st_lon) ASC,
+                              station_id ASC
+                   ) AS rnk
+            FROM cells CROSS JOIN stations
+        )
+        SELECT cell_id,
+               round(sum(reading * (1.0 / (distance + 1.0))) / sum(1.0 / (distance + 1.0)), 4) AS idw_reading
+        FROM ranked WHERE rnk <= 3
+        GROUP BY cell_id
+    """,
+    "a1_relation_check": """
+        SELECT l_orderkey, count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) > 5
+    """,
+    "a3_latest_event_per_user": """
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "a4_nested_content": """
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   o_orderstatus := CAST(o_orderstatus AS VARCHAR),
+                   o_totalprice := CAST(o_totalprice AS VARCHAR),
+                   o_orderpriority := CAST(o_orderpriority AS VARCHAR))) AS content
+        FROM orders
+    """,
+    "a4b_grouped_content": """
+        SELECT o_custkey,
+               to_json(list_sort(list(struct_pack(
+                   o_orderkey := o_orderkey,
+                   tp := CAST(o_totalprice AS VARCHAR))))) AS content
+        FROM orders GROUP BY o_custkey
+    """,
+    "a6_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    "a7_hourly_event_counts": """
+        SELECT CAST(ts AS DATE)                          AS event_date,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_hour,
+               count(*)                                  AS n_events,
+               round(sum(value), 2)                      AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "a11_colwise_max": """
+        SELECT round(max(greatest(value, CAST(json_extract(props, '$.k') AS DOUBLE))), 2) AS max_any
+        FROM events
+    """,
+    "w4_rolling_hourly_sum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+               ), 2) AS rolling_1h
+        FROM events
+    """,
+    "o5_union_priorities": """
+        SELECT o_orderpriority, count(*) AS n_orders FROM (
+            SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderpriority = '2-HIGH'
+        ) GROUP BY o_orderpriority
+    """,
+    "o6_pivot_event_types": """
+        SELECT CAST(ts AS DATE) AS event_date,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'error')    AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY 1
+    """,
+    "o7_json_props_extract": """
+        WITH e AS (
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+        )
+        SELECT k - k % 10 AS k_bucket, count(*) AS n_events
+        FROM e GROUP BY 1
+    """,
+    "scalar_gauntlet": """
+        SELECT o_orderkey,
+               lower(o_orderstatus)                                        AS status_lower,
+               CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS BIGINT) AS priority_num,
+               strftime(o_orderdate, '%Y-%m-%d')                           AS order_day,
+               CAST(o_orderdate AS DATE)                                   AS order_date,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)         AS order_month,
+               o_orderdate + INTERVAL '90' DAY                             AS due_ts,
+               CAST(year(o_orderdate) AS BIGINT)                           AS order_year,
+               TRY_CAST(o_orderpriority AS DOUBLE)                         AS bad_cast,
+               round(o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0), 4) AS safe_ratio,
+               concat_ws('-', o_orderstatus, o_orderpriority)              AS tag,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'small' END                                       AS size_band,
+               coalesce(TRY_CAST('x' AS BIGINT), o_orderkey)               AS coalesced
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+    "t1_tumbling_5min": """
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+               count(*)             AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "t2_incremental_window": """
+        SELECT event_type, count(*) AS n_rows,
+               round(sum(value), 2) AS sum_value,
+               max(CAST(ts AS TIMESTAMP)) AS max_ts
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-10 00:00:00'
+          AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+    """,
+    "k4_partition_derivation": """
+        SELECT strftime(o_orderdate, '%Y')       AS ano_particao,
+               strftime(o_orderdate, '%m')       AS mes_particao,
+               strftime(o_orderdate, '%Y-%m-%d') AS data_particao,
+               count(*)                          AS n_rows
+        FROM orders GROUP BY 1, 2, 3
+    """,
+    "f6_pruned_incremental_scan": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               count(*)                         AS n_orders,
+               round(sum(o_totalprice), 2)      AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM documents GROUP BY text
+    """,
+    # LSH candidates are exactly verified, so the observable result
+    # equals the exact-Jaccard pair set.
+    "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
+    "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), hv AS (
+            SELECT doc_id, {_HEXFOLD} AS hv FROM toks
+        ), bits AS (
+            SELECT doc_id,
+               {_SIMHASH_BITS}
+            FROM hv GROUP BY doc_id
+        ), sh AS (
+            SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "text_langid_counts": f"""
+        WITH scored AS (
+            SELECT doc_id,
+           {_LANG_SCORES}
+            FROM documents
+        )
+        SELECT {_LANG_PICK} AS lang_pred, count(*) AS n_docs
+        FROM scored GROUP BY 1
+    """,
+    "text_quality_by_source": f"""
+        SELECT source,
+               round(avg({_QUALITY_EXPR}), 4) AS avg_quality,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "text_token_stats": f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS re_tokens,
+                   {_MWL} AS mwl
+            FROM documents
+        )
+        SELECT lang,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+               round(avg(mwl), 4)             AS avg_word_len
+        FROM per_doc GROUP BY lang
+    """,
+    "text_fingerprints": """
+        SELECT doc_id,
+               list_min(list_transform(
+                   range(1, greatest(length(text) - 7, 1) + 1),
+                   i -> md5(substr(text, i, 8)))) AS fingerprint
+        FROM documents
+    """,
+    "embed_knn_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM c CROSS JOIN q
+            WHERE c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    "embed_srp_ann": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv, {_srp_bucket('embeddings')} AS bucket
+            FROM embeddings WHERE vec_id < 50
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv, {_srp_bucket('embeddings')} AS bucket
+            FROM embeddings
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM c JOIN q ON c.bucket = q.bucket
+            WHERE c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+}

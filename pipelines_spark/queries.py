@@ -1,0 +1,630 @@
+"""The engine's query inventory — one callable per implemented
+operator family from SURVEY §2 (+ the LLM-data-pipeline operators).
+
+Every callable takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching DuckDB oracle SQL lives in ``pipelines_spark.oracles``. Keys
+here and there must stay in sync — tests/test_oracle_parity.py
+enforces it by running both engines and hash-comparing.
+
+Column aliases are part of the contract (the correctness driver sorts
+columns by name before hashing), so every computed column is aliased
+identically in both engines. Float outputs are rounded in-query on
+both sides to absorb summation-order ulp differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelines_spark.functions.datetime_ops import derive_partition_columns
+from pipelines_spark.functions.json_ops import nest_payload
+from pipelines_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pipelines_spark.llm.similarity import brute_force_topk, srp_bucketed_topk
+from pipelines_spark.llm.text import (
+    document_fingerprint,
+    language_id,
+    mean_word_length,
+    quality_score,
+    regex_token_count,
+    token_count,
+)
+from pipelines_spark.operators.dedup import last_row_per_key
+from pipelines_spark.operators.joins import knn_join
+from pipelines_spark.operators.spine import find_gaps, time_spine
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
+    """Register sf_dir tables as temp views.
+
+    ``events`` carries nanosecond parquet timestamps, which Spark's
+    vectorized reader rejects; read them as long
+    (spark.sql.legacy.parquet.nanosAsLong) and floor-convert to
+    microseconds — the same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP, so both engines see identical values.
+    """
+    for t in tables:
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.4-2.8, §2.10)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (A1/A2-family aggs,
+    scalar arithmetic; SURVEY §2.6)."""
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-0 slice: join + month rollup (J1+A-family)."""
+    register(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT date_trunc('month', o.o_orderdate)                     AS order_month,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)  AS revenue,
+               count(DISTINCT o.o_orderkey)                           AS n_orders
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+        """
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N with deterministic ordering (O4 + J1 + A-family)."""
+    register(spark, sf_dir, ("orders", "customer", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """
+    )
+
+
+def f1_filter_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion-expression filter list (F1): remove rows matching any
+    configured predicate, then summarize survivors."""
+    register(spark, sf_dir, ("lineitem",))
+    df = spark.table("lineitem")
+    for pred in ["l_quantity <= 0", "l_discount < 0 OR l_discount > 0.1", "l_extendedprice <= 0"]:
+        cond = F.expr(pred)
+        df = df.filter(~cond | cond.isNull())
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def f2_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-subset filter (F2): drop rows with NULL in critical
+    columns, count survivors per group."""
+    register(spark, sf_dir, ("events",))
+    df = spark.table("events").na.drop(subset=["user_id", "value", "props"])
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def f3_capture_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal sanity window (F3/F4): capture-vs-event skew must fall
+    in [-20s, +60s]. Capture time is derived as ts + props.k seconds."""
+    register(spark, sf_dir, ("events",))
+    df = (
+        spark.table("events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .withColumn("timestamp_captura", F.expr("ts + k * INTERVAL '1' SECOND"))
+        .withColumn("skew_s", F.expr("timestampdiff(SECOND, ts, timestamp_captura)"))
+        .filter(F.col("skew_s").between(-20, 60))
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.max("skew_s").alias("max_skew_s")
+    )
+
+
+def j1_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment joins (J1/J6): fact × customer × nation ×
+    region; small dims broadcast."""
+    register(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def j3_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J3/J4): customers with no orders."""
+    register(spark, sf_dir, ("orders", "customer"))
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return (
+        c.join(o.select("o_custkey").dropDuplicates(), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def j5_capture_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recapture spine (J5/T4): minutes in the first 6 hours of the
+    events stream with no event — sequence+explode spine, anti-join."""
+    register(spark, sf_dir, ("events",))
+    spine = time_spine(
+        spark, "2024-01-01 00:00:00", "2024-01-01 05:59:00", interval="1 minute", ts_col="minute"
+    )
+    observed = (
+        spark.table("events")
+        .select(F.date_trunc("minute", "ts").alias("minute"), F.lit(True).alias("sucesso"))
+    )
+    return find_gaps(spine, observed, ts_col="minute", cap=None)
+
+
+def j7_shipdate_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (J7): lineitems shipped within 30 days of
+    their order date, per order priority."""
+    register(spark, sf_dir, ("orders", "lineitem"))
+    o = spark.table("orders")
+    l = spark.table("lineitem")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= F.expr("o_orderdate + INTERVAL '30' DAY"))
+    )
+    return (
+        l.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_quick_ships"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+def j9_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join + kNN ranking + IDW aggregation (J9/W3/A10): the
+    rain-dashboard pattern. Stations synthesized from supplier,
+    cells from customer; integer grid coordinates keep distances
+    exact across engines."""
+    register(spark, sf_dir, ("customer", "supplier"))
+    cells = (
+        spark.table("customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").alias("cell_id"),
+            (F.col("c_custkey") % 90).alias("cell_lat"),
+            ((F.col("c_custkey") * 7) % 180).alias("cell_lon"),
+        )
+    )
+    stations = spark.table("supplier").select(
+        F.col("s_suppkey").alias("station_id"),
+        (F.col("s_suppkey") % 90).alias("st_lat"),
+        ((F.col("s_suppkey") * 13) % 180).alias("st_lon"),
+        F.col("s_acctbal").alias("reading"),
+    )
+    d2 = (F.col("cell_lat") - F.col("st_lat")) ** 2 + (F.col("cell_lon") - F.col("st_lon")) ** 2
+    nearest = knn_join(
+        cells,
+        stations,
+        point_id="cell_id",
+        distance=d2.cast("long"),
+        k=3,
+        tiebreak=[F.col("station_id")],
+    )
+    w = F.lit(1.0) / (F.col("distance") + F.lit(1.0))
+    return (
+        nearest.groupBy("cell_id")
+        .agg(F.round(F.sum(F.col("reading") * w) / F.sum(w), 4).alias("idw_reading"))
+    )
+
+
+def a1_relation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness/relation check (A1/A8): orders with more than 5
+    lineitems — groupBy + count + HAVING."""
+    register(spark, sf_dir, ("lineitem",))
+    return (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > 5)
+    )
+
+
+def a3_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-row-per-key (A3/W1): window row_number desc."""
+    register(spark, sf_dir, ("events",))
+    df = last_row_per_key(
+        spark.table("events"), keys=["user_id"], order_col="ts", tiebreak=["event_id"]
+    )
+    return df.select("user_id", "event_id", "ts", "event_type")
+
+
+def a4_nested_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key+JSON-payload projection (P6/A4): the staging 'content'
+    contract — all non-key columns packed into a JSON string."""
+    register(spark, sf_dir, ("orders",))
+    df = spark.table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    return nest_payload(df, keys=["o_orderkey"], capture_ts_col=None)
+
+
+def a4b_grouped_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-rows-to-JSON (A4): ordered ARRAY_AGG(STRUCT) per key."""
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               to_json(array_sort(collect_list(struct(o_orderkey, cast(o_totalprice AS string) AS tp)))) AS content
+        FROM orders
+        GROUP BY o_custkey
+        """
+    )
+
+
+def a6_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (A6)."""
+    register(spark, sf_dir, ("customer",))
+    return spark.table("customer").select("c_mktsegment").distinct()
+
+
+def a7_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count per (date, hour) buckets (A7)."""
+    register(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .groupBy(
+            F.to_date("ts").alias("event_date"), F.hour("ts").cast("long").alias("event_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def a11_colwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise max across columns (A11): max(greatest(a, b))."""
+    register(spark, sf_dir, ("events",))
+    df = spark.table("events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double")
+    )
+    return df.select(
+        F.round(F.max(F.greatest(F.col("value"), F.col("k"))), 2).alias("max_any")
+    )
+
+
+def w4_rolling_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling range-window aggregate (§2.7 note): per-user 1-hour
+    trailing sum of value."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+               ), 2) AS rolling_1h
+        FROM events
+        """
+    )
+
+
+def o5_union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two captures (O5) then aggregate."""
+    register(spark, sf_dir, ("orders",))
+    o = spark.table("orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    return (
+        urgent.unionByName(high)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def o6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide (O6): daily counts per event type."""
+    register(spark, sf_dir, ("events",))
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "event_date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def o7_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parse (O7): extract props.k, bucket it."""
+    register(spark, sf_dir, ("events",))
+    df = spark.table("events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return (
+        df.groupBy((F.col("k") - F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (§2.10): casts, safe casts, date
+    formatting/arithmetic, regex, string ops, conditional logic."""
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               lower(o_orderstatus)                                      AS status_lower,
+               cast(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS bigint) AS priority_num,
+               date_format(o_orderdate, 'yyyy-MM-dd')                    AS order_day,
+               cast(to_date(o_orderdate) AS date)                        AS order_date,
+               date_trunc('month', o_orderdate)                          AS order_month,
+               o_orderdate + INTERVAL '90' DAY                           AS due_ts,
+               cast(year(o_orderdate) AS bigint)                         AS order_year,
+               try_cast(o_orderpriority AS double)                       AS bad_cast,
+               round(o_totalprice / nullif(cast(o_orderkey % 3 AS double), 0), 4) AS safe_ratio,
+               concat_ws('-', o_orderstatus, o_orderpriority)            AS tag,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'small' END                                     AS size_band,
+               coalesce(try_cast('x' AS bigint), o_orderkey)             AS coalesced
+        FROM orders
+        WHERE o_orderkey <= 2000
+        """
+    )
+
+
+def t1_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (T1): 5-minute windows."""
+    register(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .groupBy(F.window("ts", "5 minutes").start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def t2_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-window incremental filter (T2): process only
+    (start, end], aggregate."""
+    register(spark, sf_dir, ("events",))
+    df = spark.table("events").filter(
+        (F.col("ts") > F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def k4_partition_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column derivation (K4): ano/mes/data_particao from
+    the order date; count rows per derived partition."""
+    register(spark, sf_dir, ("orders",))
+    df = derive_partition_columns(spark.table("orders"), "o_orderdate")
+    return df.groupBy("ano_particao", "mes_particao", "data_particao").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def f6_pruned_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental predicate scan (F6): only data after the watermark
+    date; Catalyst pushes the filter to the parquet scan."""
+    register(spark, sf_dir, ("orders",))
+    df = spark.table("orders").filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    return df.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on text."""
+    register(spark, sf_dir, ("documents",))
+    return exact_dedup(spark.table("documents"), cols=["text"], id_col="doc_id").select(
+        "canonical_id", "dup_count"
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (Jaccard ≥ 0.5 on 3-word shingles),
+    LSH candidates exactly verified."""
+    register(spark, sf_dir, ("documents",))
+    return minhash_near_dup_pairs(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_words=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.5,
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    register(spark, sf_dir, ("documents",))
+    return ngram_jaccard_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text",
+        shingle_words=3, threshold=0.5,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit md5-based hash, Hamming ≤ 3)
+    via exact pigeonhole block join."""
+    register(spark, sf_dir, ("documents",))
+    out = simhash_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text", max_hamming=3
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def text_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution."""
+    register(spark, sf_dir, ("documents",))
+    df = spark.table("documents").withColumn("lang_pred", language_id("text"))
+    return df.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score heuristic, averaged per source."""
+    register(spark, sf_dir, ("documents",))
+    df = spark.table("documents").withColumn("q", quality_score("text"))
+    return df.groupBy("source").agg(
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per language."""
+    register(spark, sf_dir, ("documents",))
+    df = spark.table("documents").select(
+        "lang",
+        token_count("text").cast("long").alias("ws_tokens"),
+        regex_token_count("text").cast("long").alias("re_tokens"),
+        mean_word_length("text").alias("mwl"),
+    )
+    return df.groupBy("lang").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("re_tokens").alias("total_re_tokens"),
+        F.round(F.avg("mwl"), 4).alias("avg_word_len"),
+    )
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling md5 fingerprint (min over 8-char grams)."""
+    register(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        "doc_id", document_fingerprint("text").alias("fingerprint")
+    )
+
+
+def embed_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<10."""
+    register(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def embed_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: deterministic sign-projection buckets, top-5
+    within bucket (the 100-TB-scale path: equi-join, no cross join)."""
+    register(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return srp_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 50), id_col="vec_id",
+        vec_col="embedding", k=5, n_planes=8,
+    ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+#: name → callable(spark, sf_dir) — the full inventory.
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_month": revenue_by_month,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "f1_filter_expressions": f1_filter_expressions,
+    "f2_null_filter": f2_null_filter,
+    "f3_capture_window": f3_capture_window,
+    "j1_orders_enriched": j1_orders_enriched,
+    "j3_customers_without_orders": j3_customers_without_orders,
+    "j5_capture_gaps": j5_capture_gaps,
+    "j7_shipdate_range_join": j7_shipdate_range_join,
+    "j9_idw_interpolation": j9_idw_interpolation,
+    "a1_relation_check": a1_relation_check,
+    "a3_latest_event_per_user": a3_latest_event_per_user,
+    "a4_nested_content": a4_nested_content,
+    "a4b_grouped_content": a4b_grouped_content,
+    "a6_distinct_segments": a6_distinct_segments,
+    "a7_hourly_event_counts": a7_hourly_event_counts,
+    "a11_colwise_max": a11_colwise_max,
+    "w4_rolling_hourly_sum": w4_rolling_hourly_sum,
+    "o5_union_priorities": o5_union_priorities,
+    "o6_pivot_event_types": o6_pivot_event_types,
+    "o7_json_props_extract": o7_json_props_extract,
+    "scalar_gauntlet": scalar_gauntlet,
+    "t1_tumbling_5min": t1_tumbling_5min,
+    "t2_incremental_window": t2_incremental_window,
+    "k4_partition_derivation": k4_partition_derivation,
+    "f6_pruned_incremental_scan": f6_pruned_incremental_scan,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "text_langid_counts": text_langid_counts,
+    "text_quality_by_source": text_quality_by_source,
+    "text_token_stats": text_token_stats,
+    "text_fingerprints": text_fingerprints,
+    "embed_knn_topk": embed_knn_topk,
+    "embed_srp_ann": embed_srp_ann,
+}

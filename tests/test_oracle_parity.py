@@ -1,0 +1,87 @@
+"""Replicates the driver's correctness gate locally: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet tables, then compare row counts, column names, and
+order-insensitive values.
+
+This is the single most important test in the repo — if it's green at
+sf0.01, the driver's CORRECTNESS check passes by construction.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(value):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse -0.0 vs 0.0 and format stably
+        return repr(value + 0.0)
+    if isinstance(value, datetime.datetime):
+        return value.isoformat()
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    if isinstance(value, (list, tuple)):
+        return tuple(_canon(v) for v in value)
+    if isinstance(value, decimal.Decimal):
+        return repr(float(value))
+    return value
+
+
+def _rows_to_canon(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def test_every_query_has_oracle():
+    assert set(QUERIES) == set(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(ORACLES[name])
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+
+    s_canon = _rows_to_canon(s_cols, s_rows)
+    d_canon = _rows_to_canon(d_cols, d_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"

@@ -1,0 +1,108 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Queries materialize through the noop sink — full execution, no
+driver-side collect skew. The ``dump_pipeline`` entry is the
+end-to-end dump-equivalent from BASELINE.md: scan → column
+normalization → partition derivation → Hive-partitioned parquet
+write with dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pipelines_spark.functions.datetime_ops import derive_partition_columns
+from pipelines_spark.naming import normalize_columns
+from pipelines_spark.queries import QUERIES
+from pipelines_spark.session import get_spark
+from pipelines_spark.sinks.partitioned import write_partitioned
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_month",
+    "top_customers_by_revenue",
+    "j1_orders_enriched",
+    "j7_shipdate_range_join",
+    "j9_idw_interpolation",
+    "a3_latest_event_per_user",
+    "a7_hourly_event_counts",
+    "w4_rolling_hourly_sum",
+    "t1_tumbling_5min",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_by_source",
+    "text_fingerprints",
+    "embed_knn_topk",
+    "embed_srp_ann",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_dump_pipeline(spark, sf_dir: str, out_dir: str) -> None:
+    """Dump-equivalent: lineitem scan → normalize → partition-derive →
+    partitioned write (SURVEY §3.1 collapsed into one Spark job)."""
+    df = normalize_columns(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    df = derive_partition_columns(df, "l_shipdate")
+    write_partitioned(
+        df.drop("mes_particao", "data_particao"),
+        out_dir,
+        ["ano_particao"],
+        mode="overwrite_partitions",
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("pipelines_spark_bench")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/session once on the smallest query so first-query
+    # timing doesn't absorb session startup.
+    QUERIES["a6_distinct_segments"](spark, sf_dir).count()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out_dir = tempfile.mkdtemp(prefix="bench_dump_")
+    try:
+        t0 = time.perf_counter()
+        bench_dump_pipeline(spark, sf_dir, out_dir)
+        timings["dump_pipeline"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,6 +61,7 @@ def register(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     microseconds — the same truncation DuckDB applies casting
     TIMESTAMP_NS → TIMESTAMP, so both engines see identical values.
     """
+    parallelism = spark.sparkContext.defaultParallelism
     for t in tables:
         if t == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -69,6 +70,13 @@ def register(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
             )
         else:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t in ("documents", "embeddings"):
+            # Single small parquet file → one input split → the
+            # expensive per-row array/string work (shingling, hashing,
+            # vector math) would run on one core. Spread it. On a real
+            # lake these tables arrive in many splits and this is a
+            # no-op cost-wise.
+            df = df.repartition(parallelism)
         df.createOrReplaceTempView(t)
 
 
@@ -501,8 +509,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
         shingle_words=3,
-        num_hashes=64,
-        bands=16,
+        num_hashes=32,
+        bands=8,
         threshold=0.5,
     )
 

@@ -1,0 +1,122 @@
+"""Scalar function helpers: cleaning, datetime, JSON nesting."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pipelines_spark.functions.cleaning import (
+    clean_string_columns,
+    negative_to_null,
+    recode,
+    safe_cast,
+    strip_accents_expr,
+    trim_all_strings,
+)
+from pipelines_spark.functions.datetime_ops import (
+    derive_partition_columns,
+    from_unix_millis,
+    parse_timestamp_multi,
+    to_local,
+    to_utc,
+)
+from pipelines_spark.functions.json_ops import flatten_struct, nest_payload, unnest_payload
+from pipelines_spark.sources.files import read_csv_imposed_schema, read_fixed_width
+
+
+def test_clean_string_columns(spark):
+    df = spark.createDataFrame([("a\x00b", "None", "  x  ")], "p string, q string, r string")
+    row = clean_string_columns(df).collect()[0]
+    assert row["p"] == "ab"
+    assert row["q"] is None
+    assert row["r"] == "  x  "  # not trimmed by cleaner
+    assert trim_all_strings(df).collect()[0]["r"] == "x"
+
+
+def test_safe_cast_and_negative(spark):
+    df = spark.createDataFrame([("12.5", -3.0), ("oops", 4.0)], "s string, v double")
+    out = df.select(
+        safe_cast("s", "double").alias("d"), negative_to_null("v").alias("v")
+    ).collect()
+    assert [r["d"] for r in out] == [12.5, None]
+    assert [r["v"] for r in out] == [None, 4.0]
+
+
+def test_recode_and_accents(spark):
+    df = spark.createDataFrame([("alagamento",), ("bolsão",)], "tipo string")
+    out = df.select(
+        recode("tipo", {"alagamento": "flood"}).alias("t"),
+        strip_accents_expr("tipo").alias("plain"),
+    ).collect()
+    assert out[0]["t"] == "flood"
+    assert out[1]["plain"] == "bolsao"
+
+
+def test_parse_timestamp_multi_fallback(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05",), ("02/01/2024 03:04",), ("garbage",)], "s string"
+    )
+    out = df.select(
+        parse_timestamp_multi("s", ["yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm"]).alias("ts")
+    ).collect()
+    assert out[0]["ts"] == datetime(2024, 1, 2, 3, 4, 5)
+    assert out[1]["ts"] == datetime(2024, 1, 2, 3, 4)
+    assert out[2]["ts"] is None
+
+
+def test_unix_millis_and_tz_roundtrip(spark):
+    millis = 1704067200000  # 2024-01-01T00:00:00Z
+    df = spark.createDataFrame([(millis,)], "ms long")
+    row = df.select(
+        from_unix_millis("ms").alias("utc"),
+        to_local(from_unix_millis("ms")).alias("sp"),
+        to_utc(to_local(from_unix_millis("ms"))).alias("back"),
+    ).collect()[0]
+    assert row["utc"] == datetime(2024, 1, 1, 0, 0)
+    assert row["sp"] == datetime(2023, 12, 31, 21, 0)  # UTC-3
+    assert row["back"] == row["utc"]
+
+
+def test_derive_partition_columns(spark):
+    df = spark.createDataFrame([(datetime(2024, 3, 7),)], "d timestamp")
+    row = derive_partition_columns(df, "d").collect()[0]
+    assert (row["ano_particao"], row["mes_particao"], row["data_particao"]) == (
+        "2024", "03", "2024-03-07",
+    )
+
+
+def test_nest_unnest_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.5, datetime(2024, 1, 1))],
+        "id long, name string, v double, timestamp_captura timestamp",
+    )
+    nested = nest_payload(df, keys=["id"])
+    assert nested.columns == ["id", "content", "timestamp_captura"]
+    back = unnest_payload(nested, "name string, v string")
+    row = back.collect()[0]
+    assert row["name"] == "x" and row["v"] == "2.5"
+
+
+def test_flatten_struct(spark):
+    df = spark.createDataFrame([(1, ("a", 2))], "id long, s struct<x:string,y:long>")
+    out = flatten_struct(df, "s")
+    assert out.columns == ["id", "x", "y"]
+
+
+def test_read_csv_imposed_schema(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("10;VAN123;2500\n20;BUS9;1000\n")
+    df = read_csv_imposed_schema(spark, str(p), ["Operadora", "Código", "Receita"])
+    assert df.columns == ["operadora", "codigo", "receita"]
+    rows = df.select(
+        F.regexp_extract("codigo", r"VAN(\d+)", 1).alias("van"),
+        (F.col("receita").cast("double") / 100).alias("money"),
+    ).collect()
+    assert rows[0]["van"] == "123" and rows[0]["money"] == 25.0
+
+
+def test_read_fixed_width(spark, tmp_path):
+    p = tmp_path / "data.txt"
+    p.write_text("0012024ABC\n0022025DEF\n")
+    df = read_fixed_width(spark, str(p), {"id": (0, 3), "ano": (3, 7), "code": (7, 10)})
+    rows = {r["id"]: (r["ano"], r["code"]) for r in df.collect()}
+    assert rows["001"] == ("2024", "ABC")

@@ -1,0 +1,143 @@
+"""LLM-data-pipeline operators: dedup family semantics, similarity
+search recall, text analysis, multimodal plumbing."""
+
+from pyspark.sql import functions as F
+
+from pipelines_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from pipelines_spark.llm.multimodal import (
+    attach_binary_metadata,
+    extract_image_features,
+    sample_frames,
+)
+from pipelines_spark.llm.similarity import brute_force_topk
+from pipelines_spark.llm.text import language_id, quality_score, token_count
+
+
+def test_word_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    out = df.select(F.size(word_shingles("text", 3)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 2]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    out = {
+        (r["canonical_id"], r["dup_count"])
+        for r in exact_dedup(df, ["text"], "doc_id").collect()
+    }
+    assert out == {(1, 2), (3, 1)}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about spark engines and parquet files here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_near_dup_pairs(df, id_col="doc_id", text_col="text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_ngram_jaccard_matches_minhash_on_same_data(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i k"),
+            (3, "z y x w v u t s r q"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, id_col="doc_id", text_col="text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(df, id_col="doc_id", text_col="text", threshold=0.5).collect()
+    }
+    assert exact == lsh == {(1, 2)}
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "tango uniform victor whisky xray yankee zulu")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(df, id_col="doc_id", text_col="text").collect()}
+    assert (1, 2, 0) in pairs
+    assert not any(3 in (a, b) for a, b, _ in pairs)
+
+
+def test_brute_force_topk_exact_neighbor(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 1), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got[0] == (2, 1)
+
+
+def test_language_id_und_and_en(spark):
+    df = spark.createDataFrame(
+        [(1, "qqq www zzz"), (2, "the cat sat on the mat for a while")],
+        "doc_id long, text string",
+    )
+    out = dict(
+        (r["doc_id"], r["lang"]) for r in df.select("doc_id", language_id("text").alias("lang")).collect()
+    )
+    assert out[1] == "und"
+    assert out[2] == "en"
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        token_count("text").alias("n"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 0.0 <= by_id[1]["q"] <= 1.0
+    assert by_id[1]["n"] == 9
+    assert by_id[2]["n"] == 0
+
+
+def test_multimodal_feature_extraction_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\x00png-ish payload bytes")), (2, bytearray(b"tiny"))],
+        "item_id long, content binary",
+    )
+    df = attach_binary_metadata(df, mime="image/png")
+    feats = extract_image_features(df)
+    rows = {r["item_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == 23
+    assert rows[1]["mime"] == "image/png"
+    assert len(rows[1]["feature"]) == 4
+    assert rows[1]["width"] >= 16 and rows[1]["height"] >= 16
+    # deterministic: same payload -> same feature
+    again = {r["item_id"]: r for r in extract_image_features(df).collect()}
+    assert again[1]["feature"] == rows[1]["feature"]
+
+
+def test_sample_frames_shape(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x" * 25))], "item_id long, content binary")
+    frames = sample_frames(df, every_n=10)
+    got = [r["frame_no"] for r in frames.collect()]
+    assert got == [0, 10, 20]

@@ -1,0 +1,121 @@
+"""Operator combinators: filters with observed metrics, dedup,
+anti/range/knn joins, spine gap detection, pivot/unpivot."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pipelines_spark.operators.dedup import last_row_per_key
+from pipelines_spark.operators.filters import (
+    FilterReport,
+    filter_expressions,
+    filter_nulls,
+    temporal_window_filter,
+)
+from pipelines_spark.operators.joins import anti_join, knn_join, range_join
+from pipelines_spark.operators.pivot import pivot_wide, unpivot_long
+from pipelines_spark.operators.spine import find_gaps, time_spine
+
+
+def test_filter_expressions_with_observation(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0), (3, 20.0)], "id long, v double")
+    report = FilterReport()
+    out = filter_expressions(df, ["v < 0", "v > 10"], report=report)
+    assert {r["id"] for r in out.collect()} == {1}
+    metrics = report.metrics()
+    assert metrics["filter_0"]["removed"] == 1  # v < 0
+    assert metrics["filter_1"]["removed"] == 1  # v > 10
+
+
+def test_filter_nulls_reports_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c")], "id long, name string"
+    )
+    report = FilterReport()
+    out = filter_nulls(df, ["id", "name"], report=report)
+    assert out.count() == 1
+    m = report.metrics()["filter_nulls"]
+    assert m["null_id"] == 1 and m["null_name"] == 1
+
+
+def test_temporal_window_filter(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 0, 30)),   # +30s ok
+        (2, datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 2, 0)),    # +120s late
+        (3, datetime(2024, 1, 1, 0, 1, 0), datetime(2024, 1, 1, 0, 0, 0)),    # -60s skew
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cap timestamp")
+    out = temporal_window_filter(df, "ts", "cap", min_skew_seconds=-20, max_delay_seconds=60)
+    assert {r["id"] for r in out.collect()} == {1}
+
+
+def test_last_row_per_key_deterministic_ties(spark):
+    rows = [
+        ("u1", 1, datetime(2024, 1, 1, 10)),
+        ("u1", 2, datetime(2024, 1, 1, 10)),  # same ts: higher id wins
+        ("u2", 3, datetime(2024, 1, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp")
+    out = last_row_per_key(df, ["k"], "ts", tiebreak=["id"])
+    assert {(r["k"], r["id"]) for r in out.collect()} == {("u1", 2), ("u2", 3)}
+
+
+def test_anti_join(spark):
+    facts = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    state = spark.createDataFrame([(2,), (2,)], "k long")
+    assert {r["k"] for r in anti_join(facts, state, ["k"]).collect()} == {1, 3}
+
+
+def test_range_join_null_open(spark):
+    points = spark.createDataFrame([(1, 5), (2, 50)], "id long, x long")
+    ranges = spark.createDataFrame(
+        [("lo", 0, 10), ("open", 40, None)], "name string, lo long, hi long"
+    )
+    out = range_join(points, ranges, point="x", lower="lo", upper="hi")
+    pairs = {(r["id"], r["name"]) for r in out.collect()}
+    assert pairs == {(1, "lo"), (2, "open")}
+
+
+def test_knn_join_orders_by_distance(spark):
+    points = spark.createDataFrame([(1, 0.0)], "pid long, px double")
+    anchors = spark.createDataFrame(
+        [(10, 5.0), (11, 1.0), (12, 3.0)], "aid long, ax double"
+    )
+    out = knn_join(
+        points,
+        anchors,
+        point_id="pid",
+        distance=F.abs(F.col("px") - F.col("ax")),
+        k=2,
+        tiebreak=[F.col("aid")],
+    )
+    got = [(r["aid"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(11, 1), (12, 2)]
+
+
+def test_spine_gap_detection_caps_and_requires_success(spark):
+    spine = time_spine(
+        spark, "2024-01-01 00:00:00", "2024-01-01 00:04:00", interval="1 minute"
+    )
+    logs = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0), True, None),
+            (datetime(2024, 1, 1, 0, 1), False, "boom"),  # failed -> still a gap
+            (datetime(2024, 1, 1, 0, 3), True, None),
+        ],
+        "timestamp_captura timestamp, sucesso boolean, erro string",
+    )
+    gaps = find_gaps(spine, logs, cap=2)
+    got = [r["timestamp_captura"] for r in gaps.collect()]
+    assert got == [datetime(2024, 1, 1, 0, 1), datetime(2024, 1, 1, 0, 2)]  # oldest-first, capped
+
+
+def test_pivot_roundtrip(spark):
+    long_df = spark.createDataFrame(
+        [("r1", "a", 1.0), ("r1", "b", 2.0), ("r2", "a", 3.0)],
+        "k string, col string, v double",
+    )
+    wide = pivot_wide(long_df, ["k"], "col", ["a", "b"], F.first("v"))
+    assert {tuple(r) for r in wide.collect()} == {("r1", 1.0, 2.0), ("r2", 3.0, None)}
+    back = unpivot_long(wide, ["k"], ["a", "b"], var_name="col", value_name="v")
+    assert back.filter(F.col("v").isNotNull()).count() == 3

@@ -1,0 +1,61 @@
+"""Watermark store: table/per-key advance, monotonicity under
+re-appends, incremental filter; backfill window planner."""
+
+from datetime import datetime, timedelta
+
+from pipelines_spark.state.backfill import backfill_windows
+from pipelines_spark.state.watermark import WatermarkStore
+
+
+def test_table_watermark_roundtrip(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    assert store.get_table_watermark("orders") == (None, None)
+    store.set_table_watermark("orders", ts=datetime(2024, 1, 2), id_=10)
+    ts, id_ = store.get_table_watermark("orders")
+    assert (ts, id_) == (datetime(2024, 1, 2), 10)
+
+
+def test_watermark_monotone_max_merge(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    store.set_table_watermark("t", ts=datetime(2024, 1, 5))
+    store.set_table_watermark("t", ts=datetime(2024, 1, 3))  # stale write
+    ts, _ = store.get_table_watermark("t")
+    assert ts == datetime(2024, 1, 5)  # max-merge wins
+
+
+def test_per_key_advance_and_filter(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    batch1 = spark.createDataFrame(
+        [("st1", datetime(2024, 1, 1, 10)), ("st2", datetime(2024, 1, 1, 11))],
+        "station string, ts timestamp",
+    )
+    store.advance_from("readings", batch1, key_col="station", ts_col="ts")
+
+    batch2 = spark.createDataFrame(
+        [
+            ("st1", datetime(2024, 1, 1, 9)),   # older than st1 watermark -> drop
+            ("st1", datetime(2024, 1, 1, 12)),  # newer -> keep
+            ("st3", datetime(2024, 1, 1, 8)),   # unseen key -> keep
+        ],
+        "station string, ts timestamp",
+    )
+    kept = store.filter_newer("readings", batch2, key_col="station", ts_col="ts")
+    rows = {(r["station"], r["ts"]) for r in kept.collect()}
+    assert rows == {("st1", datetime(2024, 1, 1, 12)), ("st3", datetime(2024, 1, 1, 8))}
+
+
+def test_backfill_windows():
+    ws = backfill_windows(
+        datetime(2024, 1, 1), datetime(2024, 1, 4), interval=timedelta(days=1)
+    )
+    assert len(ws) == 3
+    assert ws[0] == (datetime(2024, 1, 1), datetime(2024, 1, 2))
+    rev = backfill_windows(
+        datetime(2024, 1, 1), datetime(2024, 1, 4), interval=timedelta(days=1), reverse=True
+    )
+    assert rev[0][0] == datetime(2024, 1, 3)
+    # ragged tail
+    ws = backfill_windows(
+        datetime(2024, 1, 1), datetime(2024, 1, 2, 12), interval=timedelta(days=1)
+    )
+    assert ws[-1] == (datetime(2024, 1, 2), datetime(2024, 1, 2, 12))

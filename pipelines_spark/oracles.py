@@ -349,6 +349,39 @@ ORACLES: dict[str, str] = {
                coalesce(TRY_CAST('x' AS BIGINT), o_orderkey)               AS coalesced
         FROM orders WHERE o_orderkey <= 2000
     """,
+    "p2_rename_projection": """
+        SELECT p_partkey, p_name AS nome, p_brand AS marca,
+               'Regular' AS tipo_os,
+               CAST(p_retailprice * 100 AS BIGINT) AS preco_centavos
+        FROM part
+    """,
+    "j10_composite_update_detection": """
+        WITH current_rows AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+        ), state AS (
+            SELECT o_orderkey, o_orderstatus
+            FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'P'
+        )
+        SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice
+        FROM current_rows c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM state s
+            WHERE s.o_orderkey = c.o_orderkey AND s.o_orderstatus = c.o_orderstatus
+        )
+    """,
+    "a2_group_any_flag": """
+        SELECT o_custkey,
+               CAST(max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS any_fulfilled,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+    "o1_multikey_sort": """
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem
+        ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 50
+    """,
     "t1_tumbling_5min": """
         SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
                count(*)             AS n_events,

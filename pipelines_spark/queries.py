@@ -438,6 +438,64 @@ def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p2_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection surface (P1/P2/P5): select & reorder, rename map,
+    computed/default column injection."""
+    register(spark, sf_dir, ("part",))
+    df = (
+        spark.table("part")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .withColumnsRenamed({"p_name": "nome", "p_brand": "marca"})
+        .withColumn("tipo_os", F.lit("Regular"))
+        .withColumn("preco_centavos", (F.col("p_retailprice") * 100).cast("long"))
+    )
+    return df.select("p_partkey", "nome", "marca", "tipo_os", "preco_centavos")
+
+
+def j10_composite_update_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key update detection (J10): rows of the current
+    capture whose (key, status) combo is absent from the state
+    snapshot — left-anti on a struct of columns."""
+    register(spark, sf_dir, ("orders",))
+    o = spark.table("orders")
+    current = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    state = o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderstatus") != "P")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return current.join(state, ["o_orderkey", "o_orderstatus"], "left_anti")
+
+
+def a2_group_any_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + max as an any()-flag (A2): per customer/date, was
+    any order fulfilled."""
+    register(spark, sf_dir, ("orders",))
+    return (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderstatus") == "F").cast("int")).cast("long").alias("any_fulfilled"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key deterministic sort + limit (O1/O4)."""
+    register(spark, sf_dir, ("lineitem",))
+    return (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy(
+            F.col("l_shipdate").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(50)
+    )
+
+
 def t1_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (T1): 5-minute windows."""
     register(spark, sf_dir, ("events",))
@@ -621,6 +679,10 @@ QUERIES = {
     "o6_pivot_event_types": o6_pivot_event_types,
     "o7_json_props_extract": o7_json_props_extract,
     "scalar_gauntlet": scalar_gauntlet,
+    "p2_rename_projection": p2_rename_projection,
+    "j10_composite_update_detection": j10_composite_update_detection,
+    "a2_group_any_flag": a2_group_any_flag,
+    "o1_multikey_sort": o1_multikey_sort,
     "t1_tumbling_5min": t1_tumbling_5min,
     "t2_incremental_window": t2_incremental_window,
     "k4_partition_derivation": k4_partition_derivation,

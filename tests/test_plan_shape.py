@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions: the scale contract.
+
+These tests pin the plan properties that matter at 100 TB: filters
+and projections reaching the parquet scan, broadcast joins for small
+dims, window-group-limit pushdown for top-k, no Python UDFs in
+built-in operator paths.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from pipelines_spark.queries import QUERIES, register
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _final_plan(df) -> str:
+    """Plan after execution — under AQE the codegen'd final stages
+    only exist once the adaptive plan is finalized."""
+    df.write.format("noop").mode("overwrite").save()
+    return _formatted(df)
+
+
+def test_incremental_filter_pushed_to_scan(spark, sf_medium):
+    df = QUERIES["f6_pruned_incremental_scan"](spark, sf_medium)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_medium):
+    register(spark, sf_medium, ("lineitem",))
+    df = spark.table("lineitem").select("l_orderkey").filter(F.col("l_orderkey") > 100)
+    plan = _formatted(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_medium):
+    plan = _plan(QUERIES["j1_orders_enriched"](spark, sf_medium))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_window_group_limit(spark, sf_medium):
+    plan = _plan(QUERIES["embed_knn_topk"](spark, sf_medium))
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark, sf_medium):
+    for name in (
+        "q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "text_quality_by_source",
+        "embed_knn_topk",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_medium))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_in_flagship(spark, sf_medium):
+    # AQE's AdaptiveSparkPlan hides codegen subtrees until runtime —
+    # disable it for the probe so EXPLAIN CODEGEN sees the stages.
+    df = QUERIES["q1_pricing_summary"](spark, sf_medium)
+    df.createOrReplaceTempView("_q1_plan_probe")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = spark.sql("EXPLAIN CODEGEN SELECT * FROM _q1_plan_probe").collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in out
+    assert "Found 0 WholeStageCodegen" not in out

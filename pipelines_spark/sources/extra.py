@@ -1,0 +1,201 @@
+"""Long-tail sources: zip members, GeoJSON, HTML tables, Excel,
+netCDF (SURVEY S5/S9/S10/S14/S15).
+
+Zip extraction is fully distributed (binaryFile scan + per-file
+unzip in mapInPandas). GeoJSON and HTML parse driver-side like the
+reference (they arrive as single small scraped payloads). Excel and
+netCDF need libraries not present in this environment, so they are
+gated behind import-try with a clear error — the call signature and
+output contract are the engine surface.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pipelines_spark.naming import normalize_names
+
+ZIP_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("archive", T.StringType(), False),
+        T.StructField("member", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def read_zip_members(
+    spark: SparkSession,
+    path: str,
+    *,
+    member_suffix: str | None = None,
+) -> DataFrame:
+    """Distributed zip-member extraction: binaryFile scan over the
+    archives, per-archive unzip in Arrow-batched Python (the archive
+    is the parallelism unit — correct for many-archives layouts like
+    the reference's GTFS/RDO feeds)."""
+
+    def explode_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                with zipfile.ZipFile(io.BytesIO(row["content"])) as zf:
+                    for member in zf.namelist():
+                        if member_suffix and not member.endswith(member_suffix):
+                            continue
+                        rows.append(
+                            {
+                                "archive": row["path"],
+                                "member": member,
+                                "content": zf.read(member),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["archive", "member", "content"])
+
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    return binary.mapInPandas(explode_members, ZIP_MEMBER_SCHEMA)
+
+
+def read_geojson(
+    spark: SparkSession, path: str, *, multiline: bool = True
+) -> DataFrame:
+    """GeoJSON FeatureCollection → DataFrame of properties + WKT
+    geometry column (the reference converts GeoDataFrames to WKT for
+    interchange, dump_datario/tasks.py:118-140)."""
+    with open(path) as f:
+        doc = json.load(f)
+    rows = []
+    for feat in doc.get("features", []):
+        props = dict(feat.get("properties") or {})
+        props["geometry_wkt"] = _geojson_to_wkt(feat.get("geometry"))
+        rows.append(props)
+    pdf = pd.DataFrame(rows)
+    pdf.columns = normalize_names(list(pdf.columns))
+    return spark.createDataFrame(pdf)
+
+
+def _geojson_to_wkt(geom: dict | None) -> str | None:
+    if not geom:
+        return None
+    gtype = geom["type"]
+    coords = geom["coordinates"]
+
+    def pt(c):  # drop any Z dimension (3D→2D like the reference)
+        return f"{c[0]} {c[1]}"
+
+    if gtype == "Point":
+        return f"POINT ({pt(coords)})"
+    if gtype == "LineString":
+        return "LINESTRING (" + ", ".join(pt(c) for c in coords) + ")"
+    if gtype == "Polygon":
+        rings = ", ".join(
+            "(" + ", ".join(pt(c) for c in ring) + ")" for ring in coords
+        )
+        return f"POLYGON ({rings})"
+    if gtype == "MultiPolygon":
+        polys = ", ".join(
+            "(" + ", ".join(
+                "(" + ", ".join(pt(c) for c in ring) + ")" for ring in poly
+            ) + ")"
+            for poly in coords
+        )
+        return f"MULTIPOLYGON ({polys})"
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+class _TableParser(HTMLParser):
+    """Minimal stdlib <table> extractor (first table; th/td cells)."""
+
+    def __init__(self):
+        super().__init__()
+        self.rows: list[list[str]] = []
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+        self._done = False
+        self._depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self._done:
+            return
+        if tag == "table":
+            self._depth += 1
+        elif tag == "tr" and self._depth == 1:
+            self._row = []
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell = []
+
+    def handle_endtag(self, tag):
+        if self._done:
+            return
+        if tag == "table":
+            self._depth -= 1
+            if self._depth == 0 and self.rows:
+                self._done = True
+        elif tag == "tr" and self._row is not None:
+            self.rows.append(self._row)
+            self._row = None
+        elif tag in ("td", "th") and self._cell is not None and self._row is not None:
+            self._row.append("".join(self._cell).strip())
+            self._cell = None
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def read_html_table(spark: SparkSession, html: str, *, header: bool = True) -> DataFrame:
+    """First <table> of an HTML document → all-string DataFrame
+    (the reference scrapes gauge readings via pd.read_html)."""
+    parser = _TableParser()
+    parser.feed(html)
+    rows = parser.rows
+    if not rows:
+        raise ValueError("no <table> rows found")
+    if header:
+        columns, data = rows[0], rows[1:]
+    else:
+        columns = [f"col_{i}" for i in range(len(rows[0]))]
+        data = rows
+    pdf = pd.DataFrame(data, columns=normalize_names(columns), dtype=str)
+    return spark.createDataFrame(pdf)
+
+
+def read_excel(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Excel scan via pandas → createDataFrame; requires openpyxl
+    (not bundled here — gated import)."""
+    try:
+        pdf = pd.read_excel(path, **kwargs)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "read_excel needs an Excel engine (openpyxl); install it in "
+            "the deployment image"
+        ) from exc
+    pdf.columns = normalize_names([str(c) for c in pdf.columns])
+    return spark.createDataFrame(pdf)
+
+
+def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> DataFrame:
+    """netCDF raster → long-format (lat, lon, ts, variable, value)
+    DataFrame; requires xarray (not bundled here — gated import).
+    Long format is the engine contract (SURVEY §1.1 raster row):
+    pivot back at the edge with operators.pivot."""
+    try:
+        import xarray as xr  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "read_netcdf_long needs xarray/netCDF4; install them in the "
+            "deployment image"
+        ) from exc
+    ds = xr.open_dataset(path)
+    pdf = ds[variables].to_dataframe().reset_index()
+    pdf.columns = normalize_names([str(c) for c in pdf.columns])
+    return spark.createDataFrame(pdf)

@@ -119,6 +119,17 @@ class WatermarkStore:
             .drop("key", "_wm_ts")
         )
 
+    def source_newer_than_target(self, source_scope: str, target_scope: str) -> bool:
+        """Skip-if-unchanged gate (SURVEY F7): run a materialization
+        only when the source watermark moved past the target's
+        (reference compare_dates_between_tables_redis,
+        pipelines/utils/utils.py:985-1009)."""
+        src_ts, _ = self.get_table_watermark(source_scope)
+        tgt_ts, _ = self.get_table_watermark(target_scope)
+        if src_ts is None:
+            return False
+        return tgt_ts is None or src_ts > tgt_ts
+
     def _append(self, rows: list[tuple]) -> None:
         now = datetime.utcnow()
         df = self.spark.createDataFrame(

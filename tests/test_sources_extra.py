@@ -1,0 +1,136 @@
+"""Long-tail sources: jdbc option construction + incremental rewrite,
+URL fetch to staging, zip member extraction, GeoJSON, HTML table,
+gated Excel/netCDF."""
+
+import io
+import json
+import zipfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipelines_spark.sources.extra import (
+    read_excel,
+    read_geojson,
+    read_html_table,
+    read_netcdf_long,
+    read_zip_members,
+)
+from pipelines_spark.sources.http import (
+    download_to_staging,
+    google_drive_download_url,
+    google_sheet_export_url,
+)
+from pipelines_spark.sources.jdbc import (
+    JdbcSource,
+    incremental_query,
+    reader_options,
+)
+
+
+def test_jdbc_incremental_rewrite():
+    q = incremental_query(
+        "SELECT * FROM t;", "updated_at", "2024-01-02 00:00:00"
+    )
+    assert q == (
+        "WITH q AS (SELECT * FROM t) "
+        "SELECT * FROM q WHERE updated_at >= '2024-01-02 00:00:00'"
+    )
+    oracle = incremental_query("SELECT * FROM t", "dt", "2024-01-02 00:00:00", db_type="oracle")
+    assert "TO_DATE('2024-01-02 00:00:00'" in oracle
+    assert incremental_query("SELECT 1", "c", None) == "SELECT 1"
+
+
+def test_jdbc_reader_options_partitioned():
+    src = JdbcSource("postgresql", "db.host", 5432, "lake", "u", "p")
+    opts = reader_options(
+        src, "SELECT * FROM t", partition_column="id",
+        lower_bound=0, upper_bound=1000, num_partitions=8,
+    )
+    assert opts["url"] == "jdbc:postgresql://db.host:5432/lake"
+    assert opts["dbtable"] == "(SELECT * FROM t) AS src"
+    assert opts["numPartitions"] == "8" and opts["fetchsize"] == "50000"
+    with pytest.raises(ValueError):
+        reader_options(src, "q", partition_column="id")
+
+
+def test_sheet_and_drive_url_rewrites():
+    url = "https://docs.google.com/spreadsheets/d/ABC123/edit#gid=42"
+    assert google_sheet_export_url(url) == (
+        "https://docs.google.com/spreadsheets/d/ABC123/export?format=csv&gid=42"
+    )
+    drive = "https://drive.google.com/file/d/FILE9/view?usp=sharing"
+    assert google_drive_download_url(drive) == (
+        "https://drive.google.com/uc?export=download&id=FILE9"
+    )
+
+
+def test_download_to_staging_file_url(spark, tmp_path):
+    src = tmp_path / "payload.csv"
+    src.write_text("a;b\n1;2\n")
+    staged = download_to_staging(f"file://{src}", str(tmp_path / "staging"))
+    df = spark.read.csv(staged, sep=";", header=True)
+    assert df.count() == 1 and df.columns == ["a", "b"]
+
+
+def test_read_zip_members(spark, tmp_path):
+    archive = tmp_path / "feed.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        zf.writestr("stops.txt", "stop_id\n1\n")
+        zf.writestr("routes.txt", "route_id\n7\n")
+        zf.writestr("readme.md", "ignore me")
+    members = read_zip_members(spark, str(archive), member_suffix=".txt")
+    rows = {r["member"]: bytes(r["content"]) for r in members.collect()}
+    assert set(rows) == {"stops.txt", "routes.txt"}
+    assert rows["stops.txt"] == b"stop_id\n1\n"
+
+
+def test_read_geojson_wkt(spark, tmp_path):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"Região": "centro", "id": 1},
+                "geometry": {"type": "Point", "coordinates": [-43.2, -22.9, 5.0]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"Região": "sul", "id": 2},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                },
+            },
+        ],
+    }
+    p = tmp_path / "areas.geojson"
+    p.write_text(json.dumps(doc))
+    df = read_geojson(spark, str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    assert df.columns == ["regiao", "id", "geometry_wkt"]
+    assert rows[1]["geometry_wkt"] == "POINT (-43.2 -22.9)"  # 3D dropped
+    assert rows[2]["geometry_wkt"].startswith("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+
+
+def test_read_html_table(spark):
+    html = """
+    <html><body><h1>Chuva</h1>
+    <table>
+      <tr><th>Estação</th><th>15 min</th></tr>
+      <tr><td>Urca</td><td>1.2</td></tr>
+      <tr><td>Tijuca</td><td>0.0</td></tr>
+    </table></body></html>
+    """
+    df = read_html_table(spark, html)
+    assert df.columns == ["estacao", "_15_min"]
+    assert df.count() == 2
+
+
+def test_gated_readers_raise_cleanly(spark, tmp_path):
+    with pytest.raises(Exception) as exc1:
+        read_excel(spark, str(tmp_path / "x.xlsx"))
+    assert isinstance(exc1.value, (NotImplementedError, FileNotFoundError))
+    with pytest.raises(NotImplementedError):
+        read_netcdf_long(spark, str(tmp_path / "x.nc"), ["var"])

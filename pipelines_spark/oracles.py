@@ -206,6 +206,19 @@ ORACLES: dict[str, str] = {
         LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name, n.n_name
     """,
+    "j2_full_outer_nation_flows": """
+        WITH c AS (
+            SELECT c_nationkey AS nationkey, count(*) AS n_customers
+            FROM customer WHERE c_nationkey < 20 GROUP BY 1
+        ), s AS (
+            SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+            FROM supplier WHERE s_nationkey >= 5 GROUP BY 1
+        )
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(c.n_customers, 0) AS n_customers,
+               coalesce(s.n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
     "j3_customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c

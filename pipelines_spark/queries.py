@@ -196,6 +196,29 @@ def j1_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j2_full_outer_nation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer equi-join (J2): merge two per-nation aggregates
+    whose key sets differ (the netCDF variable-merge pattern)."""
+    register(spark, sf_dir, ("customer", "supplier"))
+    c = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") < 20)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        spark.table("supplier")
+        .filter(F.col("s_nationkey") >= 5)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, ["nationkey"], "outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
 def j3_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (J3/J4): customers with no orders."""
     register(spark, sf_dir, ("orders", "customer"))
@@ -663,6 +686,7 @@ QUERIES = {
     "f2_null_filter": f2_null_filter,
     "f3_capture_window": f3_capture_window,
     "j1_orders_enriched": j1_orders_enriched,
+    "j2_full_outer_nation_flows": j2_full_outer_nation_flows,
     "j3_customers_without_orders": j3_customers_without_orders,
     "j5_capture_gaps": j5_capture_gaps,
     "j7_shipdate_range_join": j7_shipdate_range_join,

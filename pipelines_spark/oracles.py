@@ -450,6 +450,21 @@ ORACLES: dict[str, str] = {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
+    "dedup_embed_cosine": """
+        WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+             b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+        scored AS (
+            SELECT id_a, id_b,
+                   round(
+                     list_sum(list_transform(list_zip(va, vb),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   4) AS cosine
+            FROM a JOIN b ON id_a < id_b
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
     "text_langid_counts": f"""
         WITH scored AS (
             SELECT doc_id,

@@ -615,6 +615,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact): all pairs with
+    cosine ≥ 0.4. Brute-force is the correctness baseline; the scale
+    path is the SRP-bucketed variant (embed_srp_ann)."""
+    register(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    from pipelines_spark.llm.similarity import cosine_similarity
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def text_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution."""
     register(spark, sf_dir, ("documents",))
@@ -715,6 +733,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_embed_cosine": dedup_embed_cosine,
     "text_langid_counts": text_langid_counts,
     "text_quality_by_source": text_quality_by_source,
     "text_token_stats": text_token_stats,

@@ -73,6 +73,33 @@ def create_staging_table(
     spark.sql(f"MSCK REPAIR TABLE {name}")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    *,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    file_format: str = "parquet",
+) -> None:
+    """Write a bucketed (hash-clustered) managed table.
+
+    Bucketing pre-shuffles the data once at write time; joins and
+    aggregations on the bucket columns between co-bucketed tables
+    then run with NO exchange — the big-fact ⋈ big-fact strategy at
+    100 TB, where a runtime shuffle of either side is the dominant
+    cost. Requires the session catalog (saveAsTable), not a bare
+    path — bucket metadata lives in the catalog.
+    """
+    writer = df.write.mode(mode).format(file_format).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def to_all_string(df: DataFrame) -> DataFrame:
     """Apply the all-string staging contract (SURVEY §1.2): every
     column cast to string; typed views SAFE_CAST back downstream."""

@@ -29,6 +29,8 @@ from pipelines_spark.sinks.partitioned import write_partitioned
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "revenue_by_month",
     "top_customers_by_revenue",
     "j1_orders_enriched",

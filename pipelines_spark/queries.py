@@ -138,6 +138,51 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective join + revenue ranking (J1/A/O4)."""
+    register(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < timestamp '1998-03-15 00:00:00'
+          AND l.l_shipdate > timestamp '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: multi-way join through both dimension chains
+    with a co-nation constraint (J1/J6/A)."""
+    register(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AMERICA'
+          AND o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o.o_orderdate < timestamp '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+        """
+    )
+
+
 def f1_filter_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exclusion-expression filter list (F1): remove rows matching any
     configured predicate, then summarize survivors."""
@@ -698,6 +743,8 @@ def embed_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: name → callable(spark, sf_dir) — the full inventory.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "revenue_by_month": revenue_by_month,
     "top_customers_by_revenue": top_customers_by_revenue,
     "f1_filter_expressions": f1_filter_expressions,

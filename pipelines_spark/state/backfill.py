@@ -12,6 +12,11 @@ job; this only plans the loop.
 from __future__ import annotations
 
 from datetime import datetime, timedelta
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pipelines_spark.plans.models import ModelRunner
+    from pipelines_spark.state.watermark import WatermarkStore
 
 
 def backfill_windows(
@@ -31,3 +36,33 @@ def backfill_windows(
         windows.append((lo, hi))
         lo = hi
     return list(reversed(windows)) if reverse else windows
+
+
+def run_backfill(
+    runner: "ModelRunner",
+    model_name: str,
+    store: "WatermarkStore",
+    *,
+    start: datetime,
+    end: datetime,
+    interval: timedelta,
+    var_start: str = "date_range_start",
+    var_end: str = "date_range_end",
+    ts_format: str = "%Y-%m-%d %H:%M:%S",
+) -> int:
+    """Window-by-window incremental backfill of one model (SURVEY T8
+    + U4): each window runs the model with date-range vars (the dbt
+    --vars contract) and advances the watermark only after the window
+    succeeds — a crash resumes from the last completed window.
+    Returns the number of windows run.
+    """
+    last_ts, _ = store.get_table_watermark(model_name)
+    effective_start = max(start, last_ts) if last_ts else start
+    windows = backfill_windows(effective_start, end, interval=interval)
+    for lo, hi in windows:
+        runner.run(
+            select=model_name,
+            variables={var_start: lo.strftime(ts_format), var_end: hi.strftime(ts_format)},
+        )
+        store.set_table_watermark(model_name, ts=hi)
+    return len(windows)

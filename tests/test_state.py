@@ -44,6 +44,48 @@ def test_per_key_advance_and_filter(spark, tmp_path):
     assert rows == {("st1", datetime(2024, 1, 1, 12)), ("st3", datetime(2024, 1, 1, 8))}
 
 
+def test_run_backfill_resumes_from_watermark(spark, tmp_path):
+    from pipelines_spark.plans.models import ModelRunner, SqlModel
+    from pipelines_spark.state.backfill import run_backfill
+
+    spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + i % 4), float(i)) for i in range(20)],
+        "id long, d timestamp, v double",
+    ).createOrReplaceTempView("bf_src")
+
+    target = str(tmp_path / "bf_target")
+    model = SqlModel(
+        name="bf_model",
+        sql="""
+            SELECT date_format(d, 'yyyy-MM-dd') AS data_particao, sum(v) AS total
+            FROM bf_src
+            WHERE d >= timestamp '{date_range_start}'
+              AND d < timestamp '{date_range_end}'
+            GROUP BY 1
+        """,
+        materialization="incremental",
+        path=target,
+        partition_cols=["data_particao"],
+    )
+    runner = ModelRunner(spark, [model])
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+
+    n = run_backfill(
+        runner, "bf_model", store,
+        start=datetime(2024, 1, 1), end=datetime(2024, 1, 5),
+        interval=timedelta(days=2),
+    )
+    assert n == 2
+    assert spark.read.parquet(target).count() == 4  # 4 distinct days
+    # resume: watermark is at end, nothing left to do
+    n2 = run_backfill(
+        runner, "bf_model", store,
+        start=datetime(2024, 1, 1), end=datetime(2024, 1, 5),
+        interval=timedelta(days=2),
+    )
+    assert n2 == 0
+
+
 def test_backfill_windows():
     ws = backfill_windows(
         datetime(2024, 1, 1), datetime(2024, 1, 4), interval=timedelta(days=1)

@@ -78,18 +78,27 @@ def main() -> None:
     # timing doesn't absorb session startup.
     QUERIES["a6_distinct_segments"](spark, sf_dir).count()
 
+    # Best-of-2 per query: single-shot timings on a shared box are
+    # jitter-dominated; the min is the reproducible cost (codegen
+    # compile amortizes into run 1, so run 2 ≈ steady-state).
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
-    out_dir = tempfile.mkdtemp(prefix="bench_dump_")
-    try:
-        t0 = time.perf_counter()
-        bench_dump_pipeline(spark, sf_dir, out_dir)
-        timings["dump_pipeline"] = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    best = float("inf")
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="bench_dump_")
+        try:
+            t0 = time.perf_counter()
+            bench_dump_pipeline(spark, sf_dir, out_dir)
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    timings["dump_pipeline"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -283,3 +283,62 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list:
+    (node, component_id) where component_id = min node id reachable.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Near-dup clusters are shallow (dups of
+    a common source), so the diameter is small; for adversarial long
+    chains the same loop structure accepts the large-star/small-star
+    optimization (Kiveris et al., "Connected Components in MapReduce")
+    without changing the contract. Lineage is truncated each round
+    with localCheckpoint so the plan does not grow with iterations;
+    per-round shuffles are (node, label) pairs — the edge list itself
+    never re-shuffles after the first materialization.
+
+    Only nodes that appear in ``pairs`` are labeled (singletons carry
+    no dedup information).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nlabel") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component_id"))

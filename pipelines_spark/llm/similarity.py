@@ -12,6 +12,14 @@
   approximation itself is reproducible (and therefore oracle-
   checkable). The bucket join replaces the full cross product with an
   equi-join — the scale path.
+- ``ivf_topk``: inverted-file ANN. A small deterministic centroid set
+  is collected to the driver (index-build phase — IVF centroid tables
+  are always driver-scale); every corpus vector is assigned to its
+  nearest centroid in a *map-only* stage (argmax over a literal
+  centroid array — no shuffle, no cross-join blow-up); queries probe
+  their ``nprobe`` nearest centroid cells and run exact cosine top-k
+  against only those cells' members. At 100 TB the corpus is
+  partitioned by centroid id once and probed by equi-join forever.
 """
 
 from __future__ import annotations
@@ -129,6 +137,86 @@ def srp_bucketed_topk(
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _literal_vec(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_mod: int = 37,
+    nprobe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: (query_id, neighbor_id, cosine, rank).
+
+    Centroids are the corpus vectors whose id ≡ 0 (mod
+    ``centroid_mod``) — a deterministic surrogate for k-means
+    (real IVF would train centroids; the *plan shape* is identical
+    and that is what matters for the engine). Assignment ranks
+    centroids by rounded cosine desc, centroid id asc, so the
+    approximation is a defined, oracle-checkable result.
+
+    Plan shape at scale: centroid list is driver-collected (small by
+    construction) and inlined as literals → corpus assignment is a
+    map-only projection (argmax over an array of structs, whole-stage
+    codegen, zero shuffle); the only shuffles are the candidate
+    equi-join on centroid id (query side broadcast) and the final
+    top-k window on query_id.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.filter((F.col(id_col) % centroid_mod) == 0)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+
+    def best_cells(vec: Column, n: int) -> Column:
+        """Array of the n nearest centroid ids for ``vec`` (rounded
+        cosine desc, centroid id asc)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(cosine_similarity(vec, _literal_vec(cv)), round_digits).alias("c"),
+                    F.lit(-cid).alias("nid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        ordered = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ordered, 1, n), lambda s: -s["nid"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        best_cells(F.col(vec_col), 1)[0].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(best_cells(F.col(vec_col), nprobe)).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)

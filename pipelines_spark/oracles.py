@@ -567,4 +567,133 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rn <= 5
     """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    "a12_rollup_revenue": """
+        SELECT CAST(coalesce(year(o_orderdate), -1) AS INTEGER) AS order_year,
+               coalesce(o_orderpriority, 'ALL')   AS priority,
+               round(sum(o_totalprice), 2)        AS total_price,
+               count(*)                           AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+    "o9_except_nations": """
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "w5_lag_event_gap": """
+        WITH ev AS (
+            SELECT event_type, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+            FROM events
+        ), gaps AS (
+            SELECT event_type,
+                   us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+            FROM ev
+        )
+        SELECT event_type,
+               round(avg(gap_us / 1000000.0), 2) AS avg_gap_s,
+               CAST(max(gap_us) AS BIGINT)       AS max_gap_us,
+               count(*)                          AS n_gaps
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
+    "w6_sessionize": """
+        WITH ev AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+            FROM events
+        ), flagged AS (
+            SELECT user_id, us, event_id,
+                   CASE WHEN us - lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), sess AS (
+            SELECT user_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id,
+               count(*)                  AS n_sessions,
+               CAST(sum(n) AS BIGINT)    AS n_events,
+               CAST(max(n) AS BIGINT)    AS max_session_events
+        FROM per_session GROUP BY user_id
+    """,
+    "embed_ivf_ann": f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id % 37 = 0
+        ), ranked AS (
+            SELECT q.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) DESC,
+                                c.centroid_id ASC) AS cr
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings) q
+            CROSS JOIN cent c
+        ), corpus_cell AS (
+            SELECT vec_id AS neighbor_id, centroid_id FROM ranked WHERE cr = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, centroid_id
+            FROM ranked WHERE cr <= 2 AND vec_id < 20
+        ), scored AS (
+            SELECT p.query_id, cc.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM probes p
+            JOIN corpus_cell cc ON p.centroid_id = cc.centroid_id
+            JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+                 ON c.vec_id = cc.neighbor_id
+            JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+                 ON q.vec_id = p.query_id
+            WHERE cc.neighbor_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    # Transitive closure of the exact near-dup pair graph via
+    # recursive CTE — the SQL mirror of iterative label propagation.
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM jaccards
+            UNION
+            SELECT id_b AS a, id_a AS b FROM jaccards
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id,
+               CAST(least(a, min(b)) AS BIGINT) AS component_id
+        FROM reach GROUP BY a
+    """,
 }

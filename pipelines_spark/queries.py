@@ -14,18 +14,19 @@ both sides to absorb summation-order ulp differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipelines_spark.functions.datetime_ops import derive_partition_columns
 from pipelines_spark.functions.json_ops import nest_payload
 from pipelines_spark.llm.dedup import (
+    connected_components,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from pipelines_spark.llm.similarity import brute_force_topk, srp_bucketed_topk
+from pipelines_spark.llm.similarity import brute_force_topk, ivf_topk, srp_bucketed_topk
 from pipelines_spark.llm.text import (
     document_fingerprint,
     language_id,
@@ -740,6 +741,156 @@ def embed_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: orders in a quarter having at
+    least one line shipped >60 days after the order date, counted per
+    priority. Catalyst rewrites EXISTS to a left-semi hash join."""
+    register(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o_orderdate <  timestamp '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan-filter-agg: all three predicates push to
+    the parquet scan; no shuffle beyond the single-row final agg."""
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+          AND l_shipdate <  timestamp '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+        """
+    )
+
+
+def a12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.6 note: the reference never got
+    these because BigQuery owned SQL; Spark has them natively):
+    revenue by (year, priority), (year), and grand total."""
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT coalesce(year(o_orderdate), -1) AS order_year,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               round(sum(o_totalprice), 2)  AS total_price,
+               count(*)                     AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+        """
+    )
+
+
+def o9_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (SURVEY §2.8 note: the reference never needed
+    EXCEPT because BigQuery owned SQL; Spark has it natively):
+    customers who ordered but never at '1-URGENT' priority."""
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+def w5_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window (§2.7 extension): per-user inter-event gap via
+    lag over (user, ts, event_id), aggregated per event type. Epoch
+    microseconds keep the arithmetic integer-exact across engines."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = ev.withColumn("_gap_us", F.col("_us") - F.lag("_us").over(w)).filter(
+        F.col("_gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.round(F.avg(F.col("_gap_us") / F.lit(1_000_000.0)), 2).alias("avg_gap_s"),
+        F.max(F.col("_gap_us")).alias("max_gap_us"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (training-data pipeline staple): a >30-min gap
+    opens a new session; per user report session count, event count,
+    and the largest session. Cumulative-sum-over-flags builds the
+    session id — two windows, both partitioned on user_id, so one
+    shuffle total."""
+    register(spark, sf_dir, ("events",))
+    gap_us = 30 * 60 * 1_000_000
+    ev = spark.table("events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ev.withColumn(
+        "_new",
+        F.when(
+            (F.col("_us") - F.lag("_us").over(w)).isNull()
+            | ((F.col("_us") - F.lag("_us").over(w)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("_new").over(wrun))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("_n").alias("n_events"),
+        F.max("_n").alias("max_session_events"),
+    )
+
+
+def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroid cells (vec_id % 37 == 0),
+    map-only nearest-cell assignment, nprobe=2 probing, exact top-5
+    within probed cells. The 100-TB path: corpus partitioned by cell
+    once, probed by equi-join."""
+    register(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", k=5, centroid_mod=37, nprobe=2,
+    ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs (Jaccard ≥ 0.5) →
+    connected components by iterative min-label propagation. The
+    component id (min doc_id reachable) is what a training pipeline
+    keeps as the canonical document."""
+    register(spark, sf_dir, ("documents",))
+    pairs = minhash_near_dup_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text",
+        shingle_words=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+
+
 #: name → callable(spark, sf_dir) — the full inventory.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -787,4 +938,12 @@ QUERIES = {
     "text_fingerprints": text_fingerprints,
     "embed_knn_topk": embed_knn_topk,
     "embed_srp_ann": embed_srp_ann,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "a12_rollup_revenue": a12_rollup_revenue,
+    "o9_except_nations": o9_except_nations,
+    "w5_lag_event_gap": w5_lag_event_gap,
+    "w6_sessionize": w6_sessionize,
+    "embed_ivf_ann": embed_ivf_ann,
+    "dedup_clusters": dedup_clusters,
 }

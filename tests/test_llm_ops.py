@@ -141,3 +141,54 @@ def test_sample_frames_shape(spark):
     frames = sample_frames(df, every_n=10)
     got = [r["frame_no"] for r in frames.collect()]
     assert got == [0, 10, 20]
+
+
+def test_connected_components_matches_union_find(spark):
+    # labeled graph: {1,2,3,9} chained, {5,6} pair, {7,8} pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6), (8, 7)], "id_a long, id_b long"
+    )
+    from pipelines_spark.llm.dedup import connected_components
+
+    got = {
+        (r["node"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (9, 1),
+        (5, 5), (6, 5),
+        (7, 7), (8, 7),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path needs several propagation rounds — exercises the
+    # fixpoint loop, not just one hop
+    edges = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    from pipelines_spark.llm.dedup import connected_components
+
+    got = connected_components(pairs)
+    assert got.select("component_id").distinct().count() == 1
+    assert got.count() == 13
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_medium):
+    from pipelines_spark.llm.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, centroid_mod=37, nprobe=2).collect()
+    }
+    # every query answered with k results
+    assert len(approx) == len(exact)
+    # nprobe=2 over ~n/37 cells should recover a meaningful share of
+    # the true neighbors — this guards against degenerate assignment
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall

@@ -47,6 +47,12 @@ HEADLINE = [
     "text_fingerprints",
     "embed_knn_topk",
     "embed_srp_ann",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "j11_asof_enrichment",
+    "w6_sessionize",
+    "embed_ivf_ann",
+    "dedup_clusters",
 ]
 
 

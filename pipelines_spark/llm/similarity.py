@@ -15,17 +15,20 @@
 - ``ivf_topk``: inverted-file ANN. A small deterministic centroid set
   is collected to the driver (index-build phase — IVF centroid tables
   are always driver-scale); every corpus vector is assigned to its
-  nearest centroid in a *map-only* stage (argmax over a literal
-  centroid array — no shuffle, no cross-join blow-up); queries probe
-  their ``nprobe`` nearest centroid cells and run exact cosine top-k
-  against only those cells' members. At 100 TB the corpus is
+  nearest centroid in a *map-only* Arrow-batched stage (one numpy
+  matmul per batch — no shuffle, no cross-join blow-up); queries
+  probe their ``nprobe`` nearest centroid cells and run exact cosine
+  top-k against only those cells' members. At 100 TB the corpus is
   partitioned by centroid id once and probed by equi-join forever.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(arr: Column) -> Column:
@@ -152,10 +155,6 @@ def srp_bucketed_topk(
     )
 
 
-def _literal_vec(values: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in values])
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -176,44 +175,52 @@ def ivf_topk(
     centroids by rounded cosine desc, centroid id asc, so the
     approximation is a defined, oracle-checkable result.
 
-    Plan shape at scale: centroid list is driver-collected (small by
-    construction) and inlined as literals → corpus assignment is a
-    map-only projection (argmax over an array of structs, whole-stage
-    codegen, zero shuffle); the only shuffles are the candidate
-    equi-join on centroid id (query side broadcast) and the final
-    top-k window on query_id.
+    Plan shape at scale: the centroid matrix is driver-collected
+    (small by construction — IVF index build) and shipped to workers
+    inside an Arrow-batched pandas UDF; corpus assignment is then a
+    *map-only* ArrowEvalPython stage doing one numpy matmul per batch
+    (zero shuffle, no per-centroid expression blow-up); the only
+    shuffles are the candidate equi-join on centroid id (query side
+    broadcast) and the final top-k window on query_id. Candidate
+    scoring stays JVM-side (zip_with/aggregate), identical to the
+    oracle's arithmetic.
     """
-    cents = [
+    cent_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in corpus.filter((F.col(id_col) % centroid_mod) == 0)
         .select(id_col, vec_col)
         .collect()
-    ]
+    )
+    cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+    cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
-    def best_cells(vec: Column, n: int) -> Column:
-        """Array of the n nearest centroid ids for ``vec`` (rounded
-        cosine desc, centroid id asc)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(cosine_similarity(vec, _literal_vec(cv)), round_digits).alias("c"),
-                    F.lit(-cid).alias("nid"),
-                )
-                for cid, cv in cents
-            ]
-        )
-        ordered = F.reverse(F.array_sort(scored))
-        return F.transform(F.slice(ordered, 1, n), lambda s: -s["nid"])
+    def _nearest_cells(vec_series: pd.Series, n: int) -> pd.Series:
+        mat = np.array(vec_series.to_list(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(unit @ cent_unit.T, round_digits)
+        # stable argsort on -cos: ties keep centroid-id-ascending
+        # order because cent_ids is sorted ascending
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(cent_ids[idx]))
+
+    @pandas_udf("bigint")
+    def nearest_cell(vec: pd.Series) -> pd.Series:
+        return _nearest_cells(vec, 1).map(lambda a: int(a[0]))
+
+    @pandas_udf("array<bigint>")
+    def probe_cells(vec: pd.Series) -> pd.Series:
+        return _nearest_cells(vec, nprobe).map(lambda a: [int(x) for x in a])
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        best_cells(F.col(vec_col), 1)[0].alias("_cell"),
+        nearest_cell(F.col(vec_col)).alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(best_cells(F.col(vec_col), nprobe)).alias("_cell"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
     )
     scored = (
         c.join(F.broadcast(q), "_cell")

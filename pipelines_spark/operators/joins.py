@@ -90,3 +90,69 @@ def knn_join(
         .withColumnRenamed("_dist", "distance")
         .withColumnRenamed("_rank", "rank")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gains the right row's
+    ``value_cols`` from the latest right event with
+    ``right_ts <= left_ts`` for the same ``on`` key (NULLs when no
+    prior right event exists). Matches DuckDB/pandas
+    ``ASOF LEFT JOIN`` / ``merge_asof`` semantics, including the
+    equal-timestamp case (a right event at exactly left_ts matches).
+
+    Spark has no native as-of join; the usual range-join encoding
+    explodes into an O(n·m) band join. This implementation instead
+    unions both sides tagged, sorts once per key, and propagates the
+    most recent right values with ``last(..., ignorenulls=True)`` over
+    an unbounded-preceding row frame — ONE shuffle on ``on``, linear
+    work per partition, no candidate blow-up. At 100 TB both sides
+    shuffle-hash-partition on the key once; skewed keys can reuse
+    operators.skew salting.
+
+    Right side must be unique per (key, right_ts); pre-aggregate if
+    not (the reference's last-row-per-key operator, A3).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            l_tagged.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    # right rows sort before left rows at the same timestamp so an
+    # equal-ts right event is visible to the left row (>= semantics)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    for c in value_cols:
+        merged = merged.withColumn(
+            f"_rv_{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w)
+        )
+    out = merged.filter(F.col("_is_left") == 1)
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_rv_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

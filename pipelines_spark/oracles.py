@@ -643,6 +643,30 @@ ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT)    AS max_session_events
         FROM per_session GROUP BY user_id
     """,
+    # DuckDB's native ASOF JOIN is the oracle for our window-encoded
+    # as-of join (equal timestamps match, per >= semantics).
+    "j11_asof_enrichment": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type
+            FROM events
+        ), clicks AS (
+            SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts AS pts, max(value) AS purchase_value
+            FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), j AS (
+            SELECT c.user_id, c.ts, p.pts, p.purchase_value
+            FROM clicks c
+            ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.pts
+        )
+        SELECT user_id,
+               count(*)               AS n_clicks,
+               count(purchase_value)  AS n_matched,
+               round(avg((epoch_us(ts) - epoch_us(pts)) / 1000000.0), 2) AS avg_staleness_s,
+               round(sum(purchase_value), 2) AS sum_purchase_value
+        FROM j GROUP BY user_id
+    """,
     "embed_ivf_ann": f"""
         WITH cent AS (
             SELECT vec_id AS centroid_id, embedding AS cv

@@ -36,7 +36,7 @@ from pipelines_spark.llm.text import (
     token_count,
 )
 from pipelines_spark.operators.dedup import last_row_per_key
-from pipelines_spark.operators.joins import knn_join
+from pipelines_spark.operators.joins import asof_join, knn_join
 from pipelines_spark.operators.spine import find_gaps, time_spine
 
 ALL_TABLES = (
@@ -863,6 +863,38 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (time-series staple Spark lacks natively):
+    each click event enriched with the user's most recent prior
+    purchase, then per-user staleness stats. One shuffle on user_id —
+    no band-join candidate blow-up (operators.joins.asof_join)."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("pts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value", "pts"],
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("asof_purchase_value").alias("n_matched"),
+        F.round(
+            F.avg(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_pts")))
+                / F.lit(1_000_000.0)
+            ),
+            2,
+        ).alias("avg_staleness_s"),
+        F.round(F.sum("asof_purchase_value"), 2).alias("sum_purchase_value"),
+    )
+
+
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic centroid cells (vec_id % 37 == 0),
     map-only nearest-cell assignment, nprobe=2 probing, exact top-5
@@ -943,6 +975,7 @@ QUERIES = {
     "a12_rollup_revenue": a12_rollup_revenue,
     "o9_except_nations": o9_except_nations,
     "w5_lag_event_gap": w5_lag_event_gap,
+    "j11_asof_enrichment": j11_asof_enrichment,
     "w6_sessionize": w6_sessionize,
     "embed_ivf_ann": embed_ivf_ann,
     "dedup_clusters": dedup_clusters,

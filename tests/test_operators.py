@@ -119,3 +119,22 @@ def test_pivot_roundtrip(spark):
     assert {tuple(r) for r in wide.collect()} == {("r1", 1.0, 2.0), ("r2", 3.0, None)}
     back = unpivot_long(wide, ["k"], ["a", "b"], var_name="col", value_name="v")
     assert back.filter(F.col("v").isNotNull()).count() == 3
+
+
+def test_asof_join_semantics(spark):
+    from pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 999.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+    # equal-ts right row matches (>= semantics); no prior → NULL
+    assert out == {"a": 100.0, "b": 150.0, "c": None, "d": None}

@@ -79,3 +79,42 @@ def test_whole_stage_codegen_in_flagship(spark, sf_medium):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in out
     assert "Found 0 WholeStageCodegen" not in out
+
+
+def test_exists_becomes_semi_join(spark, sf_medium):
+    plan = _plan(QUERIES["q4_order_priority"](spark, sf_medium))
+    assert "LeftSemi" in plan
+
+
+def test_q6_predicates_pushed_to_scan(spark, sf_medium):
+    plan = _formatted(QUERIES["q6_forecast_revenue"](spark, sf_medium))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_ivf_corpus_assignment_is_map_only(spark, sf_medium):
+    # the corpus-side cell assignment must not shuffle: the only
+    # exchanges allowed are the candidate equi-join's broadcast and
+    # the final top-k window partitioning on query_id
+    plan = _plan(QUERIES["embed_ivf_ann"](spark, sf_medium))
+    import re
+
+    shuffles = re.findall(r"Exchange (\w+)", plan)
+    non_broadcast = [s for s in shuffles if s.startswith("hashpartitioning")]
+    assert len(non_broadcast) <= 1, shuffles
+
+
+def test_asof_join_single_shuffle(spark, sf_medium):
+    from pipelines_spark.operators.joins import asof_join
+
+    register(spark, sf_medium, ("events",))
+    ev = spark.table("events")
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(asof_join(left, right, on="user_id"))
+    # one hash exchange for the per-key sort window; no band join
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

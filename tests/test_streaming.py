@@ -76,3 +76,54 @@ def test_capture_stream_dedup_and_dual_sink(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(raw).count() == 3
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session windows: events within the gap merge into one
+    session; a closed session emits exactly one row in append mode."""
+    import datetime as dt
+
+    from pipelines_spark.streaming.sessions import sessionized
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),   # same session (gap 30m)
+        (1, base + dt.timedelta(hours=2), 5.0),      # new session
+        (2, base, 7.0),
+    ]
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
+        str(src_dir)
+    )
+    out_dir = str(tmp_path / "sessions_out")
+    q = (
+        sessionized(stream, gap="30 minutes", watermark_delay="1 minute")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # late watermark closure: a second availableNow pass emits sessions
+    # finalized by the advanced watermark
+    got = spark.read.parquet(out_dir)
+    sessions = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    # sessions closed below the final watermark (max ts - 1m) emit:
+    # user 1's first session (2 events) and user 2's session close
+    # only once the 14:00 event advances the watermark
+    assert (1, 2, 3.0) in sessions
+    assert (2, 1, 7.0) in sessions
+    # the last session (user 1 at 14:00) stays open — append mode
+    assert (1, 1, 5.0) not in sessions

@@ -643,6 +643,31 @@ ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT)    AS max_session_events
         FROM per_session GROUP BY user_id
     """,
+    "a13_value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4)  AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(min(value), 4)                 AS v_min,
+               round(max(value), 4)                 AS v_max,
+               count(*)                             AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    "text_top_terms": """
+        WITH terms AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), df AS (
+            SELECT term, count(*) AS doc_freq FROM terms
+            WHERE term <> '' GROUP BY term
+        )
+        SELECT term, doc_freq, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY doc_freq DESC, term ASC) AS rn
+            FROM df
+        ) WHERE rn <= 20
+    """,
     # DuckDB's native ASOF JOIN is the oracle for our window-encoded
     # as-of join (equal timestamps match, per >= semantics).
     "j11_asof_enrichment": """

@@ -863,6 +863,49 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a13_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (data-profiling
+    staple). Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the linear-interpolation definition; the scale path swaps in
+    ``percentile_approx`` (t-digest sketch, map-side combinable) with
+    the same call shape."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(percentile(value, 0.5), 4)  AS p50,
+               round(percentile(value, 0.95), 4) AS p95,
+               round(min(value), 4)              AS v_min,
+               round(max(value), 4)              AS v_max,
+               count(*)                          AS n
+        FROM events
+        GROUP BY event_type
+        """
+    )
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by document frequency (corpus vocabulary
+    profiling): explode tokens, distinct per doc, count, window
+    top-k. The distinct-per-doc groupBy is the only large shuffle and
+    is map-side combinable."""
+    register(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    terms = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("term", "doc_freq", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (time-series staple Spark lacks natively):
     each click event enriched with the user's most recent prior
@@ -976,6 +1019,8 @@ QUERIES = {
     "o9_except_nations": o9_except_nations,
     "w5_lag_event_gap": w5_lag_event_gap,
     "j11_asof_enrichment": j11_asof_enrichment,
+    "a13_value_percentiles": a13_value_percentiles,
+    "text_top_terms": text_top_terms,
     "w6_sessionize": w6_sessionize,
     "embed_ivf_ann": embed_ivf_ann,
     "dedup_clusters": dedup_clusters,

@@ -120,3 +120,110 @@ def sample_frames(
         ).alias("frame_no"),
     )
     return frames
+
+
+#: Schema of the windowed-audio feature output.
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("window_no", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.FloatType(), True),
+    ]
+)
+
+#: Schema of the resize output: same id + transformed payload +
+#: refreshed metadata (the binary column stays opaque downstream).
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    content_col: str = "content",
+    sample_rate_col: str = "sample_rate",
+    window_ms: int = 1000,
+) -> DataFrame:
+    """Windowed audio feature extraction via mapInPandas: one output
+    row per ``window_ms`` window (UDTF shape — rows explode).
+
+    The stub treats the payload as 16-bit mono PCM and computes a
+    deterministic per-window RMS; swap the inner loop for torchaudio/
+    librosa in production. The window fan-out, the (id, window_no)
+    output key, and the Arrow batch contract are the real engine
+    surface.
+    """
+
+    def run(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                rate = int(row[sample_rate_col]) or 16000
+                samples_per_window = max(rate * window_ms // 1000, 1)
+                n_samples_total = len(payload) // 2
+                w = 0
+                for start in range(0, n_samples_total, samples_per_window):
+                    chunk = payload[start * 2 : (start + samples_per_window) * 2]
+                    # STUB "RMS": mean absolute byte value — replace
+                    # with a real PCM decode + RMS
+                    rms = (sum(chunk) / len(chunk) / 255.0) if chunk else None
+                    out.append(
+                        {
+                            "item_id": row[id_col],
+                            "window_no": w,
+                            "start_ms": w * window_ms,
+                            "n_samples": min(samples_per_window, n_samples_total - start),
+                            "rms": rms,
+                        }
+                    )
+                    w += 1
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, content_col, sample_rate_col).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    content_col: str = "content",
+    target: tuple[int, int] = (64, 64),
+) -> DataFrame:
+    """Binary→binary image resize via mapInPandas (map shape: one row
+    out per row in, payload transformed, metadata refreshed).
+
+    STUB transform: truncate/pad the payload to ``w*h`` bytes —
+    deterministic and size-correct so downstream partition-sizing
+    logic is exercised for real; swap for PIL ``Image.resize`` in
+    production.
+    """
+    w, h = target
+
+    def run(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                resized = payload[: w * h].ljust(w * h, b"\0")
+                out.append(
+                    {"item_id": row[id_col], "content": resized, "width": w, "height": h}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_IMAGE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, RESIZED_IMAGE_SCHEMA)

@@ -192,3 +192,34 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_medium):
     # the true neighbors — this guards against degenerate assignment
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_audio_windowing_shape(spark):
+    from pipelines_spark.llm.multimodal import extract_audio_features
+
+    # 2.5 s of fake 16-bit mono at 1 kHz = 5000 bytes → 3 windows
+    rows = [(1, bytes(range(256)) * 20, 1000), (2, b"", 1000)]
+    df = spark.createDataFrame(
+        rows, "item_id long, content binary, sample_rate int"
+    )
+    out = extract_audio_features(df, window_ms=1000).collect()
+    by_item = {}
+    for r in out:
+        by_item.setdefault(r["item_id"], []).append(r)
+    assert len(by_item[1]) == 3  # 5120 bytes → 2560 samples → 3 windows
+    assert [r["start_ms"] for r in sorted(by_item[1], key=lambda r: r["window_no"])] == [
+        0, 1000, 2000,
+    ]
+    assert all(r["rms"] is not None for r in by_item[1])
+    assert 2 not in by_item  # empty payload emits no windows
+
+
+def test_resize_images_payload_contract(spark):
+    from pipelines_spark.llm.multimodal import resize_images
+
+    rows = [(1, b"\x01" * 10), (2, b"\x02" * 9000), (3, None)]
+    df = spark.createDataFrame(rows, "item_id long, content binary")
+    out = {r["item_id"]: r for r in resize_images(df, target=(64, 64)).collect()}
+    assert all(len(out[i]["content"]) == 64 * 64 for i in (1, 2, 3))
+    assert out[1]["content"][:10] == b"\x01" * 10
+    assert (out[2]["width"], out[2]["height"]) == (64, 64)

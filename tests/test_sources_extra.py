@@ -134,3 +134,57 @@ def test_gated_readers_raise_cleanly(spark, tmp_path):
     assert isinstance(exc1.value, (NotImplementedError, FileNotFoundError))
     with pytest.raises(NotImplementedError):
         read_netcdf_long(spark, str(tmp_path / "x.nc"), ["var"])
+
+
+def test_ftp_sync_incremental_and_parse(spark, tmp_path):
+    """S6: list → anti-join vs registry → fetch new only → parse with
+    imposed schema + filename audit column."""
+    from pipelines_spark.sources.ftp import read_staged_reports, sync_new_files
+
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    (remote / "RDO_20240101.csv").write_text("1;a\n2;b\n")
+    (remote / "RDO_20240102.csv").write_text("3;c\n")
+    (remote / "notes.txt").write_text("ignore me")
+
+    class FakeClient:
+        def __init__(self):
+            self.fetched = []
+
+        def list_names(self, path):
+            return [str(p) for p in sorted(Path(path).iterdir())]
+
+        def fetch(self, remote_path, local_path):
+            self.fetched.append(Path(remote_path).name)
+            shutil.copy(remote_path, local_path)
+
+    import shutil
+    from pathlib import Path
+
+    client = FakeClient()
+    staging = str(tmp_path / "staging")
+    registry = str(tmp_path / "registry")
+
+    first = sync_new_files(
+        spark, client, remote_dir=str(remote), staging_dir=staging,
+        registry_path=registry, name_filter=r"^RDO_.*\.csv$",
+    )
+    assert len(first) == 2 and client.fetched == ["RDO_20240101.csv", "RDO_20240102.csv"]
+
+    # second sync: nothing new
+    assert sync_new_files(
+        spark, client, remote_dir=str(remote), staging_dir=staging,
+        registry_path=registry, name_filter=r"^RDO_.*\.csv$",
+    ) == []
+
+    # a new remote file appears -> only it downloads
+    (remote / "RDO_20240103.csv").write_text("4;d\n")
+    third = sync_new_files(
+        spark, client, remote_dir=str(remote), staging_dir=staging,
+        registry_path=registry, name_filter=r"^RDO_.*\.csv$",
+    )
+    assert [Path(p).name for p in third] == ["RDO_20240103.csv"]
+
+    parsed = read_staged_reports(spark, staging, schema="id int, code string")
+    assert parsed.count() == 4
+    assert parsed.filter(parsed.source_file.contains("RDO_20240103")).count() == 1

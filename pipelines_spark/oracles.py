@@ -11,7 +11,11 @@ bit-compatible:
   nanosAsLong read.
 - integer aggregates are CAST to BIGINT (DuckDB sums to HUGEINT),
   matching Spark's long.
-- float outputs are rounded identically on both sides.
+- SUM/AVG over float columns goes through DECIMAL on both sides
+  (exact addition — round(sum(double)) is summation-order-dependent
+  and flips at .xx5 boundaries), then casts back to DOUBLE.
+- remaining float outputs are per-row deterministic and rounded
+  identically on both sides.
 - every computed column carries the same alias as the Spark plan.
 """
 
@@ -137,13 +141,13 @@ _COS_NQ = "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                        AS sum_qty,
-               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 4)                                        AS avg_disc,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+               CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_qty,
+               CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+               CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -151,7 +155,7 @@ ORACLES: dict[str, str] = {
     """,
     "q3_shipping_priority": """
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                o.o_orderdate, o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -165,7 +169,7 @@ ORACLES: dict[str, str] = {
     """,
     "q5_local_supplier_volume": """
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -179,14 +183,14 @@ ORACLES: dict[str, str] = {
     """,
     "revenue_by_month": """
         SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)  AS order_month,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)  AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)  AS revenue,
                count(DISTINCT o.o_orderkey)                           AS n_orders
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY 1
     """,
     "top_customers_by_revenue": """
         SELECT c.c_custkey, c.c_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -197,7 +201,7 @@ ORACLES: dict[str, str] = {
     "f1_filter_expressions": """
         SELECT l_returnflag,
                count(*)                        AS n_rows,
-               round(sum(l_extendedprice), 2)  AS sum_price
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)  AS sum_price
         FROM lineitem
         WHERE NOT (l_quantity <= 0)
           AND NOT (l_discount < 0 OR l_discount > 0.1)
@@ -227,7 +231,7 @@ ORACLES: dict[str, str] = {
     "j1_orders_enriched": """
         SELECT r.r_name, n.n_name,
                count(*)                       AS n_orders,
-               round(sum(o.o_totalprice), 2)  AS total_price
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)  AS total_price
         FROM orders o
         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -298,7 +302,8 @@ ORACLES: dict[str, str] = {
             FROM cells CROSS JOIN stations
         )
         SELECT cell_id,
-               round(sum(reading * (1.0 / (distance + 1.0))) / sum(1.0 / (distance + 1.0)), 4) AS idw_reading
+               CAST(round(CAST(sum(CAST(reading * (1.0 / (distance + 1.0)) AS DECIMAL(28,14)))
+                    / sum(CAST(1.0 / (distance + 1.0) AS DECIMAL(28,14))) AS DOUBLE), 4) AS DOUBLE) AS idw_reading
         FROM ranked WHERE rnk <= 3
         GROUP BY cell_id
     """,
@@ -334,7 +339,7 @@ ORACLES: dict[str, str] = {
         SELECT CAST(ts AS DATE)                          AS event_date,
                CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_hour,
                count(*)                                  AS n_events,
-               round(sum(value), 2)                      AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)  AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "a11_colwise_max": """
@@ -343,10 +348,10 @@ ORACLES: dict[str, str] = {
     """,
     "w4_rolling_hourly_sum": """
         SELECT event_id, user_id,
-               round(sum(value) OVER (
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
                    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
                    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
-               ), 2) AS rolling_1h
+               ), 2) AS DOUBLE) AS rolling_1h
         FROM events
     """,
     "o5_union_priorities": """
@@ -426,12 +431,12 @@ ORACLES: dict[str, str] = {
     "t1_tumbling_5min": """
         SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
                count(*)             AS n_events,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1
     """,
     "t2_incremental_window": """
         SELECT event_type, count(*) AS n_rows,
-               round(sum(value), 2) AS sum_value,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
                max(CAST(ts AS TIMESTAMP)) AS max_ts
         FROM events
         WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-10 00:00:00'
@@ -448,7 +453,7 @@ ORACLES: dict[str, str] = {
     "f6_pruned_incremental_scan": """
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
                count(*)                         AS n_orders,
-               round(sum(o_totalprice), 2)      AS total_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)      AS total_price
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
         GROUP BY 1
@@ -504,7 +509,7 @@ ORACLES: dict[str, str] = {
     """,
     "text_quality_by_source": f"""
         SELECT source,
-               round(avg({_QUALITY_EXPR}), 4) AS avg_quality,
+               round(CAST(sum(CAST({_QUALITY_EXPR} AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
                count(*) AS n_docs
         FROM documents GROUP BY source
     """,
@@ -519,7 +524,7 @@ ORACLES: dict[str, str] = {
         SELECT lang,
                CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
                CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
-               round(avg(mwl), 4)             AS avg_word_len
+               round(CAST(sum(CAST(mwl AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_word_len
         FROM per_doc GROUP BY lang
     """,
     "text_fingerprints": """
@@ -580,7 +585,7 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority
     """,
     "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -591,7 +596,7 @@ ORACLES: dict[str, str] = {
     "a12_rollup_revenue": """
         SELECT CAST(coalesce(year(o_orderdate), -1) AS INTEGER) AS order_year,
                coalesce(o_orderpriority, 'ALL')   AS priority,
-               round(sum(o_totalprice), 2)        AS total_price,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)        AS total_price,
                count(*)                           AS n_orders
         FROM orders
         GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
@@ -612,7 +617,7 @@ ORACLES: dict[str, str] = {
             FROM ev
         )
         SELECT event_type,
-               round(avg(gap_us / 1000000.0), 2) AS avg_gap_s,
+               round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2) AS avg_gap_s,
                CAST(max(gap_us) AS BIGINT)       AS max_gap_us,
                count(*)                          AS n_gaps
         FROM gaps WHERE gap_us IS NOT NULL
@@ -688,8 +693,8 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                count(*)               AS n_clicks,
                count(purchase_value)  AS n_matched,
-               round(avg((epoch_us(ts) - epoch_us(pts)) / 1000000.0), 2) AS avg_staleness_s,
-               round(sum(purchase_value), 2) AS sum_purchase_value
+               round(CAST(sum(epoch_us(ts) - epoch_us(pts)) AS DOUBLE) / count(pts) / 1000000.0, 2) AS avg_staleness_s,
+               CAST(round(sum(CAST(purchase_value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_purchase_value
         FROM j GROUP BY user_id
     """,
     "embed_ivf_ann": f"""

@@ -8,8 +8,13 @@ enforces it by running both engines and hash-comparing.
 
 Column aliases are part of the contract (the correctness driver sorts
 columns by name before hashing), so every computed column is aliased
-identically in both engines. Float outputs are rounded in-query on
-both sides to absorb summation-order ulp differences.
+identically in both engines. Float determinism convention: SUM/AVG
+over float columns goes through DECIMAL (exact, order-independent
+addition — float summation order differs between engines AND between
+Spark partitionings, so round(sum(double)) can flip at a .xx5
+boundary); the decimal result is cast back to DOUBLE in both engines.
+Integer sums are exact natively; per-row float expressions are
+deterministic and only need identical rounding.
 """
 
 from __future__ import annotations
@@ -93,13 +98,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                        AS sum_qty,
-               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 4)                                        AS avg_disc,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+               CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_qty,
+               CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+               CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -114,7 +119,7 @@ def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT date_trunc('month', o.o_orderdate)                     AS order_month,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)  AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)  AS revenue,
                count(DISTINCT o.o_orderkey)                           AS n_orders
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY 1
@@ -128,7 +133,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -145,7 +150,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                o.o_orderdate, o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -169,7 +174,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -194,7 +199,7 @@ def f1_filter_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.filter(~cond | cond.isNull())
     return df.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -237,7 +242,7 @@ def j1_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_price"),
         )
     )
 
@@ -344,7 +349,15 @@ def j9_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(1.0) / (F.col("distance") + F.lit(1.0))
     return (
         nearest.groupBy("cell_id")
-        .agg(F.round(F.sum(F.col("reading") * w) / F.sum(w), 4).alias("idw_reading"))
+        .agg(
+            F.round(
+                (
+                    F.sum((F.col("reading") * w).cast("decimal(28,14)"))
+                    / F.sum(w.cast("decimal(28,14)"))
+                ).cast("double"),
+                4,
+            ).alias("idw_reading")
+        )
     )
 
 
@@ -408,7 +421,7 @@ def a7_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
         )
     )
 
@@ -431,10 +444,10 @@ def w4_rolling_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_id, user_id,
-               round(sum(value) OVER (
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
                    PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
-               ), 2) AS rolling_1h
+               ), 2) AS DOUBLE) AS rolling_1h
         FROM events
         """
     )
@@ -573,7 +586,7 @@ def t1_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes").start.alias("window_start"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
         )
     )
 
@@ -588,7 +601,7 @@ def t2_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
         F.max("ts").alias("max_ts"),
     )
 
@@ -610,7 +623,7 @@ def f6_pruned_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.table("orders").filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
     return df.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_price"),
     )
 
 
@@ -691,7 +704,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark, sf_dir, ("documents",))
     df = spark.table("documents").withColumn("q", quality_score("text"))
     return df.groupBy("source").agg(
-        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round((F.sum(F.col("q").cast("decimal(14,4)")).cast("double") / F.count(F.lit(1))), 4).alias("avg_quality"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -708,7 +721,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("lang").agg(
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("re_tokens").alias("total_re_tokens"),
-        F.round(F.avg("mwl"), 4).alias("avg_word_len"),
+        F.round((F.sum(F.col("mwl").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1))), 4).alias("avg_word_len"),
     )
 
 
@@ -768,7 +781,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark, sf_dir, ("lineitem",))
     return spark.sql(
         """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
@@ -788,7 +801,7 @@ def a12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(year(o_orderdate), -1) AS order_year,
                coalesce(o_orderpriority, 'ALL') AS priority,
-               round(sum(o_totalprice), 2)  AS total_price,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)  AS total_price,
                count(*)                     AS n_orders
         FROM orders
         GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
@@ -826,7 +839,7 @@ def w5_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_gap_us").isNotNull()
     )
     return gaps.groupBy("event_type").agg(
-        F.round(F.avg(F.col("_gap_us") / F.lit(1_000_000.0)), 2).alias("avg_gap_s"),
+        F.round(F.sum("_gap_us").cast("double") / F.count(F.lit(1)) / F.lit(1_000_000.0), 2).alias("avg_gap_s"),
         F.max(F.col("_gap_us")).alias("max_gap_us"),
         F.count(F.lit(1)).alias("n_gaps"),
     )
@@ -928,13 +941,14 @@ def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("asof_purchase_value").alias("n_matched"),
         F.round(
-            F.avg(
-                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_pts")))
-                / F.lit(1_000_000.0)
-            ),
+            F.sum(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_pts"))).cast("double")
+            / F.count("asof_pts")
+            / F.lit(1_000_000.0),
             2,
         ).alias("avg_staleness_s"),
-        F.round(F.sum("asof_purchase_value"), 2).alias("sum_purchase_value"),
+        F.round(
+            F.sum(F.col("asof_purchase_value").cast("decimal(18,6)")), 2
+        ).cast("double").alias("sum_purchase_value"),
     )
 
 

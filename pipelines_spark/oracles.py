@@ -361,6 +361,46 @@ ORACLES: dict[str, str] = {
             SELECT * FROM orders WHERE o_orderpriority = '2-HIGH'
         ) GROUP BY o_orderpriority
     """,
+    "o10_unpivot": """
+        WITH wide AS (
+            SELECT CAST(ts AS DATE) AS event_date,
+                   count(*) FILTER (WHERE event_type = 'click')    AS click,
+                   count(*) FILTER (WHERE event_type = 'error')    AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+                   count(*) FILTER (WHERE event_type = 'view')     AS view
+            FROM events GROUP BY 1
+        )
+        SELECT event_date, 'click' AS event_type, click AS n_events FROM wide
+        UNION ALL SELECT event_date, 'error', error FROM wide
+        UNION ALL SELECT event_date, 'purchase', purchase FROM wide
+        UNION ALL SELECT event_date, 'signup', signup FROM wide
+        UNION ALL SELECT event_date, 'view', view FROM wide
+    """,
+    # mirrors functions/geo.py: same haversine AST, rectangle ring
+    # off-lattice so ray-cast membership equals the range test
+    "j8_geo_stations": """
+        WITH st AS (
+            SELECT s_suppkey AS station_id, s_nationkey AS nationkey,
+                   -23.1 + (s_suppkey % 97) * 0.01       AS lat,
+                   -43.6 + ((s_suppkey * 7) % 89) * 0.01 AS lon
+            FROM supplier
+        ), inside AS (
+            SELECT *,
+                   round(2 * 6371.0088 * asin(sqrt(
+                       pow(sin((radians(-22.9068) - radians(lat)) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(-22.9068))
+                         * pow(sin((radians(-43.1729) - radians(lon)) / 2), 2)
+                   )), 4) AS dist_km
+            FROM st
+            WHERE lat > -23.055 AND lat < -22.505
+              AND lon > -43.555 AND lon < -43.005
+        )
+        SELECT nationkey,
+               count(*) AS n_stations,
+               round(CAST(sum(CAST(dist_km AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_dist_km
+        FROM inside GROUP BY nationkey
+    """,
     "o6_pivot_event_types": """
         SELECT CAST(ts AS DATE) AS event_date,
                count(*) FILTER (WHERE event_type = 'click')    AS click,

@@ -481,6 +481,70 @@ def o6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long (the melt inverse of O6): per-day per-type
+    counts back to long form via DataFrame.unpivot (map-only)."""
+    register(spark, sf_dir, ("events",))
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return wide.unpivot(
+        ids=["event_date"], values=types,
+        variableColumnName="event_type", valueColumnName="n_events",
+    )
+
+
+def j8_geo_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo pipeline with oracle (J8/A10 family): deterministic station
+    coords derived from supplier keys, ray-cast point-in-polygon
+    against a city rectangle, haversine distance to the city center,
+    aggregated per nation. All JVM column math — no geo library, no
+    UDF (functions/geo.py)."""
+    register(spark, sf_dir, ("supplier",))
+    from pipelines_spark.functions.geo import haversine_km, point_in_polygon
+
+    st = spark.table("supplier").select(
+        F.col("s_suppkey").alias("station_id"),
+        F.col("s_nationkey").alias("nationkey"),
+        (F.lit(-23.1) + (F.col("s_suppkey") % 97) * F.lit(0.01)).alias("lat"),
+        (F.lit(-43.6) + ((F.col("s_suppkey") * 7) % 89) * F.lit(0.01)).alias("lon"),
+    )
+    # rectangle ring chosen off the coordinate lattice so no point
+    # sits exactly on an edge (ray-cast == plain range test)
+    ring = F.array(
+        *[
+            F.struct(F.lit(x).alias("x"), F.lit(y).alias("y"))
+            for x, y in [
+                (-43.555, -23.055),
+                (-43.005, -23.055),
+                (-43.005, -22.505),
+                (-43.555, -22.505),
+            ]
+        ]
+    )
+    inside = st.filter(point_in_polygon("lat", "lon", ring))
+    dist = F.round(
+        haversine_km("lat", "lon", F.lit(-22.9068), F.lit(-43.1729)), 4
+    )
+    return (
+        inside.withColumn("dist_km", dist)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_stations"),
+            F.round(
+                F.sum(F.col("dist_km").cast("decimal(14,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_dist_km"),
+        )
+    )
+
+
 def o7_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload parse (O7): extract props.k, bucket it."""
     register(spark, sf_dir, ("events",))
@@ -1034,6 +1098,8 @@ QUERIES = {
     "w5_lag_event_gap": w5_lag_event_gap,
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
+    "o10_unpivot": o10_unpivot,
+    "j8_geo_stations": j8_geo_stations,
     "text_top_terms": text_top_terms,
     "w6_sessionize": w6_sessionize,
     "embed_ivf_ann": embed_ivf_ann,

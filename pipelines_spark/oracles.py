@@ -361,6 +361,20 @@ ORACLES: dict[str, str] = {
             SELECT * FROM orders WHERE o_orderpriority = '2-HIGH'
         ) GROUP BY o_orderpriority
     """,
+    "q2_min_per_group_subquery": """
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(round(s_acctbal, 2) AS DOUBLE) AS min_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (
+            SELECT min(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+    """,
+    "o11_intersect_custkeys": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
     "o10_unpivot": """
         WITH wide AS (
             SELECT CAST(ts AS DATE) AS event_date,

@@ -481,6 +481,37 @@ def o6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_per_group_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated scalar subquery: suppliers whose
+    account balance is the minimum of their nation. Catalyst
+    decorrelates to aggregate + join."""
+    register(spark, sf_dir, ("supplier",))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(round(s_acctbal, 2) AS DOUBLE) AS min_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (
+            SELECT min(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+        """
+    )
+
+
+def o11_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (§2.8 note): customers who placed both an
+    urgent and a low-priority order."""
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        """
+    )
+
+
 def o10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot wide→long (the melt inverse of O6): per-day per-type
     counts back to long form via DataFrame.unpivot (map-only)."""
@@ -1100,6 +1131,8 @@ QUERIES = {
     "a13_value_percentiles": a13_value_percentiles,
     "o10_unpivot": o10_unpivot,
     "j8_geo_stations": j8_geo_stations,
+    "q2_min_per_group_subquery": q2_min_per_group_subquery,
+    "o11_intersect_custkeys": o11_intersect_custkeys,
     "text_top_terms": text_top_terms,
     "w6_sessionize": w6_sessionize,
     "embed_ivf_ann": embed_ivf_ann,

@@ -170,17 +170,104 @@ def read_html_table(spark: SparkSession, html: str, *, header: bool = True) -> D
 
 
 def read_excel(spark: SparkSession, path: str, **kwargs) -> DataFrame:
-    """Excel scan via pandas → createDataFrame; requires openpyxl
-    (not bundled here — gated import)."""
+    """Excel scan via pandas → createDataFrame when an engine is
+    available; falls back to the stdlib xlsx parser below (xlsx is a
+    zip of XML — no external engine required for the common case).
+
+    Reference: pd.read_excel(url) in
+    pipelines/rj_cor/meteorologia/precipitacao_inea/tasks.py:46-48.
+    """
     try:
+        import openpyxl  # noqa: F401
+
+        has_engine = True
+    except ImportError:
+        has_engine = False
+    if has_engine:
         pdf = pd.read_excel(path, **kwargs)
-    except ImportError as exc:
+        pdf.columns = normalize_names([str(c) for c in pdf.columns])
+        return spark.createDataFrame(pdf)
+    if kwargs:
         raise NotImplementedError(
-            "read_excel needs an Excel engine (openpyxl); install it in "
-            "the deployment image"
-        ) from exc
-    pdf.columns = normalize_names([str(c) for c in pdf.columns])
-    return spark.createDataFrame(pdf)
+            "pandas options for read_excel need an Excel engine "
+            "(openpyxl); the stdlib fallback reads sheet 1 with a "
+            "header row only"
+        )
+    return read_xlsx_stdlib(spark, path)
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """'A1' → 0, 'BC7' → 54 (column letters only)."""
+    idx = 0
+    for ch in ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return idx - 1
+
+
+def read_xlsx_stdlib(
+    spark: SparkSession, path: str, *, sheet: int = 1, header: bool = True
+) -> DataFrame:
+    """Minimal xlsx reader with stdlib only (zipfile + ElementTree):
+    shared strings, inline strings, numbers, booleans. All columns are
+    StringType — the all-string staging contract (SURVEY §1.2); cast
+    in the typed view like every other staging source."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                )))
+        sheet_xml = zf.read(f"xl/worksheets/sheet{sheet}.xml")
+
+    rows: list[list[str | None]] = []
+    root = ET.fromstring(sheet_xml)
+    for row_el in root.iter(
+        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"
+    ):
+        cells: dict[int, str | None] = {}
+        for c in row_el:
+            ref = c.get("r", "")
+            ctype = c.get("t", "n")
+            v = c.find("m:v", ns)
+            if ctype == "inlineStr":
+                is_el = c.find("m:is", ns)
+                text = "".join(
+                    t.text or ""
+                    for t in (is_el.iter(
+                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                    ) if is_el is not None else [])
+                )
+            elif v is None:
+                text = None
+            elif ctype == "s":
+                text = shared[int(v.text)]
+            elif ctype == "b":
+                text = "true" if v.text == "1" else "false"
+            else:
+                text = v.text
+            cells[_xlsx_col_index(ref)] = text
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i) for i in range(width)])
+
+    width = max((len(r) for r in rows), default=0)
+    rows = [r + [None] * (width - len(r)) for r in rows]
+    if header and rows:
+        names = normalize_names([(c if c is not None else f"col_{i}") for i, c in enumerate(rows[0])])
+        data = rows[1:]
+    else:
+        names = [f"col_{i}" for i in range(width)]
+        data = rows
+    schema = ", ".join(f"`{n}` string" for n in names) or "col_0 string"
+    return spark.createDataFrame(data, schema)
 
 
 def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> DataFrame:

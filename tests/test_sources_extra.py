@@ -188,3 +188,37 @@ def test_ftp_sync_incremental_and_parse(spark, tmp_path):
     parsed = read_staged_reports(spark, staging, schema="id int, code string")
     assert parsed.count() == 4
     assert parsed.filter(parsed.source_file.contains("RDO_20240103")).count() == 1
+
+
+def test_read_xlsx_stdlib_roundtrip(spark, tmp_path):
+    """S10 un-gated: hand-crafted minimal xlsx (zip of XML) parsed
+    with the stdlib fallback — shared strings, inline strings,
+    numbers, booleans, ragged rows, normalized headers."""
+    import zipfile
+
+    from pipelines_spark.sources.extra import read_excel
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (
+        f'<sst {ns}><si><t>Município</t></si><si><t>Chuva 1h</t></si>'
+        f'<si><r><t>Ri</t></r><r><t>o</t></r></si></sst>'
+    )
+    sheet = (
+        f'<worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>12.5</v></c></row>'
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>Niterói</t></is></c>'
+        '<c r="C3" t="b"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = tmp_path / "rain.xlsx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    df = read_excel(spark, str(path))
+    assert df.columns[:2] == ["municipio", "chuva_1h"]
+    rows = {r["municipio"]: r for r in df.collect()}
+    assert rows["Rio"]["chuva_1h"] == "12.5"       # run-concatenated shared string
+    assert rows["Niterói"]["chuva_1h"] is None     # ragged row padded
+    assert rows["Niterói"][df.columns[2]] == "true"

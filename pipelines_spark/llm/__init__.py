@@ -11,6 +11,7 @@ higher-order lambdas stay inside codegen); the only Python UDFs are in
 """
 
 from pipelines_spark.llm.dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -19,6 +20,7 @@ from pipelines_spark.llm.dedup import (  # noqa: F401
 )
 from pipelines_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
+    ivf_topk,
     srp_bucketed_topk,
 )
 from pipelines_spark.llm.text import (  # noqa: F401

@@ -12,6 +12,7 @@ from pipelines_spark.operators.dedup import (  # noqa: F401
 )
 from pipelines_spark.operators.joins import (  # noqa: F401
     anti_join,
+    asof_join,
     knn_join,
     range_join,
 )

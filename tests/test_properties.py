@@ -84,3 +84,58 @@ def test_sheet_url_rewrite_keeps_gid(gid):
     out = google_sheet_export_url(url)
     assert out.endswith(f"&gid={gid}")
     assert "/export?format=csv" in out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1000)),
+        min_size=0, max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1000), st.floats(0, 100, width=32)),
+        min_size=0, max_size=30,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """asof_join ≡ pandas.merge_asof (backward, inclusive) on random
+    keyed integer-timestamp data — an independent reference
+    implementation, not our own oracle SQL."""
+    import pandas as pd
+
+    from pipelines_spark.operators.joins import asof_join
+
+    # right side must be unique per (key, ts) — the operator contract
+    right_dedup = {}
+    for k, ts, v in right_rows:
+        right_dedup[(k, ts)] = v
+    right_rows = [(k, ts, v) for (k, ts), v in right_dedup.items()]
+    left_rows = [(i, k, ts) for i, (k, ts) in enumerate(left_rows)]
+
+    left = spark.createDataFrame(
+        left_rows or [(0, 0, 0)], "row_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        right_rows or [(0, 0, 0.0)], "k long, ts long, v double"
+    )
+    if not left_rows:
+        left = left.filter("false")
+    if not right_rows:
+        right = right.filter("false")
+
+    got = {
+        r["row_id"]: r["asof_v"]
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+
+    lpdf = pd.DataFrame(left_rows, columns=["row_id", "k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    if len(lpdf) and len(rpdf):
+        merged = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward")
+        want = {
+            int(r.row_id): (None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(r.row_id): None for r in lpdf.itertuples()}
+    assert got == want

@@ -127,3 +127,43 @@ def test_streaming_session_window(spark, tmp_path):
     assert (2, 1, 7.0) in sessions
     # the last session (user 1 at 14:00) stays open — append mode
     assert (1, 1, 5.0) not in sessions
+
+
+def test_capture_log_listener(spark, tmp_path):
+    """K10 via the listener bus: per-batch progress rows buffered and
+    flushed to the capture-log table."""
+    from pipelines_spark.streaming.listener import CaptureLogListener
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src_dir))
+
+    listener = CaptureLogListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema("id long, s string")
+            .parquet(str(src_dir))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # progress events arrive async on the bus — poll briefly
+        import time
+
+        log_path = str(tmp_path / "logs")
+        total = 0
+        for _ in range(40):
+            total += listener.flush(spark, log_path)
+            if total:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+
+    log = spark.read.parquet(log_path)
+    assert log.filter("sucesso AND num_input_rows = 2").count() >= 1

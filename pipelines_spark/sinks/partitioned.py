@@ -104,3 +104,59 @@ def to_all_string(df: DataFrame) -> DataFrame:
     """Apply the all-string staging contract (SURVEY §1.2): every
     column cast to string; typed views SAFE_CAST back downstream."""
     return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    *,
+    target_file_mb: int = 128,
+    min_files_to_compact: int = 4,
+) -> dict[str, int]:
+    """Rewrite small files inside each Hive partition into
+    ~``target_file_mb`` files (the minutely-capture small-files
+    problem: a 1-minute cadence writes 1440 files/day/table; scans
+    then pay per-file open cost and tiny row groups).
+
+    Only partitions with at least ``min_files_to_compact`` files
+    rewrite; the rewrite is per-partition INSERT OVERWRITE (dynamic
+    partition overwrite — idempotent, same contract as T6 re-upload),
+    so concurrent readers never see a partial partition and untouched
+    partitions keep their files byte-identical.
+
+    Returns {partition_path: files_before} for the rewritten ones.
+    """
+    import collections
+    import os
+
+    sizes: dict[str, list[int]] = collections.defaultdict(list)
+    for dirpath, _dirnames, filenames in os.walk(path):
+        rel = os.path.relpath(dirpath, path)
+        if rel != "." and all(f"{c}=" in rel for c in partition_cols):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    sizes[rel].append(os.path.getsize(os.path.join(dirpath, fn)))
+
+    rewritten: dict[str, int] = {}
+    for rel, files in sizes.items():
+        if len(files) < min_files_to_compact:
+            continue
+        part_df = spark.read.parquet(os.path.join(path, rel))
+        n_target = max(1, int(sum(files) / (target_file_mb * (1 << 20))) or 1)
+        spec_cols = []
+        for piece in rel.split(os.sep):
+            k, _, v = piece.partition("=")
+            spec_cols.append((k, v))
+        out = part_df
+        for k, v in spec_cols:
+            out = out.withColumn(k, F.lit(v))
+        (
+            out.coalesce(n_target)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*[k for k, _ in spec_cols])
+            .parquet(path)
+        )
+        rewritten[rel] = len(files)
+    return rewritten

@@ -38,3 +38,37 @@ def test_append_mode(spark, tmp_path):
 def test_all_string_staging(spark):
     df = to_all_string(_sample(spark, "01"))
     assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    import os
+
+    from pipelines_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "lake")
+    # simulate a minutely capture: 6 tiny appends into one partition,
+    # 1 into another
+    for i in range(6):
+        spark.createDataFrame([(i, "2024-01-01")], "v long, data string").coalesce(
+            1
+        ).write.mode("append").partitionBy("data").parquet(path)
+    spark.createDataFrame([(99, "2024-01-02")], "v long, data string").coalesce(
+        1
+    ).write.mode("append").partitionBy("data").parquet(path)
+
+    def parquet_files(rel):
+        d = os.path.join(path, rel)
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(parquet_files("data=2024-01-01")) == 6
+    before_other = set(parquet_files("data=2024-01-02"))
+
+    rewritten = compact_partitions(spark, path, ["data"], min_files_to_compact=4)
+    assert rewritten == {"data=2024-01-01": 6}
+    assert len(parquet_files("data=2024-01-01")) == 1
+    # untouched partition keeps its files
+    assert set(parquet_files("data=2024-01-02")) == before_other
+    # data intact
+    got = spark.read.parquet(path)
+    assert got.filter("data = '2024-01-01'").count() == 6
+    assert sorted(r["v"] for r in got.collect()) == [0, 1, 2, 3, 4, 5, 99]

@@ -1,0 +1,162 @@
+"""The reference's three entry points (SURVEY §3) as one-call flows.
+
+§3.1 ``run_dump_flow``       — dump_sql_flow: source scan → column
+     normalization → partition derivation → Hive-partitioned lake
+     write → all-string staging table (+ optional typed view).
+§3.2 ``run_capture_window``  — default_capture_flow, one window:
+     fetch → stamp timestamp_captura → dedup on (keys, capture ts)
+     → nested-content staging write → capture-log row (success or
+     failure). ``recapture_missing`` replays the T4 spine.
+§3.3 ``run_materialization`` — default_materialization_flow: compute
+     the date range from the watermark store (now − delay fallback),
+     run the SQL model incrementally, advance the watermark only on
+     success.
+
+Each flow is a thin composition of the engine modules — the pieces
+stay independently usable; these functions pin the reference's
+orchestration contract (parameter shapes, idempotency, log/watermark
+side effects) in one place. Prefect-flow equivalents:
+pipelines/utils/dump_db/flows.py:35-238,
+pipelines/rj_smtr/flows.py:46-290.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelines_spark.functions.datetime_ops import derive_partition_columns
+from pipelines_spark.functions.json_ops import nest_payload
+from pipelines_spark.naming import normalize_columns
+from pipelines_spark.operators.spine import find_gaps, time_spine
+from pipelines_spark.plans.models import ModelRunner
+from pipelines_spark.sinks.logs import append_capture_log
+from pipelines_spark.sinks.partitioned import (
+    create_staging_table,
+    to_all_string,
+    write_partitioned,
+)
+from pipelines_spark.state.watermark import WatermarkStore
+
+
+def run_dump_flow(
+    spark: SparkSession,
+    source_df: DataFrame,
+    *,
+    lake_path: str,
+    staging_table: str,
+    date_col: str,
+    partition_cols: tuple[str, ...] = ("ano_particao",),
+    mode: str = "overwrite_partitions",
+) -> DataFrame:
+    """§3.1 dump: normalize → derive partitions → all-string staged
+    write → staging table registered; returns the staging DataFrame."""
+    df = normalize_columns(source_df)
+    df = derive_partition_columns(df, date_col)
+    staged = to_all_string(df)
+    write_partitioned(staged, lake_path, list(partition_cols), mode=mode)
+    create_staging_table(spark, staging_table, lake_path)
+    return spark.table(staging_table)
+
+
+def run_capture_window(
+    spark: SparkSession,
+    fetch: Callable[[datetime, datetime], DataFrame],
+    *,
+    window_start: datetime,
+    window_end: datetime,
+    keys: list[str],
+    staging_path: str,
+    logs_path: str,
+    recapture: bool = False,
+) -> bool:
+    """§3.2 capture, one tumbling window. Returns success; failures
+    log ``sucesso=false`` with the error (the recapture spine picks
+    the window up next run, SURVEY T4)."""
+    try:
+        raw = fetch(window_start, window_end)
+        staged = (
+            raw.withColumn("timestamp_captura", F.lit(window_end))
+            .dropDuplicates([*keys, "timestamp_captura"])
+        )
+        staged = nest_payload(staged, keys)
+        staged = staged.withColumn(
+            "data", F.date_format("timestamp_captura", "yyyy-MM-dd")
+        ).withColumn("hora", F.date_format("timestamp_captura", "HH"))
+        staged.write.mode("append").partitionBy("data", "hora").parquet(staging_path)
+    except Exception as exc:  # noqa: BLE001 — the log row is the contract
+        append_capture_log(
+            spark, logs_path, [window_end], success=False,
+            error=str(exc)[:500], recapture=recapture,
+        )
+        return False
+    append_capture_log(
+        spark, logs_path, [window_end], success=True, recapture=recapture
+    )
+    return True
+
+
+def recapture_missing(
+    spark: SparkSession,
+    fetch: Callable[[datetime, datetime], DataFrame],
+    *,
+    spine_start: str,
+    spine_end: str,
+    interval: str,
+    keys: list[str],
+    staging_path: str,
+    logs_path: str,
+    cap: int = 90,
+) -> int:
+    """§3.2/T4: anti-join the schedule spine against the capture log
+    and re-run the missing/failed windows (oldest first, ``cap``
+    bounded — the reference's 90-recapture backlog contract).
+    Returns how many windows were replayed."""
+    spine = time_spine(spark, spine_start, spine_end, interval=interval)
+    gaps = [
+        r["timestamp_captura"]
+        for r in find_gaps(spine, spark.read.parquet(logs_path), cap=cap).collect()
+    ]
+    seconds = {"1 minute": 60, "5 minutes": 300, "1 hour": 3600}.get(interval, 60)
+    for ts in gaps:
+        run_capture_window(
+            spark, fetch,
+            window_start=ts - timedelta(seconds=seconds), window_end=ts,
+            keys=keys, staging_path=staging_path, logs_path=logs_path,
+            recapture=True,
+        )
+    return len(gaps)
+
+
+def run_materialization(
+    spark: SparkSession,
+    runner: ModelRunner,
+    store: WatermarkStore,
+    *,
+    model_name: str,
+    now: datetime,
+    delay_minutes: int = 0,
+    fallback_start: datetime | None = None,
+) -> tuple[datetime, datetime] | None:
+    """§3.3 materialize: date range = (watermark, now − delay]; run
+    the model; advance the watermark only on success. Returns the
+    materialized range, or None when there is nothing new."""
+    start, _ = store.get_table_watermark(model_name)
+    if start is None:
+        start = fallback_start or datetime(1970, 1, 1)
+    end = now - timedelta(minutes=delay_minutes)
+    if end <= start:
+        return None
+    fmt = "%Y-%m-%d %H:%M:%S"
+    runner.run(
+        select=model_name,
+        variables={
+            "date_range_start": start.strftime(fmt),
+            "date_range_end": end.strftime(fmt),
+        },
+    )
+    store.set_table_watermark(model_name, ts=end)
+    return (start, end)

@@ -147,3 +147,98 @@ def test_materialization_flow_incremental_with_watermark(spark, sf_small, tmp_pa
         ],
     )
     assert all(r.passed for r in results)
+
+
+def test_flows_api_end_to_end(spark, sf_small, tmp_path):
+    """SURVEY §3 entry points through the one-call flows API:
+    dump → capture window (+failure + recapture) → materialization."""
+    from pipelines_spark.flows import (
+        recapture_missing,
+        run_capture_window,
+        run_dump_flow,
+        run_materialization,
+    )
+
+    # §3.1 dump
+    staging = run_dump_flow(
+        spark,
+        spark.read.parquet(f"{sf_small}/orders.parquet"),
+        lake_path=str(tmp_path / "lake" / "orders"),
+        staging_table="orders_staging_flow",
+        date_col="o_orderdate",
+    )
+    assert staging.count() == spark.read.parquet(f"{sf_small}/orders.parquet").count()
+    assert dict(staging.dtypes)["o_totalprice"] == "string"
+
+    # §3.2 capture: minute 0 succeeds, minute 1 fails, spine replays it
+    staging_path = str(tmp_path / "cap_staging")
+    logs_path = str(tmp_path / "cap_logs")
+    calls = {"n": 0}
+
+    def fetch(start, end):
+        calls["n"] += 1
+        if end.minute == 1 and calls["n"] < 3:  # first attempt at :01 fails
+            raise RuntimeError("http 500")
+        return spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "y")], "sensor_id long, reading string"
+        )
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    assert run_capture_window(
+        spark, fetch, window_start=t0, window_end=t0,
+        keys=["sensor_id"], staging_path=staging_path, logs_path=logs_path,
+    )
+    t1 = datetime(2024, 1, 1, 0, 1)
+    assert not run_capture_window(
+        spark, fetch, window_start=t0, window_end=t1,
+        keys=["sensor_id"], staging_path=staging_path, logs_path=logs_path,
+    )
+    replayed = recapture_missing(
+        spark, fetch,
+        spine_start="2024-01-01 00:00:00", spine_end="2024-01-01 00:01:00",
+        interval="1 minute", keys=["sensor_id"],
+        staging_path=staging_path, logs_path=logs_path,
+    )
+    assert replayed == 1
+    staged = spark.read.parquet(staging_path)
+    # dedup on (key, capture ts): the duplicate (1, x) collapsed
+    assert staged.count() == 4  # 2 sensors x 2 successful windows
+    assert set(staged.columns) >= {"sensor_id", "content", "timestamp_captura"}
+
+    # §3.3 materialization driven by the watermark store
+    from pipelines_spark.plans.models import ModelRunner, SqlModel
+    from pipelines_spark.state.watermark import WatermarkStore
+
+    spark.read.parquet(f"{sf_small}/orders.parquet").createOrReplaceTempView("orders_src_f")
+    model = SqlModel(
+        name="rev_flow",
+        sql="""
+            SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS data_particao,
+                   count(*) AS n FROM orders_src_f
+            WHERE o_orderdate > timestamp '{date_range_start}'
+              AND o_orderdate <= timestamp '{date_range_end}'
+            GROUP BY 1
+        """,
+        materialization="incremental",
+        path=str(tmp_path / "rev_flow"),
+        partition_cols=["data_particao"],
+    )
+    runner = ModelRunner(spark, [model])
+    store = WatermarkStore(spark, str(tmp_path / "wm_flow"))
+
+    r1 = run_materialization(
+        spark, runner, store, model_name="rev_flow",
+        now=datetime(2000, 1, 1), fallback_start=datetime(1990, 1, 1),
+    )
+    assert r1 == (datetime(1990, 1, 1), datetime(2000, 1, 1))
+    n1 = spark.read.parquet(str(tmp_path / "rev_flow")).count()
+    # second call from the advanced watermark: more partitions appear
+    r2 = run_materialization(
+        spark, runner, store, model_name="rev_flow", now=datetime(2003, 1, 1)
+    )
+    assert r2 == (datetime(2000, 1, 1), datetime(2003, 1, 1))
+    assert spark.read.parquet(str(tmp_path / "rev_flow")).count() > n1
+    # nothing new -> no-op
+    assert run_materialization(
+        spark, runner, store, model_name="rev_flow", now=datetime(2003, 1, 1)
+    ) is None

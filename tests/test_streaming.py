@@ -167,3 +167,44 @@ def test_capture_log_listener(spark, tmp_path):
 
     log = spark.read.parquet(log_path)
     assert log.filter("sucesso AND num_input_rows = 2").count() >= 1
+
+
+def test_streaming_tumbling_window_agg(spark, tmp_path):
+    """T1 streaming variant: watermarked tumbling-window aggregation,
+    append mode emits a window only once the watermark passes it."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=m), float(m)) for m in (0, 1, 6, 7, 30)
+    ]
+    src = tmp_path / "tumble_in"
+    src.mkdir()
+    spark.createDataFrame(rows, "k long, ts timestamp, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema("k long, ts timestamp, v double").parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .select(F.col("w.start").alias("ws"), "n", "sv")
+    )
+    out = str(tmp_path / "tumble_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "tumble_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["ws"].minute, r["n"], r["sv"]) for r in spark.read.parquet(out).collect()}
+    # windows 12:00 (events 0,1) and 12:05 (events 6,7) closed below
+    # the final watermark (12:29); the 12:30 window stays open
+    assert (0, 2, 1.0) in got
+    assert (5, 2, 13.0) in got
+    assert all(ws != 30 for ws, _, _ in got)

@@ -786,6 +786,24 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rn <= 5
     """,
+    # md5-derived bucket mirrors llm/sampling.hash_bucket (same hex
+    # fold as simhash's _HEXFOLD, over the id string)
+    "sample_split_counts": """
+        WITH b AS (
+            SELECT lang,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs
+        FROM b GROUP BY 1, 2
+    """,
     # Transitive closure of the exact near-dup pair graph via
     # recursive CTE — the SQL mirror of iterative label propagation.
     "dedup_clusters": f"""

@@ -1060,6 +1060,20 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (llm/sampling.py): assignment
+    is a pure function of md5(doc_id), so it is reproducible across
+    engines, runs, and cluster sizes — counts per (split, lang)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import assign_split
+
+    return (
+        assign_split(spark.table("documents"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs (Jaccard ≥ 0.5) →
     connected components by iterative min-label propagation. The
@@ -1133,6 +1147,7 @@ QUERIES = {
     "j8_geo_stations": j8_geo_stations,
     "q2_min_per_group_subquery": q2_min_per_group_subquery,
     "o11_intersect_custkeys": o11_intersect_custkeys,
+    "sample_split_counts": sample_split_counts,
     "text_top_terms": text_top_terms,
     "w6_sessionize": w6_sessionize,
     "embed_ivf_ann": embed_ivf_ann,

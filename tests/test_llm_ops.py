@@ -223,3 +223,32 @@ def test_resize_images_payload_contract(spark):
     assert all(len(out[i]["content"]) == 64 * 64 for i in (1, 2, 3))
     assert out[1]["content"][:10] == b"\x01" * 10
     assert (out[2]["width"], out[2]["height"]) == (64, 64)
+
+
+def test_deterministic_sampling_stability(spark):
+    from pipelines_spark.llm.sampling import assign_split, sample_fraction
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sample_fraction(df, "doc_id", percent=10).collect()}
+    s2 = {r["doc_id"] for r in sample_fraction(df, "doc_id", percent=10).collect()}
+    assert s1 == s2                      # reproducible
+    assert 50 <= len(s1) <= 150         # ~10%
+    # growth stability: the same ids keep their assignment in a bigger set
+    bigger = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s3 = {
+        r["doc_id"]
+        for r in sample_fraction(bigger, "doc_id", percent=10).collect()
+        if r["doc_id"] < 1000
+    }
+    assert s3 == s1
+    # salted sampling decorrelates
+    salted = {
+        r["doc_id"]
+        for r in sample_fraction(df, "doc_id", percent=10, salt="v2").collect()
+    }
+    assert salted != s1
+    # split covers every row exactly once with sane proportions
+    splits = assign_split(df, "doc_id").groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in splits}
+    assert sum(got.values()) == 1000 and set(got) == {"train", "val", "test"}
+    assert got["train"] > got["val"] and got["train"] > got["test"]

@@ -75,3 +75,65 @@ def _crosses(px: Column, py: Column, v1: Column, v2: Column) -> Column:
     straddles = (y1 > py) != (y2 > py)
     x_at_y = (x2 - x1) * (py - y1) / (y2 - y1) + x1
     return straddles & (px < x_at_y)
+
+
+def geocode_addresses(
+    df,
+    addr_col: str,
+    geocode_fn,
+    *,
+    rate_per_sec: float = 1.0,
+    out_lat: str = "latitude",
+    out_lon: str = "longitude",
+):
+    """Address → (lat, lon) via an injected geocoder, rate-limited
+    per partition (SURVEY §2.10 geo row; reference: Nominatim at 1
+    req/s, pipelines/utils/georeference/tasks.py:93-137).
+
+    ``geocode_fn(address) -> (lat, lon) | None`` is the external call
+    — injectable so tests run a fake and deployments plug Nominatim or
+    a paid geocoder. Runs as mapInPandas with a time-based limiter per
+    partition; with N partitions the aggregate rate is N × rate, so
+    coalesce to 1 partition for a strict global limit (the reference's
+    behavior), or shard API keys per partition. Failures yield NULL
+    coordinates rather than failing the job; upstream dedup (A6) keeps
+    the request count at distinct-address cardinality.
+    """
+    import time
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_lat, T.DoubleType(), True),
+            T.StructField(out_lon, T.DoubleType(), True),
+        ]
+    )
+    min_interval = 1.0 / rate_per_sec if rate_per_sec > 0 else 0.0
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        last_call = 0.0
+        for pdf in batches:
+            lats, lons = [], []
+            for addr in pdf[addr_col]:
+                if min_interval:
+                    wait = last_call + min_interval - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last_call = time.monotonic()
+                try:
+                    hit = geocode_fn(addr) if addr is not None else None
+                except Exception:  # noqa: BLE001 — NULL, not job failure
+                    hit = None
+                lats.append(hit[0] if hit else None)
+                lons.append(hit[1] if hit else None)
+            pdf = pdf.copy()
+            pdf[out_lat] = pd.array(lats, dtype="float64")
+            pdf[out_lon] = pd.array(lons, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

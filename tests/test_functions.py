@@ -120,3 +120,31 @@ def test_read_fixed_width(spark, tmp_path):
     df = read_fixed_width(spark, str(p), {"id": (0, 3), "ano": (3, 7), "code": (7, 10)})
     rows = {r["id"]: (r["ano"], r["code"]) for r in df.collect()}
     assert rows["001"] == ("2024", "ABC")
+
+
+def test_geocode_addresses_rate_limited_with_failures(spark):
+    from pipelines_spark.functions.geo import geocode_addresses
+
+    table = {
+        "Rua A, Rio": (-22.9, -43.2),
+        "Rua B, Rio": (-22.95, -43.25),
+    }
+
+    def fake_geocoder(addr):
+        if addr == "explode":
+            raise RuntimeError("api 500")
+        return table.get(addr)
+
+    df = spark.createDataFrame(
+        [(1, "Rua A, Rio"), (2, "Rua B, Rio"), (3, "nowhere"), (4, "explode"), (5, None)],
+        "id long, addr string",
+    ).coalesce(1)
+    out = {
+        r["id"]: (r["latitude"], r["longitude"])
+        for r in geocode_addresses(df, "addr", fake_geocoder, rate_per_sec=1000).collect()
+    }
+    assert out[1] == (-22.9, -43.2)
+    assert out[2] == (-22.95, -43.25)
+    assert out[3] == (None, None)      # miss -> NULL
+    assert out[4] == (None, None)      # API error -> NULL, job survives
+    assert out[5] == (None, None)      # NULL address skipped

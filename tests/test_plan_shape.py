@@ -67,6 +67,19 @@ def test_no_python_udf_in_relational_paths(spark, sf_medium):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
+    """Sweep EVERY query: row-at-a-time Python (BatchEvalPython) is
+    banned everywhere; Arrow-batched Python (ArrowEvalPython) is
+    allowed only where a numpy/codec kernel is the design
+    (IVF centroid assignment)."""
+    arrow_allowed = {"embed_ivf_ann"}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_medium))
+        assert "BatchEvalPython" not in plan, name
+        if name not in arrow_allowed:
+            assert "ArrowEvalPython" not in plan, name
+
+
 def test_whole_stage_codegen_in_flagship(spark, sf_medium):
     # AQE's AdaptiveSparkPlan hides codegen subtrees until runtime —
     # disable it for the probe so EXPLAIN CODEGEN sees the stages.

@@ -191,7 +191,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def f1_filter_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exclusion-expression filter list (F1): remove rows matching any
-    configured predicate, then summarize survivors."""
+    configured predicate, then summarize survivors.
+    Reference: filter_data, pipelines/rj_smtr/utils.py:436-465."""
     register(spark, sf_dir, ("lineitem",))
     df = spark.table("lineitem")
     for pred in ["l_quantity <= 0", "l_discount < 0 OR l_discount > 0.1", "l_extendedprice <= 0"]:
@@ -204,7 +205,8 @@ def f1_filter_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def f2_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-subset filter (F2): drop rows with NULL in critical
+    """Null-subset filter (F2; filter_null/check_not_null,
+    pipelines/rj_smtr/utils.py:372-433): drop rows with NULL in critical
     columns, count survivors per group."""
     register(spark, sf_dir, ("events",))
     df = spark.table("events").na.drop(subset=["user_id", "value", "props"])
@@ -212,8 +214,9 @@ def f2_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def f3_capture_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal sanity window (F3/F4): capture-vs-event skew must fall
-    in [-20s, +60s]. Capture time is derived as ts + props.k seconds."""
+    """Temporal sanity window (F3/F4; GPS pretreatment mask,
+    pipelines/rj_smtr/br_rj_riodejaneiro_onibus_gps/tasks.py:225-233):
+    capture-vs-event skew must fall in [-20s, +60s]. Capture time is derived as ts + props.k seconds."""
     register(spark, sf_dir, ("events",))
     df = (
         spark.table("events")
@@ -282,8 +285,10 @@ def j3_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j5_capture_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recapture spine (J5/T4): minutes in the first 6 hours of the
-    events stream with no event — sequence+explode spine, anti-join."""
+    """Recapture spine (J5/T4; query_logs spine SQL,
+    pipelines/rj_smtr/tasks.py:437-558): minutes in the first 6 hours
+    of the events stream with no event — sequence+explode spine,
+    anti-join."""
     register(spark, sf_dir, ("events",))
     spine = time_spine(
         spark, "2024-01-01 00:00:00", "2024-01-01 05:59:00", interval="1 minute", ts_col="minute"
@@ -317,8 +322,9 @@ def j7_shipdate_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j9_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross join + kNN ranking + IDW aggregation (J9/W3/A10): the
-    rain-dashboard pattern. Stations synthesized from supplier,
+    """Cross join + kNN ranking + IDW aggregation (J9/W3/A10; the
+    rain-dashboard SQL,
+    pipelines/rj_escritorio/rain_dashboard/constants.py:128-210). Stations synthesized from supplier,
     cells from customer; integer grid coordinates keep distances
     exact across engines."""
     register(spark, sf_dir, ("customer", "supplier"))
@@ -374,7 +380,8 @@ def a1_relation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a3_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-row-per-key (A3/W1): window row_number desc."""
+    """Last-row-per-key (A3/W1; sort+groupby+tail(1),
+    pipelines/utils/utils.py:1096-1099): window row_number desc."""
     register(spark, sf_dir, ("events",))
     df = last_row_per_key(
         spark.table("events"), keys=["user_id"], order_col="ts", tiebreak=["event_id"]
@@ -383,7 +390,9 @@ def a3_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a4_nested_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key+JSON-payload projection (P6/A4): the staging 'content'
+    """Key+JSON-payload projection (P6/A4;
+    transform_raw_to_nested_structure,
+    pipelines/rj_smtr/tasks.py:1402-1505): the staging 'content'
     contract — all non-key columns packed into a JSON string."""
     register(spark, sf_dir, ("orders",))
     df = spark.table("orders").select(
@@ -674,7 +683,8 @@ def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t1_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation (T1): 5-minute windows."""
+    """Tumbling-window aggregation (T1; get_rounded_timestamp capture
+    windows, pipelines/rj_smtr/tasks.py:262-297): 5-minute windows."""
     register(spark, sf_dir, ("events",))
     return (
         spark.table("events")
@@ -702,7 +712,8 @@ def t2_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def k4_partition_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-column derivation (K4): ano/mes/data_particao from
+    """Partition-column derivation (K4; parse_date_columns,
+    pipelines/utils/utils.py:885-922): ano/mes/data_particao from
     the order date; count rows per derived partition."""
     register(spark, sf_dir, ("orders",))
     df = derive_partition_columns(spark.table("orders"), "o_orderdate")

@@ -72,12 +72,23 @@ def run_capture_window(
     staging_path: str,
     logs_path: str,
     recapture: bool = False,
+    fetch_attempts: int = 3,
+    fetch_delay_s: float = 10.0,
+    _sleep=None,
 ) -> bool:
-    """§3.2 capture, one tumbling window. Returns success; failures
-    log ``sucesso=false`` with the error (the recapture spine picks
-    the window up next run, SURVEY T4)."""
+    """§3.2 capture, one tumbling window. The fetch retries
+    ``fetch_attempts`` × ``fetch_delay_s`` (reference: 3 × 10 s,
+    pipelines/rj_smtr/constants.py:22-23) before the window is logged
+    as failed; the recapture spine then picks it up next run (T4)."""
+    from pipelines_spark.retry import with_retries
+
     try:
-        raw = fetch(window_start, window_end)
+        raw = with_retries(
+            lambda: fetch(window_start, window_end),
+            attempts=fetch_attempts,
+            delay_s=fetch_delay_s,
+            **({"sleep": _sleep} if _sleep else {}),
+        )
         staged = (
             raw.withColumn("timestamp_captura", F.lit(window_end))
             .dropDuplicates([*keys, "timestamp_captura"])

@@ -177,7 +177,7 @@ def test_flows_api_end_to_end(spark, sf_small, tmp_path):
 
     def fetch(start, end):
         calls["n"] += 1
-        if end.minute == 1 and calls["n"] < 3:  # first attempt at :01 fails
+        if end.minute == 1 and calls["n"] < 4:  # :01 fails through both retries
             raise RuntimeError("http 500")
         return spark.createDataFrame(
             [(1, "x"), (1, "x"), (2, "y")], "sensor_id long, reading string"
@@ -192,6 +192,7 @@ def test_flows_api_end_to_end(spark, sf_small, tmp_path):
     assert not run_capture_window(
         spark, fetch, window_start=t0, window_end=t1,
         keys=["sensor_id"], staging_path=staging_path, logs_path=logs_path,
+        fetch_attempts=2, _sleep=lambda _: None,  # retried, still fails
     )
     replayed = recapture_missing(
         spark, fetch,

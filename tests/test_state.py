@@ -101,3 +101,28 @@ def test_backfill_windows():
         datetime(2024, 1, 1), datetime(2024, 1, 2, 12), interval=timedelta(days=1)
     )
     assert ws[-1] == (datetime(2024, 1, 2), datetime(2024, 1, 2, 12))
+
+
+def test_with_retries_eventually_succeeds_and_reraises():
+    from pipelines_spark.retry import with_retries
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    assert (
+        with_retries(flaky, attempts=5, delay_s=2, backoff=2, sleep=sleeps.append)
+        == "ok"
+    )
+    assert calls["n"] == 3 and sleeps == [2, 4]
+
+    import pytest
+
+    calls["n"] = -100  # never recovers within 2 attempts
+    with pytest.raises(RuntimeError):
+        with_retries(flaky, attempts=2, delay_s=0, sleep=lambda _: None)

@@ -285,6 +285,38 @@ def simhash_pairs(
     return pairs
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over a canonical edge list (``u`` > ``v``).
+
+    For every node u with m = min(neighbors ∪ {u}), attach each
+    strictly-larger neighbor directly to m. Output stays canonical.
+    """
+    nbr = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbr.join(m, "u")
+        .filter(F.col("v") > F.col("u"))  # v > u >= m keeps (v, m) canonical
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over a canonical edge list (``u`` > ``v``).
+
+    For every node u, m = min of its smaller neighbors; rewire those
+    neighbors (and u itself) to m.
+    """
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        edges.join(m, "u")
+        .filter(F.col("v") != F.col("m"))  # v > m by minimality: canonical
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return rewired.union(m.select("u", F.col("m").alias("v"))).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -295,50 +327,49 @@ def connected_components(
     """Connected components over a near-dup pair list:
     (node, component_id) where component_id = min node id reachable.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(graph diameter) rounds. Near-dup clusters are shallow (dups of
-    a common source), so the diameter is small; for adversarial long
-    chains the same loop structure accepts the large-star/small-star
-    optimization (Kiveris et al., "Connected Components in MapReduce")
-    without changing the contract. Lineage is truncated each round
-    with localCheckpoint so the plan does not grow with iterations;
-    per-round shuffles are (node, label) pairs — the edge list itself
-    never re-shuffles after the first materialization.
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14):
+    each round flattens trees toward the component minimum, so the
+    edge list converges to stars in O(log n) rounds even for
+    adversarial long chains — unlike plain min-label propagation,
+    whose round count is the graph *diameter*. Per-round shuffles are
+    the (shrinking) edge list itself; lineage is truncated each round
+    with localCheckpoint so the plan does not grow with iterations.
+    Convergence is detected by an order-independent checksum of the
+    edge set (count + xor of per-edge hashes) — one tiny agg action
+    per round, no exceptAll.
 
     Only nodes that appear in ``pairs`` are labeled (singletons carry
     no dedup information).
     """
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nlabel"))
+        pairs.select(
+            F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("nlabel") < F.col("label")).alias("_changed"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # no ANSI sum overflow
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:  # stars: every non-root points at its component min
             break
-    return labels.select("node", F.col("label").alias("component_id"))
+        prev = cur
+    return nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("root")), "node", "left"
+    ).select("node", F.coalesce("root", "node").alias("component_id"))

@@ -822,4 +822,63 @@ ORACLES: dict[str, str] = {
                CAST(least(a, min(b)) AS BIGINT) AS component_id
         FROM reach GROUP BY a
     """,
+    "q7_nation_volume": """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": """
+        SELECT l_year,
+               CAST(round(
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                 THEN CAST(volume AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'AMERICA'
+              AND p.p_brand = 'Brand#9'
+        ) all_nations
+        GROUP BY l_year
+    """,
+    "q10_returned_items": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
 }

@@ -53,6 +53,9 @@ HEADLINE = [
     "w6_sessionize",
     "embed_ivf_ann",
     "dedup_clusters",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
 ]
 
 

@@ -102,3 +102,38 @@ def document_fingerprint(text: Column | str, gram_chars: int = 8) -> Column:
         lambda i: F.md5(F.substring(t, i, F.lit(gram_chars))),
     )
     return F.array_min(grams)
+
+
+#: PII patterns, applied in declaration order. Regex syntax is kept in
+#: the portable intersection of Java regex (Spark) and RE2 (DuckDB,
+#: Go/Rust scanners) so the scrub is reproducible outside the engine.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\d{3}[-.]\\d{3,4}[-.]\\d{4}", "<PHONE>"),
+    ("ipv4", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+)
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of per-pattern match counts — the detection side of the
+    scrub, usable as a filter ("drop docs with >k PII hits") without
+    rewriting the text. Map-only."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its placeholder, patterns applied
+    in ``PII_PATTERNS`` order (email before IPv4 so a host-with-dots
+    local part is consumed as an email first). Map-only, codegen'd —
+    the standard pre-training scrub stage."""
+    t = F.col(text) if isinstance(text, str) else text
+    out = t
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

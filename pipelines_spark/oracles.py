@@ -881,4 +881,27 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
     """,
+    "text_pii_redaction": """
+        WITH seeded AS (
+            SELECT doc_id,
+                   substring(text, 1, 40)
+                   || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                   AS text2
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(text2, '\\d{3}[-.]\\d{3,4}[-.]\\d{4}'))                    AS n_phone,
+               len(regexp_extract_all(text2, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))       AS n_ipv4,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text2,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\d{3}[-.]\\d{3,4}[-.]\\d{4}', '<PHONE>', 'g'),
+                   '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g') AS redacted
+        FROM seeded
+    """,
 }

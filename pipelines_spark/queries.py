@@ -1192,6 +1192,41 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pre-training corpus hygiene): per-doc detection
+    counts + redacted text. The synthetic corpus carries no PII, so
+    the query injects deterministic doc_id-derived email/phone/IP
+    strings first — the oracle then pins the exact regexp_replace
+    semantics (pattern order, placeholder text) cross-engine, not
+    just zeros. Map-only: detection and redaction are codegen'd
+    regex projections, no shuffle."""
+    from pipelines_spark.llm.text import pii_counts, redact_pii
+
+    register(spark, sf_dir, ("documents",))
+    seeded = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 200)
+        .withColumn(
+            "text2",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("-1234 from 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+            ),
+        )
+    )
+    return seeded.select(
+        "doc_id",
+        pii_counts(F.col("text2")).getField("n_email").alias("n_email"),
+        pii_counts(F.col("text2")).getField("n_phone").alias("n_phone"),
+        pii_counts(F.col("text2")).getField("n_ipv4").alias("n_ipv4"),
+        redact_pii(F.col("text2")).alias("redacted"),
+    )
+
+
 #: name → callable(spark, sf_dir) — the full inventory.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1258,4 +1293,5 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "text_pii_redaction": text_pii_redaction,
 }

@@ -252,3 +252,25 @@ def test_deterministic_sampling_stability(spark):
     got = {r["split"]: r["count"] for r in splits}
     assert sum(got.values()) == 1000 and set(got) == {"train", "val", "test"}
     assert got["train"] > got["val"] and got["train"] > got["test"]
+
+def test_redact_pii_order_and_counts(spark):
+    from pipelines_spark.llm.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@host.co.uk and 10.1.2.3 twice 10.1.2.4"),
+            (2, "call 555-123-4567 or 555-1234-4567"),
+            (3, "no pii here"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: (r["red"], r["c"]["n_email"], r["c"]["n_phone"], r["c"]["n_ipv4"])
+        for r in df.select(
+            "id", redact_pii("t").alias("red"), pii_counts("t").alias("c")
+        ).collect()
+    }
+    # the dotted email is consumed by the email pattern, never as an IP
+    assert out[1] == ("mail <EMAIL> and <IP> twice <IP>", 1, 0, 2)
+    assert out[2] == ("call <PHONE> or <PHONE>", 0, 2, 0)
+    assert out[3] == ("no pii here", 0, 0, 0)

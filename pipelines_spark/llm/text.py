@@ -137,3 +137,24 @@ def redact_pii(text: Column | str) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """Adjacent word pairs ("w1 w2") of a single-space-tokenized text;
+    fewer than 2 words → empty array (sequence(1,0) would count down)."""
+    t = F.col(text) if isinstance(text, str) else text
+    ws = F.split(t, " ")
+    return F.when(F.size(ws) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        )
+    )
+
+
+def dup_word_ratio(text: Column | str) -> Column:
+    """1 − distinct/total words: the Gopher-class repetition signal —
+    high values mark loops/boilerplate. Map-only."""
+    t = F.col(text) if isinstance(text, str) else text
+    ws = F.split(t, " ")
+    return F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws).cast("double")

@@ -904,4 +904,29 @@ ORACLES: dict[str, str] = {
                    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g') AS redacted
         FROM seeded
     """,
+    "text_repetition_stats": """
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents
+            WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS b
+            FROM docs
+        ),
+        counts AS (
+            SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b
+        ),
+        shares AS (
+            SELECT doc_id,
+                   round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_share
+            FROM counts GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(1.0 - CAST(len(list_distinct(d.ws)) AS DOUBLE) / len(d.ws), 4) AS dup_word_ratio,
+               s.top_bigram_share
+        FROM docs d JOIN shares s ON d.doc_id = s.doc_id
+    """,
 }

@@ -1227,6 +1227,33 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style corpus filters):
+    duplicate-word ratio (map-only scalar) and top-bigram share
+    (explode → two-level agg; the per-(doc,bigram) count is map-side
+    combinable, so the shuffle carries distinct bigrams, not token
+    instances). Docs scoring high on either get dropped upstream of
+    training."""
+    from pipelines_spark.llm.text import dup_word_ratio, word_bigrams
+
+    register(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").filter(
+        (F.col("doc_id") < 500) & (F.size(F.split("text", " ")) >= 2)
+    )
+    bigram_counts = (
+        docs.select("doc_id", F.explode(word_bigrams("text")).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shares = bigram_counts.groupBy("doc_id").agg(
+        F.round((F.max("n") / F.sum("n")).cast("double"), 4).alias("top_bigram_share")
+    )
+    return (
+        docs.select("doc_id", F.round(dup_word_ratio("text"), 4).alias("dup_word_ratio"))
+        .join(shares, "doc_id")
+    )
+
+
 #: name → callable(spark, sf_dir) — the full inventory.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1294,4 +1321,5 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
     "text_pii_redaction": text_pii_redaction,
+    "text_repetition_stats": text_repetition_stats,
 }

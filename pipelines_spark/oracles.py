@@ -929,4 +929,19 @@ ORACLES: dict[str, str] = {
                s.top_bigram_share
         FROM docs d JOIN shares s ON d.doc_id = s.doc_id
     """,
+    "text_decontamination": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh5 AS (
+            SELECT DISTINCT doc_id, list_aggregate(w[i:i+4], 'string_agg', ' ') AS sh
+            FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+            WHERE len(w) >= 5
+        ),
+        probe AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id < 10)
+        SELECT c.doc_id, count(DISTINCT c.sh) AS n_contaminated_shingles
+        FROM sh5 c JOIN probe p ON c.sh = p.sh
+        WHERE c.doc_id >= 10
+        GROUP BY c.doc_id
+    """,
 }

@@ -1254,6 +1254,34 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥ 1
+    5-word shingle with a probe ("benchmark") set — here the probe is
+    docs 0-9, standing in for an eval set. Shape: shingle both sides,
+    equi-join on the shingle (probe side is tiny → broadcast), count
+    distinct overlapping shingles per doc. At 100 TB the probe side
+    stays a broadcast table and the corpus side is a map-only explode
+    feeding a map-side-combinable agg — no corpus self-join."""
+    from pipelines_spark.llm.dedup import word_shingles
+
+    register(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    corpus = (
+        docs.filter(F.col("doc_id") >= 10)
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("sh"))
+    )
+    probe = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(F.explode(word_shingles("text", 5)).alias("sh"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(probe), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_contaminated_shingles"))
+    )
+
+
 #: name → callable(spark, sf_dir) — the full inventory.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1322,4 +1350,5 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "text_pii_redaction": text_pii_redaction,
     "text_repetition_stats": text_repetition_stats,
+    "text_decontamination": text_decontamination,
 }

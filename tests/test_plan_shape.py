@@ -131,3 +131,11 @@ def test_asof_join_single_shuffle(spark, sf_medium):
     # one hash exchange for the per-key sort window; no band join
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_probe_is_broadcast(spark, sf_medium):
+    """The probe (benchmark) side must broadcast — a shuffle join here
+    would re-shuffle the full corpus shingle stream at 100 TB."""
+    plan = _plan(QUERIES["text_decontamination"](spark, sf_medium))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

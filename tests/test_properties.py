@@ -139,3 +139,44 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     else:
         want = {int(r.row_id): None for r in lpdf.itertuples()}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_connected_components_match_union_find(spark, edges):
+    from pipelines_spark.llm.dedup import connected_components
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+
+    # pure-Python union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected

@@ -56,6 +56,9 @@ HEADLINE = [
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_items",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "text_decontamination",
 ]
 
 

@@ -12,8 +12,9 @@
   approximation itself is reproducible (and therefore oracle-
   checkable). The bucket join replaces the full cross product with an
   equi-join — the scale path.
-- ``ivf_topk``: inverted-file ANN. A small deterministic centroid set
-  is collected to the driver (index-build phase — IVF centroid tables
+- ``ivf_topk``: inverted-file ANN. A fixed-size (O(n_centroids·dim),
+  independent of corpus size) deterministic centroid set is collected
+  to the driver (index-build phase — IVF centroid tables
   are always driver-scale); every corpus vector is assigned to its
   nearest centroid in a *map-only* Arrow-batched stage (one numpy
   matmul per batch — no shuffle, no cross-join blow-up); queries
@@ -155,6 +156,15 @@ def srp_bucketed_topk(
     )
 
 
+def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round half away from zero, matching SQL ROUND (Spark F.round /
+    DuckDB round) rather than numpy's banker's rounding — a cosine
+    landing exactly on a midpoint must assign identically across
+    engines."""
+    factor = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * factor + 0.5) / factor
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -162,33 +172,39 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    centroid_mod: int = 37,
+    n_centroids: int = 16,
     nprobe: int = 2,
     round_digits: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: (query_id, neighbor_id, cosine, rank).
 
-    Centroids are the corpus vectors whose id ≡ 0 (mod
-    ``centroid_mod``) — a deterministic surrogate for k-means
-    (real IVF would train centroids; the *plan shape* is identical
-    and that is what matters for the engine). Assignment ranks
-    centroids by rounded cosine desc, centroid id asc, so the
-    approximation is a defined, oracle-checkable result.
+    Centroids are a FIXED-SIZE deterministic sample: the
+    ``n_centroids`` corpus vectors ranked first by
+    ``md5(cast(id as string))`` (id as tiebreak) — a hash-ordered
+    ``LIMIT k``, i.e. a uniform pseudo-random but reproducible and
+    oracle-checkable sample, standing in for trained k-means
+    (the *plan shape* is identical, which is what matters for the
+    engine). Assignment ranks centroids by rounded cosine desc,
+    centroid id asc, so the approximation is a defined result.
 
-    Plan shape at scale: the centroid matrix is driver-collected
-    (small by construction — IVF index build) and shipped to workers
-    inside an Arrow-batched pandas UDF; corpus assignment is then a
-    *map-only* ArrowEvalPython stage doing one numpy matmul per batch
-    (zero shuffle, no per-centroid expression blow-up); the only
-    shuffles are the candidate equi-join on centroid id (query side
-    broadcast) and the final top-k window on query_id. Candidate
-    scoring stays JVM-side (zip_with/aggregate), identical to the
-    oracle's arithmetic.
+    Plan shape at scale: the centroid set is O(n_centroids · dim)
+    regardless of corpus size — selection is a TakeOrdered (per-
+    partition top-k + driver merge, never a full sort or full
+    collect) — and ships to workers inside an Arrow-batched pandas
+    UDF; corpus assignment is then a *map-only* ArrowEvalPython stage
+    doing one numpy matmul per batch (zero shuffle, no per-centroid
+    expression blow-up); the only shuffles are the candidate
+    equi-join on centroid id (query side broadcast) and the final
+    top-k window on query_id. Candidate scoring stays JVM-side
+    (zip_with/aggregate), identical to the oracle's arithmetic.
     """
     cent_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.filter((F.col(id_col) % centroid_mod) == 0)
-        .select(id_col, vec_col)
+        for r in corpus.select(
+            F.col(id_col), F.col(vec_col)
+        )
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
         .collect()
     )
     cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
@@ -198,7 +214,7 @@ def ivf_topk(
     def _nearest_cells(vec_series: pd.Series, n: int) -> pd.Series:
         mat = np.array(vec_series.to_list(), dtype=np.float64)
         unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cos = np.round(unit @ cent_unit.T, round_digits)
+        cos = _round_half_up(unit @ cent_unit.T, round_digits)
         # stable argsort on -cos: ties keep centroid-id-ascending
         # order because cent_ids is sorted ascending
         idx = np.argsort(-cos, axis=1, kind="stable")[:, :n]

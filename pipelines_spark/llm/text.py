@@ -53,14 +53,16 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 
 def language_id(text: Column | str) -> Column:
     """Deterministic stopword-ratio argmax over the known languages;
-    'und' (undetermined) when no stopword hits at all. Ties break by
-    language code ascending."""
+    'und' (undetermined) when no stopword hits at all. Ties break
+    toward the lexicographically LARGER language code (struct
+    comparison is field-order: max score, then max lang) — the oracle
+    mirrors the same descending tie-break."""
     scores = [
         F.struct(stopword_ratio(text, code).alias("score"), F.lit(code).alias("lang"))
         for code in sorted(STOPWORDS)
     ]
     # array_max on structs compares fields in order: max score, then
-    # max lang code — invert lang for asc tie-break determinism.
+    # max (descending tie-break) lang code.
     best = F.array_max(F.array(*scores))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 

@@ -119,16 +119,27 @@ def asof_join(
 
     Right side must be unique per (key, right_ts); pre-aggregate if
     not (the reference's last-row-per-key operator, A3).
+
+    All ``value_cols`` are propagated as ONE struct with a single
+    ``last(ignorenulls=True)``: every output value comes from the same
+    (latest) right row, so a NULL field in the newest right row stays
+    NULL rather than blending in an older row's value — matching the
+    DuckDB ASOF JOIN / pandas merge_asof row semantics.
     """
+    from pyspark.sql import types as T
+
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    rv_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -137,7 +148,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_lrow"].dataType
         ).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
     # right rows sort before left rows at the same timestamp so an
     # equal-ts right event is visible to the left row (>= semantics)
@@ -146,13 +157,11 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = l_tagged.unionByName(r_tagged)
-    for c in value_cols:
-        merged = merged.withColumn(
-            f"_rv_{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w)
-        )
+    merged = l_tagged.unionByName(r_tagged).withColumn(
+        "_rv", F.last("_rv", ignorenulls=True).over(w)
+    )
     out = merged.filter(F.col("_is_left") == 1)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_rv_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in value_cols],
     )

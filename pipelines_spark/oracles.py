@@ -203,9 +203,13 @@ ORACLES: dict[str, str] = {
                count(*)                        AS n_rows,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)  AS sum_price
         FROM lineitem
-        WHERE NOT (l_quantity <= 0)
-          AND NOT (l_discount < 0 OR l_discount > 0.1)
-          AND NOT (l_extendedprice <= 0)
+        -- exclusion semantics mirror the Spark side exactly: a row is
+        -- removed only when a predicate is TRUE; a NULL predicate
+        -- KEEPS the row (coalesce(NOT p, TRUE)), so null-bearing data
+        -- cannot silently diverge between engines
+        WHERE COALESCE(NOT (l_quantity <= 0), TRUE)
+          AND COALESCE(NOT (l_discount < 0 OR l_discount > 0.1), TRUE)
+          AND COALESCE(NOT (l_extendedprice <= 0), TRUE)
         GROUP BY l_returnflag
     """,
     "f2_null_filter": """
@@ -754,7 +758,9 @@ ORACLES: dict[str, str] = {
     "embed_ivf_ann": f"""
         WITH cent AS (
             SELECT vec_id AS centroid_id, embedding AS cv
-            FROM embeddings WHERE vec_id % 37 = 0
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
         ), ranked AS (
             SELECT q.vec_id, c.centroid_id,
                    row_number() OVER (

@@ -1059,15 +1059,16 @@ def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic centroid cells (vec_id % 37 == 0),
-    map-only nearest-cell assignment, nprobe=2 probing, exact top-5
-    within probed cells. The 100-TB path: corpus partitioned by cell
-    once, probed by equi-join."""
+    """IVF-style ANN: fixed-k deterministic centroid cells (16
+    hash-ordered sample vectors — O(k·dim) driver set regardless of
+    corpus size), map-only nearest-cell assignment, nprobe=2 probing,
+    exact top-5 within probed cells. The 100-TB path: corpus
+    partitioned by cell once, probed by equi-join."""
     register(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
-        vec_col="embedding", k=5, centroid_mod=37, nprobe=2,
+        vec_col="embedding", k=5, n_centroids=16, nprobe=2,
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 

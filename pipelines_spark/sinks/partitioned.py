@@ -120,15 +120,23 @@ def compact_partitions(
     then pay per-file open cost and tiny row groups).
 
     Only partitions with at least ``min_files_to_compact`` files
-    rewrite; the rewrite is per-partition INSERT OVERWRITE (dynamic
-    partition overwrite — idempotent, same contract as T6 re-upload),
-    so concurrent readers never see a partial partition and untouched
-    partitions keep their files byte-identical.
+    rewrite. Each partition is first FULLY written to a temp
+    directory (``_tmp_compact/`` — underscore-prefixed, so Spark
+    scans ignore it), then swapped in with two atomic directory
+    renames. Never read-and-overwrite the same path in one lazy job:
+    a task retry after the overwrite committed would re-read deleted
+    source files. The rename swap keeps the window where the
+    partition is incomplete to a metadata operation; untouched
+    partitions keep their files byte-identical. (On an object store
+    without atomic rename, use a table format with file-level
+    transactions — Delta/Iceberg rewrite — instead of this
+    directory-swap path.)
 
     Returns {partition_path: files_before} for the rewritten ones.
     """
     import collections
     import os
+    import shutil
 
     sizes: dict[str, list[int]] = collections.defaultdict(list)
     for dirpath, _dirnames, filenames in os.walk(path):
@@ -138,25 +146,30 @@ def compact_partitions(
                 if fn.endswith(".parquet"):
                     sizes[rel].append(os.path.getsize(os.path.join(dirpath, fn)))
 
+    tmp_root = os.path.join(path, "_tmp_compact")
     rewritten: dict[str, int] = {}
     for rel, files in sizes.items():
         if len(files) < min_files_to_compact:
             continue
-        part_df = spark.read.parquet(os.path.join(path, rel))
+        part_dir = os.path.join(path, rel)
+        tmp_dir = os.path.join(tmp_root, rel)
         n_target = max(1, int(sum(files) / (target_file_mb * (1 << 20))) or 1)
-        spec_cols = []
-        for piece in rel.split(os.sep):
-            k, _, v = piece.partition("=")
-            spec_cols.append((k, v))
-        out = part_df
-        for k, v in spec_cols:
-            out = out.withColumn(k, F.lit(v))
-        (
-            out.coalesce(n_target)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*[k for k, _ in spec_cols])
-            .parquet(path)
+        # materialize the compacted copy completely before touching
+        # the source files
+        spark.read.parquet(part_dir).coalesce(n_target).write.mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        # underscore prefix: invisible to Spark partition discovery
+        # while it briefly exists
+        old_dir = os.path.join(
+            os.path.dirname(part_dir), "_old_" + os.path.basename(part_dir)
         )
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
         rewritten[rel] = len(files)
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root, ignore_errors=True)
     return rewritten

@@ -89,14 +89,29 @@ class WatermarkStore:
     ) -> None:
         """Advance watermarks to the max observed in ``df`` (per key
         if ``key_col`` given, else table-global). One aggregation job
-        over the batch — runs map-side partial agg first."""
+        over the batch — runs map-side partial agg first — written
+        STRAIGHT to the state table: the aggregated frame never
+        materializes on the driver, so a 100 TB per-document key
+        space advances with executor memory only."""
         key = F.col(key_col).cast("string") if key_col else F.lit(GLOBAL_KEY)
         aggs = [
-            (F.max(ts_col) if ts_col else F.lit(None).cast("timestamp")).alias("watermark_ts"),
+            (F.max(ts_col) if ts_col else F.lit(None).cast("timestamp"))
+            .cast("timestamp")
+            .alias("watermark_ts"),
             (F.max(id_col).cast("long") if id_col else F.lit(None).cast("long")).alias("watermark_id"),
         ]
-        rows = df.groupBy(key.alias("key")).agg(*aggs).collect()
-        self._append([(scope, r["key"], r["watermark_ts"], r["watermark_id"]) for r in rows])
+        out = (
+            df.groupBy(key.alias("key"))
+            .agg(*aggs)
+            .select(
+                F.lit(scope).alias("scope"),
+                F.col("key"),
+                F.col("watermark_ts"),
+                F.col("watermark_id"),
+                F.current_timestamp().alias("updated_at"),
+            )
+        )
+        out.write.mode("append").parquet(self.path)
 
     def filter_newer(
         self,

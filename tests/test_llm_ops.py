@@ -184,11 +184,11 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_medium):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in ivf_topk(emb, queries, k=5, centroid_mod=37, nprobe=2).collect()
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=2).collect()
     }
     # every query answered with k results
     assert len(approx) == len(exact)
-    # nprobe=2 over ~n/37 cells should recover a meaningful share of
+    # nprobe=2 over 16 cells should recover a meaningful share of
     # the true neighbors — this guards against degenerate assignment
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall

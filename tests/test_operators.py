@@ -138,3 +138,21 @@ def test_asof_join_semantics(spark):
     }
     # equal-ts right row matches (>= semantics); no prior → NULL
     assert out == {"a": 100.0, "b": 150.0, "c": None, "d": None}
+
+
+def test_asof_join_null_right_values_come_from_one_row(spark):
+    """A NULL field in the newest right row must stay NULL — not blend
+    in an older row's value for that column (all value_cols propagate
+    as one struct, matching DuckDB ASOF JOIN row semantics)."""
+    from pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 20, "x")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "old"), (1, 15, None, "new")],
+        "k long, ts long, v double, label string",
+    )
+    row = asof_join(left, right, on="k", value_cols=["v", "label"]).collect()[0]
+    # newest right row (ts=15) has v=NULL, label='new' — the output
+    # must be that exact row, not (100.0, 'new')
+    assert row["asof_label"] == "new"
+    assert row["asof_v"] is None

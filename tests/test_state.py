@@ -23,13 +23,23 @@ def test_watermark_monotone_max_merge(spark, tmp_path):
     assert ts == datetime(2024, 1, 5)  # max-merge wins
 
 
-def test_per_key_advance_and_filter(spark, tmp_path):
+def test_per_key_advance_and_filter(spark, tmp_path, monkeypatch):
     store = WatermarkStore(spark, str(tmp_path / "wm"))
     batch1 = spark.createDataFrame(
         [("st1", datetime(2024, 1, 1, 10)), ("st2", datetime(2024, 1, 1, 11))],
         "station string, ts timestamp",
     )
+    # scale contract: per-key advance must never materialize the key
+    # space on the driver — the aggregate is written straight to the
+    # state table (a 100 TB per-document key space would OOM a collect)
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("advance_from must not collect() to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
     store.advance_from("readings", batch1, key_col="station", ts_col="ts")
+    monkeypatch.undo()
 
     batch2 = spark.createDataFrame(
         [

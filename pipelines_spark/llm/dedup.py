@@ -28,8 +28,12 @@ the SQL oracle is required).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("pipelines_spark.llm.dedup")
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of a single-space-tokenized text.
@@ -95,6 +99,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (Jaccard ≥ threshold) via MinHash-LSH
     candidate generation + exact verification.
@@ -104,6 +109,16 @@ def minhash_near_dup_pairs(
     LSH recall (8 bands × 4 rows: ≈1-1e-8 at s=0.9, still ≥0.98 at
     s=0.6; raise num_hashes/bands for corpora dense near the
     threshold).
+
+    ``max_bucket_size`` caps LSH bucket membership: the within-bucket
+    candidate join is quadratic in bucket size, and boilerplate-heavy
+    corpora produce mega-buckets (every page sharing a template
+    band). Buckets above the cap are dropped from candidate
+    generation — with a logged count, never silently — the standard
+    guard production LSH implementations apply. A pair living in a
+    dropped bucket can still surface through its other bands (every
+    doc gets ``bands`` chances), so recall degrades gracefully
+    instead of the job going quadratic. ``None`` disables the cap.
     """
     rows_per_band = num_hashes // bands
     # The shingle sets feed three consumers (signatures + both sides
@@ -130,6 +145,29 @@ def minhash_near_dup_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("_band")
     ).persist()
+
+    if max_bucket_size is not None:
+        # hot-bucket guard: at most n_docs·bands/max_bucket_size
+        # buckets can exceed the cap, so `hot` is tiny and broadcasts;
+        # the 1-row stats action is bounded like the CC checksum.
+        hot = (
+            banded.groupBy("_band")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .persist()
+        )
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("n_buckets"), F.sum("_bn").alias("n_members")
+        ).collect()[0]
+        if stats["n_buckets"]:
+            _LOG.warning(
+                "minhash LSH: dropping %d hot buckets "
+                "(> %d members each, %d memberships total) from "
+                "candidate generation; pairs may still surface via "
+                "their other bands",
+                stats["n_buckets"], max_bucket_size, stats["n_members"],
+            )
+        banded = banded.join(F.broadcast(hot.select("_band")), "_band", "left_anti")
 
     cands = (
         banded.alias("l")

@@ -4,9 +4,12 @@ Contract: a multimodal table carries ``content binary`` plus typed
 metadata columns (mime, width/height or sample rate, …). Decode and
 feature extraction run as Arrow-batched pandas functions over
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
-partition sizing) is real; the codec call itself is stubbed because
-image/audio libraries are not in this environment (clearly marked
-below; swap ``_decode_stub`` for PIL/libav in production).
+partition sizing) is real, and one codec per modality is REAL too:
+24-bit BMP and 16-bit PCM WAV decode with stdlib-only codecs
+(llm/codecs.py), so the image/audio paths are end-to-end testable on
+actual bytes. Other formats (JPEG/PNG/MP4 …) fall back to the
+clearly-marked deterministic stub — swap it for PIL/libav in
+production; the Spark surface does not change.
 
 Scale notes: binary payloads dominate partition size — the reader
 caps ``maxPartitionBytes`` thinking in payload bytes, and
@@ -52,6 +55,27 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode for BMP payloads (llm/codecs.py): true dimensions
+    and a channel-statistics feature [mean R, mean G, mean B,
+    grayscale std] in [0, 1]. Non-BMP formats fall back to the stub
+    (codec library absent here)."""
+    if payload[:2] == b"BM":
+        from pipelines_spark.llm.codecs import decode_bmp
+
+        px = decode_bmp(payload).astype("float64")
+        h, w, _ = px.shape
+        gray = px.mean(axis=2)
+        feature = [
+            float(px[:, :, 0].mean() / 255.0),
+            float(px[:, :, 1].mean() / 255.0),
+            float(px[:, :, 2].mean() / 255.0),
+            float(gray.std() / 255.0),
+        ]
+        return w, h, feature
+    return _decode_stub(payload)
+
+
 def attach_binary_metadata(
     df: DataFrame, content_col: str = "content", mime: str = "application/octet-stream"
 ) -> DataFrame:
@@ -84,7 +108,7 @@ def extract_image_features(
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
-                width, height, feature = _decode_stub(payload)
+                width, height, feature = _decode_image(payload)
                 rows.append(
                     {
                         "item_id": row[id_col],
@@ -156,27 +180,44 @@ def extract_audio_features(
     """Windowed audio feature extraction via mapInPandas: one output
     row per ``window_ms`` window (UDTF shape — rows explode).
 
-    The stub treats the payload as 16-bit mono PCM and computes a
-    deterministic per-window RMS; swap the inner loop for torchaudio/
-    librosa in production. The window fan-out, the (id, window_no)
-    output key, and the Arrow batch contract are the real engine
-    surface.
+    RIFF/WAV payloads get a REAL decode (stdlib ``wave``,
+    llm/codecs.py): the sample rate comes from the header and the
+    per-window value is a true RMS over normalized PCM samples. Raw
+    (headerless) payloads keep the deterministic byte-level fallback.
+    The window fan-out, the (id, window_no) output key, and the Arrow
+    batch contract are identical either way.
     """
+    import numpy as np
 
     def run(batches) -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
-                rate = int(row[sample_rate_col]) or 16000
+                if payload[:4] == b"RIFF":
+                    from pipelines_spark.llm.codecs import decode_wav
+
+                    samples, rate = decode_wav(payload)
+                else:
+                    samples, rate = None, int(row[sample_rate_col]) or 16000
                 samples_per_window = max(rate * window_ms // 1000, 1)
-                n_samples_total = len(payload) // 2
+                n_samples_total = (
+                    len(samples) if samples is not None else len(payload) // 2
+                )
                 w = 0
                 for start in range(0, n_samples_total, samples_per_window):
-                    chunk = payload[start * 2 : (start + samples_per_window) * 2]
-                    # STUB "RMS": mean absolute byte value — replace
-                    # with a real PCM decode + RMS
-                    rms = (sum(chunk) / len(chunk) / 255.0) if chunk else None
+                    if samples is not None:
+                        chunk = samples[start : start + samples_per_window]
+                        rms = (
+                            float(np.sqrt(np.mean(chunk**2)))
+                            if len(chunk)
+                            else None
+                        )
+                    else:
+                        raw = payload[start * 2 : (start + samples_per_window) * 2]
+                        # fallback for headerless payloads: mean
+                        # absolute byte value (deterministic)
+                        rms = (sum(raw) / len(raw) / 255.0) if raw else None
                     out.append(
                         {
                             "item_id": row[id_col],
@@ -206,9 +247,10 @@ def resize_images(
     """Binary→binary image resize via mapInPandas (map shape: one row
     out per row in, payload transformed, metadata refreshed).
 
-    STUB transform: truncate/pad the payload to ``w*h`` bytes —
-    deterministic and size-correct so downstream partition-sizing
-    logic is exercised for real; swap for PIL ``Image.resize`` in
+    BMP payloads get a REAL nearest-neighbor resize + BMP re-encode
+    (llm/codecs.py). Other formats keep the deterministic
+    truncate/pad stub — size-correct so downstream partition-sizing
+    logic is still exercised; swap for PIL ``Image.resize`` in
     production.
     """
     w, h = target
@@ -218,7 +260,16 @@ def resize_images(
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
-                resized = payload[: w * h].ljust(w * h, b"\0")
+                if payload[:2] == b"BM":
+                    from pipelines_spark.llm.codecs import (
+                        decode_bmp,
+                        encode_bmp,
+                        resize_nearest,
+                    )
+
+                    resized = encode_bmp(resize_nearest(decode_bmp(payload), (w, h)))
+                else:
+                    resized = payload[: w * h].ljust(w * h, b"\0")
                 out.append(
                     {"item_id": row[id_col], "content": resized, "width": w, "height": h}
                 )

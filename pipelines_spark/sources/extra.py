@@ -66,17 +66,54 @@ def read_zip_members(
 
 
 def read_geojson(
-    spark: SparkSession, path: str, *, multiline: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    multiline: bool = True,
+    source_crs: int | str | None = None,
+    transformer=None,
 ) -> DataFrame:
     """GeoJSON FeatureCollection → DataFrame of properties + WKT
-    geometry column (the reference converts GeoDataFrames to WKT for
-    interchange, dump_datario/tasks.py:118-140)."""
+    geometry column in EPSG:4326, 2D (the reference reprojects every
+    source CRS to 4326 and drops Z before WKT interchange,
+    dump_datario/tasks.py:118-140).
+
+    CRS handling: ``source_crs`` (an EPSG int or ``"EPSG:31983"``
+    string) overrides; otherwise the legacy ``crs`` member of the
+    document is honored; absent both, coordinates are taken as WGS84
+    per RFC 7946. UTM families (SIRGAS 2000 / WGS84) reproject with
+    the built-in pure-math inverse Transverse Mercator
+    (functions/crs.py); any other CRS needs an explicit
+    ``transformer`` callable ``(x, y) -> (lon, lat)``.
+    """
+    from pipelines_spark.functions.crs import (
+        epsg_transformer,
+        parse_geojson_crs,
+        transform_coords,
+    )
+
     with open(path) as f:
         doc = json.load(f)
+
+    if transformer is None:
+        if source_crs is None:
+            epsg = parse_geojson_crs(doc)
+        elif isinstance(source_crs, str):
+            epsg = int(source_crs.upper().replace("EPSG", "").strip(": "))
+        else:
+            epsg = int(source_crs)
+        transformer = epsg_transformer(epsg) if epsg is not None else None
+
     rows = []
     for feat in doc.get("features", []):
         props = dict(feat.get("properties") or {})
-        props["geometry_wkt"] = _geojson_to_wkt(feat.get("geometry"))
+        geom = feat.get("geometry")
+        if geom and transformer is not None:
+            geom = dict(geom)
+            geom["coordinates"] = transform_coords(
+                geom["coordinates"], transformer
+            )
+        props["geometry_wkt"] = _geojson_to_wkt(geom)
         rows.append(props)
     pdf = pd.DataFrame(rows)
     pdf.columns = normalize_names(list(pdf.columns))

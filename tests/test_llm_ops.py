@@ -68,6 +68,52 @@ def test_ngram_jaccard_matches_minhash_on_same_data(spark):
     assert exact == lsh == {(1, 2)}
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark, caplog):
+    """Boilerplate-heavy corpora put every doc in the same LSH
+    buckets; the within-bucket join is quadratic. The cap drops hot
+    buckets (logged) so the job stays bounded — and unrelated pairs
+    in normal buckets still come through."""
+    import logging
+
+    boiler = "terms of service apply all rights reserved click here to continue reading"
+    rows = [(i, boiler) for i in range(300)]
+    # one genuinely distinct near-dup pair away from the boilerplate
+    rows += [
+        (1000, "unique discussion of spark shuffle partitioning strategies at scale"),
+        (1001, "unique discussion of spark shuffle partitioning strategies at weekends"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="pipelines_spark.llm.dedup"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_dup_pairs(
+                df, id_col="doc_id", text_col="text", threshold=0.5,
+                max_bucket_size=50,
+            ).collect()
+        }
+    # the 300-doc clique was dropped (not silently: warning logged)...
+    assert any("hot bucket" in m for m in caplog.messages), caplog.messages
+    assert not any(a < 300 and b < 300 for a, b in got)
+    # ...while the normal-bucket pair survives
+    assert (1000, 1001) in got
+
+
+def test_minhash_default_cap_leaves_normal_corpus_unchanged(spark, sf_medium):
+    """The default cap must not change results on a realistic corpus
+    (no bucket approaches 1000 members at sf0.01)."""
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    capped = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    )
+    uncapped = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5,
+        max_bucket_size=None,
+    )
+    assert {tuple(r) for r in capped.collect()} == {
+        tuple(r) for r in uncapped.collect()
+    }
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "tango uniform victor whisky xray yankee zulu")],
@@ -223,6 +269,87 @@ def test_resize_images_payload_contract(spark):
     assert all(len(out[i]["content"]) == 64 * 64 for i in (1, 2, 3))
     assert out[1]["content"][:10] == b"\x01" * 10
     assert (out[2]["width"], out[2]["height"]) == (64, 64)
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import decode_bmp, encode_bmp, resize_nearest
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # odd width: row padding
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    small = resize_nearest(px, (2, 2))
+    assert small.shape == (2, 2, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+
+
+def test_image_features_real_bmp_decode(spark):
+    """A real 24-bit BMP decodes to its true dimensions and channel
+    statistics — not the stub's byte-derived fake."""
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import encode_bmp
+    from pipelines_spark.llm.multimodal import extract_image_features
+
+    solid = np.zeros((10, 20, 3), dtype=np.uint8)
+    solid[:, :, 0] = 200  # R
+    solid[:, :, 1] = 100  # G
+    solid[:, :, 2] = 50   # B
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(solid)))], "item_id long, content binary"
+    )
+    row = extract_image_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (20, 10)
+    r, g, b, gray_std = row["feature"]
+    assert abs(r - 200 / 255) < 1e-6
+    assert abs(g - 100 / 255) < 1e-6
+    assert abs(b - 50 / 255) < 1e-6
+    assert gray_std < 1e-6  # solid color
+
+
+def test_audio_features_real_wav_rms(spark):
+    """A RIFF/WAV payload gets a true PCM decode: header sample rate
+    wins and per-window RMS of a sine is amplitude/sqrt(2)."""
+    import math
+
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import encode_wav
+    from pipelines_spark.llm.multimodal import extract_audio_features
+
+    rate = 8000
+    t = np.arange(rate * 2)  # 2 s
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+    wav = encode_wav(sine, rate)
+    # sample_rate column deliberately wrong: the WAV header must win
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), 999)], "item_id long, content binary, sample_rate int"
+    )
+    out = sorted(
+        extract_audio_features(df, window_ms=1000).collect(),
+        key=lambda r: r["window_no"],
+    )
+    assert len(out) == 2  # 2 s at header rate → two 1 s windows
+    for r in out:
+        assert r["n_samples"] == rate
+        assert abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01
+
+
+def test_resize_images_real_bmp(spark):
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import decode_bmp, encode_bmp
+    from pipelines_spark.llm.multimodal import resize_images
+
+    solid = np.full((8, 8, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(solid)))], "item_id long, content binary"
+    )
+    row = resize_images(df, target=(4, 2)).collect()[0]
+    out_px = decode_bmp(bytes(row["content"]))
+    assert out_px.shape == (2, 4, 3)
+    assert (out_px == 77).all()
 
 
 def test_deterministic_sampling_stability(spark):

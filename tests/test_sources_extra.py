@@ -114,6 +114,83 @@ def test_read_geojson_wkt(spark, tmp_path):
     assert rows[2]["geometry_wkt"].startswith("POLYGON ((0 0, 1 0, 1 1, 0 0))")
 
 
+def test_utm_inverse_anchors_and_roundtrip():
+    """Pure-math CRS checks: exact anchor at the central meridian,
+    meridian arc vs independent numerical integration, and
+    forward→inverse round-trip at Rio-area points."""
+    import math
+
+    from pipelines_spark.functions.crs import (
+        _meridian_arc,
+        utm_forward,
+        utm_inverse,
+    )
+
+    # UTM zone 23S central meridian is -45°E: (500000, 10000000) is
+    # exactly (lon=-45, lat=0)
+    lon, lat = utm_inverse(500_000.0, 10_000_000.0, 23, south=True)
+    assert abs(lon - (-45.0)) < 1e-9 and abs(lat) < 1e-9
+
+    # meridian arc series vs brute-force numerical integration of
+    # a(1-e2)/(1-e2 sin²φ)^{3/2} dφ — independent of the series
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = f * (2 - f)
+    phi = math.radians(-22.9068)
+    n_steps = 200_000
+    acc, h = 0.0, phi / n_steps
+    for i in range(n_steps):
+        p = (i + 0.5) * h
+        acc += a * (1 - e2) / (1 - e2 * math.sin(p) ** 2) ** 1.5 * h
+    assert abs(_meridian_arc(phi) - acc) < 0.01  # < 1 cm
+
+    # round-trip at Rio-ish coordinates (zone 23S) and a northern one
+    for lon0, lat0, zone, south in [
+        (-43.1729, -22.9068, 23, True),
+        (-43.7, -23.05, 23, True),
+        (13.4, 52.5, 33, False),
+    ]:
+        e, n = utm_forward(lon0, lat0, zone, south=south)
+        lon1, lat1 = utm_inverse(e, n, zone, south=south)
+        assert abs(lon1 - lon0) < 1e-8 and abs(lat1 - lat0) < 1e-8
+
+
+def test_read_geojson_reprojects_sirgas_utm(spark, tmp_path):
+    """A FeatureCollection declaring EPSG:31983 (SIRGAS 2000 / UTM
+    23S — Rio's CRS) must come out as WGS84 lon/lat WKT."""
+    from pipelines_spark.functions.crs import utm_forward
+
+    lon0, lat0 = -43.1729, -22.9068
+    e, n = utm_forward(lon0, lat0, 23, south=True)
+    doc = {
+        "type": "FeatureCollection",
+        "crs": {
+            "type": "name",
+            "properties": {"name": "urn:ogc:def:crs:EPSG::31983"},
+        },
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"id": 1},
+                "geometry": {"type": "Point", "coordinates": [e, n, 12.0]},
+            }
+        ],
+    }
+    p = tmp_path / "rio.geojson"
+    p.write_text(json.dumps(doc))
+    wkt = read_geojson(spark, str(p)).collect()[0]["geometry_wkt"]
+    assert wkt.startswith("POINT (")
+    x, y = map(float, wkt[len("POINT ("):-1].split())
+    assert abs(x - lon0) < 1e-7 and abs(y - lat0) < 1e-7
+
+    # explicit source_crs string override takes precedence
+    doc.pop("crs")
+    p.write_text(json.dumps(doc))
+    wkt2 = read_geojson(spark, str(p), source_crs="EPSG:31983").collect()[0][
+        "geometry_wkt"
+    ]
+    assert wkt2 == wkt
+
+
 def test_read_html_table(spark):
     html = """
     <html><body><h1>Chuva</h1>

@@ -79,6 +79,53 @@ def bench_dump_pipeline(spark, sf_dir: str, out_dir: str) -> None:
     )
 
 
+#: queries re-run on the replicated corpus; ratios near n_copies mean
+#: linear scaling, >> n_copies flags a super-linear operator
+SCALE_PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "a3_latest_event_per_user",
+    "w6_sessionize",
+    "dedup_minhash_lsh",
+    "embed_ivf_ann",
+]
+
+
+def bench_scale_probe(spark, sf_dir: str, timings: dict[str, float], n: int = 10) -> dict:
+    """Replicate the corpus ``n``× (key-offset copies — real distinct
+    keys, not duplicated rows) and re-run a probe subset, reporting
+    wall-clock and the growth ratio vs this run's base timings. The
+    headroom check: a plan that would die at 100 TB shows super-linear
+    growth here long before production does."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from scale_probe import replicate
+
+    out_dir = Path(tempfile.mkdtemp(prefix="bench_scale_"))
+    try:
+        for table in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            replicate(table, out_dir, n, src=sf_dir)
+        probe: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        for name in SCALE_PROBE_QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _materialize(QUERIES[name](spark, str(out_dir)))
+                best = min(best, time.perf_counter() - t0)
+            probe[name] = round(best, 3)
+            if timings.get(name):
+                ratios[name] = round(best / timings[name], 2)
+        return {"n_copies": n, "queries": probe, "ratio_vs_base": ratios}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -113,17 +160,19 @@ def main() -> None:
     timings["dump_pipeline"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # 10x-replication headroom probe — separate key so the headline
+    # metric stays comparable round-over-round; disable with
+    # SPARK_GRAFT_SCALE_PROBE=0
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        result["scale10x"] = bench_scale_probe(spark, sf_dir, timings)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -22,6 +22,7 @@ from pipelines_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
     srp_bucketed_topk,
+    with_srp_bucket,
 )
 from pipelines_spark.llm.text import (  # noqa: F401
     document_fingerprint,

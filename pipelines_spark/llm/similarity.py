@@ -111,6 +111,27 @@ def srp_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return key
 
 
+def with_srp_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 8,
+    out_col: str = "srp_bucket",
+) -> DataFrame:
+    """Attach the SRP bucket key as a persistable column.
+
+    The 100 TB pattern: compute the key ONCE at ingest/write time and
+    store it in the lake table (ideally as a partition or bucket
+    column), so every ANN probe is an equi-join — or a pruned scan —
+    on a stored column instead of re-deriving a dim×n_planes
+    expression over the whole corpus per query. Pass the column name
+    to ``srp_bucketed_topk(corpus_bucket_col=...)``.
+    """
+    dim = dim or 64
+    return df.withColumn(out_col, srp_bucket_key(F.col(vec_col), dim, n_planes))
+
+
 def srp_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,12 +142,18 @@ def srp_bucketed_topk(
     n_planes: int = 8,
     dim: int | None = None,
     round_digits: int = 4,
+    corpus_bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's SRP bucket.
 
     Returns the same schema as ``brute_force_topk``; recall depends on
     bucket granularity (here deterministic, so the approximation is a
     *defined* result, not a random one).
+
+    ``corpus_bucket_col`` names a PRECOMPUTED bucket-key column on the
+    corpus (see ``with_srp_bucket``): the corpus side then joins on
+    the stored column — no per-query key recomputation over the big
+    side; only the (broadcast-small) query side derives its keys.
     """
     dim = dim or 64
     q = queries.select(
@@ -134,10 +161,15 @@ def srp_bucketed_topk(
         F.col(vec_col).alias("_qv"),
         srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_bucket"),
     )
+    corpus_key = (
+        F.col(corpus_bucket_col)
+        if corpus_bucket_col is not None
+        else srp_bucket_key(F.col(vec_col), dim, n_planes)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        corpus_key.alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")

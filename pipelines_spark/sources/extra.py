@@ -308,18 +308,51 @@ def read_xlsx_stdlib(
 
 
 def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> DataFrame:
-    """netCDF raster → long-format (lat, lon, ts, variable, value)
-    DataFrame; requires xarray (not bundled here — gated import).
-    Long format is the engine contract (SURVEY §1.1 raster row):
-    pivot back at the edge with operators.pivot."""
+    """netCDF raster → long-format (dim coords…, variable values)
+    DataFrame. Long format is the engine contract (SURVEY §1.1 raster
+    row): pivot back at the edge with operators.pivot.
+
+    Classic netCDF-3 files (CDF-1/2/5 — station series, model output)
+    decode with the built-in pure-numpy parser (sources/netcdf3.py).
+    netCDF-4 (HDF5 container, e.g. GOES satellite tiles) needs
+    xarray/netCDF4 — used when importable, otherwise a clear error.
+    Mirrors xarray's ``to_dataframe().reset_index()`` shape: one row
+    per coordinate combination, dim coordinate columns first.
+    """
     try:
-        import xarray as xr  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "read_netcdf_long needs xarray/netCDF4; install them in the "
-            "deployment image"
-        ) from exc
-    ds = xr.open_dataset(path)
-    pdf = ds[variables].to_dataframe().reset_index()
+        import xarray as xr
+
+        ds = xr.open_dataset(path)
+        pdf = ds[variables].to_dataframe().reset_index()
+    except ImportError:
+        import numpy as np
+
+        from pipelines_spark.sources.netcdf3 import parse_netcdf3
+
+        with open(path, "rb") as f:
+            nc = parse_netcdf3(f.read())
+        first = nc.variables[variables[0]]
+        for v in variables[1:]:
+            if nc.variables[v].dim_ids != first.dim_ids:
+                raise ValueError(
+                    "long-format read needs all variables on the same "
+                    f"dimensions; {v} differs from {variables[0]}"
+                )
+        dim_names = [nc.dims[d][0] for d in first.dim_ids]
+        coords = []
+        for d in first.dim_ids:
+            name, size = nc.dims[d]
+            if d == nc.rec_dim:
+                size = nc.numrecs
+            cv = nc.variables.get(name)
+            if cv is not None and cv.dim_ids == [d]:
+                coords.append(cv.data)  # coordinate variable
+            else:
+                coords.append(np.arange(size))
+        mesh = np.meshgrid(*coords, indexing="ij") if coords else []
+        data = {n: m.ravel() for n, m in zip(dim_names, mesh)}
+        for v in variables:
+            data[v] = nc.variables[v].data.ravel()
+        pdf = pd.DataFrame(data)
     pdf.columns = normalize_names([str(c) for c in pdf.columns])
     return spark.createDataFrame(pdf)

@@ -28,6 +28,9 @@ _URL_TEMPLATES = {
     "mysql": "jdbc:mysql://{host}:{port}/{database}",
     "sqlserver": "jdbc:sqlserver://{host}:{port};databaseName={database}",
     "oracle": "jdbc:oracle:thin:@{host}:{port}/{database}",
+    # embedded Apache Derby (ships on the Spark classpath) — used by
+    # the integration test to exercise the real JDBC path end-to-end
+    "derby": "jdbc:derby:{database}",
 }
 
 
@@ -65,12 +68,17 @@ def incremental_query(
         predicate = (
             f"{partition_column} >= TO_DATE('{bound}', 'YYYY-MM-DD HH24:MI:SS')"
         )
+    elif db_type == "derby":
+        # Derby needs an explicit TIMESTAMP() constructor for
+        # string-vs-timestamp comparison
+        predicate = f"{partition_column} >= TIMESTAMP('{bound}')"
     else:
         predicate = f"{partition_column} >= '{bound}'"
-    return (
-        f"WITH q AS ({base_query.rstrip().rstrip(';')}) "
-        f"SELECT * FROM q WHERE {predicate}"
-    )
+    body = base_query.rstrip().rstrip(";")
+    if db_type == "derby":
+        # Derby has no WITH clause — same rewrite as a derived table
+        return f"SELECT * FROM ({body}) q WHERE {predicate}"
+    return f"WITH q AS ({body}) SELECT * FROM q WHERE {predicate}"
 
 
 def reader_options(

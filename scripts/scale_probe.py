@@ -43,8 +43,8 @@ PROBE_QUERIES = [
 ]
 
 
-def replicate(table: str, out_dir: Path, n: int) -> None:
-    t = pq.read_table(f"{SRC}/{table}.parquet")
+def replicate(table: str, out_dir: Path, n: int, src: str = SRC) -> None:
+    t = pq.read_table(f"{src}/{table}.parquet")
     strides = OFFSETS.get(table, {})
     if not strides or n == 1:
         parts = [t] * (n if strides else 1)

@@ -133,6 +133,32 @@ def test_asof_join_single_shuffle(spark, sf_medium):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_srp_precomputed_bucket_skips_corpus_recompute(spark, sf_medium, tmp_path):
+    """With the bucket key persisted as a lake column, the ANN probe
+    reads it off the scan (ReadSchema carries srp_bucket) instead of
+    re-deriving the dim×n_planes projection over the corpus — and the
+    result is identical to the recomputed variant."""
+    from pipelines_spark.llm.similarity import srp_bucketed_topk, with_srp_bucket
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    lake = str(tmp_path / "emb_bucketed")
+    with_srp_bucket(emb).write.parquet(lake)
+
+    corpus = spark.read.parquet(lake)
+    queries = emb.filter(F.col("vec_id") < 10)
+    pre = srp_bucketed_topk(corpus, queries, corpus_bucket_col="srp_bucket")
+    plan = _formatted(pre)
+    # the corpus-side scan projects the stored key
+    assert any(
+        "srp_bucket" in line for line in plan.splitlines() if "ReadSchema" in line
+    ), plan
+    # parity with the recomputed path
+    recomputed = srp_bucketed_topk(emb, queries)
+    assert sorted(map(tuple, pre.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
+
+
 def test_decontamination_probe_is_broadcast(spark, sf_medium):
     """The probe (benchmark) side must broadcast — a shuffle join here
     would re-shuffle the full corpus shingle stream at 100 TB."""

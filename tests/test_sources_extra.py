@@ -55,6 +55,61 @@ def test_jdbc_reader_options_partitioned():
         reader_options(src, "q", partition_column="id")
 
 
+def test_jdbc_derby_partitioned_incremental_roundtrip(spark, tmp_path):
+    """End-to-end JDBC path against embedded Apache Derby (ships on
+    the Spark classpath): partitioned parallel read + incremental
+    derived-table pushdown — the real S1/S2/F6 wire format, not just
+    option construction. Skips cleanly if the driver is absent."""
+    from datetime import datetime
+
+    from pipelines_spark.sources.jdbc import read_jdbc
+
+    jvm = spark._jvm
+    try:
+        jvm.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    except Exception:
+        pytest.skip("no embedded JDBC driver on the classpath")
+
+    jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    db = str(tmp_path / "derbydb")
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE readings (id INT NOT NULL, station VARCHAR(10), "
+        "ts TIMESTAMP, val DOUBLE)"
+    )
+    ps = conn.prepareStatement("INSERT INTO readings VALUES (?, ?, ?, ?)")
+    for i in range(100):
+        ps.setInt(1, i)
+        ps.setString(2, f"st{i % 5}")
+        ps.setTimestamp(
+            3, jvm.java.sql.Timestamp.valueOf(f"2024-01-{1 + i % 28:02d} 10:00:00")
+        )
+        ps.setDouble(4, float(i))
+        ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+
+    src = JdbcSource("derby", "", 0, db, "", "")
+    q = incremental_query(
+        "SELECT * FROM readings", "ts", datetime(2024, 1, 15), db_type="derby"
+    )
+    opts = reader_options(
+        src, q, partition_column="id", lower_bound=0, upper_bound=100,
+        num_partitions=4,
+    )
+    df = read_jdbc(spark, opts)
+    # the scan really is split into parallel range queries
+    assert df.rdd.getNumPartitions() == 4
+    got = {r["ID"] for r in df.collect()}
+    assert got == {i for i in range(100) if 1 + i % 28 >= 15}
+    # shutdown the embedded engine so other tests get a clean slate
+    try:
+        jvm.java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+    except Exception:
+        pass  # Derby signals successful shutdown via SQLException
+
+
 def test_sheet_and_drive_url_rewrites():
     url = "https://docs.google.com/spreadsheets/d/ABC123/edit#gid=42"
     assert google_sheet_export_url(url) == (
@@ -209,8 +264,70 @@ def test_gated_readers_raise_cleanly(spark, tmp_path):
     with pytest.raises(Exception) as exc1:
         read_excel(spark, str(tmp_path / "x.xlsx"))
     assert isinstance(exc1.value, (NotImplementedError, FileNotFoundError))
+    # netCDF-4 = HDF5 container: still needs a real library
+    p = tmp_path / "x.nc"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\0" * 64)
     with pytest.raises(NotImplementedError):
-        read_netcdf_long(spark, str(tmp_path / "x.nc"), ["var"])
+        read_netcdf_long(spark, str(p), ["var"])
+
+
+def test_netcdf3_roundtrip_fixed_and_record_vars():
+    """Pure-numpy classic-netCDF parser round-trips the build helper:
+    coordinate vars, a 2-D fixed var, and an unlimited-dim record var."""
+    import numpy as np
+
+    from pipelines_spark.sources.netcdf3 import build_netcdf3, parse_netcdf3
+
+    lat = np.array([-23.0, -22.9, -22.8], dtype="f4")
+    lon = np.array([-43.4, -43.2], dtype="f4")
+    temp = np.arange(6, dtype="f8").reshape(3, 2) + 0.5
+    rain = np.arange(8, dtype="f4").reshape(4, 2)  # 4 records × 2 lon
+    buf = build_netcdf3(
+        dims=[("time", None), ("lat", 3), ("lon", 2)],
+        variables=[
+            ("lat", ["lat"], lat),
+            ("lon", ["lon"], lon),
+            ("temp", ["lat", "lon"], temp),
+            ("rain", ["time", "lon"], rain),
+        ],
+    )
+    ds = parse_netcdf3(buf)
+    assert ds.numrecs == 4 and ds.rec_dim == 0
+    assert np.allclose(ds.variables["lat"].data, lat)
+    assert np.allclose(ds.variables["temp"].data, temp)
+    assert ds.variables["rain"].data.shape == (4, 2)
+    assert np.allclose(ds.variables["rain"].data, rain)
+
+
+def test_read_netcdf_long_format(spark, tmp_path):
+    """read_netcdf_long on a real classic .nc file: long format with
+    coordinate-variable values, one row per (lat, lon)."""
+    import numpy as np
+
+    from pipelines_spark.sources.netcdf3 import build_netcdf3
+
+    lat = np.array([-23.0, -22.9], dtype="f4")
+    lon = np.array([-43.4, -43.2, -43.0], dtype="f4")
+    temp = np.arange(6, dtype="f8").reshape(2, 3) * 1.5
+    p = tmp_path / "grid.nc"
+    p.write_bytes(
+        build_netcdf3(
+            dims=[("lat", 2), ("lon", 3)],
+            variables=[
+                ("lat", ["lat"], lat),
+                ("lon", ["lon"], lon),
+                ("temp", ["lat", "lon"], temp),
+            ],
+        )
+    )
+    df = read_netcdf_long(spark, str(p), ["temp"])
+    assert df.columns == ["lat", "lon", "temp"]
+    rows = {
+        (round(r["lat"], 2), round(r["lon"], 2)): r["temp"] for r in df.collect()
+    }
+    assert len(rows) == 6
+    assert rows[(-23.0, -43.4)] == 0.0
+    assert rows[(-22.9, -43.0)] == 7.5
 
 
 def test_ftp_sync_incremental_and_parse(spark, tmp_path):

@@ -18,7 +18,7 @@ pipelines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,4 +55,46 @@ def assign_split(
         F.when(b < train_pct, F.lit("train"))
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    id_col: str,
+    size_col: Column | str,
+    *,
+    shard_tokens: int,
+    n_buckets: int = 8,
+    bucket_col: str = "bucket",
+    shard_col: str = "shard_no",
+) -> DataFrame:
+    """Assign each document to a training shard of ~``shard_tokens``
+    tokens: deterministic hash bucket + greedy first-fit packing
+    within the bucket in hash order.
+
+    The scale shape: packing is inherently sequential, so a single
+    global running sum would serialize 100 TB through one window
+    partition. Instead rows hash into ``n_buckets`` independent
+    streams (one window partition each — parallel across the
+    cluster), and each stream packs greedily by EXCLUSIVE running
+    token sum: shard = floor(tokens_before_this_doc / shard_tokens).
+    Deterministic: ordering is (md5(id), id) — reproducible across
+    engines, runs, and partitionings for a fixed corpus. Raise
+    ``n_buckets`` to the cluster's parallelism at scale; shards are
+    then named (bucket, shard_no).
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    c = F.col(id_col)
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(F.md5(c.cast("string")), c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(bucket_col, hash_bucket(id_col, buckets=n_buckets))
+        .withColumn("_tokens_before", F.coalesce(F.sum(size).over(w), F.lit(0)))
+        .withColumn(
+            shard_col, F.floor(F.col("_tokens_before") / F.lit(shard_tokens))
+        )
+        .drop("_tokens_before")
     )

@@ -950,4 +950,80 @@ ORACLES: dict[str, str] = {
         WHERE c.doc_id >= 10
         GROUP BY c.doc_id
     """,
+    # transitive closure (same as dedup_clusters) + quality argmax per
+    # component, singletons as their own component
+    "dedup_canonical_selection": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM jaccards
+            UNION
+            SELECT id_b AS a, id_a AS b FROM jaccards
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS doc_id, least(a, min(b)) AS component_id
+            FROM reach GROUP BY a
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(l.component_id, d.doc_id) AS BIGINT) AS component_id,
+                   {_QUALITY_EXPR} AS q
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY component_id ORDER BY q DESC, doc_id ASC) AS rn
+            FROM scored
+        )
+        SELECT component_id,
+               CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM ranked GROUP BY component_id
+    """,
+    "text_lang_mismatch": f"""
+        WITH scored AS (
+            SELECT source, lang,
+           {_LANG_SCORES}
+            FROM documents
+        ), det AS (
+            SELECT source, lang, {_LANG_PICK} AS detected FROM scored
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+               round(CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS mismatch_rate
+        FROM det GROUP BY source
+    """,
+    # greedy first-fit packing by exclusive running token sum within
+    # md5 hash buckets — mirrors llm/sampling.pack_token_shards
+    "sample_token_shards": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) % 8 AS bucket,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(text, ' ')) END AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT bucket, n_tokens,
+                   CAST(floor(COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY bucket
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2000.0) AS BIGINT) AS shard_no
+            FROM toks
+        )
+        SELECT bucket, shard_no,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        FROM packed GROUP BY bucket, shard_no
+    """,
 }

@@ -1101,6 +1101,81 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step a training pipeline
+    runs AFTER near-dup clustering: per duplicate component keep the
+    highest-quality doc (ties → lowest doc_id) and count what drops.
+    Composition of minhash_near_dup_pairs → connected_components →
+    quality_score → per-component window top-1; singletons are their
+    own component. Scale: the window partitions by component id
+    (components are tiny), everything upstream is the bucketed LSH
+    path."""
+    register(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text",
+        shingle_words=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    scored = (
+        docs.join(labels, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", "doc_id"))
+        .withColumn("q", quality_score("text"))
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def text_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language QA: per source, how many documents' detected language
+    (stopword-argmax language_id) disagrees with the declared ``lang``
+    column — the standard corpus-metadata sanity check. Map-only
+    detection + one small agg."""
+    register(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").withColumn("detected", language_id("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("detected") != F.col("lang")).cast("long")).alias("n_mismatch"),
+        F.round(
+            F.sum((F.col("detected") != F.col("lang")).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mismatch_rate"),
+    )
+
+
+def sample_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (llm/sampling.pack_token_shards):
+    docs hash into 8 independent streams, each packed greedily into
+    ~2000-token shards by exclusive running sum in hash order —
+    deterministic across engines and partitionings, parallel across
+    buckets (no global sequential window). Output: shard roster
+    sizes."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import pack_token_shards
+
+    docs = spark.table("documents").withColumn("n_tokens", token_count("text"))
+    packed = pack_token_shards(
+        docs, "doc_id", "n_tokens", shard_tokens=2000, n_buckets=8
+    )
+    return packed.groupBy("bucket", "shard_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+
+
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-shaped volume shipping: disjunctive nation-pair
     predicate across two aliases of the same dim (nation joins twice),
@@ -1352,4 +1427,7 @@ QUERIES = {
     "text_pii_redaction": text_pii_redaction,
     "text_repetition_stats": text_repetition_stats,
     "text_decontamination": text_decontamination,
+    "dedup_canonical_selection": dedup_canonical_selection,
+    "text_lang_mismatch": text_lang_mismatch,
+    "sample_token_shards": sample_token_shards,
 }

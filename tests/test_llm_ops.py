@@ -380,6 +380,35 @@ def test_deterministic_sampling_stability(spark):
     assert sum(got.values()) == 1000 and set(got) == {"train", "val", "test"}
     assert got["train"] > got["val"] and got["train"] > got["test"]
 
+def test_pack_token_shards_budget_and_stability(spark):
+    """Greedy packing: within a bucket each shard's token sum stays
+    under budget + one max doc (first-fit property), assignment is
+    identical under different partitionings, and shards are contiguous
+    in hash order."""
+    from pipelines_spark.llm.sampling import pack_token_shards
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id").withColumn(
+        "n_tokens", (F.col("doc_id") % 97 + 5).cast("int")
+    )
+    packed = pack_token_shards(df, "doc_id", "n_tokens", shard_tokens=500)
+    sums = packed.groupBy("bucket", "shard_no").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    for r in sums.collect():
+        # exclusive-cumsum first-fit: a shard can exceed the budget by
+        # at most its last (single) document
+        assert r["tot"] < 500 + 102, r
+    # deterministic under repartitioning
+    a = {(r["doc_id"], r["bucket"], r["shard_no"]) for r in packed.collect()}
+    b = {
+        (r["doc_id"], r["bucket"], r["shard_no"])
+        for r in pack_token_shards(
+            df.repartition(13), "doc_id", "n_tokens", shard_tokens=500
+        ).collect()
+    }
+    assert a == b
+
+
 def test_redact_pii_order_and_counts(spark):
     from pipelines_spark.llm.text import pii_counts, redact_pii
 

@@ -1,16 +1,32 @@
 """Property tests (hypothesis) for the engine's pure contracts:
 naming normalization, backfill coverage, JDBC rewrite, URL rewrites,
-WKT conversion."""
+WKT conversion, CRS projection round-trip."""
 
 from datetime import datetime, timedelta
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pipelines_spark.functions.crs import utm_forward, utm_inverse
 from pipelines_spark.naming import normalize_column_name, normalize_names
 from pipelines_spark.sources.http import google_sheet_export_url
 from pipelines_spark.sources.jdbc import incremental_query
 from pipelines_spark.state.backfill import backfill_windows
+
+
+@given(
+    # anywhere in UTM zone 23 (lon -48..-42 around the -45 central
+    # meridian), latitudes spanning both hemispheres' useful range
+    lon=st.floats(min_value=-48.0, max_value=-42.0),
+    lat=st.floats(min_value=-80.0, max_value=-0.01),
+)
+@settings(max_examples=300, deadline=None)
+def test_utm_roundtrip_property(lon, lat):
+    e, n = utm_forward(lon, lat, 23, south=True)
+    lon2, lat2 = utm_inverse(e, n, 23, south=True)
+    # series accuracy inside a zone is << 1e-7 deg (~1 cm)
+    assert abs(lon2 - lon) < 1e-6
+    assert abs(lat2 - lat) < 1e-6
 
 names = st.text(min_size=0, max_size=40)
 

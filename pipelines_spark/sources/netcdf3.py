@@ -204,10 +204,16 @@ _NC_TYPE_OF = {
 def build_netcdf3(
     dims: list[tuple[str, int | None]],
     variables: list[tuple[str, list[str], np.ndarray]],
+    *,
+    version: int = 1,
 ) -> bytes:
-    """Serialize a CDF-1 classic netCDF file (test/round-trip helper;
-    fixed and record variables, no attributes). ``None`` dim size
-    marks the record (unlimited) dimension."""
+    """Serialize a classic netCDF file (test/round-trip helper; fixed
+    and record variables, no attributes). ``None`` dim size marks the
+    record (unlimited) dimension. ``version`` 1 = CDF-1 (32-bit
+    offsets) or 2 = CDF-2 (64-bit offsets)."""
+    if version not in (1, 2):
+        raise ValueError("builder supports CDF-1 and CDF-2")
+    begin_fmt = ">Q" if version == 2 else ">i"
     dim_index = {name: i for i, (name, _) in enumerate(dims)}
     rec_dim = next((i for i, (_, s) in enumerate(dims) if s is None), None)
 
@@ -233,7 +239,7 @@ def build_netcdf3(
         metas.append((name, dim_ids, nc_type, vsize, arr.astype(dt), is_rec))
 
     def header(begins: list[int]) -> bytes:
-        out = [b"CDF\x01", struct.pack(">i", numrecs)]
+        out = [b"CDF" + bytes([version]), struct.pack(">i", numrecs)]
         out.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
         for name, size in dims:
             out.append(name_bytes(name) + struct.pack(">i", size or 0))
@@ -244,7 +250,8 @@ def build_netcdf3(
             out.append(struct.pack(">i", len(dim_ids)))
             out.extend(struct.pack(">i", d) for d in dim_ids)
             out.append(struct.pack(">ii", 0, 0))  # no var attrs
-            out.append(struct.pack(">iii", nc_type, vsize, begin))
+            out.append(struct.pack(">ii", nc_type, vsize))
+            out.append(struct.pack(begin_fmt, begin))
         return b"".join(out)
 
     hdr_len = len(header([0] * len(metas)))

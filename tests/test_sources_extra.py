@@ -299,6 +299,30 @@ def test_netcdf3_roundtrip_fixed_and_record_vars():
     assert np.allclose(ds.variables["rain"].data, rain)
 
 
+def test_netcdf3_cdf2_and_malformed_inputs():
+    """CDF-2 (64-bit offsets) round-trips through the same parser;
+    garbage and truncation fail with clear errors, HDF5 magic gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pipelines_spark.sources.netcdf3 import build_netcdf3, parse_netcdf3
+
+    v = np.arange(4, dtype="f8")
+    buf = build_netcdf3(
+        dims=[("x", 4)], variables=[("v", ["x"], v)], version=2
+    )
+    assert buf[3] == 2
+    ds = parse_netcdf3(buf)
+    assert np.allclose(ds.variables["v"].data, v)
+
+    with _pytest.raises(ValueError):
+        parse_netcdf3(b"JUNKJUNKJUNKJUNK")
+    with _pytest.raises(NotImplementedError):
+        parse_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\0" * 32)
+    with _pytest.raises(Exception):  # truncated header
+        parse_netcdf3(buf[:20])
+
+
 def test_read_netcdf_long_format(spark, tmp_path):
     """read_netcdf_long on a real classic .nc file: long format with
     coordinate-variable values, one row per (lat, lon)."""

@@ -86,3 +86,41 @@ def kv_sink(
         k, v = encode(row)
         store[k] = v
     return len(rows)
+
+
+def upload_files_to_storage(
+    spark,
+    local_files: list[str],
+    dest_uri_prefix: str,
+    *,
+    overwrite: bool = True,
+) -> list[str]:
+    """Object-store upload (SURVEY K5): copy local staging files to a
+    ``scheme://bucket/prefix`` destination through the Hadoop
+    FileSystem API — the same abstraction Spark's own writers use, so
+    any configured connector scheme works (file://, hdfs://, s3a://,
+    gs://) with no provider-specific code. Same-name uploads replace
+    (the reference's idempotent re-upload contract,
+    pipelines/utils/utils.py:770-800 + tasks.py:273-276).
+
+    Returns the destination URIs. For DataFrame-shaped data prefer
+    ``write_partitioned`` straight to the destination URI; this is for
+    raw-zone artifacts (downloaded blobs, reports) that must land
+    byte-identical.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dest_prefix = dest_uri_prefix.rstrip("/")
+    out = []
+    for lf in local_files:
+        src = jvm.org.apache.hadoop.fs.Path("file://" + lf)
+        dst = jvm.org.apache.hadoop.fs.Path(
+            dest_prefix + "/" + src.getName()
+        )
+        fs = dst.getFileSystem(conf)
+        fs.mkdirs(dst.getParent())
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, fs, dst, False, overwrite, conf
+        )
+        out.append(dst.toString())
+    return out

@@ -36,6 +36,27 @@ def test_kv_sink_driver_store(spark):
     assert store["h3a"] == '{"mm": 1.5, "status": "ok"}'
 
 
+def test_upload_files_to_storage_roundtrip_and_replace(spark, tmp_path):
+    """K5: Hadoop-FS-URI upload — byte-identical copy, same-name
+    re-upload replaces (idempotent contract). file:// here; the same
+    call takes s3a:///gs:// with a configured connector."""
+    from pipelines_spark.sinks.export import upload_files_to_storage
+
+    src = tmp_path / "staging" / "report.bin"
+    src.parent.mkdir()
+    src.write_bytes(b"\x01\x02raw-payload\x03")
+    dest = tmp_path / "bucket" / "raw" / "2024-01-01"
+    uris = upload_files_to_storage(
+        spark, [str(src)], f"file://{dest}"
+    )
+    assert uris == [f"file:{dest}/report.bin"]
+    assert (dest / "report.bin").read_bytes() == b"\x01\x02raw-payload\x03"
+    # idempotent replace: same filename, new content wins
+    src.write_bytes(b"v2")
+    upload_files_to_storage(spark, [str(src)], f"file://{dest}")
+    assert (dest / "report.bin").read_bytes() == b"v2"
+
+
 def test_append_capture_log_partitions(spark, tmp_path):
     path = str(tmp_path / "logs")
     append_capture_log(

@@ -100,6 +100,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
+    log_hot_buckets: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (Jaccard ≥ threshold) via MinHash-LSH
     candidate generation + exact verification.
@@ -119,6 +120,12 @@ def minhash_near_dup_pairs(
     dropped bucket can still surface through its other bands (every
     doc gets ``bands`` chances), so recall degrades gracefully
     instead of the job going quadratic. ``None`` disables the cap.
+
+    ``log_hot_buckets`` runs a bounded 1-row stats action at build
+    time (an eager index-build step, like IVF's centroid collect)
+    so the drop is WARN-logged, never silent. Pass ``False`` for a
+    fully lazy plan (the cap still applies; only the logging job is
+    skipped) — e.g. when composing plans you may not execute.
     """
     rows_per_band = num_hashes // bands
     # The shingle sets feed three consumers (signatures + both sides
@@ -148,25 +155,27 @@ def minhash_near_dup_pairs(
 
     if max_bucket_size is not None:
         # hot-bucket guard: at most n_docs·bands/max_bucket_size
-        # buckets can exceed the cap, so `hot` is tiny and broadcasts;
-        # the 1-row stats action is bounded like the CC checksum.
+        # buckets can exceed the cap, so `hot` is tiny and broadcasts.
+        # Not persisted: it derives from the persisted `banded`, so a
+        # recompute is one small agg over cached data.
         hot = (
             banded.groupBy("_band")
             .agg(F.count(F.lit(1)).alias("_bn"))
             .filter(F.col("_bn") > max_bucket_size)
-            .persist()
         )
-        stats = hot.agg(
-            F.count(F.lit(1)).alias("n_buckets"), F.sum("_bn").alias("n_members")
-        ).collect()[0]
-        if stats["n_buckets"]:
-            _LOG.warning(
-                "minhash LSH: dropping %d hot buckets "
-                "(> %d members each, %d memberships total) from "
-                "candidate generation; pairs may still surface via "
-                "their other bands",
-                stats["n_buckets"], max_bucket_size, stats["n_members"],
-            )
+        if log_hot_buckets:
+            # bounded 1-row action over the cached band table
+            stats = hot.agg(
+                F.count(F.lit(1)).alias("n_buckets"), F.sum("_bn").alias("n_members")
+            ).collect()[0]
+            if stats["n_buckets"]:
+                _LOG.warning(
+                    "minhash LSH: dropping %d hot buckets "
+                    "(> %d members each, %d memberships total) from "
+                    "candidate generation; pairs may still surface via "
+                    "their other bands",
+                    stats["n_buckets"], max_bucket_size, stats["n_members"],
+                )
         banded = banded.join(F.broadcast(hot.select("_band")), "_band", "left_anti")
 
     cands = (

@@ -58,12 +58,17 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """REAL decode for BMP payloads (llm/codecs.py): true dimensions
     and a channel-statistics feature [mean R, mean G, mean B,
-    grayscale std] in [0, 1]. Non-BMP formats fall back to the stub
-    (codec library absent here)."""
+    grayscale std] in [0, 1]. Non-BMP formats — and BMP variants the
+    codec doesn't handle (compressed, non-24-bit, truncated) — fall
+    back to the stub: one bad payload in a 100 TB corpus must never
+    fail the task."""
     if payload[:2] == b"BM":
-        from pipelines_spark.llm.codecs import decode_bmp
+        try:
+            from pipelines_spark.llm.codecs import decode_bmp
 
-        px = decode_bmp(payload).astype("float64")
+            px = decode_bmp(payload).astype("float64")
+        except Exception:
+            return _decode_stub(payload)
         h, w, _ = px.shape
         gray = px.mean(axis=2)
         feature = [
@@ -194,12 +199,18 @@ def extract_audio_features(
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                samples = None
+                rate = int(row[sample_rate_col]) or 16000
                 if payload[:4] == b"RIFF":
-                    from pipelines_spark.llm.codecs import decode_wav
+                    # non-WAV RIFF (WebP/AVI), non-16-bit PCM, or a
+                    # truncated header falls back to the byte path —
+                    # a bad payload must never fail the task
+                    try:
+                        from pipelines_spark.llm.codecs import decode_wav
 
-                    samples, rate = decode_wav(payload)
-                else:
-                    samples, rate = None, int(row[sample_rate_col]) or 16000
+                        samples, rate = decode_wav(payload)
+                    except Exception:
+                        samples = None
                 samples_per_window = max(rate * window_ms // 1000, 1)
                 n_samples_total = (
                     len(samples) if samples is not None else len(payload) // 2
@@ -260,15 +271,21 @@ def resize_images(
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                resized = None
                 if payload[:2] == b"BM":
-                    from pipelines_spark.llm.codecs import (
-                        decode_bmp,
-                        encode_bmp,
-                        resize_nearest,
-                    )
+                    try:
+                        from pipelines_spark.llm.codecs import (
+                            decode_bmp,
+                            encode_bmp,
+                            resize_nearest,
+                        )
 
-                    resized = encode_bmp(resize_nearest(decode_bmp(payload), (w, h)))
-                else:
+                        resized = encode_bmp(
+                            resize_nearest(decode_bmp(payload), (w, h))
+                        )
+                    except Exception:
+                        resized = None  # unsupported BMP variant → stub
+                if resized is None:
                     resized = payload[: w * h].ljust(w * h, b"\0")
                 out.append(
                     {"item_id": row[id_col], "content": resized, "width": w, "height": h}

@@ -312,19 +312,33 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     DataFrame. Long format is the engine contract (SURVEY §1.1 raster
     row): pivot back at the edge with operators.pivot.
 
-    Classic netCDF-3 files (CDF-1/2/5 — station series, model output)
-    decode with the built-in pure-numpy parser (sources/netcdf3.py).
-    netCDF-4 (HDF5 container, e.g. GOES satellite tiles) needs
-    xarray/netCDF4 — used when importable, otherwise a clear error.
-    Mirrors xarray's ``to_dataframe().reset_index()`` shape: one row
-    per coordinate combination, dim coordinate columns first.
+    Dispatch is by file magic, not by what happens to be installed:
+    classic netCDF-3 files (CDF-1/2 — station series, model output)
+    always decode with the built-in pure-numpy parser
+    (sources/netcdf3.py); netCDF-4 (HDF5 container, e.g. GOES
+    satellite tiles) and CDF-5 need xarray + a netCDF backend — a
+    clear error otherwise. (A bare xarray without backends raises a
+    non-ImportError from open_dataset, so magic-first dispatch also
+    keeps classic files working regardless of the xarray install
+    state.) Mirrors xarray's ``to_dataframe().reset_index()`` shape:
+    one row per coordinate combination, dim coordinate columns first.
     """
-    try:
-        import xarray as xr
-
+    with open(path, "rb") as f:
+        head = f.read(8)
+    classic = head[:3] == b"CDF" and len(head) > 3 and head[3] in (1, 2)
+    if not classic:
+        try:
+            import xarray as xr
+        except ImportError as exc:
+            raise NotImplementedError(
+                "this netCDF variant (netCDF-4/HDF5 or CDF-5) needs "
+                "xarray + a netCDF backend; install them in the "
+                "deployment image — classic CDF-1/2 files decode "
+                "with the built-in reader"
+            ) from exc
         ds = xr.open_dataset(path)
         pdf = ds[variables].to_dataframe().reset_index()
-    except ImportError:
+    else:
         import numpy as np
 
         from pipelines_spark.sources.netcdf3 import parse_netcdf3

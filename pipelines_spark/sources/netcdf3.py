@@ -117,13 +117,21 @@ def parse_netcdf3(buf: bytes) -> NcDataset:
     if buf[:4] == b"\x89HDF":
         raise NotImplementedError(
             "netCDF-4 (HDF5 container) needs a real netCDF library; the "
-            "built-in reader handles classic netCDF-3 (CDF-1/2/5) only"
+            "built-in reader handles classic netCDF-3 (CDF-1/2) only"
         )
     if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
         raise ValueError("not a netCDF classic file")
     version = buf[3]
-    large = version == 5  # CDF-5: 64-bit sizes
-    offset64 = version >= 2  # CDF-2/5: 64-bit data offsets
+    if version == 5:
+        # CDF-5 widens every NON_NEG header field (list counts, name
+        # lengths, ndims, …) to 64-bit — a different header grammar,
+        # not just wider offsets. Refuse rather than misparse.
+        raise NotImplementedError(
+            "CDF-5 (64-bit data) header layout is not supported; "
+            "convert to CDF-1/2 or use a netCDF library"
+        )
+    large = False
+    offset64 = version == 2  # CDF-2: 64-bit data offsets
 
     r = _Reader(buf)
     r.pos = 4
@@ -164,6 +172,15 @@ def parse_netcdf3(buf: bytes) -> NcDataset:
 
     rec_vars = [v for v in variables if ds.rec_dim in v.dim_ids[:1]]
     rec_stride = sum(v.vsize for v in rec_vars)
+    if len(rec_vars) == 1 and _DTYPES[rec_vars[0].nc_type].itemsize < 4:
+        # classic-format special case: with exactly ONE record
+        # variable of type char/byte/short, record slabs are packed
+        # WITHOUT padding (vsize still reports the rounded size)
+        v0 = rec_vars[0]
+        per_rec = 1
+        for d in v0.dim_ids[1:]:
+            per_rec *= ds.dims[d][1]
+        rec_stride = per_rec * _DTYPES[v0.nc_type].itemsize
     for v in variables:
         dt = _DTYPES[v.nc_type]
         shape = [ds.dims[d][1] for d in v.dim_ids]
@@ -272,11 +289,16 @@ def build_netcdf3(
     for name, _dim_ids, _t, vsize, arr, _r in fixed:
         raw = pad4(arr.tobytes())
         body[offsets[name] - hdr_len : offsets[name] - hdr_len + vsize] = raw
-    rec_stride = sum(m[3] for m in recs)
+    # spec special case: exactly one char/byte/short record variable →
+    # record slabs pack WITHOUT padding (vsize still reports rounded)
+    special = len(recs) == 1 and recs[0][4].dtype.itemsize < 4
+    rec_stride = (
+        recs[0][4][0].nbytes if special and numrecs else sum(m[3] for m in recs)
+    )
     body += b"\0" * (numrecs * rec_stride)
     for name, _dim_ids, _t, vsize, arr, _r in recs:
         base = offsets[name] - hdr_len
         for rec in range(arr.shape[0]):
-            raw = pad4(arr[rec].tobytes())
-            body[base + rec * rec_stride : base + rec * rec_stride + vsize] = raw
+            raw = arr[rec].tobytes() if special else pad4(arr[rec].tobytes())
+            body[base + rec * rec_stride : base + rec * rec_stride + len(raw)] = raw
     return header(begins) + bytes(body)

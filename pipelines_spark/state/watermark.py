@@ -86,13 +86,20 @@ class WatermarkStore:
         key_col: str | None = None,
         ts_col: str | None = None,
         id_col: str | None = None,
+        out_files: int = 1,
     ) -> None:
         """Advance watermarks to the max observed in ``df`` (per key
         if ``key_col`` given, else table-global). One aggregation job
         over the batch — runs map-side partial agg first — written
         STRAIGHT to the state table: the aggregated frame never
-        materializes on the driver, so a 100 TB per-document key
-        space advances with executor memory only."""
+        materializes on the driver, so a huge key space advances with
+        executor memory only. The one-row-per-key aggregate coalesces
+        to ``out_files`` files per advance (default 1 — matching the
+        old one-file-per-append behavior; without it every advance
+        would append shuffle-partition-many tiny files and the state
+        table would hit the small-files problem it exists to avoid).
+        Raise ``out_files`` if a single write task ever bottlenecks
+        on a truly enormous key space."""
         key = F.col(key_col).cast("string") if key_col else F.lit(GLOBAL_KEY)
         aggs = [
             (F.max(ts_col) if ts_col else F.lit(None).cast("timestamp"))
@@ -111,7 +118,7 @@ class WatermarkStore:
                 F.current_timestamp().alias("updated_at"),
             )
         )
-        out.write.mode("append").parquet(self.path)
+        out.coalesce(out_files).write.mode("append").parquet(self.path)
 
     def filter_newer(
         self,

@@ -20,14 +20,16 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 
-# key column -> per-copy offset stride (beyond any real key range)
-OFFSETS = {
-    "lineitem": {"l_orderkey": 100_000_000},
-    "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
-    "customer": {"c_custkey": 10_000_000},
-    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
-    "documents": {"doc_id": 10_000_000},
-    "embeddings": {"vec_id": 1_000_000},
+# key columns offset per copy; the stride is computed from the actual
+# max key value of the source table (max+1), so copies stay
+# collision-free at ANY scale factor, not just sf0.1
+KEY_COLUMNS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
     # dims stay single-copy
 }
 
@@ -45,7 +47,10 @@ PROBE_QUERIES = [
 
 def replicate(table: str, out_dir: Path, n: int, src: str = SRC) -> None:
     t = pq.read_table(f"{src}/{table}.parquet")
-    strides = OFFSETS.get(table, {})
+    key_cols = KEY_COLUMNS.get(table, [])
+    strides = {
+        name: int(pc.max(t[name]).as_py() or 0) + 1 for name in key_cols
+    }
     if not strides or n == 1:
         parts = [t] * (n if strides else 1)
     else:

@@ -1026,4 +1026,39 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         FROM packed GROUP BY bucket, shard_no
     """,
+    "q9_product_profit": """
+        SELECT n.n_name AS nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%bolt%'
+        GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+    "q14_promo_revenue": """
+        SELECT CAST(round(
+                   100.0 * CAST(round(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount) END AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   / CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE),
+               4) AS DOUBLE) AS promo_revenue_pct,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    "q19_bracket_predicates": """
+        SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 5 AND 35)
+           OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 10 AND 50)
+    """,
 }

@@ -1101,6 +1101,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product profit: revenue by supplier nation ×
+    year for a part-name pattern. The LIKE filter on the (broadcast)
+    part dim prunes the fact join; yearly rollup on the fact side.
+    Reference shape: multi-way joins in materialization SQL,
+    pipelines/rj_smtr/constants.py:244-346."""
+    register(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%bolt%'
+        GROUP BY n.n_name, year(l.l_shipdate)
+        """
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: conditional aggregation ratio
+    (promo-part revenue / all revenue) over one shipdate month — the
+    CASE-WHEN sum rides the same single agg pass as the total, no
+    self-join."""
+    register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT CAST(round(
+                   100.0 * CAST(round(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount) END AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   / CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE),
+               4) AS DOUBLE) AS promo_revenue_pct,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= timestamp '1995-09-01 00:00:00'
+          AND l.l_shipdate <  timestamp '1995-10-01 00:00:00'
+        """
+    )
+
+
+def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive brackets: an OR of AND-brackets
+    spanning both join sides (brand+size on part, quantity on
+    lineitem). Catalyst splits the common part (the join key) from
+    the disjunction and pushes the per-side conjuncts into the scans
+    — the classic predicate-decomposition test."""
+    register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 5 AND 35)
+           OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 10 AND 50)
+        """
+    )
+
+
 def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection — the step a training pipeline
     runs AFTER near-dup clustering: per duplicate component keep the
@@ -1430,4 +1497,7 @@ QUERIES = {
     "dedup_canonical_selection": dedup_canonical_selection,
     "text_lang_mismatch": text_lang_mismatch,
     "sample_token_shards": sample_token_shards,
+    "q9_product_profit": q9_product_profit,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_bracket_predicates": q19_bracket_predicates,
 }

@@ -133,6 +133,18 @@ def test_asof_join_single_shuffle(spark, sf_medium):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q19_disjunction_decomposed_to_scans(spark, sf_medium):
+    """The OR-of-AND-brackets spans both join sides; Catalyst must
+    extract the per-side implied disjunctions and push them into each
+    scan (classic predicate decomposition) rather than filtering only
+    after the join."""
+    plan = _formatted(QUERIES["q19_bracket_predicates"](spark, sf_medium)).replace(" ", "")
+    # part side: the brand/size disjunction reaches the part scan
+    assert "And(EqualTo(p_brand,Brand#12)" in plan, plan
+    # lineitem side: the quantity-envelope disjunction is pushed too
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+
+
 def test_srp_precomputed_bucket_skips_corpus_recompute(spark, sf_medium, tmp_path):
     """With the bucket key persisted as a lake column, the ANN probe
     reads it off the scan (ReadSchema carries srp_bucket) instead of

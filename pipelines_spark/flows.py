@@ -62,6 +62,67 @@ def run_dump_flow(
     return spark.table(staging_table)
 
 
+def run_db_dump_flow(
+    spark: SparkSession,
+    source,
+    base_query: str,
+    *,
+    store: WatermarkStore,
+    scope: str,
+    ts_col: str,
+    lake_path: str,
+    staging_table: str,
+    date_col: str | None = None,
+    partition_cols: tuple[str, ...] = ("ano_particao",),
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """§3.1 dump from a LIVE DBMS, incremental: wrap ``base_query``
+    with the watermark predicate (pushed INTO the source DB — the
+    reference's format_partitioned_query rewrite), read it as a
+    partitioned parallel JDBC scan, run the dump (normalize →
+    partition-derive → all-string staged write → staging table), and
+    advance the watermark to MAX(ts_col) of the batch — only after
+    the write succeeded, so a failed run re-reads the same window.
+
+    Composes sources/jdbc + state/watermark + run_dump_flow; the
+    idempotent-partition contract (T6) makes the re-read safe.
+    Reference: pipelines/utils/dump_db/flows.py:35-238 +
+    tasks.py:182-259.
+    """
+    from pipelines_spark.sources.jdbc import (
+        incremental_query,
+        read_jdbc,
+        reader_options,
+    )
+
+    wm_ts, _ = store.get_table_watermark(scope)
+    q = incremental_query(base_query, ts_col, wm_ts, db_type=source.db_type)
+    opts = reader_options(
+        source, q,
+        partition_column=partition_column,
+        lower_bound=lower_bound, upper_bound=upper_bound,
+        num_partitions=num_partitions,
+    )
+    # persist: the batch feeds both the lake write and the watermark
+    # aggregation — without it each action would re-query the DBMS
+    batch = normalize_columns(read_jdbc(spark, opts)).persist()
+    try:
+        norm_ts = ts_col.lower()
+        staged = run_dump_flow(
+            spark, batch,
+            lake_path=lake_path, staging_table=staging_table,
+            date_col=(date_col or norm_ts).lower(),
+            partition_cols=partition_cols,
+        )
+        store.advance_from(scope, batch, ts_col=norm_ts)
+    finally:
+        batch.unpersist()
+    return staged
+
+
 def run_capture_window(
     spark: SparkSession,
     fetch: Callable[[datetime, datetime], DataFrame],

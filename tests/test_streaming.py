@@ -208,3 +208,67 @@ def test_streaming_tumbling_window_agg(spark, tmp_path):
     assert (0, 2, 1.0) in got
     assert (5, 2, 13.0) in got
     assert all(ws != 30 for ws, _, _ in got)
+
+
+def test_streaming_late_rows_dropped_across_restarts(spark, tmp_path):
+    """T3/T5 semantics across micro-batch runs: the watermark persists
+    in the checkpoint, a row arriving behind it in a later run is
+    dropped (its window was already emitted and is never re-emitted),
+    and on-time rows keep flowing."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "late_in"
+    src.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_batch(rows, fname):
+        spark.createDataFrame(rows, "k long, ts timestamp, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / fname))
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, v double")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .select(F.col("w.start").alias("ws"), "n", "sv")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: 12:00 window (2 events) + a 12:12 event advancing the
+    # watermark to 12:11 — the 12:00 and 12:05 windows close
+    run_batch(
+        [(1, base, 1.0), (1, base + dt.timedelta(minutes=1), 2.0),
+         (1, base + dt.timedelta(minutes=12), 4.0)],
+        "b1",
+    )
+    # run 2: one LATE row at 12:01 (behind the checkpointed watermark)
+    # and one on-time row at 12:20
+    run_batch(
+        [(1, base + dt.timedelta(minutes=1), 100.0),
+         (1, base + dt.timedelta(minutes=20), 8.0)],
+        "b2",
+    )
+    rows = spark.read.parquet(out).collect()
+    by_min = {}
+    for r in rows:
+        by_min.setdefault(r["ws"].minute, []).append((r["n"], r["sv"]))
+    # the 12:00 window was emitted exactly once, WITHOUT the late row
+    assert by_min[0] == [(2, 3.0)]
+    # the 12:10 window (12:12 event) closed in run 2 — late row absent
+    assert by_min[10] == [(1, 4.0)]
+    # the late row's value appears nowhere in the output
+    assert all(sv != 100.0 and sv != 103.0 for pairs in by_min.values() for _, sv in pairs)

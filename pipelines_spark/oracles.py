@@ -1049,6 +1049,33 @@ ORACLES: dict[str, str] = {
         WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
     """,
+    "q13_order_count_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    "q22_global_sales_opportunity": """
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+        FROM customer c1
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c1.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
+    """,
     "q19_bracket_predicates": """
         SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_rows

@@ -1101,6 +1101,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer distribution: LEFT OUTER join so
+    zero-order customers survive, per-customer count, then a
+    histogram of the counts (double aggregation). Exercises
+    outer-join null handling feeding a re-aggregation."""
+    register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: customers above the average account balance
+    (scalar subquery) with no urgent orders (NOT EXISTS → anti-join
+    with a pushed predicate), grouped by market segment. Exercises
+    scalar-subquery broadcast + anti-join decorrelation in one plan."""
+    register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+        FROM customer c1
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c1.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9-shaped product profit: revenue by supplier nation ×
     year for a part-name pattern. The LIKE filter on the (broadcast)
@@ -1500,4 +1547,6 @@ QUERIES = {
     "q9_product_profit": q9_product_profit,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_predicates": q19_bracket_predicates,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }

@@ -145,6 +145,14 @@ def test_q19_disjunction_decomposed_to_scans(spark, sf_medium):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
 
 
+def test_q22_decorrelates_to_anti_join(spark, sf_medium):
+    """NOT EXISTS must decorrelate into a (broadcast) anti-join and
+    the scalar avg subquery must not force a per-row re-evaluation."""
+    plan = _plan(QUERIES["q22_global_sales_opportunity"](spark, sf_medium))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_srp_precomputed_bucket_skips_corpus_recompute(spark, sf_medium, tmp_path):
     """With the bucket key persisted as a lake column, the ANN probe
     reads it off the scan (ReadSchema carries srp_bucket) instead of

@@ -1049,6 +1049,18 @@ ORACLES: dict[str, str] = {
         WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
     """,
+    "q17_small_quantity_revenue": """
+        SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
     "q13_order_count_distribution": """
         SELECT c_count, count(*) AS custdist
         FROM (

@@ -1101,6 +1101,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue from line items whose quantity is
+    below 20% of the per-part average — a CORRELATED scalar subquery
+    that Catalyst decorrelates into a per-part aggregate joined back
+    to the fact (never a per-row re-execution)."""
+    register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q13-shaped customer distribution: LEFT OUTER join so
     zero-order customers survive, per-customer count, then a
@@ -1549,4 +1571,5 @@ QUERIES = {
     "q19_bracket_predicates": q19_bracket_predicates,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
 }

@@ -79,7 +79,8 @@ def test_db_dump_flow_incremental_against_derby(spark, tmp_path):
 
     jvm = spark._jvm
     try:
-        jvm.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        # instantiating the driver (re)registers it with DriverManager
+        jvm.org.apache.derby.jdbc.EmbeddedDriver()
     except Exception:
         pytest.skip("no embedded JDBC driver on the classpath")
     jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
@@ -153,10 +154,6 @@ def test_db_dump_flow_incremental_against_derby(spark, tmp_path):
     } == day1_files
     wm2, _ = store.get_table_watermark("sales")
     assert wm2 == datetime(2024, 1, 7, 8)
-    try:
-        jvm.java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
-    except Exception:
-        pass
 
 
 def test_capture_flow_with_recapture_spine(spark, tmp_path):

@@ -66,7 +66,9 @@ def test_jdbc_derby_partitioned_incremental_roundtrip(spark, tmp_path):
 
     jvm = spark._jvm
     try:
-        jvm.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        # instantiating the driver (re)registers it with DriverManager
+        # — necessary if an earlier test shut the engine down
+        jvm.org.apache.derby.jdbc.EmbeddedDriver()
     except Exception:
         pytest.skip("no embedded JDBC driver on the classpath")
 
@@ -103,11 +105,8 @@ def test_jdbc_derby_partitioned_incremental_roundtrip(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 4
     got = {r["ID"] for r in df.collect()}
     assert got == {i for i in range(100) if 1 + i % 28 >= 15}
-    # shutdown the embedded engine so other tests get a clean slate
-    try:
-        jvm.java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
-    except Exception:
-        pass  # Derby signals successful shutdown via SQLException
+    # no engine shutdown here: each test uses its own DB path, and a
+    # system-wide shutdown deregisters the driver for later tests
 
 
 def test_sheet_and_drive_url_rewrites():

@@ -1,0 +1,124 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+The individual operators (quality scoring, language ID, near-dup
+clustering, canonical selection, deterministic splits, token-shard
+packing) each have their own oracle-checked query; this module wires
+them into the one flow a 100 TB pretraining-data run actually
+executes, in the cost-correct order:
+
+1. map-only gates first (quality, language, length) — cheapest per
+   byte, run at scan speed, shrink everything downstream;
+2. exact dedup next (one hash shuffle);
+3. near-dup clustering on the survivors (bucketed LSH, log-round
+   connected components) with highest-quality canonical selection;
+4. deterministic split + token-shard packing last, on the final
+   corpus.
+
+Every stage is observable: the returned stats frame counts what each
+gate removed (the reference's "critical subset" logging discipline,
+pipelines/rj_smtr/utils.py:436-465, applied to corpus hygiene).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelines_spark.llm.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_near_dup_pairs,
+)
+from pipelines_spark.llm.sampling import assign_split, pack_token_shards
+from pipelines_spark.llm.text import language_id, quality_score, token_count
+
+
+@dataclass
+class CurationConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_quality: float = 0.3
+    allowed_langs: tuple[str, ...] | None = None
+    min_tokens: int = 5
+    near_dup_threshold: float = 0.5
+    shard_tokens: int = 100_000
+    shard_buckets: int = 8
+    split: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+def curate_corpus(
+    docs: DataFrame, config: CurationConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation pipeline; returns (curated, stats).
+
+    ``curated``: one row per kept document with ``quality``,
+    ``detected_lang``, ``n_tokens``, ``component_id`` (its near-dup
+    cluster), plus ``split`` / ``bucket`` / ``shard_no`` assignment.
+    ``stats``: (stage, n_docs) counts after each stage — the
+    observability contract; at scale this is a handful of 1-row aggs
+    over frames the pipeline computes anyway.
+    """
+    cfg = config or CurationConfig()
+    id_c, text_c = cfg.id_col, cfg.text_col
+    spark = docs.sparkSession
+
+    counts: list[tuple[str, int]] = [("input", docs.count())]
+
+    # 1. map-only gates (ride the scan; no shuffle)
+    gated = (
+        docs.withColumn("quality", quality_score(text_c))
+        .withColumn("detected_lang", language_id(text_c))
+        .withColumn("n_tokens", token_count(text_c))
+        .filter(
+            (F.col("quality") >= cfg.min_quality)
+            & (F.col("n_tokens") >= cfg.min_tokens)
+        )
+    )
+    if cfg.allowed_langs is not None:
+        gated = gated.filter(F.col("detected_lang").isin(*cfg.allowed_langs))
+    gated = gated.persist()
+    counts.append(("quality_lang_gate", gated.count()))
+
+    # 2. exact dedup: keep the min-id doc of each identical-text group
+    canon = exact_dedup(gated, [text_c], id_c).select(
+        F.col("canonical_id").alias(id_c)
+    )
+    exact_kept = gated.join(canon, id_c, "semi").persist()
+    counts.append(("exact_dedup", exact_kept.count()))
+
+    # 3. near-dup clustering + best-quality canonical per component
+    pairs = minhash_near_dup_pairs(
+        exact_kept, id_col=id_c, text_col=text_c,
+        threshold=cfg.near_dup_threshold,
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias(id_c), "component_id"
+    )
+    labeled = exact_kept.join(labels, id_c, "left").withColumn(
+        "component_id", F.coalesce("component_id", F.col(id_c))
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col(id_c).asc()
+    )
+    curated = (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    ).persist()
+    counts.append(("near_dup_canonical", curated.count()))
+
+    # 4. deterministic split + token-shard packing
+    if cfg.split:
+        curated = assign_split(curated, id_c)
+    curated = pack_token_shards(
+        curated, id_c, "n_tokens",
+        shard_tokens=cfg.shard_tokens, n_buckets=cfg.shard_buckets,
+    )
+
+    gated.unpersist()
+    exact_kept.unpersist()
+    stats = spark.createDataFrame(counts, "stage string, n_docs long")
+    return curated, stats

@@ -404,6 +404,43 @@ def test_deterministic_sampling_stability(spark):
     assert sum(got.values()) == 1000 and set(got) == {"train", "val", "test"}
     assert got["train"] > got["val"] and got["train"] > got["test"]
 
+def test_curate_corpus_end_to_end(spark, sf_medium):
+    """The composed curation pipeline: gates remove junk, exact and
+    near-dup stages keep one doc per group, every survivor gets a
+    split and a shard, and the stats frame tracks the funnel."""
+    from pipelines_spark.llm.curation import CurationConfig, curate_corpus
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    curated, stats = curate_corpus(
+        docs,
+        CurationConfig(min_quality=0.2, min_tokens=5, shard_tokens=5000),
+    )
+    funnel = {r["stage"]: r["n_docs"] for r in stats.collect()}
+    n = curated.count()
+    assert funnel["input"] == 500
+    assert (
+        funnel["input"]
+        >= funnel["quality_lang_gate"]
+        >= funnel["exact_dedup"]
+        >= funnel["near_dup_canonical"]
+        == n
+        > 0
+    )
+    # near-dups collapsed: curated doc ids are componentwise unique
+    assert curated.select("component_id").distinct().count() == n
+    # every survivor carries split + shard assignment and features
+    row = curated.first()
+    assert row["split"] in ("train", "val", "test")
+    assert row["shard_no"] >= 0 and row["n_tokens"] >= 5
+    # deterministic end to end
+    again, _ = curate_corpus(
+        docs, CurationConfig(min_quality=0.2, min_tokens=5, shard_tokens=5000)
+    )
+    assert {r["doc_id"] for r in curated.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
 def test_pack_token_shards_budget_and_stability(spark):
     """Greedy packing: within a bucket each shard's token sum stays
     under budget + one max doc (first-fit property), assignment is

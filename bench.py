@@ -101,15 +101,16 @@ def bench_scale_probe(spark, sf_dir: str, timings: dict[str, float], n: int = 10
     from pathlib import Path
 
     _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    from scale_probe import replicate
+    from scale_probe import domain_strides, replicate
 
     out_dir = Path(tempfile.mkdtemp(prefix="bench_scale_"))
     try:
+        strides = domain_strides(sf_dir)
         for table in (
             "region nation customer supplier part orders lineitem "
             "events documents embeddings"
         ).split():
-            replicate(table, out_dir, n, src=sf_dir)
+            replicate(table, out_dir, n, src=sf_dir, strides_by_col=strides)
         probe: dict[str, float] = {}
         ratios: dict[str, float] = {}
         for name in SCALE_PROBE_QUERIES:

@@ -62,6 +62,22 @@ def run_dump_flow(
     return spark.table(staging_table)
 
 
+def _floor_to_partition_grain(ts: datetime | None, partition_cols) -> datetime | None:
+    """Floor a watermark timestamp to the finest partition grain in
+    ``partition_cols`` (the leaf unit dynamic overwrite replaces):
+    data_particao → day, mes_particao → month, ano_particao → year."""
+    if ts is None:
+        return None
+    cols = set(partition_cols)
+    if "data_particao" in cols:
+        return datetime(ts.year, ts.month, ts.day)
+    if "mes_particao" in cols:
+        return datetime(ts.year, ts.month, 1)
+    if "ano_particao" in cols:
+        return datetime(ts.year, 1, 1)
+    return ts
+
+
 def run_db_dump_flow(
     spark: SparkSession,
     source,
@@ -87,10 +103,17 @@ def run_db_dump_flow(
     advance the watermark to MAX(ts_col) of the batch — only after
     the write succeeded, so a failed run re-reads the same window.
 
-    Composes sources/jdbc + state/watermark + run_dump_flow; the
-    idempotent-partition contract (T6) makes the re-read safe.
-    Reference: pipelines/utils/dump_db/flows.py:35-238 +
-    tasks.py:182-259.
+    The incremental bound is FLOORED to the partition grain before it
+    reaches the source query: dynamic partition overwrite replaces
+    whole leaf partitions, so a sub-grain bound would rewrite the
+    watermark's partition with only its tail rows and silently drop
+    earlier same-partition data. Re-reading the full boundary
+    partition costs one partition of overlap and is exactly the
+    reference's partition-date rewrite semantics
+    (format_partitioned_query uses the last partition DATE, never a
+    timestamp). Composes sources/jdbc + state/watermark +
+    run_dump_flow. Reference: pipelines/utils/dump_db/flows.py:35-238
+    + tasks.py:182-259.
     """
     from pipelines_spark.sources.jdbc import (
         incremental_query,
@@ -99,6 +122,7 @@ def run_db_dump_flow(
     )
 
     wm_ts, _ = store.get_table_watermark(scope)
+    wm_ts = _floor_to_partition_grain(wm_ts, partition_cols)
     q = incremental_query(base_query, ts_col, wm_ts, db_type=source.db_type)
     opts = reader_options(
         source, q,
@@ -107,17 +131,18 @@ def run_db_dump_flow(
         num_partitions=num_partitions,
     )
     # persist: the batch feeds both the lake write and the watermark
-    # aggregation — without it each action would re-query the DBMS
-    batch = normalize_columns(read_jdbc(spark, opts)).persist()
+    # aggregation — without it each action would re-query the DBMS.
+    # run_dump_flow normalizes column names itself; column resolution
+    # here is case-insensitive, so the raw JDBC casing resolves.
+    batch = read_jdbc(spark, opts).persist()
     try:
-        norm_ts = ts_col.lower()
         staged = run_dump_flow(
             spark, batch,
             lake_path=lake_path, staging_table=staging_table,
-            date_col=(date_col or norm_ts).lower(),
+            date_col=(date_col or ts_col).lower(),
             partition_cols=partition_cols,
         )
-        store.advance_from(scope, batch, ts_col=norm_ts)
+        store.advance_from(scope, batch, ts_col=ts_col)
     finally:
         batch.unpersist()
     return staged

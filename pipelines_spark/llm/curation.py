@@ -50,22 +50,39 @@ class CurationConfig:
 
 
 def curate_corpus(
-    docs: DataFrame, config: CurationConfig | None = None
-) -> tuple[DataFrame, DataFrame]:
+    docs: DataFrame,
+    config: CurationConfig | None = None,
+    *,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Run the full curation pipeline; returns (curated, stats).
 
     ``curated``: one row per kept document with ``quality``,
     ``detected_lang``, ``n_tokens``, ``component_id`` (its near-dup
     cluster), plus ``split`` / ``bucket`` / ``shard_no`` assignment.
-    ``stats``: (stage, n_docs) counts after each stage — the
-    observability contract; at scale this is a handful of 1-row aggs
-    over frames the pipeline computes anyway.
+    ``stats``: (stage, n_docs) counts after each stage; the input
+    count is an extra scan of the raw corpus and the per-stage counts
+    are actions over persisted frames — pass ``collect_stats=False``
+    for a fully lazy, zero-extra-job plan (stats comes back ``None``).
+
+    Cache lifecycle: intermediate persists are released before
+    return; the final canonical frame stays cached (the returned
+    DataFrame is a projection over it, so follow-up actions — the
+    normal case: write-to-lake next — reuse stages 1-3). Long-lived
+    applications curating many corpora should
+    ``spark.catalog.clearCache()`` between corpora, or pass
+    ``collect_stats=False`` (which skips persisting entirely).
     """
     cfg = config or CurationConfig()
     id_c, text_c = cfg.id_col, cfg.text_col
     spark = docs.sparkSession
 
-    counts: list[tuple[str, int]] = [("input", docs.count())]
+    def persist(df: DataFrame) -> DataFrame:
+        return df.persist() if collect_stats else df
+
+    counts: list[tuple[str, int]] = (
+        [("input", docs.count())] if collect_stats else []
+    )
 
     # 1. map-only gates (ride the scan; no shuffle)
     gated = (
@@ -79,20 +96,23 @@ def curate_corpus(
     )
     if cfg.allowed_langs is not None:
         gated = gated.filter(F.col("detected_lang").isin(*cfg.allowed_langs))
-    gated = gated.persist()
-    counts.append(("quality_lang_gate", gated.count()))
+    gated = persist(gated)
+    if collect_stats:
+        counts.append(("quality_lang_gate", gated.count()))
 
     # 2. exact dedup: keep the min-id doc of each identical-text group
     canon = exact_dedup(gated, [text_c], id_c).select(
         F.col("canonical_id").alias(id_c)
     )
-    exact_kept = gated.join(canon, id_c, "semi").persist()
-    counts.append(("exact_dedup", exact_kept.count()))
+    exact_kept = persist(gated.join(canon, id_c, "semi"))
+    if collect_stats:
+        counts.append(("exact_dedup", exact_kept.count()))
 
     # 3. near-dup clustering + best-quality canonical per component
     pairs = minhash_near_dup_pairs(
         exact_kept, id_col=id_c, text_col=text_c,
         threshold=cfg.near_dup_threshold,
+        log_hot_buckets=collect_stats,
     )
     labels = connected_components(pairs).select(
         F.col("node").alias(id_c), "component_id"
@@ -103,12 +123,13 @@ def curate_corpus(
     w = Window.partitionBy("component_id").orderBy(
         F.col("quality").desc(), F.col(id_c).asc()
     )
-    curated = (
+    curated = persist(
         labeled.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    ).persist()
-    counts.append(("near_dup_canonical", curated.count()))
+    )
+    if collect_stats:
+        counts.append(("near_dup_canonical", curated.count()))
 
     # 4. deterministic split + token-shard packing
     if cfg.split:
@@ -118,7 +139,10 @@ def curate_corpus(
         shard_tokens=cfg.shard_tokens, n_buckets=cfg.shard_buckets,
     )
 
-    gated.unpersist()
-    exact_kept.unpersist()
-    stats = spark.createDataFrame(counts, "stage string, n_docs long")
+    if collect_stats:
+        gated.unpersist()
+        exact_kept.unpersist()
+        stats = spark.createDataFrame(counts, "stage string, n_docs long")
+    else:
+        stats = None
     return curated, stats

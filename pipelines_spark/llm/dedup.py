@@ -90,6 +90,20 @@ def _minhash_signatures(
     )
 
 
+def band_key_cols(num_hashes: int, bands: int) -> list[Column]:
+    """LSH band keys over minhash columns ``mh_0..mh_{n-1}``: the r
+    minhashes of each band hash into one 64-bit key. Shared by the
+    operator and by bucket-distribution diagnostics so the banding
+    formula cannot drift between them."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -127,7 +141,6 @@ def minhash_near_dup_pairs(
     fully lazy plan (the cap still applies; only the logging job is
     skipped) — e.g. when composing plans you may not execute.
     """
-    rows_per_band = num_hashes // bands
     # The shingle sets feed three consumers (signatures + both sides
     # of the verification join); cache them once. At cluster scale
     # this is the classic LSH staging table — swap persist() for a
@@ -139,16 +152,10 @@ def minhash_near_dup_pairs(
     )
     sigs = _minhash_signatures(shingled, id_col, F.col("_shingles"), num_hashes)
 
-    # Band keys: hash the r minhashes of each band into one 64-bit key.
-    # Persisted — it feeds both sides of the candidate self-join, and
-    # without caching each side would recompute the full signature
-    # stage.
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    # Band keys (shared helper). Persisted — the band table feeds both
+    # sides of the candidate self-join, and without caching each side
+    # would recompute the full signature stage.
+    band_cols = band_key_cols(num_hashes, bands)
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("_band")
     ).persist()

@@ -200,7 +200,15 @@ def extract_audio_features(
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
                 samples = None
-                rate = int(row[sample_rate_col]) or 16000
+                # NULL sample_rate surfaces as NaN in a float column;
+                # it must not crash rows whose rate comes from the
+                # WAV header anyway
+                raw_rate = row[sample_rate_col]
+                rate = (
+                    16000
+                    if raw_rate is None or pd.isna(raw_rate)
+                    else int(raw_rate) or 16000
+                )
                 if payload[:4] == b"RIFF":
                     # non-WAV RIFF (WebP/AVI), non-16-bit PCM, or a
                     # truncated header falls back to the byte path —

@@ -93,13 +93,14 @@ class WatermarkStore:
         over the batch — runs map-side partial agg first — written
         STRAIGHT to the state table: the aggregated frame never
         materializes on the driver, so a huge key space advances with
-        executor memory only. The one-row-per-key aggregate coalesces
-        to ``out_files`` files per advance (default 1 — matching the
-        old one-file-per-append behavior; without it every advance
-        would append shuffle-partition-many tiny files and the state
-        table would hit the small-files problem it exists to avoid).
-        Raise ``out_files`` if a single write task ever bottlenecks
-        on a truly enormous key space."""
+        executor memory only. The one-row-per-key aggregate
+        REPARTITIONS (not coalesces) to ``out_files`` files per
+        advance — a coalesce would collapse the final aggregation
+        stage itself into ``out_files`` tasks, serializing the reduce
+        over one core; the repartition keeps the aggregation parallel
+        and only funnels the tiny one-row-per-key result through an
+        extra exchange. Default 1 file/advance avoids the small-files
+        problem the state table exists to prevent."""
         key = F.col(key_col).cast("string") if key_col else F.lit(GLOBAL_KEY)
         aggs = [
             (F.max(ts_col) if ts_col else F.lit(None).cast("timestamp"))
@@ -118,7 +119,7 @@ class WatermarkStore:
                 F.current_timestamp().alias("updated_at"),
             )
         )
-        out.coalesce(out_files).write.mode("append").parquet(self.path)
+        out.repartition(out_files).write.mode("append").parquet(self.path)
 
     def filter_newer(
         self,

@@ -20,18 +20,36 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 
-# key columns offset per copy; the stride is computed from the actual
-# max key value of the source table (max+1), so copies stay
-# collision-free at ANY scale factor, not just sf0.1
-KEY_COLUMNS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+# Key DOMAINS offset per copy. Columns sharing a domain (PK and its
+# FKs) must share ONE stride — independently-computed per-column
+# strides would misalign foreign keys across copies whenever the max
+# referenced key has no referencing row (e.g. an orderless customer),
+# silently breaking join cardinalities. The stride is the max over
+# every column in the domain, +1 — collision-free at any scale
+# factor AND FK-consistent.
+KEY_DOMAINS = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
     # dims stay single-copy
 }
+
+
+def domain_strides(src: str) -> dict[tuple[str, str], int]:
+    """(table, column) -> per-copy offset, one shared stride per
+    key domain."""
+    out: dict[tuple[str, str], int] = {}
+    for cols in KEY_DOMAINS.values():
+        stride = 0
+        for table, col in cols:
+            t = pq.read_table(f"{src}/{table}.parquet", columns=[col])
+            stride = max(stride, int(pc.max(t[col]).as_py() or 0) + 1)
+        for table, col in cols:
+            out[(table, col)] = stride
+    return out
 
 PROBE_QUERIES = [
     "q1_pricing_summary",
@@ -45,11 +63,20 @@ PROBE_QUERIES = [
 ]
 
 
-def replicate(table: str, out_dir: Path, n: int, src: str = SRC) -> None:
+def replicate(
+    table: str,
+    out_dir: Path,
+    n: int,
+    src: str = SRC,
+    strides_by_col: dict[tuple[str, str], int] | None = None,
+) -> None:
     t = pq.read_table(f"{src}/{table}.parquet")
-    key_cols = KEY_COLUMNS.get(table, [])
+    if strides_by_col is None:
+        strides_by_col = domain_strides(src)
     strides = {
-        name: int(pc.max(t[name]).as_py() or 0) + 1 for name in key_cols
+        col: stride
+        for (tbl, col), stride in strides_by_col.items()
+        if tbl == table
     }
     if not strides or n == 1:
         parts = [t] * (n if strides else 1)
@@ -70,11 +97,12 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfprobe")
     out_dir.mkdir(parents=True, exist_ok=True)
+    strides = domain_strides(SRC)
     for table in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
     ).split():
-        replicate(table, out_dir, n)
+        replicate(table, out_dir, n, strides_by_col=strides)
 
     from pipelines_spark.queries import QUERIES
     from pipelines_spark.session import get_spark

@@ -101,8 +101,13 @@ def test_db_dump_flow_incremental_against_derby(spark, tmp_path):
         ps = conn.prepareStatement("INSERT INTO sales VALUES (?, ?, ?)")
         for i, day, amount in rows:
             ps.setInt(1, i)
+            # hours VARY within a day: regression guard for the
+            # sub-day-watermark + day-partition-overwrite data loss
             ps.setTimestamp(
-                2, jvm.java.sql.Timestamp.valueOf(f"2024-01-{day:02d} 08:00:00")
+                2,
+                jvm.java.sql.Timestamp.valueOf(
+                    f"2024-01-{day:02d} {8 + i % 3:02d}:00:00"
+                ),
             )
             ps.setDouble(3, amount)
             ps.addBatch()
@@ -125,7 +130,7 @@ def test_db_dump_flow_incremental_against_derby(spark, tmp_path):
     )
     assert staged.count() == 50
     wm1, _ = store.get_table_watermark("sales")
-    assert wm1 == datetime(2024, 1, 5, 8)
+    assert wm1 == datetime(2024, 1, 5, 10)  # max hour seen on day 5
     day1 = os.path.join(lake, "data_particao=2024-01-01")
     day1_files = {
         f: os.path.getmtime(os.path.join(day1, f)) for f in os.listdir(day1)
@@ -141,9 +146,15 @@ def test_db_dump_flow_incremental_against_derby(spark, tmp_path):
         partition_column="id", lower_bound=0, upper_bound=200,
         num_partitions=4,
     )
-    # merged lake: everything once (boundary day-5 re-read replaced
-    # its partition idempotently — no duplicates)
+    # merged lake: everything once (boundary re-read FLOORED to the
+    # day grain — ALL of day 5 re-read and replaced idempotently, so
+    # earlier-hour day-5 rows survive; no duplicates either)
     assert staged2.count() == 62
+    day5_ids = {
+        int(r["id"])
+        for r in staged2.filter(F.col("data_particao") == "2024-01-05").collect()
+    }
+    assert {i for i in range(50) if 1 + i % 5 == 5} <= day5_ids
     assert {
         int(r["id"]) for r in staged2.filter(F.col("data_particao") >= "2024-01-06").collect()
     } == {100 + i for i in range(12) if 5 + i % 3 >= 6}
@@ -154,6 +165,20 @@ def test_db_dump_flow_incremental_against_derby(spark, tmp_path):
     } == day1_files
     wm2, _ = store.get_table_watermark("sales")
     assert wm2 == datetime(2024, 1, 7, 8)
+
+
+def test_floor_to_partition_grain():
+    """The incremental bound must floor to the leaf partition unit
+    dynamic overwrite replaces — a sub-grain bound would drop earlier
+    same-partition rows on the boundary re-read."""
+    from pipelines_spark.flows import _floor_to_partition_grain as floor_
+
+    ts = datetime(2024, 3, 15, 13, 45, 7)
+    assert floor_(ts, ("ano_particao", "mes_particao", "data_particao")) == datetime(2024, 3, 15)
+    assert floor_(ts, ("ano_particao", "mes_particao")) == datetime(2024, 3, 1)
+    assert floor_(ts, ("ano_particao",)) == datetime(2024, 1, 1)
+    assert floor_(ts, ()) == ts
+    assert floor_(None, ("data_particao",)) is None
 
 
 def test_capture_flow_with_recapture_spine(spark, tmp_path):

@@ -114,25 +114,25 @@ def test_minhash_default_cap_leaves_normal_corpus_unchanged(spark, sf_medium):
     }
     # headroom check at the driver's larger scale: the max LSH bucket
     # at sf0.1 must sit far below the default cap, so the capped and
-    # uncapped paths provably agree on the whole correctness-gate data
+    # uncapped paths provably agree on the whole correctness-gate
+    # data. Uses the operator's own band_key_cols helper — the
+    # measured distribution cannot drift from the production formula.
     docs_big = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    from pipelines_spark.llm.dedup import _minhash_signatures, word_shingles
+    from pipelines_spark.llm.dedup import (
+        _minhash_signatures,
+        band_key_cols,
+        word_shingles,
+    )
 
     shingled = docs_big.select(
         F.col("doc_id"), word_shingles("text", 3).alias("_sh")
     ).filter(F.size("_sh") > 0)
     sigs = _minhash_signatures(shingled, "doc_id", F.col("_sh"), 32)
-    band_cols = [
-        F.xxhash64(F.lit(b), *[F.col(f"mh_{b * 4 + r}") for r in range(4)]).alias(str(b))
-        for b in range(8)
-    ]
-    import pyspark.sql.functions as SF
-
     max_bucket = (
-        sigs.select(SF.explode(SF.array(*band_cols)).alias("_band"))
+        sigs.select(F.explode(F.array(*band_key_cols(32, 8))).alias("_band"))
         .groupBy("_band")
         .count()
-        .agg(SF.max("count"))
+        .agg(F.max("count"))
         .collect()[0][0]
     )
     assert max_bucket < 500, max_bucket

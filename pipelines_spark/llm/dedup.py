@@ -136,10 +136,15 @@ def minhash_near_dup_pairs(
     instead of the job going quadratic. ``None`` disables the cap.
 
     ``log_hot_buckets`` runs a bounded 1-row stats action at build
-    time (an eager index-build step, like IVF's centroid collect)
-    so the drop is WARN-logged, never silent. Pass ``False`` for a
-    fully lazy plan (the cap still applies; only the logging job is
-    skipped) — e.g. when composing plans you may not execute.
+    time (an eager index-build step, like IVF's centroid collect) so
+    the drop is WARN-logged, never silent — and doubles as a planner
+    probe: when it finds NO hot buckets (the overwhelmingly common
+    case), the anti-join filter is skipped entirely and the plan is
+    identical to the uncapped one, so well-behaved corpora pay only
+    the one probe job. Pass ``False`` for a fully lazy plan: no
+    probe job, and the cap is then applied unconditionally as a lazy
+    anti-join (safety without eagerness) — e.g. when composing plans
+    you may not execute.
     """
     # The shingle sets feed three consumers (signatures + both sides
     # of the verification join); cache them once. At cluster scale
@@ -170,8 +175,10 @@ def minhash_near_dup_pairs(
             .agg(F.count(F.lit(1)).alias("_bn"))
             .filter(F.col("_bn") > max_bucket_size)
         )
+        apply_filter = True
         if log_hot_buckets:
-            # bounded 1-row action over the cached band table
+            # bounded 1-row action over the cached band table — both
+            # the logging contract and a planner probe
             stats = hot.agg(
                 F.count(F.lit(1)).alias("n_buckets"), F.sum("_bn").alias("n_members")
             ).collect()[0]
@@ -183,7 +190,12 @@ def minhash_near_dup_pairs(
                     "their other bands",
                     stats["n_buckets"], max_bucket_size, stats["n_members"],
                 )
-        banded = banded.join(F.broadcast(hot.select("_band")), "_band", "left_anti")
+            else:
+                apply_filter = False  # no hot buckets: uncapped plan
+        if apply_filter:
+            banded = banded.join(
+                F.broadcast(hot.select("_band")), "_band", "left_anti"
+            )
 
     cands = (
         banded.alias("l")

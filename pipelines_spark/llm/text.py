@@ -160,3 +160,71 @@ def dup_word_ratio(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     ws = F.split(t, " ")
     return F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws).cast("double")
+
+
+def boilerplate_shingles(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    max_doc_frac: float = 0.05,
+):
+    """Corpus-frequency boilerplate detection (the C4-style "line
+    occurring in many pages" rule, expressed over word shingles since
+    the engine's text unit is the document): shingles present in more
+    than ``max_doc_frac`` of all documents are boilerplate
+    (navigation chrome, license blurbs, templates).
+
+    Scale shape: one explode + one groupBy on the shingle (the same
+    inverted index the dedup family builds); the threshold compares
+    against a 1-row corpus count joined in lazily (no driver action).
+    The result set is small by construction — at most
+    total_memberships / (max_doc_frac · n_docs) shingles — so
+    downstream consumers broadcast it like a stop-list.
+    """
+    from pipelines_spark.llm.dedup import word_shingles
+
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))  # shingles distinct per doc
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("doc_freq") > F.col("_n_docs") * F.lit(max_doc_frac))
+        .select("sh", "doc_freq")
+    )
+
+
+def boilerplate_ratio(
+    docs,
+    bp,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+):
+    """Per-document fraction of shingles that are boilerplate:
+    (id_col, n_shingles, n_boilerplate, boilerplate_ratio). The
+    boilerplate set broadcasts (stop-list-sized); the corpus side is
+    explode → broadcast semi-ish join → re-aggregate on the id — one
+    shuffle on the doc id, never a corpus self-join."""
+    from pipelines_spark.llm.dedup import word_shingles
+
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    )
+    hits = sh.join(
+        F.broadcast(bp.select("sh").withColumn("_bp", F.lit(1))), "sh", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_bp"), F.lit(0))).cast("long").alias("n_boilerplate"),
+        F.round(
+            F.sum(F.coalesce(F.col("_bp"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("boilerplate_ratio"),
+    )

@@ -1026,6 +1026,35 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         FROM packed GROUP BY bucket, shard_no
     """,
+    # shingle document-frequency boilerplate: mirrors
+    # llm/text.boilerplate_shingles + boilerplate_ratio (per-doc ratio
+    # rounded to 4 before the decimal-routed average)
+    "text_boilerplate_stats": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        freq AS (SELECT sh, count(*) AS doc_freq FROM shingles GROUP BY sh),
+        total AS (SELECT count(*) AS n_total FROM documents),
+        bp AS (SELECT sh FROM freq, total WHERE doc_freq > n_total * 0.01),
+        ratios AS (
+            SELECT s.doc_id,
+                   round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 4) AS r
+            FROM shingles s LEFT JOIN bp b ON s.sh = b.sh
+            GROUP BY s.doc_id
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               round(CAST(sum(CAST(r AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_bp_ratio,
+               max(r) AS max_bp_ratio
+        FROM ratios x JOIN documents d ON d.doc_id = x.doc_id
+        GROUP BY d.source
+    """,
     "q9_product_profit": """
         SELECT n.n_name AS nation,
                CAST(year(l.l_shipdate) AS INTEGER) AS o_year,

@@ -1170,6 +1170,33 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate (C4-style rule over shingles):
+    shingles in > 1% of documents are boilerplate; per source report
+    how boilerplate-laden documents are. Inverted-index aggregation +
+    broadcast stop-list join — never a corpus self-join."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.text import boilerplate_ratio, boilerplate_shingles
+
+    docs = spark.table("documents")
+    bp = boilerplate_shingles(docs, max_doc_frac=0.01)
+    ratios = boilerplate_ratio(docs, bp)
+    return (
+        docs.select("doc_id", "source")
+        .join(ratios, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("boilerplate_ratio").cast("decimal(14,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_bp_ratio"),
+            F.max("boilerplate_ratio").alias("max_bp_ratio"),
+        )
+    )
+
+
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9-shaped product profit: revenue by supplier nation ×
     year for a part-name pattern. The LIKE filter on the (broadcast)
@@ -1572,4 +1599,5 @@ QUERIES = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "text_boilerplate_stats": text_boilerplate_stats,
 }

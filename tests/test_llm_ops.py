@@ -404,6 +404,28 @@ def test_deterministic_sampling_stability(spark):
     assert sum(got.values()) == 1000 and set(got) == {"train", "val", "test"}
     assert got["train"] > got["val"] and got["train"] > got["test"]
 
+def test_boilerplate_detection_planted_phrase(spark):
+    """A phrase planted in most docs is flagged as boilerplate; docs
+    carrying it score a high ratio, clean docs score zero."""
+    from pipelines_spark.llm.text import boilerplate_ratio, boilerplate_shingles
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique payload number {i} follows here") for i in range(20)]
+    rows.append((100, "entirely clean document with original words only present"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = boilerplate_shingles(docs, max_doc_frac=0.5)
+    bp_set = {r["sh"] for r in bp.collect()}
+    # the planted phrase's shingles (and nothing doc-unique) flagged
+    assert "all rights reserved" in bp_set
+    assert not any("number" in s and s.split()[-1].isdigit() for s in bp_set)
+    ratios = {
+        r["doc_id"]: r["boilerplate_ratio"]
+        for r in boilerplate_ratio(docs, bp).collect()
+    }
+    assert ratios[100] == 0.0
+    assert ratios[0] > 0.3
+
+
 def test_curate_corpus_end_to_end(spark, sf_medium):
     """The composed curation pipeline: gates remove junk, exact and
     near-dup stages keep one doc per group, every survivor gets a

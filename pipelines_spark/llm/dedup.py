@@ -230,18 +230,45 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via the shingle inverted index.
 
     Exact (no LSH): every pair sharing ≥1 shingle is scored. The
     groupBy on shingle then on (id_a, id_b) shuffles only
-    pair-candidates, never the full cross product.
+    pair-candidates, never the full cross product — but candidate
+    volume is quadratic in each shingle's document frequency, so a
+    boilerplate shingle in k docs alone yields k²/2 candidates.
+
+    ``max_shingle_freq`` is the standard posting-list cap: shingles
+    appearing in more than that many documents are dropped from the
+    INDEX (candidate generation) — they carry no discriminative
+    signal, exactly like search-engine stop-postings — with a logged
+    count, never silently. Intersections still count every surviving
+    shared shingle, so pairs with at least one non-hot shared shingle
+    keep an exact-minus-hot-shingles score. ``None`` (default, the
+    oracle-parity configuration) keeps the fully exact behavior.
     """
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0)
     sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    if max_shingle_freq is not None:
+        hot = (
+            inv.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+        )
+        n_hot = hot.count()  # bounded: ≤ memberships/max_shingle_freq rows
+        if n_hot:
+            _LOG.warning(
+                "ngram jaccard: dropping %d hot shingles (doc freq > %d) "
+                "from the inverted index; affected pairs score over their "
+                "remaining shared shingles",
+                n_hot, max_shingle_freq,
+            )
+        inv = inv.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
 
     inter = (
         inv.alias("l")

@@ -138,6 +138,35 @@ def test_minhash_default_cap_leaves_normal_corpus_unchanged(spark, sf_medium):
     assert max_bucket < 500, max_bucket
 
 
+def test_ngram_jaccard_posting_list_cap(spark, caplog):
+    """The exact inverted index goes quadratic on boilerplate
+    shingles; the posting-list cap drops hot shingles from candidate
+    generation (logged) while pairs sharing non-hot shingles still
+    surface exactly."""
+    import logging
+
+    boiler = "shared boilerplate header text appears everywhere in this corpus"
+    rows = [(i, boiler) for i in range(200)]
+    rows += [
+        (1000, "rare specific discussion of columnar shuffle compaction"),
+        (1001, "rare specific discussion of columnar shuffle compression"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="pipelines_spark.llm.dedup"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, id_col="doc_id", text_col="text", threshold=0.4,
+                max_shingle_freq=50,
+            ).collect()
+        }
+    assert any("hot shingle" in m for m in caplog.messages), caplog.messages
+    # the 200-doc boilerplate clique produced no pairs...
+    assert not any(a < 200 and b < 200 for a, b in got)
+    # ...but the rare near-dup pair did
+    assert (1000, 1001) in got
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "tango uniform victor whisky xray yankee zulu")],

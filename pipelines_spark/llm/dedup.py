@@ -327,6 +327,7 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_block_group: int | None = 10_000,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of 32-bit SimHash.
 
@@ -334,6 +335,15 @@ def simhash_pairs(
     ``max_hamming + 1`` blocks; any pair at distance ≤ d must agree on
     at least one block, so candidates come from equi-joins on block
     values and are then exactly distance-checked.
+
+    ``max_block_group`` guards the block join's hot spots (e.g. the
+    all-zero hash every empty/degenerate doc shares): (block_no,
+    block_val) groups larger than the cap are dropped from candidate
+    generation with a logged count — pairs can still meet through
+    their other ``max_hamming`` blocks, so recall degrades gracefully
+    instead of the join going quadratic. ``None`` disables (the
+    fully exact configuration; also the right choice when the corpus
+    is known degenerate-free).
     """
     nblocks = max_hamming + 1
     width = 32 // nblocks
@@ -355,6 +365,26 @@ def simhash_pairs(
             )
         ).alias("_b"),
     ).select(id_col, "simhash", "_b.block_no", "_b.block_val")
+
+    if max_block_group is not None:
+        hot = (
+            blocks.groupBy("block_no", "block_val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_block_group)
+        )
+        n_hot = hot.count()  # bounded: ≤ memberships/cap rows
+        if n_hot:
+            _LOG.warning(
+                "simhash: dropping %d hot block groups (> %d members) "
+                "from candidate generation; pairs may still meet via "
+                "their other blocks",
+                n_hot, max_block_group,
+            )
+            blocks = blocks.join(
+                F.broadcast(hot.select("block_no", "block_val")),
+                ["block_no", "block_val"],
+                "left_anti",
+            )
 
     pairs = (
         blocks.alias("l")

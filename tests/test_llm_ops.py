@@ -177,6 +177,30 @@ def test_simhash_identical_and_disjoint(spark):
     assert not any(3 in (a, b) for a, b, _ in pairs)
 
 
+def test_simhash_hot_block_cap(spark, caplog):
+    """Degenerate docs sharing one hash form hot block groups; the cap
+    drops them (logged) while rare near-dups still pair via their own
+    (small) block groups."""
+    import logging
+
+    rows = [(i, "identical degenerate filler text block") for i in range(100)]
+    rows += [
+        (1000, "meaningful unique article about watermark semantics today"),
+        (1001, "meaningful unique article about watermark semantics tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="pipelines_spark.llm.dedup"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(
+                df, id_col="doc_id", text_col="text", max_block_group=20
+            ).collect()
+        }
+    assert any("hot block" in m for m in caplog.messages), caplog.messages
+    assert not any(a < 100 and b < 100 for a, b in got)
+    assert (1000, 1001) in got
+
+
 def test_brute_force_topk_exact_neighbor(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -12,10 +12,11 @@ Scale design (the point of these operators is the 100 TB corpus):
   Jaccard verification of candidates only. Never materializes the
   O(n²) pair space; shuffles are (doc, band-key) sized.
 - ``simhash_pairs``: 32-bit md5-based SimHash; pairs within Hamming
-  distance d found *exactly* via the pigeonhole block join (split the
-  hash into d+1 blocks; any pair at distance ≤ d shares ≥ 1 block) —
-  a standard trick that replaces the cross join with an equi-join on
-  block values.
+  distance d found via the pigeonhole block join (split the hash into
+  d+1 blocks; any pair at distance ≤ d shares ≥ 1 block) — a standard
+  trick that replaces the cross join with an equi-join on block
+  values. Exact except for capped degenerate hot block groups
+  (logged, ``max_block_group``).
 - ``ngram_jaccard_pairs``: exact Jaccard via the shingle inverted
   index: pairs sharing at least one shingle, intersection counted in
   one groupBy — exact but O(pairs-sharing-a-shingle); used as the
@@ -241,13 +242,16 @@ def ngram_jaccard_pairs(
     boilerplate shingle in k docs alone yields k²/2 candidates.
 
     ``max_shingle_freq`` is the standard posting-list cap: shingles
-    appearing in more than that many documents are dropped from the
-    INDEX (candidate generation) — they carry no discriminative
-    signal, exactly like search-engine stop-postings — with a logged
-    count, never silently. Intersections still count every surviving
-    shared shingle, so pairs with at least one non-hot shared shingle
-    keep an exact-minus-hot-shingles score. ``None`` (default, the
-    oracle-parity configuration) keeps the fully exact behavior.
+    appearing in more than that many documents are dropped — they
+    carry no discriminative signal, exactly like search-engine
+    stop-postings — with a logged count, never silently. The score is
+    then the EXACT Jaccard over the hot-removed shingle universe
+    (both intersection AND per-doc sizes count surviving shingles
+    only, so two docs agreeing on all their rare shingles still score
+    1.0 no matter how much boilerplate they share). When the probe
+    finds no hot shingles the plan is identical to the exact one.
+    ``None`` (default, the oracle-parity configuration) keeps the
+    fully exact behavior.
     """
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
@@ -255,6 +259,9 @@ def ngram_jaccard_pairs(
     sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
     if max_shingle_freq is not None:
+        # persisted: the posting list feeds the probe and (when hot
+        # shingles exist) both sides of the candidate self-join
+        inv = inv.persist()
         hot = (
             inv.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -264,11 +271,15 @@ def ngram_jaccard_pairs(
         if n_hot:
             _LOG.warning(
                 "ngram jaccard: dropping %d hot shingles (doc freq > %d) "
-                "from the inverted index; affected pairs score over their "
-                "remaining shared shingles",
+                "from the inverted index; pairs score exact Jaccard over "
+                "the surviving shingle universe",
                 n_hot, max_shingle_freq,
             )
-        inv = inv.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
+            inv = inv.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
+            # sizes over SURVIVING shingles: the denominator must live
+            # in the same universe as the intersection, or scores
+            # deflate for boilerplate-heavy near-dups
+            sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
 
     inter = (
         inv.alias("l")
@@ -328,6 +339,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_block_group: int | None = 10_000,
+    log_hot_groups: bool = True,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of 32-bit SimHash.
 
@@ -344,6 +356,12 @@ def simhash_pairs(
     instead of the join going quadratic. ``None`` disables (the
     fully exact configuration; also the right choice when the corpus
     is known degenerate-free).
+
+    Same contract as minhash's cap: with ``log_hot_groups`` the
+    bounded probe action runs at build time over the cached block
+    table and — finding nothing hot, the overwhelmingly common case —
+    leaves the plan identical to the exact one. ``False`` gives a
+    fully lazy plan with the cap applied unconditionally.
     """
     nblocks = max_hamming + 1
     width = 32 // nblocks
@@ -365,6 +383,10 @@ def simhash_pairs(
             )
         ).alias("_b"),
     ).select(id_col, "simhash", "_b.block_no", "_b.block_val")
+    # persisted: the block table feeds both sides of the candidate
+    # self-join (and the hot-group probe) — without caching each
+    # consumer would recompute the 32-aggregate simhash stage
+    blocks = blocks.persist()
 
     if max_block_group is not None:
         hot = (
@@ -372,14 +394,19 @@ def simhash_pairs(
             .agg(F.count(F.lit(1)).alias("_bn"))
             .filter(F.col("_bn") > max_block_group)
         )
-        n_hot = hot.count()  # bounded: ≤ memberships/cap rows
-        if n_hot:
-            _LOG.warning(
-                "simhash: dropping %d hot block groups (> %d members) "
-                "from candidate generation; pairs may still meet via "
-                "their other blocks",
-                n_hot, max_block_group,
-            )
+        apply_filter = True
+        if log_hot_groups:
+            n_hot = hot.count()  # bounded probe over the cached blocks
+            if n_hot:
+                _LOG.warning(
+                    "simhash: dropping %d hot block groups (> %d members) "
+                    "from candidate generation; pairs may still meet via "
+                    "their other blocks",
+                    n_hot, max_block_group,
+                )
+            else:
+                apply_filter = False  # nothing hot: exact plan
+        if apply_filter:
             blocks = blocks.join(
                 F.broadcast(hot.select("block_no", "block_val")),
                 ["block_no", "block_val"],

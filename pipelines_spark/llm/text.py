@@ -162,6 +162,22 @@ def dup_word_ratio(text: Column | str) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws).cast("double")
 
 
+def doc_shingles(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+):
+    """(id_col, sh) exploded distinct-shingle postings — the shared
+    input of the boilerplate operators; persist it when feeding both."""
+    from pipelines_spark.llm.dedup import word_shingles
+
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    )
+
+
 def boilerplate_shingles(
     docs,
     *,
@@ -169,6 +185,7 @@ def boilerplate_shingles(
     text_col: str = "text",
     shingle_words: int = 3,
     max_doc_frac: float = 0.05,
+    shingles=None,
 ):
     """Corpus-frequency boilerplate detection (the C4-style "line
     occurring in many pages" rule, expressed over word shingles since
@@ -183,10 +200,8 @@ def boilerplate_shingles(
     total_memberships / (max_doc_frac · n_docs) shingles — so
     downstream consumers broadcast it like a stop-list.
     """
-    from pipelines_spark.llm.dedup import word_shingles
-
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    sh = shingles if shingles is not None else doc_shingles(
+        docs, id_col=id_col, text_col=text_col, shingle_words=shingle_words
     )
     total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     return (
@@ -205,16 +220,19 @@ def boilerplate_ratio(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_words: int = 3,
+    shingles=None,
 ):
     """Per-document fraction of shingles that are boilerplate:
     (id_col, n_shingles, n_boilerplate, boilerplate_ratio). The
     boilerplate set broadcasts (stop-list-sized); the corpus side is
     explode → broadcast semi-ish join → re-aggregate on the id — one
-    shuffle on the doc id, never a corpus self-join."""
-    from pipelines_spark.llm.dedup import word_shingles
+    shuffle on the doc id, never a corpus self-join.
 
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    Pass the SAME (ideally persisted) ``shingles`` frame given to
+    ``boilerplate_shingles`` so the corpus is tokenized once, not
+    twice — the shingle explode is the dominant cost at scale."""
+    sh = shingles if shingles is not None else doc_shingles(
+        docs, id_col=id_col, text_col=text_col, shingle_words=shingle_words
     )
     hits = sh.join(
         F.broadcast(bp.select("sh").withColumn("_bp", F.lit(1))), "sh", "left"

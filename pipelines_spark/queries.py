@@ -1176,11 +1176,18 @@ def text_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     how boilerplate-laden documents are. Inverted-index aggregation +
     broadcast stop-list join — never a corpus self-join."""
     register(spark, sf_dir, ("documents",))
-    from pipelines_spark.llm.text import boilerplate_ratio, boilerplate_shingles
+    from pipelines_spark.llm.text import (
+        boilerplate_ratio,
+        boilerplate_shingles,
+        doc_shingles,
+    )
 
     docs = spark.table("documents")
-    bp = boilerplate_shingles(docs, max_doc_frac=0.01)
-    ratios = boilerplate_ratio(docs, bp)
+    # tokenize ONCE: the same persisted posting table feeds frequency
+    # counting and per-doc scoring
+    sh = doc_shingles(docs).persist()
+    bp = boilerplate_shingles(docs, max_doc_frac=0.01, shingles=sh)
+    ratios = boilerplate_ratio(docs, bp, shingles=sh)
     return (
         docs.select("doc_id", "source")
         .join(ratios, "doc_id")

@@ -1078,6 +1078,20 @@ ORACLES: dict[str, str] = {
         WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
     """,
+    "q20_nested_in_chain": """
+        SELECT c_mktsegment, count(*) AS numcust
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                )
+                AND l_quantity > 30
+            )
+        )
+        GROUP BY c_mktsegment
+    """,
     "q17_small_quantity_revenue": """
         SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
                count(*) AS n_rows

@@ -1101,6 +1101,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_nested_in_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested IN chain: customers who ordered
+    large quantities of red parts — three levels of IN subqueries
+    that Catalyst must unnest into a chain of semi-joins (never
+    per-row subquery execution)."""
+    register(spark, sf_dir, ("customer", "orders", "lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS numcust
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                )
+                AND l_quantity > 30
+            )
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-shaped: revenue from line items whose quantity is
     below 20% of the per-part average — a CORRELATED scalar subquery
@@ -1607,4 +1631,5 @@ QUERIES = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "text_boilerplate_stats": text_boilerplate_stats,
+    "q20_nested_in_chain": q20_nested_in_chain,
 }

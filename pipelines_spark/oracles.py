@@ -1143,4 +1143,114 @@ ORACLES: dict[str, str] = {
            OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
                AND l.l_quantity BETWEEN 10 AND 50)
     """,
+    "q11_important_suppliers": """
+        SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS value
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        HAVING sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) * 100 > (
+            SELECT sum(CAST(l2.l_extendedprice * (1 - l2.l_discount) AS DECIMAL(18,6)))
+            FROM lineitem l2
+        )
+    """,
+    "q12_priority_shipping": """
+        SELECT l.l_returnflag AS returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_returnflag
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue_d
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+               CAST(round(r.total_revenue_d, 2) AS DOUBLE) AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue_d = (SELECT max(total_revenue_d) FROM revenue)
+    """,
+    "q16_part_supplier_counts": """
+        SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#15'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND ps.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "q18_large_volume_customers": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               o.o_orderdate,
+               CAST(round(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS total_price,
+               CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250
+        )
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY total_price DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "q21_waiting_suppliers": """
+        SELECT s.s_name AS supp_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, supp_name ASC
+        LIMIT 50
+    """,
+    "w7_rank_gauntlet": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
+               dense_rank()   OVER w AS drank,
+               CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS prank,
+               CAST(round(cume_dist()    OVER w, 6) AS DOUBLE) AS cdist,
+               ntile(4)       OVER w AS quartile,
+               first_value(c_custkey) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_custkey
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    "a14_cube_revenue": """
+        SELECT CAST(coalesce(year(l_shipdate), -1) AS INTEGER) AS ship_year,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
+               CAST(grouping(year(l_shipdate)) AS INTEGER)  AS g_year,
+               CAST(grouping(l_returnflag) AS INTEGER)      AS g_flag,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY CUBE (year(l_shipdate), l_returnflag)
+    """,
 }

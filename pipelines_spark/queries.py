@@ -1553,6 +1553,217 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: name → callable(spark, sf_dir) — the full inventory.
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: suppliers whose shipped value exceeds a
+    FRACTION OF THE GLOBAL TOTAL — group-agg HAVING compared against
+    an uncorrelated scalar subquery. Catalyst computes the scalar once
+    (single-row subquery broadcast into the filter), so the fact table
+    is scanned twice but never joined all-pairs. The HAVING compares
+    exact DECIMAL sums scaled by an integer (``sum*100 > total``)
+    instead of a float fraction, so the boundary cannot flip between
+    engines or partitionings. (No partsupp table in the corpus; the
+    lineitem value-per-supplier reshape keeps the identical plan
+    shape. Reference parity: aggregate-vs-global checks in
+    pipelines/utils/dump_db/tasks.py-style quality gates.)"""
+    register(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(
+        """
+        SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS value
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        HAVING sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) * 100 > (
+            SELECT sum(CAST(l2.l_extendedprice * (1 - l2.l_discount) AS DECIMAL(18,6)))
+            FROM lineitem l2
+        )
+        """
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional counts: one pass over the
+    orders⋈lineitem join classifying each line into high/low priority
+    buckets with CASE (no shipmode column in the corpus;
+    returnflag plays the GROUP BY role). Map-side partial aggregation
+    collapses the join output before the single shuffle."""
+    register(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l.l_returnflag AS returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_returnflag
+        """
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: revenue-per-supplier over a quarter, then
+    keep the supplier(s) whose revenue EQUALS the max over that same
+    aggregated view — the view is referenced twice (once for rows,
+    once for the scalar max). Equality is on the exact DECIMAL sum,
+    not the rounded double, so ties resolve identically in both
+    engines. Spark reuses the aggregated subplan via AQE/CTE-reuse
+    rather than re-scanning when beneficial."""
+    register(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue_d
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+               CAST(round(r.total_revenue_d, 2) AS DOUBLE) AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue_d = (SELECT max(total_revenue_d) FROM revenue)
+        """
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct-supplier counts per part attribute
+    bucket, EXCLUDING a NOT-IN subquery of flagged suppliers. The
+    corpus has no partsupp table, so the (partkey, suppkey) relation
+    is derived as DISTINCT pairs from lineitem — itself a dedup
+    shuffle that feeds the join. NOT IN over a provably non-null key
+    set becomes a null-safe anti-join, not a per-row scan."""
+    register(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(
+        """
+        SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#15'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND ps.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: customers with any order whose total quantity
+    exceeds a threshold — IN over a grouped-HAVING subquery on the
+    same fact table. Catalyst turns the IN into a semi-join against
+    the aggregated key set; the outer 3-way join then re-aggregates
+    per (customer, order). Ordered top-N so the result is stable."""
+    register(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               o.o_orderdate,
+               CAST(round(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS total_price,
+               CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250
+        )
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY total_price DESC, o_orderkey ASC
+        LIMIT 100
+        """
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers who were the SOLE late supplier on
+    a multi-supplier finished order — an EXISTS plus a NOT EXISTS,
+    both correlated self-joins on the same fact table. (The corpus
+    has no commit/receipt dates, so "late" is shipdate more than 60
+    days after the order date — per-line lateness correlated on the
+    outer order, preserving Q21's exists/not-exists decorrelation
+    shape.) Catalyst plans these as one semi- and one anti-join on
+    l_orderkey, never per-row subqueries."""
+    register(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT s.s_name AS supp_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, supp_name ASC
+        LIMIT 50
+        """
+    )
+
+
+def w7_rank_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function completion (SURVEY §2.7): dense_rank,
+    percent_rank, cume_dist, and ntile(4) over one window, plus
+    first/last_value with an explicit full-partition frame. The
+    ordering key includes the primary key so every function is
+    deterministic; all four ranks share ONE Window spec, so Spark
+    computes them in a single sort+window pass (one shuffle)."""
+    register(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
+               dense_rank()   OVER w AS drank,
+               CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS prank,
+               CAST(round(cume_dist()    OVER w, 6) AS DOUBLE) AS cdist,
+               ntile(4)       OVER w AS quartile,
+               first_value(c_custkey) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_custkey
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        """
+    )
+
+
+def a14_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completion (SURVEY §2.6; a12 covers ROLLUP): all four
+    grouping combinations of (year, returnflag) in one pass with
+    GROUPING() flags distinguishing data NULLs from subtotal rows.
+    Spark expands the cube map-side (Expand node) so the input is
+    read once, not once per grouping set."""
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(coalesce(year(l_shipdate), -1) AS INTEGER) AS ship_year,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
+               CAST(grouping(year(l_shipdate)) AS INTEGER)  AS g_year,
+               CAST(grouping(l_returnflag) AS INTEGER)      AS g_flag,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY CUBE (year(l_shipdate), l_returnflag)
+        """
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1632,4 +1843,12 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "text_boilerplate_stats": text_boilerplate_stats,
     "q20_nested_in_chain": q20_nested_in_chain,
+    "q11_important_suppliers": q11_important_suppliers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "w7_rank_gauntlet": w7_rank_gauntlet,
+    "a14_cube_revenue": a14_cube_revenue,
 }

@@ -138,6 +138,35 @@ _COS_NC = "sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS
 _COS_NQ = "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
 
+def _kmeans_iter(prev: str, i: int, dim: int = 64) -> str:
+    """One Lloyd iteration as chained CTEs: assign every vector to its
+    nearest ``{prev}`` centroid (rounded cosine, cell-asc ties), then
+    recompute per-cell elementwise means over 1e-10 floor-quantized
+    components — exact HUGEINT sums, so the means are bit-identical
+    to the Spark side's DECIMAL(38,0) path (llm/similarity.kmeans_train)."""
+    return f"""r{i} AS (
+            SELECT q.vec_id, c.cell, q.qv,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) DESC,
+                                c.cell ASC) AS rn
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings) q
+            CROSS JOIN {prev} c
+        ), sums{i} AS (
+            SELECT cell, idx, count(*) AS n,
+                   sum(CAST(floor(CAST(v AS DOUBLE) * 1e10) AS HUGEINT)) AS s
+            FROM (SELECT cell, unnest(qv) AS v,
+                         unnest(range(1, {dim + 1})) AS idx
+                  FROM r{i} WHERE rn = 1)
+            GROUP BY cell, idx
+        ), cent{i} AS (
+            SELECT c0.cell, coalesce(m.mv, c0.cv) AS cv
+            FROM {prev} c0 LEFT JOIN (
+                SELECT cell, list(CAST(s AS DOUBLE) / n / 1e10 ORDER BY idx) AS mv
+                FROM sums{i} GROUP BY cell
+            ) m ON m.cell = c0.cell
+        )"""
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1252,5 +1281,47 @@ ORACLES: dict[str, str] = {
                count(*) AS n_lines
         FROM lineitem
         GROUP BY CUBE (year(l_shipdate), l_returnflag)
+    """,
+    # Full replay of 2 deterministic Lloyd iterations (init = hash-
+    # ordered LIMIT k, exact quantized-integer means), then the IVF
+    # probe over the trained centroids — mirrors
+    # llm/similarity.kmeans_train + ivf_kmeans_topk arithmetic.
+    "embed_ivf_kmeans": f"""
+        WITH cent0 AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 8
+        ), {_kmeans_iter('cent0', 1)}, {_kmeans_iter('cent1', 2)},
+        ranked AS (
+            SELECT q.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) DESC,
+                                c.cell ASC) AS cr
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings) q
+            CROSS JOIN cent2 c
+        ), corpus_cell AS (
+            SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cr = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cell
+            FROM ranked WHERE cr <= 2 AND vec_id < 10
+        ), scored AS (
+            SELECT p.query_id, cc.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM probes p
+            JOIN corpus_cell cc ON p.cell = cc.cell
+            JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+                 ON c.vec_id = cc.neighbor_id
+            JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+                 ON q.vec_id = p.query_id
+            WHERE cc.neighbor_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
     """,
 }

@@ -31,7 +31,12 @@ from pipelines_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from pipelines_spark.llm.similarity import brute_force_topk, ivf_topk, srp_bucketed_topk
+from pipelines_spark.llm.similarity import (
+    brute_force_topk,
+    ivf_kmeans_topk,
+    ivf_topk,
+    srp_bucketed_topk,
+)
 from pipelines_spark.llm.text import (
     document_fingerprint,
     language_id,
@@ -1072,6 +1077,21 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def embed_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED centroids: 2 Lloyd's iterations of
+    deterministic k-means (hash-ordered init, floor-quantized exact
+    integer means — see ``kmeans_train``), then the same map-only
+    assign / broadcast-probe / cell-equi-join plan as ``embed_ivf_ann``.
+    The full training loop is oracle-checked: the DuckDB side replays
+    both iterations in chained CTEs over the identical arithmetic."""
+    register(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id",
+        vec_col="embedding", k=5, n_centroids=8, iters=2, nprobe=2,
+    ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (llm/sampling.py): assignment
     is a pure function of md5(doc_id), so it is reproducible across
@@ -1851,4 +1871,5 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "w7_rank_gauntlet": w7_rank_gauntlet,
     "a14_cube_revenue": a14_cube_revenue,
+    "embed_ivf_kmeans": embed_ivf_kmeans,
 }

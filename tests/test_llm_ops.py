@@ -317,6 +317,44 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_medium):
     assert recall >= 0.3, recall
 
 
+def test_kmeans_train_deterministic_and_moves_centroids(spark, sf_medium):
+    import numpy as np
+
+    from pipelines_spark.llm.similarity import kmeans_train
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    c1 = kmeans_train(emb, k=8, iters=2)
+    c2 = kmeans_train(emb, k=8, iters=2)
+    # bit-identical across runs/partitionings (exact integer means)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 64)
+    # training actually moved the centroids off the init sample
+    init = kmeans_train(emb, k=8, iters=0)
+    assert not np.array_equal(c1, init)
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_medium):
+    from pipelines_spark.llm.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_kmeans_topk(
+            emb, queries, k=5, n_centroids=8, iters=2, nprobe=2
+        ).collect()
+    }
+    assert len(approx) == len(exact)
+    # trained cells with nprobe=2 of 8 must at least match the
+    # untrained sample's recall floor
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
+
+
 def test_audio_windowing_shape(spark):
     from pipelines_spark.llm.multimodal import extract_audio_features
 

@@ -58,6 +58,43 @@ def assign_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str] | tuple[str, ...],
+    *,
+    cap: int,
+    salt: str = "",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling toward ``cap`` rows per
+    stratum (language/source balancing for training mixes): stratum
+    rate = min(1, cap / stratum_count), and a row survives iff its
+    salted id hash-bucket falls below ``floor(rate * buckets)``.
+
+    Scale shape: one map-side-combinable count per stratum (strata
+    are few — languages, sources), broadcast back onto the corpus,
+    then a map-only filter. No repartition, no per-stratum limit/sort
+    (a LIMIT-per-group would funnel each stratum through one
+    reducer). Rates are derived from exact integer counts and IEEE
+    division, so the kept set is engine- and partitioning-independent;
+    the kept count is binomial around the cap, not exactly the cap —
+    the price of a shuffle-free, growth-stable design (each row's
+    fate never depends on other rows' hashes).
+    """
+    strata = list(strata_cols)
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_stratum_n"))
+    thresh = F.floor(
+        F.least(F.lit(1.0), F.lit(float(cap)) / F.col("_stratum_n"))
+        * F.lit(buckets)
+    ).cast("long")
+    return (
+        df.join(F.broadcast(counts.withColumn("_thresh", thresh)), strata)
+        .filter(hash_bucket(id_col, buckets=buckets, salt=salt) < F.col("_thresh"))
+        .drop("_stratum_n", "_thresh")
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     id_col: str,

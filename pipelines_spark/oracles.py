@@ -1282,6 +1282,72 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY CUBE (year(l_shipdate), l_returnflag)
     """,
+    # Mirrors llm/sampling.stratified_sample: per-stratum rate
+    # min(1, cap/n), salted md5 hex fold (same as sample_split_counts)
+    # mod 1e6 against floor(rate*1e6).
+    "sample_stratified_counts": """
+        WITH cnt AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ), th AS (
+            SELECT lang,
+                   CAST(floor(least(1.0, 120.0 / n) * 1000000) AS BIGINT) AS thresh
+            FROM cnt
+        ), b AS (
+            SELECT lang,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) % 1000000 AS bucket
+            FROM documents
+        )
+        SELECT b.lang, count(*) AS n_kept
+        FROM b JOIN th USING (lang)
+        WHERE b.bucket < th.thresh
+        GROUP BY b.lang
+    """,
+    # Mirrors llm/search.bm25_topk: Lucene-variant idf, k1=1.2 b=0.75,
+    # per-term contribution rounded to 6 then summed as DECIMAL.
+    "text_bm25_search": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tok_ne AS (
+            SELECT * FROM tok WHERE term <> ''
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tok_ne GROUP BY doc_id
+        ), totals AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok_ne WHERE term IN ('hash', 'join', 'window')
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), contrib AS (
+            SELECT t.doc_id,
+                   CAST(round(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                   6) AS DECIMAL(18,6)) AS c
+            FROM tf t
+            JOIN df USING (term)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN totals
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(round(sum(c), 4) AS DOUBLE) AS score,
+                   count(*) AS n_terms_hit
+            FROM contrib GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        )
+        SELECT doc_id, score, n_terms_hit,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+    """,
     # Full replay of 2 deterministic Lloyd iterations (init = hash-
     # ordered LIMIT k, exact quantized-integer means), then the IVF
     # probe over the trained centroids — mirrors

@@ -1077,6 +1077,33 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic downsampling toward a
+    cap (llm/sampling.stratified_sample): broadcast per-stratum rates,
+    map-only salted-hash filter — no per-group limit funnel."""
+    from pipelines_spark.llm.sampling import stratified_sample
+
+    register(spark, sf_dir, ("documents",))
+    kept = stratified_sample(
+        spark.table("documents"), "doc_id", ["lang"], cap=120, salt="strat"
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval for a literal query over the
+    documents table (llm/search.py): the exploded token stream is
+    filtered to the broadcast query terms BEFORE any shuffle, corpus
+    stats reduce to one broadcast row, per-term scores round-then-
+    DECIMAL-sum for order independence."""
+    from pipelines_spark.llm.search import bm25_topk
+
+    register(spark, sf_dir, ("documents",))
+    return bm25_topk(
+        spark.table("documents"), ("hash", "join", "window"), k=10
+    )
+
+
 def embed_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over TRAINED centroids: 2 Lloyd's iterations of
     deterministic k-means (hash-ordered init, floor-quantized exact
@@ -1872,4 +1899,6 @@ QUERIES = {
     "w7_rank_gauntlet": w7_rank_gauntlet,
     "a14_cube_revenue": a14_cube_revenue,
     "embed_ivf_kmeans": embed_ivf_kmeans,
+    "text_bm25_search": text_bm25_search,
+    "sample_stratified_counts": sample_stratified_counts,
 }

@@ -495,6 +495,41 @@ def test_deterministic_sampling_stability(spark):
     assert sum(got.values()) == 1000 and set(got) == {"train", "val", "test"}
     assert got["train"] > got["val"] and got["train"] > got["test"]
 
+def test_stratified_sample_caps_only_oversized_strata(spark):
+    from pipelines_spark.llm.sampling import stratified_sample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(df, "doc_id", ["lang"], cap=100, salt="t")
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang["small"] == 100          # under cap: kept whole
+    assert 60 <= by_lang["big"] <= 140      # binomial around the cap
+    # reproducible
+    kept2 = stratified_sample(df, "doc_id", ["lang"], cap=100, salt="t")
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in kept2.collect()
+    }
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from pipelines_spark.llm.search import bm25_topk
+
+    rows = [
+        (0, "join join join filter scan"),
+        (1, "join filter scan scan scan scan scan scan"),
+        (2, "filter scan order group sort"),
+        (3, "join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, ("join",), k=3).collect()
+    # tf saturation: tf=3 (doc 0) outranks the short tf=1 doc 3;
+    # the long tf=1 doc 1 ranks below both (length normalization)
+    assert [r["doc_id"] for r in got] == [0, 3, 1]
+    assert got[0]["rank"] == 1
+    assert all(r["n_terms_hit"] == 1 for r in got)
+
+
 def test_boilerplate_detection_planted_phrase(spark):
     """A phrase planted in most docs is flagged as boilerplate; docs
     carrying it score a high ratio, clean docs score zero."""

@@ -210,6 +210,68 @@ def test_streaming_tumbling_window_agg(spark, tmp_path):
     assert all(ws != 30 for ws, _, _ in got)
 
 
+def test_stream_stream_join_bounded_skew(spark, tmp_path):
+    """Stream-stream inner join: matches only within the ±skew
+    window, both sides watermarked so join state is evictable."""
+    import datetime as dt
+
+    from pipelines_spark.streaming.joins import stream_stream_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left_rows = [(1, base, 10.0), (2, base + dt.timedelta(minutes=5), 20.0)]
+    # k=1 payment inside the 15-min window; k=2 payment 40 min later
+    # — outside the bound, must NOT join
+    right_rows = [
+        (1, base + dt.timedelta(minutes=10), 99.0),
+        (2, base + dt.timedelta(minutes=45), 77.0),
+    ]
+    lsrc, rsrc = tmp_path / "ss_l", tmp_path / "ss_r"
+    lsrc.mkdir(), rsrc.mkdir()
+    spark.createDataFrame(left_rows, "k long, l_ts timestamp, v double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(lsrc))
+    spark.createDataFrame(right_rows, "k long, r_ts timestamp, p double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(rsrc))
+
+    lstream = spark.readStream.schema("k long, l_ts timestamp, v double").parquet(
+        str(lsrc)
+    )
+    rstream = spark.readStream.schema("k long, r_ts timestamp, p double").parquet(
+        str(rsrc)
+    )
+    joined = stream_stream_join(
+        lstream, rstream, keys=["k"], left_ts="l_ts", right_ts="r_ts",
+        watermark="5 minutes", max_skew="15 minutes",
+    ).select("k", "v", "p")
+    out = str(tmp_path / "ss_out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"], r["p"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 10.0, 99.0)}
+
+
+def test_stream_stream_join_rejects_unbounded(spark):
+    import pytest as _pytest
+
+    from pipelines_spark.streaming.joins import stream_stream_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.current_timestamp().alias("ts")
+    )
+    with _pytest.raises(ValueError, match="distinct column names"):
+        stream_stream_join(
+            df, df, keys=["k"], left_ts="ts", right_ts="ts"
+        )
+
+
 def test_streaming_late_rows_dropped_across_restarts(spark, tmp_path):
     """T3/T5 semantics across micro-batch runs: the watermark persists
     in the checkpoint, a row arriving behind it in a later run is

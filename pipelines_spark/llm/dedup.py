@@ -492,21 +492,18 @@ def connected_components(
     Only nodes that appear in ``pairs`` are labeled (singletons carry
     no dedup information).
     """
-    nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .union(pairs.select(F.col(b_col).alias("node")))
-        .distinct()
-    )
     edges = (
         pairs.select(
             F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def checksum(e: DataFrame) -> tuple:
+        # this action also materializes e's LAZY localCheckpoint —
+        # one pass per round instead of eager-checkpoint + checksum
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # no ANSI sum overflow
@@ -514,8 +511,16 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = checksum(edges)
+    # nodes derived from the CHECKPOINTED edge list (pair generation —
+    # e.g. the whole MinHash-LSH pipeline — must not recompute for the
+    # node set; pairs never contain self-loops, so the node sets match)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = checksum(edges)
         if cur == prev:  # stars: every non-root points at its component min
             break

@@ -72,7 +72,9 @@ def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
     banned everywhere; Arrow-batched Python (ArrowEvalPython) is
     allowed only where a numpy/codec kernel is the design
     (IVF centroid assignment)."""
-    arrow_allowed = {"embed_ivf_ann"}
+    # the two IVF variants assign cells via one numpy matmul per
+    # Arrow batch — the documented exception to the no-Python rule
+    arrow_allowed = {"embed_ivf_ann", "embed_ivf_kmeans"}
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, sf_medium))
         assert "BatchEvalPython" not in plan, name

@@ -79,6 +79,22 @@ def bench_dump_pipeline(spark, sf_dir: str, out_dir: str) -> None:
     )
 
 
+#: round-3 additions timed under their own key so the 32-entry
+#: headline metric stays comparable round-over-round
+EXTENDED = [
+    "q11_important_suppliers",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "w7_rank_gauntlet",
+    "a14_cube_revenue",
+    "embed_ivf_kmeans",
+    "text_bm25_search",
+    "sample_stratified_counts",
+]
+
+
 #: queries re-run on the replicated corpus; ratios near n_copies mean
 #: linear scaling, >> n_copies flags a super-linear operator
 SCALE_PROBE_QUERIES = [
@@ -160,12 +176,22 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["dump_pipeline"] = round(best, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        extended[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": sf,
     }
     # 10x-replication headroom probe — separate key so the headline

@@ -1282,6 +1282,28 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY CUBE (year(l_shipdate), l_returnflag)
     """,
+    # Mirrors llm/chunking.chunk_documents: stride=48, chunk=64,
+    # n_chunks = max(1, ceil((n-16)/48)), window i = tokens
+    # [i*48, i*48+64) clamped — md5 over the space-joined slice.
+    "text_chunk_windows": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, tk,
+                   greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS INTEGER)) AS n_chunks
+            FROM toks
+        ), chunks AS (
+            SELECT doc_id, tk, unnest(range(0, n_chunks)) AS chunk_id
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_hash
+        FROM chunks
+    """,
     # Mirrors llm/sampling.stratified_sample: per-stratum rate
     # min(1, cap/n), salted md5 hex fold (same as sample_split_counts)
     # mod 1e6 against floor(rate*1e6).

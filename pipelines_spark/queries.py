@@ -1100,6 +1100,22 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training-window chunking (llm/chunking.py):
+    map-only split → sequence → explode → slice, fingerprinted per
+    chunk so the oracle pins exact window boundaries and overlap."""
+    from pipelines_spark.llm.chunking import chunk_documents
+
+    register(spark, sf_dir, ("documents",))
+    chunks = chunk_documents(
+        spark.table("documents"), chunk_tokens=64, overlap=16
+    )
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
 def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-language) deterministic downsampling toward a
     cap (llm/sampling.stratified_sample): broadcast per-stratum rates,
@@ -1924,4 +1940,5 @@ QUERIES = {
     "embed_ivf_kmeans": embed_ivf_kmeans,
     "text_bm25_search": text_bm25_search,
     "sample_stratified_counts": sample_stratified_counts,
+    "text_chunk_windows": text_chunk_windows,
 }

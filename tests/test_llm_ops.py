@@ -530,6 +530,26 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert all(r["n_terms_hit"] == 1 for r in got)
 
 
+def test_chunk_documents_overlap_and_edges(spark):
+    from pipelines_spark.llm.chunking import chunk_documents
+
+    long_doc = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    rows = [(0, long_doc), (1, "a b c"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 tokens, stride 48: ceil((100-16)/48) = 2 chunks
+    c0, c1 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert (c0["n_tokens"], c1["n_tokens"]) == (64, 52)  # 48..99
+    t0, t1 = c0["chunk_text"].split(" "), c1["chunk_text"].split(" ")
+    assert t1[0] == "t48" and t0[48:] == t1[:16]  # 16-token overlap
+    # short and empty docs still yield exactly one chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 0
+
+
 def test_boilerplate_detection_planted_phrase(spark):
     """A phrase planted in most docs is flagged as boilerplate; docs
     carrying it score a high ratio, clean docs score zero."""

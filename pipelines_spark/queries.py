@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pipelines_spark.functions.datetime_ops import derive_partition_columns
 from pipelines_spark.functions.json_ops import nest_payload
@@ -49,6 +50,21 @@ from pipelines_spark.operators.dedup import last_row_per_key
 from pipelines_spark.operators.joins import asof_join, knn_join
 from pipelines_spark.operators.spine import find_gaps, time_spine
 
+def _epoch_us(col: str):
+    """Naive epoch microseconds for a TIMESTAMP_NTZ column.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ, and casting NTZ → LTZ first
+    would make the value depend on the session time zone. NTZ-to-NTZ
+    ``timestampdiff`` is pure wall-clock arithmetic — deterministic on
+    any driver session, and identical to DuckDB's ``epoch_us`` over its
+    (naive) TIMESTAMP.
+    """
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"CAST({col} AS TIMESTAMP_NTZ))"
+    )
+
+
 ALL_TABLES = (
     "region",
     "nation",
@@ -66,19 +82,26 @@ ALL_TABLES = (
 def register(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register sf_dir tables as temp views.
 
-    ``events`` carries nanosecond parquet timestamps, which Spark's
-    vectorized reader rejects; read them as long
-    (spark.sql.legacy.parquet.nanosAsLong) and floor-convert to
-    microseconds — the same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP, so both engines see identical values.
+    ``events.ts`` is schema-adaptive: generator versions that write
+    nanosecond parquet timestamps are read as long
+    (spark.sql.legacy.parquet.nanosAsLong — Spark's vectorized reader
+    rejects TIMESTAMP_NS) and floor-converted to microseconds, the
+    same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP;
+    generator versions that write native µs timestamps pass through
+    untouched. Both engines see identical values either way.
     """
     parallelism = spark.sparkContext.defaultParallelism
     for t in tables:
         if t == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                # legacy nanos-as-long data: floor to µs, then cast to
+                # NTZ so ts has the same type as current-generator data
+                df = df.withColumn(
+                    "ts",
+                    F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
+                )
         else:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t in ("documents", "embeddings"):
@@ -965,7 +988,7 @@ def w5_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events").select(
         "event_type",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("_us"),
+        _epoch_us("ts").alias("_us"),
         "event_id",
     )
     w = Window.partitionBy("user_id").orderBy("_us", "event_id")
@@ -988,7 +1011,7 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark, sf_dir, ("events",))
     gap_us = 30 * 60 * 1_000_000
     ev = spark.table("events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("_us"), "event_id"
+        "user_id", _epoch_us("ts").alias("_us"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("_us", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1075,7 +1098,7 @@ def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("asof_purchase_value").alias("n_matched"),
         F.round(
-            F.sum(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_pts"))).cast("double")
+            F.sum(_epoch_us("ts") - _epoch_us("asof_pts")).cast("double")
             / F.count("asof_pts")
             / F.lit(1_000_000.0),
             2,

@@ -1412,4 +1412,80 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rn <= 5
     """,
+    # SCD2 history merge replayed in SQL: bootstrap from the 1996
+    # snapshot, then two full-outer-join merge rounds (1997, 1998)
+    # mirroring operators/scd.py row fates exactly (IS NOT DISTINCT
+    # FROM = eqNullSafe; close_deleted=true; closed rows pass through
+    # the second merge untouched).
+    "scd2_order_history": """
+        WITH snap0 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        ),
+        hist0 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   TIMESTAMP '1996-01-01' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to,
+                   TRUE AS is_current
+            FROM snap0
+        ),
+        snap1 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 11 <> 0
+        ),
+        j1 AS (
+            SELECT h.o_orderkey AS hk, s.o_orderkey AS sk,
+                   h.o_orderstatus AS h_st, h.o_totalprice AS h_tp,
+                   h.valid_from AS h_vf, h.valid_to AS h_vt,
+                   s.o_orderstatus AS s_st, s.o_totalprice AS s_tp,
+                   (s.o_orderkey IS NOT NULL
+                    AND h.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+                    AND h.o_totalprice  IS NOT DISTINCT FROM s.o_totalprice) AS same
+            FROM (SELECT * FROM hist0 WHERE is_current) h
+            FULL OUTER JOIN snap1 s ON h.o_orderkey = s.o_orderkey
+        ),
+        hist1 AS (
+            SELECT hk AS o_orderkey, h_st AS o_orderstatus, h_tp AS o_totalprice,
+                   h_vf AS valid_from,
+                   CASE WHEN same THEN h_vt ELSE TIMESTAMP '1997-01-01' END AS valid_to,
+                   same AS is_current
+            FROM j1 WHERE hk IS NOT NULL
+            UNION ALL
+            SELECT sk, s_st, s_tp, TIMESTAMP '1997-01-01',
+                   CAST(NULL AS TIMESTAMP), TRUE
+            FROM j1 WHERE sk IS NOT NULL AND NOT same
+        ),
+        snap2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'O' ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 13 <> 0
+        ),
+        j2 AS (
+            SELECT h.o_orderkey AS hk, s.o_orderkey AS sk,
+                   h.o_orderstatus AS h_st, h.o_totalprice AS h_tp,
+                   h.valid_from AS h_vf, h.valid_to AS h_vt,
+                   s.o_orderstatus AS s_st, s.o_totalprice AS s_tp,
+                   (s.o_orderkey IS NOT NULL
+                    AND h.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+                    AND h.o_totalprice  IS NOT DISTINCT FROM s.o_totalprice) AS same
+            FROM (SELECT * FROM hist1 WHERE is_current) h
+            FULL OUTER JOIN snap2 s ON h.o_orderkey = s.o_orderkey
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, valid_to, is_current
+        FROM hist1 WHERE NOT is_current
+        UNION ALL
+        SELECT hk, h_st, h_tp, h_vf,
+               CASE WHEN same THEN h_vt ELSE TIMESTAMP '1998-01-01' END,
+               same
+        FROM j2 WHERE hk IS NOT NULL
+        UNION ALL
+        SELECT sk, s_st, s_tp, TIMESTAMP '1998-01-01',
+               CAST(NULL AS TIMESTAMP), TRUE
+        FROM j2 WHERE sk IS NOT NULL AND NOT same
+    """,
 }

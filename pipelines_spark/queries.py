@@ -1873,6 +1873,58 @@ def a14_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history merge (operators/scd.py): bootstrap a
+    versioned order-state history from a 1996 snapshot, then fold in
+    the 1997 and 1998 snapshots. The synthetic snapshot mutations
+    exercise every row fate — unchanged pass-through, value change
+    (close + new version), key deletion (close), brand-new key
+    (insert), and a deleted key reappearing (closed row passes
+    through + fresh open row). Each merge is one full-outer equi-join
+    on the business key; closed rows never re-enter the join."""
+    from pipelines_spark.operators.scd import scd2_init, scd2_merge
+
+    register(spark, sf_dir, ("orders",))
+    o = spark.table("orders")
+
+    def snap(cutoff: str, status_mod: int, status_val: str, price_mod: int, del_mod: int) -> DataFrame:
+        s = o.filter(F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ'{cutoff}'"))
+        if del_mod:
+            s = s.filter(F.col("o_orderkey") % del_mod != 0)
+        return s.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % status_mod == 0, F.lit(status_val))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("o_orderkey") % price_mod == 0, F.col("o_totalprice") + 10.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+
+    t = lambda d: F.expr(f"TIMESTAMP_NTZ'{d} 00:00:00'")  # noqa: E731
+    hist = scd2_init(
+        o.filter(F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ'1996-01-01'")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        effective_ts=t("1996-01-01"),
+    )
+    hist = scd2_merge(
+        hist,
+        snap("1997-01-01", 5, "F", 7, 11),
+        keys=["o_orderkey"],
+        track_cols=["o_orderstatus", "o_totalprice"],
+        effective_ts=t("1997-01-01"),
+    )
+    hist = scd2_merge(
+        hist,
+        snap("1998-01-01", 3, "O", 2, 13),
+        keys=["o_orderkey"],
+        track_cols=["o_orderstatus", "o_totalprice"],
+        effective_ts=t("1998-01-01"),
+    )
+    return hist
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1964,4 +2016,5 @@ QUERIES = {
     "text_bm25_search": text_bm25_search,
     "sample_stratified_counts": sample_stratified_counts,
     "text_chunk_windows": text_chunk_windows,
+    "scd2_order_history": scd2_order_history,
 }

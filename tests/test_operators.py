@@ -156,3 +156,77 @@ def test_asof_join_null_right_values_come_from_one_row(spark):
     # must be that exact row, not (100.0, 'new')
     assert row["asof_label"] == "new"
     assert row["asof_v"] is None
+
+
+def _scd2_rows(df):
+    return {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_merge_row_fates(spark):
+    from pipelines_spark.operators.scd import scd2_init, scd2_merge
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    ntz = "k long, v string"
+    snap0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], ntz
+    )
+    hist = scd2_init(snap0, effective_ts=F.expr("TIMESTAMP_NTZ'2024-01-01'"))
+    # 1 unchanged, 2 changed, 3 unchanged (NULL==NULL null-safely),
+    # 4 brand new, and... nothing deleted yet
+    snap1 = spark.createDataFrame([(1, "a"), (2, "B"), (3, None), (4, "d")], ntz)
+    hist1 = scd2_merge(
+        hist, snap1, keys=["k"], track_cols=["v"],
+        effective_ts=F.expr("TIMESTAMP_NTZ'2024-02-01'"),
+    )
+    assert _scd2_rows(hist1) == {
+        (1, "a", t0, None, True),
+        (2, "b", t0, t1, False),
+        (2, "B", t1, None, True),
+        (3, None, t0, None, True),
+        (4, "d", t1, None, True),
+    }
+    # idempotence: re-applying the same snapshot changes nothing
+    hist1b = scd2_merge(
+        hist1, snap1, keys=["k"], track_cols=["v"],
+        effective_ts=F.expr("TIMESTAMP_NTZ'2024-03-01'"),
+    )
+    assert _scd2_rows(hist1b) == _scd2_rows(hist1)
+
+
+def test_scd2_merge_delete_and_reinsert(spark):
+    from pyspark.sql import functions as F2
+    from pipelines_spark.operators.scd import scd2_init, scd2_merge
+
+    t0, t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1), datetime(2024, 3, 1)
+    hist = scd2_init(
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        effective_ts=F2.expr("TIMESTAMP_NTZ'2024-01-01'"),
+    )
+    gone = spark.createDataFrame([], "k long, v string")
+    closed = scd2_merge(
+        hist, gone, keys=["k"], track_cols=["v"],
+        effective_ts=F2.expr("TIMESTAMP_NTZ'2024-02-01'"),
+    )
+    assert _scd2_rows(closed) == {(1, "a", t0, t1, False)}
+    # close_deleted=False keeps the key open instead
+    kept = scd2_merge(
+        hist, gone, keys=["k"], track_cols=["v"],
+        effective_ts=F2.expr("TIMESTAMP_NTZ'2024-02-01'"),
+        close_deleted=False,
+    )
+    assert _scd2_rows(kept) == {(1, "a", t0, None, True)}
+    # the key reappearing after closure: closed row passes through,
+    # fresh open row inserted
+    back = scd2_merge(
+        closed,
+        spark.createDataFrame([(1, "a2")], "k long, v string"),
+        keys=["k"], track_cols=["v"],
+        effective_ts=F2.expr("TIMESTAMP_NTZ'2024-03-01'"),
+    )
+    assert _scd2_rows(back) == {
+        (1, "a", t0, t1, False),
+        (1, "a2", t2, None, True),
+    }

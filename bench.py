@@ -92,6 +92,7 @@ EXTENDED = [
     "embed_ivf_kmeans",
     "text_bm25_search",
     "sample_stratified_counts",
+    "scd2_order_history",
 ]
 
 

@@ -57,6 +57,82 @@ def write_partitioned(
     writer.save(path)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+    *,
+    file_format: str = "parquet",
+) -> dict[str, int]:
+    """Delta-style MERGE (matched → replace row, unmatched → insert)
+    on a plain Hive-partitioned lake table, touching ONLY the
+    partitions present in ``updates``.
+
+    The reference's incremental dumps re-upload whole partitions
+    (pipelines/utils/dump_db/tasks.py:401-435); this keys the replace
+    at row grain while keeping the partition-level I/O contract:
+
+    1. the affected partition combos are collected (bounded by the
+       number of touched partitions, never row count) and turned into
+       a static pruning predicate — the existing-table scan reads
+       only those partitions;
+    2. survivors = existing rows of those partitions whose key is NOT
+       in ``updates`` (left-anti join);
+    3. survivors ∪ updates is staged under ``_tmp_merge/``
+       (underscore-prefixed: invisible to concurrent scans) — never
+       read-and-overwrite the same files in one lazy job;
+    4. the staged partitions replace the live ones via dynamic
+       partition overwrite; untouched partitions stay byte-identical.
+
+    ``updates`` must carry the full table schema (data + partition
+    columns). Rows may move between partitions only if the OLD
+    partition also appears in ``updates`` (otherwise the stale copy
+    survives — same contract as Hive dynamic overwrite).
+
+    Returns ``{"partitions_touched": n, "rows_upserted": m}``.
+    """
+    import shutil
+
+    existing = spark.read.format(file_format).load(path)
+    if set(existing.columns) != set(updates.columns):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} != table schema "
+            f"{sorted(existing.columns)}"
+        )
+    combos = updates.select(*partition_cols).distinct().collect()
+    pred = F.lit(False)
+    for row in combos:
+        clause = F.lit(True)
+        for c in partition_cols:
+            clause = clause & F.col(c).eqNullSafe(F.lit(row[c]))
+        pred = pred | clause
+    survivors = (
+        existing.filter(pred)
+        .join(updates.select(*keys).distinct(), keys, "left_anti")
+        .select(*updates.columns)
+    )
+    merged = survivors.unionByName(updates)
+
+    tmp = f"{path.rstrip('/')}/_tmp_merge"
+    write_partitioned(merged, tmp, partition_cols, mode="overwrite", file_format=file_format)
+    try:
+        # explicit schema: partition-dir values must cast back to the
+        # table's types, not re-inferred ones
+        staged = (
+            spark.read.format(file_format).schema(merged.schema).load(tmp)
+        )
+        write_partitioned(
+            staged, path, partition_cols,
+            mode="overwrite_partitions", file_format=file_format,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_rows = updates.count()
+    return {"partitions_touched": len(combos), "rows_upserted": n_rows}
+
+
 def create_staging_table(
     spark: SparkSession,
     name: str,

@@ -72,3 +72,55 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.filter("data = '2024-01-01'").count() == 6
     assert sorted(r["v"] for r in got.collect()) == [0, 1, 2, 3, 4, 5, 99]
+
+
+def test_merge_upsert_row_grain_partition_io(spark, tmp_path):
+    from pipelines_spark.sinks.partitioned import merge_upsert
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 1995), (2, "b", 1995), (3, "c", 1996), (4, "d", 1996)],
+        "id long, v string, year int",
+    )
+    write_partitioned(base, path, ["year"], mode="overwrite")
+
+    def file_state(year):
+        d = os.path.join(path, f"year={year}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    untouched_before = file_state(1995)
+
+    updates = spark.createDataFrame(
+        # update id=3 in 1996, insert id=5 into 1996, open year=1997
+        [(3, "C2", 1996), (5, "e", 1996), (6, "f", 1997)],
+        "id long, v string, year int",
+    )
+    stats = merge_upsert(spark, path, updates, ["id"], ["year"])
+    assert stats == {"partitions_touched": 2, "rows_upserted": 3}
+
+    # partition columns read back as string: the session disables
+    # partitionColumnTypeInference (all-string staging contract)
+    out = {
+        (r["id"], r["v"], r["year"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert out == {
+        (1, "a", "1995"), (2, "b", "1995"),      # partition not touched
+        (3, "C2", "1996"), (4, "d", "1996"), (5, "e", "1996"),  # update+survivor+insert
+        (6, "f", "1997"),                         # new partition
+    }
+    # the 1995 partition was never rewritten — same files, bytes, mtimes
+    assert file_state(1995) == untouched_before
+    # staging dir cleaned up
+    assert not os.path.exists(os.path.join(path, "_tmp_merge"))
+
+    # idempotence: re-applying the same updates yields the same table
+    merge_upsert(spark, path, updates, ["id"], ["year"])
+    out2 = {
+        (r["id"], r["v"], r["year"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert out2 == out

@@ -334,3 +334,44 @@ def test_streaming_late_rows_dropped_across_restarts(spark, tmp_path):
     assert by_min[10] == [(1, 4.0)]
     # the late row's value appears nowhere in the output
     assert all(sv != 100.0 and sv != 103.0 for pairs in by_min.values() for _, sv in pairs)
+
+
+def test_cdc_upsert_stream_folds_batches_into_lake(spark, tmp_path):
+    from pipelines_spark.streaming.cdc import run_cdc_upsert_stream
+
+    src = str(tmp_path / "cdc_src")
+    lake = str(tmp_path / "cdc_lake")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "id long, v string, seq long, year string"
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        q = run_cdc_upsert_stream(
+            spark.readStream.schema(schema).parquet(src),
+            keys=["id"],
+            order_col="seq",
+            path=lake,
+            partition_cols=["year"],
+            checkpoint_path=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # batch 1 bootstraps the table; id=1 appears twice — only its
+    # newest version (seq 2) lands
+    emit([(1, "a0", 1, "1995"), (1, "a1", 2, "1995"), (2, "b", 1, "1996")])
+    run_once()
+    t1 = {(r["id"], r["v"], r["year"]) for r in spark.read.parquet(lake).collect()}
+    assert t1 == {(1, "a1", "1995"), (2, "b", "1996")}
+
+    # batch 2: update id=2, insert id=3 in a new partition; id=1's
+    # partition is untouched
+    before = sorted(os.listdir(os.path.join(lake, "year=1995")))
+    emit([(2, "b2", 2, "1996"), (3, "c", 1, "1997")])
+    run_once()
+    t2 = {(r["id"], r["v"], r["year"]) for r in spark.read.parquet(lake).collect()}
+    assert t2 == {(1, "a1", "1995"), (2, "b2", "1996"), (3, "c", "1997")}
+    assert sorted(os.listdir(os.path.join(lake, "year=1995"))) == before

@@ -56,8 +56,13 @@ def run_cdc_upsert_stream(
         spark = batch_df.sparkSession
         try:
             merge_upsert(spark, path, latest, keys, partition_cols)
-        except AnalysisException:
-            # table does not exist yet (PATH_NOT_FOUND): bootstrap it
+        except AnalysisException as e:
+            # bootstrap ONLY when the table doesn't exist yet; any
+            # other analysis error (schema drift, bad columns) must
+            # surface, not silently degrade into an append
+            cond = getattr(e, "getCondition", lambda: None)() or ""
+            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
+                raise
             write_partitioned(latest, path, partition_cols, mode="append")
 
     writer = source.writeStream.foreachBatch(apply_batch).option(

@@ -93,6 +93,7 @@ EXTENDED = [
     "text_bm25_search",
     "sample_stratified_counts",
     "scd2_order_history",
+    "text_chunk_windows",
 ]
 
 

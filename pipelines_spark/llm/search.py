@@ -49,9 +49,24 @@ def bm25_topk(
     Lucene variant); ``tf`` saturates with ``k1`` and normalizes by
     ``dl / avgdl`` with slope ``b``. Documents matching no query term
     are excluded (zero-score rows never pad the top-k). Ties break on
-    ascending doc id.
+    ascending doc id. Duplicate query terms collapse to one
+    contribution (a term scores once however often the caller repeats
+    it); an empty query returns an empty result.
     """
-    terms = list(query_terms)
+    from pyspark.sql import types as T
+
+    # dedupe, order-stably: repeated terms must not double-count
+    terms = sorted(set(query_terms))
+    if not terms:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", docs.schema[id_col].dataType),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("n_terms_hit", T.LongType()),
+                T.StructField("rank", T.LongType()),
+            ]
+        )
+        return docs.sparkSession.createDataFrame([], schema)
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),

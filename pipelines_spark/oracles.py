@@ -1441,7 +1441,7 @@ ORACLES: dict[str, str] = {
                    h.o_orderstatus AS h_st, h.o_totalprice AS h_tp,
                    h.valid_from AS h_vf, h.valid_to AS h_vt,
                    s.o_orderstatus AS s_st, s.o_totalprice AS s_tp,
-                   (s.o_orderkey IS NOT NULL
+                   (s.o_orderkey IS NOT NULL AND h.o_orderkey IS NOT NULL
                     AND h.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
                     AND h.o_totalprice  IS NOT DISTINCT FROM s.o_totalprice) AS same
             FROM (SELECT * FROM hist0 WHERE is_current) h
@@ -1470,7 +1470,7 @@ ORACLES: dict[str, str] = {
                    h.o_orderstatus AS h_st, h.o_totalprice AS h_tp,
                    h.valid_from AS h_vf, h.valid_to AS h_vt,
                    s.o_orderstatus AS s_st, s.o_totalprice AS s_tp,
-                   (s.o_orderkey IS NOT NULL
+                   (s.o_orderkey IS NOT NULL AND h.o_orderkey IS NOT NULL
                     AND h.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
                     AND h.o_totalprice  IS NOT DISTINCT FROM s.o_totalprice) AS same
             FROM (SELECT * FROM hist1 WHERE is_current) h

@@ -101,7 +101,17 @@ def merge_upsert(
             f"updates schema {sorted(updates.columns)} != table schema "
             f"{sorted(existing.columns)}"
         )
-    combos = updates.select(*partition_cols).distinct().collect()
+    # one pass over updates yields the affected-partition combos AND
+    # the row count — counted BEFORE the table mutates, so an updates
+    # frame derived from `path` itself can never re-scan overwritten
+    # files for the stat
+    agg = (
+        updates.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    combos = agg
+    n_rows = sum(r["_n"] for r in agg)
     pred = F.lit(False)
     for row in combos:
         clause = F.lit(True)
@@ -129,7 +139,6 @@ def merge_upsert(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    n_rows = updates.count()
     return {"partitions_touched": len(combos), "rows_upserted": n_rows}
 
 

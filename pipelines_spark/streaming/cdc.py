@@ -50,12 +50,14 @@ def run_cdc_upsert_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # the merge evaluates its input several times (combo collect,
+        # staged write); persist so the batch source is read and the
+        # dedup window shuffled once, not once per action
         latest = last_row_per_key(
             batch_df, keys=keys, order_col=order_col, tiebreak=tiebreak
-        )
-        spark = batch_df.sparkSession
+        ).persist()
         try:
-            merge_upsert(spark, path, latest, keys, partition_cols)
+            merge_upsert(batch_df.sparkSession, path, latest, keys, partition_cols)
         except AnalysisException as e:
             # bootstrap ONLY when the table doesn't exist yet; any
             # other analysis error (schema drift, bad columns) must
@@ -64,6 +66,8 @@ def run_cdc_upsert_stream(
             if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
                 raise
             write_partitioned(latest, path, partition_cols, mode="append")
+        finally:
+            latest.unpersist()
 
     writer = source.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_path

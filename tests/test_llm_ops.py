@@ -530,6 +530,26 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert all(r["n_terms_hit"] == 1 for r in got)
 
 
+def test_bm25_duplicate_terms_and_empty_query(spark):
+    from pipelines_spark.llm.search import bm25_topk
+
+    rows = [
+        (0, "join join join filter scan"),
+        (1, "join filter scan scan scan scan scan scan"),
+        (2, "filter scan order group sort"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = bm25_topk(df, ("join",), k=3).collect()
+    twice = bm25_topk(df, ("join", "join"), k=3).collect()
+    # a repeated query term scores exactly once
+    assert [(r["doc_id"], r["score"], r["n_terms_hit"]) for r in twice] == [
+        (r["doc_id"], r["score"], r["n_terms_hit"]) for r in once
+    ]
+    empty = bm25_topk(df, (), k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "score", "n_terms_hit", "rank"]
+
+
 def test_chunk_documents_overlap_and_edges(spark):
     from pipelines_spark.llm.chunking import chunk_documents
 

@@ -196,3 +196,61 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+@given(
+    snaps=st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=6),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+            max_size=7,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_scd2_merge_matches_model_fold(spark, snaps):
+    """scd2_init + repeated scd2_merge ≡ a pure-Python history fold:
+    per key at most one open row, closed intervals stamped at the
+    snapshot time that invalidated them, null-safe change detection."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pipelines_spark.operators.scd import scd2_init, scd2_merge
+
+    times = [dt(2024, 1, d + 1) for d in range(len(snaps))]
+
+    # pure-python reference fold
+    hist = [[k, v, times[0], None, True] for k, v in snaps[0].items()]
+    for t, snap in zip(times[1:], snaps[1:]):
+        for row in hist:
+            if row[4] and (row[0] not in snap or snap[row[0]] != row[1]):
+                row[3], row[4] = t, False
+        open_keys = {r[0] for r in hist if r[4]}
+        for k, v in snap.items():
+            if k not in open_keys:
+                hist.append([k, v, t, None, True])
+    expect = {tuple(r) for r in hist}
+
+    def frame(snap, i):
+        if not snap:
+            return spark.createDataFrame([], "k long, v long")
+        return spark.createDataFrame(list(snap.items()), "k long, v long")
+
+    ts = lambda i: F.expr(f"TIMESTAMP_NTZ'2024-01-{times[i].day:02d} 00:00:00'")  # noqa: E731
+    df = scd2_init(frame(snaps[0], 0), effective_ts=ts(0))
+    for i in range(1, len(snaps)):
+        df = scd2_merge(
+            df, frame(snaps[i], i), keys=["k"], track_cols=["v"],
+            effective_ts=ts(i),
+        )
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    }
+    assert got == expect
+    # invariant: at most one open row per key
+    open_rows = [r for r in got if r[4]]
+    assert len({r[0] for r in open_rows}) == len(open_rows)

@@ -124,3 +124,26 @@ def test_merge_upsert_row_grain_partition_io(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert out2 == out
+
+
+def test_write_partitioned_sort_cols_orders_file_contents(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "sorted_lake")
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", F.year("l_shipdate").alias("year")
+    )
+    write_partitioned(
+        df, path, ["year"], mode="overwrite", sort_cols=["l_shipdate"]
+    )
+    checked = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            col = pq.read_table(os.path.join(dirpath, fn), columns=["l_shipdate"])[
+                "l_shipdate"
+            ].to_pylist()
+            assert col == sorted(col), f"{dirpath}/{fn} not sorted"
+            checked += 1
+    assert checked >= 3  # several year partitions actually verified

@@ -1154,10 +1154,11 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 lexical retrieval for a literal query over the
-    documents table (llm/search.py): the exploded token stream is
-    filtered to the broadcast query terms BEFORE any shuffle, corpus
-    stats reduce to one broadcast row, per-term scores round-then-
-    DECIMAL-sum for order independence."""
+    documents table (llm/search.py): ONE explode pass aggregates
+    straight to per-doc conditional tf sums (the shuffle carries one
+    row per document, never per token), corpus stats reduce to one
+    broadcast row, per-term scores round-then-DECIMAL-sum for order
+    independence."""
     from pipelines_spark.llm.search import bm25_topk
 
     register(spark, sf_dir, ("documents",))

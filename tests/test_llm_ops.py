@@ -547,7 +547,8 @@ def test_bm25_duplicate_terms_and_empty_query(spark):
     ]
     empty = bm25_topk(df, (), k=3)
     assert empty.count() == 0
-    assert empty.columns == ["doc_id", "score", "n_terms_hit", "rank"]
+    # the hand-built empty schema must track the scoring path exactly
+    assert empty.dtypes == bm25_topk(df, ("join",), k=3).dtypes
 
 
 def test_chunk_documents_overlap_and_edges(spark):

@@ -203,6 +203,62 @@ def to_all_string(df: DataFrame) -> DataFrame:
     return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
 
 
+def vacuum_partitions(
+    path: str,
+    partition_cols: list[str],
+    *,
+    keep,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention sweep: delete Hive partition directories whose
+    partition values fail the ``keep`` predicate.
+
+    ``keep`` receives a ``{col: value}`` dict of the partition's
+    (string) values and returns True to retain it. The sweep is a
+    driver-side directory walk — cost scales with partition COUNT,
+    never row count; data files are not opened. A raw/staging zone on
+    a minutely capture cadence grows partitions forever without this
+    (the reference ages them out storage-side; here it is an explicit,
+    testable operation).
+
+    ``dry_run=True`` reports what would be deleted without touching
+    anything. Returns the (relative) partition paths removed, sorted.
+    Partition-value parsing is purely structural (``k=v`` path
+    segments in ``partition_cols`` order); non-partition entries
+    (underscore-prefixed staging dirs, ``_SUCCESS``) are never
+    touched.
+    """
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    removed: list[str] = []
+    for dirpath, dirnames, _files in os.walk(path):
+        rel = os.path.relpath(dirpath, path)
+        if rel == ".":
+            # never descend into staging/bookkeeping dirs
+            dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+            continue
+        segs = rel.split(os.sep)
+        if len(segs) != len(partition_cols):
+            continue
+        vals = {}
+        ok = True
+        for col, seg in zip(partition_cols, segs):
+            if not seg.startswith(f"{col}="):
+                ok = False
+                break
+            vals[col] = unquote(seg[len(col) + 1 :])
+        if not ok:
+            continue
+        dirnames[:] = []  # a full partition dir: don't walk deeper
+        if not keep(vals):
+            removed.append(rel)
+            if not dry_run:
+                shutil.rmtree(dirpath)
+    return sorted(removed)
+
+
 def compact_partitions(
     spark,
     path: str,

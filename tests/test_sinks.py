@@ -147,3 +147,52 @@ def test_write_partitioned_sort_cols_orders_file_contents(spark, tmp_path):
             assert col == sorted(col), f"{dirpath}/{fn} not sorted"
             checked += 1
     assert checked >= 3  # several year partitions actually verified
+
+
+def test_vacuum_partitions_retention(spark, tmp_path):
+    from pipelines_spark.sinks.partitioned import vacuum_partitions
+
+    path = str(tmp_path / "retained")
+    df = spark.createDataFrame(
+        [(i, f"199{5 + i % 4}", f"{(i // 4) % 2:02d}") for i in range(16)],
+        "id long, year string, month string",
+    )
+    write_partitioned(df, path, ["year", "month"], mode="overwrite")
+    os.makedirs(os.path.join(path, "_tmp_merge"), exist_ok=True)
+
+    preview = vacuum_partitions(
+        path, ["year", "month"], keep=lambda v: v["year"] >= "1997", dry_run=True
+    )
+    assert preview == ["year=1995/month=00", "year=1995/month=01",
+                       "year=1996/month=00", "year=1996/month=01"]
+    # dry run touched nothing
+    assert spark.read.parquet(path).count() == 16
+
+    removed = vacuum_partitions(
+        path, ["year", "month"], keep=lambda v: v["year"] >= "1997"
+    )
+    assert removed == preview
+    left = spark.read.parquet(path)
+    assert left.count() == 8
+    assert {r["year"] for r in left.select("year").distinct().collect()} == {"1997", "1998"}
+    # bookkeeping dirs are never candidates
+    assert os.path.isdir(os.path.join(path, "_tmp_merge"))
+
+
+def test_lake_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema-drift contract: a column added by a later capture window
+    appears table-wide under mergeSchema, NULL for old partitions —
+    the all-string staging zone absorbs type drift, mergeSchema
+    absorbs column drift."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a", "2024-01-01")], "id long, v string, data string")
+    write_partitioned(v1, path, ["data"], mode="append")
+    v2 = spark.createDataFrame(
+        [(2, "b", "extra", "2024-01-02")], "id long, v string, w string, data string"
+    )
+    write_partitioned(v2, path, ["data"], mode="append")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "w", "data"}
+    rows = {r["id"]: (r["v"], r["w"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "extra")}

@@ -257,3 +257,48 @@ def run_materialization(
     )
     store.set_table_watermark(model_name, ts=end)
     return (start, end)
+
+
+def run_maintenance(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    *,
+    keep: Callable[[dict], bool] | None = None,
+    target_file_mb: int = 128,
+    min_files_to_compact: int = 4,
+    log_path: str | None = None,
+    now: datetime | None = None,
+) -> dict:
+    """Scheduled lake upkeep for a capture/staging zone: age out
+    partitions failing ``keep`` (retention), then compact the
+    small-file debris the minutely cadence leaves behind, and record
+    one log row. The reference splits this between storage lifecycle
+    rules and ad-hoc jobs; here it is one idempotent call — re-running
+    immediately is a no-op (nothing left to delete, nothing above the
+    compaction threshold).
+
+    Order matters: vacuum BEFORE compact, so the sweep never pays to
+    rewrite files it is about to delete.
+    """
+    from pipelines_spark.sinks.partitioned import (
+        compact_partitions,
+        vacuum_partitions,
+    )
+
+    removed = (
+        vacuum_partitions(path, partition_cols, keep=keep) if keep else []
+    )
+    compacted = compact_partitions(
+        spark,
+        path,
+        partition_cols,
+        target_file_mb=target_file_mb,
+        min_files_to_compact=min_files_to_compact,
+    )
+    stats = {"partitions_removed": len(removed), "partitions_compacted": len(compacted)}
+    if log_path:
+        if now is None:
+            raise ValueError("log_path requires an explicit `now` timestamp")
+        append_capture_log(spark, log_path, [now], success=True)
+    return stats

@@ -357,3 +357,45 @@ def test_flows_api_end_to_end(spark, sf_small, tmp_path):
     assert run_materialization(
         spark, runner, store, model_name="rev_flow", now=datetime(2003, 1, 1)
     ) is None
+
+
+def test_run_maintenance_vacuum_then_compact_idempotent(spark, tmp_path):
+    from pipelines_spark.flows import run_maintenance
+
+    path = str(tmp_path / "zone")
+    logs = str(tmp_path / "zone_logs")
+    # simulate a minutely capture: many small appends into few partitions
+    for i in range(5):
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"199{5 + (i % 2)}") for j in range(4)],
+            "id long, year string",
+        )
+        df.coalesce(1).write.mode("append").partitionBy("year").parquet(path)
+
+    before = spark.read.parquet(path).count()
+    stats = run_maintenance(
+        spark,
+        path,
+        ["year"],
+        keep=lambda v: v["year"] >= "1996",
+        min_files_to_compact=2,
+        log_path=logs,
+        now=datetime(2024, 1, 1),
+    )
+    assert stats == {"partitions_removed": 1, "partitions_compacted": 1}
+    kept = spark.read.parquet(path)
+    assert {r["year"] for r in kept.select("year").distinct().collect()} == {"1996"}
+    assert kept.count() < before
+    n_files = sum(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(path, "year=1996"))
+    )
+    assert n_files == 1  # compacted
+    assert spark.read.parquet(logs).filter(F.col("sucesso")).count() == 1
+
+    # immediate re-run is a no-op
+    stats2 = run_maintenance(
+        spark, path, ["year"], keep=lambda v: v["year"] >= "1996",
+        min_files_to_compact=2,
+    )
+    assert stats2 == {"partitions_removed": 0, "partitions_compacted": 0}

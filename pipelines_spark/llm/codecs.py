@@ -58,6 +58,127 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → PNG bytes (8-bit truecolor,
+    filter 0 rows, single IDAT)."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB array.
+
+    Supports the dominant web/still-image shape: 8-bit depth,
+    grayscale / truecolor / truecolor+alpha (color types 0/2/6),
+    non-interlaced, all five scanline filters. Palette, 16-bit, and
+    Adam7 variants raise — callers fall back to their stub, matching
+    the BMP contract (a bad payload must never fail the task).
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype_v, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_v)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype_v}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorizes
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry a left-pixel dependency
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    rec = line[x] + a
+                elif ftype == 3:
+                    rec = line[x] + (a + b) // 2
+                elif ftype == 4:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec = line[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = rec & 0xFF
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 2:  # gray+alpha → replicate gray
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif channels == 4:  # drop alpha
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
+
+
+def decode_image_rgb(payload: bytes) -> np.ndarray:
+    """Magic-dispatched decode of any supported still-image format →
+    (h, w, 3) uint8 RGB. Raises on formats needing PIL."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("unsupported image format (need PIL)")
+
+
 def resize_nearest(pixels: np.ndarray, target: tuple[int, int]) -> np.ndarray:
     """Nearest-neighbor resize of an (h, w, 3) array to (w', h')."""
     tw, th = target

@@ -56,17 +56,17 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL decode for BMP payloads (llm/codecs.py): true dimensions
-    and a channel-statistics feature [mean R, mean G, mean B,
-    grayscale std] in [0, 1]. Non-BMP formats — and BMP variants the
-    codec doesn't handle (compressed, non-24-bit, truncated) — fall
-    back to the stub: one bad payload in a 100 TB corpus must never
-    fail the task."""
-    if payload[:2] == b"BM":
-        try:
-            from pipelines_spark.llm.codecs import decode_bmp
+    """REAL decode for BMP and PNG payloads (llm/codecs.py): true
+    dimensions and a channel-statistics feature [mean R, mean G,
+    mean B, grayscale std] in [0, 1]. Other formats — and variants
+    the codecs don't handle (compressed BMP, palette/16-bit/Adam7
+    PNG, truncated bytes) — fall back to the stub: one bad payload in
+    a 100 TB corpus must never fail the task."""
+    from pipelines_spark.llm.codecs import _PNG_SIG, decode_image_rgb
 
-            px = decode_bmp(payload).astype("float64")
+    if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
+        try:
+            px = decode_image_rgb(payload).astype("float64")
         except Exception:
             return _decode_stub(payload)
         h, w, _ = px.shape
@@ -280,19 +280,25 @@ def resize_images(
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
                 resized = None
-                if payload[:2] == b"BM":
-                    try:
-                        from pipelines_spark.llm.codecs import (
-                            decode_bmp,
-                            encode_bmp,
-                            resize_nearest,
-                        )
+                from pipelines_spark.llm.codecs import (
+                    _PNG_SIG,
+                    decode_image_rgb,
+                    encode_bmp,
+                    encode_png,
+                    resize_nearest,
+                )
 
-                        resized = encode_bmp(
-                            resize_nearest(decode_bmp(payload), (w, h))
+                if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
+                    try:
+                        small = resize_nearest(decode_image_rgb(payload), (w, h))
+                        # re-encode in the source format
+                        resized = (
+                            encode_png(small)
+                            if payload[:8] == _PNG_SIG
+                            else encode_bmp(small)
                         )
                     except Exception:
-                        resized = None  # unsupported BMP variant → stub
+                        resized = None  # unsupported variant → stub
                 if resized is None:
                     resized = payload[: w * h].ljust(w * h, b"\0")
                 out.append(

@@ -279,26 +279,37 @@ def run_maintenance(
     compaction threshold).
 
     Order matters: vacuum BEFORE compact, so the sweep never pays to
-    rewrite files it is about to delete.
+    rewrite files it is about to delete. A failed run still logs
+    (success=False with the error) — the same reconciliation contract
+    the capture flow keeps.
     """
     from pipelines_spark.sinks.partitioned import (
         compact_partitions,
         vacuum_partitions,
     )
 
-    removed = (
-        vacuum_partitions(path, partition_cols, keep=keep) if keep else []
-    )
-    compacted = compact_partitions(
-        spark,
-        path,
-        partition_cols,
-        target_file_mb=target_file_mb,
-        min_files_to_compact=min_files_to_compact,
-    )
+    # validate BEFORE any destructive step: a bad-call ValueError must
+    # never land after partitions are already deleted
+    if log_path and now is None:
+        raise ValueError("log_path requires an explicit `now` timestamp")
+    try:
+        removed = (
+            vacuum_partitions(path, partition_cols, keep=keep) if keep else []
+        )
+        compacted = compact_partitions(
+            spark,
+            path,
+            partition_cols,
+            target_file_mb=target_file_mb,
+            min_files_to_compact=min_files_to_compact,
+        )
+    except Exception as e:
+        if log_path:
+            append_capture_log(
+                spark, log_path, [now], success=False, error=str(e)[:500]
+            )
+        raise
     stats = {"partitions_removed": len(removed), "partitions_compacted": len(compacted)}
     if log_path:
-        if now is None:
-            raise ValueError("log_path requires an explicit `now` timestamp")
         append_capture_log(spark, log_path, [now], success=True)
     return stats

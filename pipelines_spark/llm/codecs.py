@@ -119,10 +119,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("malformed PNG (missing IHDR/IDAT)")
     w, h, depth, ctype_v, _comp, _filt, interlace = ihdr
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_v)
-    if depth != 8 or channels is None or interlace != 0:
+    if depth != 8 or channels is None or interlace != 0 or w == 0 or h == 0:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={ctype_v}, "
-            f"interlace={interlace})"
+            f"interlace={interlace}, {w}x{h})"
         )
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
@@ -140,14 +140,20 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:  # Up — vectorizes
             cur = (line + prev) & 0xFF
-        else:  # Sub/Average/Paeth carry a left-pixel dependency
+        elif ftype == 1:
+            # Sub: rec[x] = line[x] + rec[x-bpp]. Per channel lane
+            # this is a running sum, and mod-256 distributes over
+            # addition, so a lane cumsum then &0xFF is exact —
+            # real-world encoders emit mostly Sub/Paeth rows, so this
+            # lane keeps large images off the per-byte Python path.
+            lanes = line.reshape(-1, bpp)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
+        else:  # Average/Paeth: nonlinear left-pixel dependency
             cur = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                if ftype == 1:
-                    rec = line[x] + a
-                elif ftype == 3:
+                if ftype == 3:
                     rec = line[x] + (a + b) // 2
                 elif ftype == 4:
                     c = prev[x - bpp] if x >= bpp else 0
@@ -169,14 +175,35 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+def image_format(payload: bytes) -> str | None:
+    """Magic-byte format sniff: 'bmp' | 'png' | None. The ONE owner
+    of format dispatch — decode/encode/kernel sites all route here,
+    so adding a format is a single-site change."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    return None
+
+
 def decode_image_rgb(payload: bytes) -> np.ndarray:
     """Magic-dispatched decode of any supported still-image format →
     (h, w, 3) uint8 RGB. Raises on formats needing PIL."""
-    if payload[:2] == b"BM":
+    fmt = image_format(payload)
+    if fmt == "bmp":
         return decode_bmp(payload)
-    if payload[:8] == _PNG_SIG:
+    if fmt == "png":
         return decode_png(payload)
     raise ValueError("unsupported image format (need PIL)")
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array in the named format."""
+    if fmt == "bmp":
+        return encode_bmp(pixels)
+    if fmt == "png":
+        return encode_png(pixels)
+    raise ValueError(f"unsupported image format {fmt!r}")
 
 
 def resize_nearest(pixels: np.ndarray, target: tuple[int, int]) -> np.ndarray:

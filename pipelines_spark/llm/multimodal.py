@@ -4,12 +4,12 @@ Contract: a multimodal table carries ``content binary`` plus typed
 metadata columns (mime, width/height or sample rate, …). Decode and
 feature extraction run as Arrow-batched pandas functions over
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
-partition sizing) is real, and one codec per modality is REAL too:
-24-bit BMP and 16-bit PCM WAV decode with stdlib-only codecs
-(llm/codecs.py), so the image/audio paths are end-to-end testable on
-actual bytes. Other formats (JPEG/PNG/MP4 …) fall back to the
-clearly-marked deterministic stub — swap it for PIL/libav in
-production; the Spark surface does not change.
+partition sizing) is real, and the common still/audio formats decode
+for REAL with stdlib-only codecs (llm/codecs.py): 24-bit BMP, 8-bit
+PNG (all scanline filters), 16-bit PCM WAV. Formats needing native
+libs (JPEG/MP4 …) fall back to the clearly-marked deterministic
+stub — swap it for PIL/libav in production; the Spark surface does
+not change.
 
 Scale notes: binary payloads dominate partition size — the reader
 caps ``maxPartitionBytes`` thinking in payload bytes, and
@@ -61,24 +61,26 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     mean B, grayscale std] in [0, 1]. Other formats — and variants
     the codecs don't handle (compressed BMP, palette/16-bit/Adam7
     PNG, truncated bytes) — fall back to the stub: one bad payload in
-    a 100 TB corpus must never fail the task."""
-    from pipelines_spark.llm.codecs import _PNG_SIG, decode_image_rgb
+    a 100 TB corpus must never fail the task. The codecs import stays
+    inside the try for the same reason — a broken executor deploy
+    degrades to the stub instead of failing the task."""
+    try:
+        from pipelines_spark.llm.codecs import decode_image_rgb, image_format
 
-    if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
-        try:
-            px = decode_image_rgb(payload).astype("float64")
-        except Exception:
+        if image_format(payload) is None:
             return _decode_stub(payload)
-        h, w, _ = px.shape
-        gray = px.mean(axis=2)
-        feature = [
-            float(px[:, :, 0].mean() / 255.0),
-            float(px[:, :, 1].mean() / 255.0),
-            float(px[:, :, 2].mean() / 255.0),
-            float(gray.std() / 255.0),
-        ]
-        return w, h, feature
-    return _decode_stub(payload)
+        px = decode_image_rgb(payload).astype("float64")
+    except Exception:
+        return _decode_stub(payload)
+    h, w, _ = px.shape
+    gray = px.mean(axis=2)
+    feature = [
+        float(px[:, :, 0].mean() / 255.0),
+        float(px[:, :, 1].mean() / 255.0),
+        float(px[:, :, 2].mean() / 255.0),
+        float(gray.std() / 255.0),
+    ]
+    return w, h, feature
 
 
 def attach_binary_metadata(
@@ -266,37 +268,37 @@ def resize_images(
     """Binary→binary image resize via mapInPandas (map shape: one row
     out per row in, payload transformed, metadata refreshed).
 
-    BMP payloads get a REAL nearest-neighbor resize + BMP re-encode
-    (llm/codecs.py). Other formats keep the deterministic
-    truncate/pad stub — size-correct so downstream partition-sizing
-    logic is still exercised; swap for PIL ``Image.resize`` in
-    production.
+    BMP and PNG payloads get a REAL nearest-neighbor resize,
+    re-encoded in the source format (llm/codecs.py). Formats needing
+    PIL keep the deterministic truncate/pad stub — size-correct so
+    downstream partition-sizing logic is still exercised; swap for
+    PIL ``Image.resize`` in production.
     """
     w, h = target
 
     def run(batches) -> "Iterator[pd.DataFrame]":
+        # import once per task, inside a guard: a broken executor
+        # deploy degrades every row to the stub, never fails the task
+        try:
+            from pipelines_spark.llm.codecs import (
+                decode_image_rgb,
+                encode_image,
+                image_format,
+                resize_nearest,
+            )
+        except Exception:
+            image_format = lambda _payload: None  # noqa: E731
+
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
                 resized = None
-                from pipelines_spark.llm.codecs import (
-                    _PNG_SIG,
-                    decode_image_rgb,
-                    encode_bmp,
-                    encode_png,
-                    resize_nearest,
-                )
-
-                if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
+                fmt = image_format(payload)
+                if fmt is not None:
                     try:
                         small = resize_nearest(decode_image_rgb(payload), (w, h))
-                        # re-encode in the source format
-                        resized = (
-                            encode_png(small)
-                            if payload[:8] == _PNG_SIG
-                            else encode_bmp(small)
-                        )
+                        resized = encode_image(small, fmt)
                     except Exception:
                         resized = None  # unsupported variant → stub
                 if resized is None:

@@ -256,6 +256,16 @@ def vacuum_partitions(
             removed.append(rel)
             if not dry_run:
                 shutil.rmtree(dirpath)
+                # prune now-empty parents up to the table root —
+                # otherwise multi-level layouts accumulate empty
+                # year=… shells that every future listing re-walks
+                parent = os.path.dirname(dirpath)
+                while (
+                    os.path.realpath(parent) != os.path.realpath(path)
+                    and not os.listdir(parent)
+                ):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
     return sorted(removed)
 
 

@@ -760,6 +760,18 @@ def test_png_codec_roundtrip_and_filters():
     )
     assert np.array_equal(decode_png(pg), np.repeat(gray[:, :, None], 3, axis=2))
 
+    # degenerate zero-area PNGs are rejected (callers stub, not NaN)
+    import pytest
+
+    p0 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", st.pack(">IIBBBBB", 5, 0, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(p0)
+
 
 def test_image_features_real_png_decode(spark):
     """A real PNG decodes to true dimensions/stats through the same

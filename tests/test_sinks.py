@@ -177,6 +177,9 @@ def test_vacuum_partitions_retention(spark, tmp_path):
     assert {r["year"] for r in left.select("year").distinct().collect()} == {"1997", "1998"}
     # bookkeeping dirs are never candidates
     assert os.path.isdir(os.path.join(path, "_tmp_merge"))
+    # emptied parent shells are pruned, not left to grow forever
+    assert not os.path.exists(os.path.join(path, "year=1995"))
+    assert not os.path.exists(os.path.join(path, "year=1996"))
 
 
 def test_lake_schema_evolution_merge_schema(spark, tmp_path):

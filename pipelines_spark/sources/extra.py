@@ -65,6 +65,43 @@ def read_zip_members(
     return binary.mapInPandas(explode_members, ZIP_MEMBER_SCHEMA)
 
 
+def read_tar_members(
+    spark: SparkSession,
+    path: str,
+    *,
+    member_suffix: str | None = None,
+) -> DataFrame:
+    """Distributed tar-member extraction (tar / tar.gz / tar.bz2 via
+    stdlib ``tarfile`` auto-detection): same shape and schema as
+    ``read_zip_members`` — one archive per row in, one member per row
+    out, the archive as the parallelism unit. Directories and special
+    entries are skipped."""
+    import tarfile
+
+    def explode_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tf:
+                    for member in tf.getmembers():
+                        if not member.isfile():
+                            continue
+                        if member_suffix and not member.name.endswith(member_suffix):
+                            continue
+                        fh = tf.extractfile(member)
+                        rows.append(
+                            {
+                                "archive": row["path"],
+                                "member": member.name,
+                                "content": fh.read() if fh else b"",
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["archive", "member", "content"])
+
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    return binary.mapInPandas(explode_members, ZIP_MEMBER_SCHEMA)
+
+
 def read_geojson(
     spark: SparkSession,
     path: str,

@@ -140,6 +140,30 @@ def test_read_zip_members(spark, tmp_path):
     assert rows["stops.txt"] == b"stop_id\n1\n"
 
 
+def test_read_tar_members(spark, tmp_path):
+    import tarfile
+
+    from pipelines_spark.sources.extra import read_tar_members
+
+    archive = tmp_path / "feed.tar.gz"
+    with tarfile.open(archive, "w:gz") as tf:
+        for name, data in [
+            ("stops.txt", b"stop_id\n1\n"),
+            ("nested/routes.txt", b"route_id\n7\n"),
+            ("readme.md", b"ignore me"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            import io as _io
+
+            tf.addfile(info, _io.BytesIO(data))
+        tf.addfile(tarfile.TarInfo("emptydir"))  # dir-ish entry, skipped
+    members = read_tar_members(spark, str(archive), member_suffix=".txt")
+    rows = {r["member"]: bytes(r["content"]) for r in members.collect()}
+    assert set(rows) == {"stops.txt", "nested/routes.txt"}
+    assert rows["nested/routes.txt"] == b"route_id\n7\n"
+
+
 def test_read_geojson_wkt(spark, tmp_path):
     doc = {
         "type": "FeatureCollection",

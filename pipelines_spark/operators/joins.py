@@ -100,13 +100,16 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the right row's
-    ``value_cols`` from the latest right event with
-    ``right_ts <= left_ts`` for the same ``on`` key (NULLs when no
-    prior right event exists). Matches DuckDB/pandas
-    ``ASOF LEFT JOIN`` / ``merge_asof`` semantics, including the
-    equal-timestamp case (a right event at exactly left_ts matches).
+    """As-of join: each left row gains the right row's ``value_cols``
+    from the nearest right event for the same ``on`` key — the latest
+    with ``right_ts <= left_ts`` (``direction="backward"``, default)
+    or the earliest with ``right_ts >= left_ts``
+    (``direction="forward"``); NULLs when no such right event exists.
+    Matches DuckDB/pandas ``ASOF LEFT JOIN`` / ``merge_asof``
+    semantics in both directions, including the equal-timestamp case
+    (a right event at exactly left_ts matches).
 
     Spark has no native as-of join; the usual range-join encoding
     explodes into an O(n·m) band join. This implementation instead
@@ -128,6 +131,8 @@ def asof_join(
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -150,16 +155,24 @@ def asof_join(
         ).alias("_lrow"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
-    # right rows sort before left rows at the same timestamp so an
-    # equal-ts right event is visible to the left row (>= semantics)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l_tagged.unionByName(r_tagged).withColumn(
-        "_rv", F.last("_rv", ignorenulls=True).over(w)
-    )
+    # equal-ts right events must land inside the left row's frame:
+    # backward scans a preceding frame, so right sorts first; forward
+    # scans a following frame, so right sorts last
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last("_rv", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = F.first("_rv", ignorenulls=True).over(w)
+    merged = l_tagged.unionByName(r_tagged).withColumn("_rv", filled)
     out = merged.filter(F.col("_is_left") == 1)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],

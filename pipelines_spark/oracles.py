@@ -784,6 +784,27 @@ ORACLES: dict[str, str] = {
                CAST(round(sum(CAST(purchase_value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_purchase_value
         FROM j GROUP BY user_id
     """,
+    "j12_asof_forward": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type
+            FROM events
+        ), clicks AS (
+            SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts AS pts, max(value) AS purchase_value
+            FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), j AS (
+            SELECT c.user_id, c.ts, p.pts, p.purchase_value
+            FROM clicks c
+            ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts <= p.pts
+        )
+        SELECT user_id,
+               count(*)               AS n_clicks,
+               count(purchase_value)  AS n_converted,
+               round(CAST(sum(epoch_us(pts) - epoch_us(ts)) AS DOUBLE) / count(pts) / 1000000.0, 2) AS avg_time_to_purchase_s
+        FROM j GROUP BY user_id
+    """,
     "embed_ivf_ann": f"""
         WITH cent AS (
             SELECT vec_id AS centroid_id, embedding AS cv
@@ -1411,6 +1432,17 @@ ORACLES: dict[str, str] = {
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
             FROM scored
         ) WHERE rn <= 5
+    """,
+    # the salted two-stage aggregation must be indistinguishable from
+    # a direct GROUP BY — the oracle is exactly that
+    "a15_salted_event_totals": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+               round(max(value), 4) AS max_value,
+               round(min(value), 4) AS min_value
+        FROM events
+        GROUP BY event_type
     """,
     # SCD2 history merge replayed in SQL: bootstrap from the 1996
     # snapshot, then two full-outer-join merge rounds (1997, 1998)

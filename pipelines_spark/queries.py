@@ -1109,6 +1109,38 @@ def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j12_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/joins.py, direction='forward'):
+    each click enriched with the user's NEXT purchase at-or-after the
+    click — time-to-conversion per user. Same single-shuffle
+    union+window encoding as the backward join, scanning a following
+    frame instead of a preceding one. Oracle = DuckDB native forward
+    ASOF (``c.ts <= p.pts``)."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("pts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value", "pts"], direction="forward",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("asof_purchase_value").alias("n_converted"),
+        F.round(
+            F.sum(_epoch_us("asof_pts") - _epoch_us("ts")).cast("double")
+            / F.count("asof_pts")
+            / F.lit(1_000_000.0),
+            2,
+        ).alias("avg_time_to_purchase_s"),
+    )
+
+
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: fixed-k deterministic centroid cells (16
     hash-ordered sample vectors — O(k·dim) driver set regardless of
@@ -1874,6 +1906,40 @@ def a14_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a15_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.py): the same
+    totals a direct GROUP BY computes, but the hot key's rows spread
+    over 32 salt buckets in stage one — the shape that keeps a
+    Zipf-hot key from pinning a single reducer at 100 TB. The oracle
+    IS the direct GROUP BY: salting must be invisible in the result.
+    The summed column routes through DECIMAL so the two-stage
+    recombination is bit-identical to the one-stage sum."""
+    from pipelines_spark.operators.skew import salted_aggregate
+
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events").withColumn(
+        "val_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("*", "count"),
+            "total_value": ("val_dec", "sum"),
+            "max_value": ("value", "max"),
+            "min_value": ("value", "min"),
+        },
+        buckets=32,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("total_value"), 2).cast("double").alias("total_value"),
+        F.round(F.col("max_value"), 4).alias("max_value"),
+        F.round(F.col("min_value"), 4).alias("min_value"),
+    )
+
+
 def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension-history merge (operators/scd.py): bootstrap a
     versioned order-state history from a 1996 snapshot, then fold in
@@ -2018,4 +2084,6 @@ QUERIES = {
     "sample_stratified_counts": sample_stratified_counts,
     "text_chunk_windows": text_chunk_windows,
     "scd2_order_history": scd2_order_history,
+    "a15_salted_event_totals": a15_salted_event_totals,
+    "j12_asof_forward": j12_asof_forward,
 }

@@ -230,3 +230,24 @@ def test_scd2_merge_delete_and_reinsert(spark):
         (1, "a", t0, t1, False),
         (1, "a2", t2, None, True),
     }
+
+
+def test_asof_join_forward_semantics(spark):
+    from pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 5, 1), ("k", 10, 2), ("k", 25, 3)], "k string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", 7, 70.0), ("k", 10, 100.0), ("k", 20, 200.0)],
+        "k string, ts long, v double",
+    )
+    rows = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    # nearest at-or-after: ts=5→7(70), ts=10→10 inclusive (100),
+    # ts=25→nothing following → NULL
+    assert rows == {1: 70.0, 2: 100.0, 3: None}

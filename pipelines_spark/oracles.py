@@ -784,6 +784,23 @@ ORACLES: dict[str, str] = {
                CAST(round(sum(CAST(purchase_value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_purchase_value
         FROM j GROUP BY user_id
     """,
+    # DuckDB has no width_bucket; the CASE mirrors Spark's formula
+    # with identical double arithmetic ((400-0)/8 = 50 exactly)
+    "a16_value_histogram": """
+        WITH b AS (
+            SELECT event_type, value,
+                   CASE WHEN value < 0.0 THEN 0
+                        WHEN value >= 400.0 THEN 9
+                        ELSE CAST(floor(value / ((400.0 - 0.0) / 8)) AS BIGINT) + 1
+                   END AS bucket
+            FROM events
+        )
+        SELECT event_type, bucket, count(*) AS n,
+               CAST(round(min(value), 4) AS DOUBLE) AS lo,
+               CAST(round(max(value), 4) AS DOUBLE) AS hi
+        FROM b
+        GROUP BY event_type, bucket
+    """,
     "j12_asof_forward": """
         WITH ev AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type

@@ -1109,6 +1109,25 @@ def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a16_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profiling (width_bucket — shared by Spark
+    and DuckDB): per event type, 8 equal buckets over [0, 400) plus
+    the overflow bucket. Map-only bucket assignment + one small agg —
+    the profile-a-column shape that runs ahead of outlier filtering."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(width_bucket(value, 0.0, 400.0, 8) AS BIGINT) AS bucket,
+               count(*) AS n,
+               CAST(round(min(value), 4) AS DOUBLE) AS lo,
+               CAST(round(max(value), 4) AS DOUBLE) AS hi
+        FROM events
+        GROUP BY event_type, width_bucket(value, 0.0, 400.0, 8)
+        """
+    )
+
+
 def j12_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (operators/joins.py, direction='forward'):
     each click enriched with the user's NEXT purchase at-or-after the
@@ -2086,4 +2105,5 @@ QUERIES = {
     "scd2_order_history": scd2_order_history,
     "a15_salted_event_totals": a15_salted_event_totals,
     "j12_asof_forward": j12_asof_forward,
+    "a16_value_histogram": a16_value_histogram,
 }

@@ -199,3 +199,27 @@ def test_lake_schema_evolution_merge_schema(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "w", "data"}
     rows = {r["id"]: (r["v"], r["w"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", "extra")}
+
+
+def test_write_and_merge_orc_format(spark, tmp_path):
+    """ORC is a first-class lake format: partitioned write, read-back,
+    and row-grain merge all work with file_format='orc'."""
+    from pipelines_spark.sinks.partitioned import merge_upsert
+
+    path = str(tmp_path / "orc_lake")
+    base = spark.createDataFrame(
+        [(1, "a", "1995"), (2, "b", "1996")], "id long, v string, year string"
+    )
+    write_partitioned(base, path, ["year"], mode="overwrite", file_format="orc")
+    assert {
+        (r["id"], r["v"]) for r in spark.read.orc(path).collect()
+    } == {(1, "a"), (2, "b")}
+
+    updates = spark.createDataFrame(
+        [(2, "b2", "1996"), (3, "c", "1997")], "id long, v string, year string"
+    )
+    stats = merge_upsert(spark, path, updates, ["id"], ["year"], file_format="orc")
+    assert stats["partitions_touched"] == 2
+    assert {
+        (r["id"], r["v"]) for r in spark.read.orc(path).collect()
+    } == {(1, "a"), (2, "b2"), (3, "c")}

@@ -51,13 +51,25 @@ def run_dump_flow(
     date_col: str,
     partition_cols: tuple[str, ...] = ("ano_particao",),
     mode: str = "overwrite_partitions",
+    sort_by_date: bool = False,
 ) -> DataFrame:
     """§3.1 dump: normalize → derive partitions → all-string staged
-    write → staging table registered; returns the staging DataFrame."""
+    write → staging table registered; returns the staging DataFrame.
+
+    ``sort_by_date=True`` sorts rows inside each write task on the
+    (normalized) date column, so parquet zone maps support range
+    pruning for every downstream incremental consumer — the sort is
+    task-local and costs no extra shuffle (see
+    ``write_partitioned(sort_cols=...)``)."""
     df = normalize_columns(source_df)
     df = derive_partition_columns(df, date_col)
     staged = to_all_string(df)
-    write_partitioned(staged, lake_path, list(partition_cols), mode=mode)
+    from pipelines_spark.naming import normalize_column_name
+
+    sort_cols = [normalize_column_name(date_col)] if sort_by_date else None
+    write_partitioned(
+        staged, lake_path, list(partition_cols), mode=mode, sort_cols=sort_cols
+    )
     create_staging_table(spark, staging_table, lake_path)
     return spark.table(staging_table)
 

@@ -89,6 +89,97 @@ def brute_force_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round-half-up
+    (v_i / scale) with scale = max|v| / 127 (scale 1 for the all-zero
+    vector). Returns (id, qvec array<bigint> in [-127, 127],
+    scale double).
+
+    This is the ANN memory-scale path: a 64-dim float32 embedding
+    column shrinks 4× (8× vs float64), which at 100 TB decides
+    whether the hot corpus fits the page cache. Cosine over the
+    quantized vectors needs NO dequantization — per-vector scales
+    cancel — and the integer dot products are exact, so quantized
+    search is bit-reproducible across engines and partitionings
+    (unlike float dot products, which depend on summation order).
+    Map-only: zero shuffle.
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    qvec = F.transform(
+        v,
+        lambda x: (
+            F.signum(x.cast("double"))
+            * F.floor(F.abs(x.cast("double")) / scale + F.lit(0.5))
+        ).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_topk(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (from
+    ``quantize_embeddings``): (query_id, neighbor_id, cosine, rank).
+
+    The dot product and squared norms are EXACT integer sums
+    (64-dim × 127² ≪ int64), so the only float ops are two sqrts and
+    one division — engine- and order-independent. Same broadcast +
+    WindowGroupLimit plan shape as ``brute_force_topk``.
+    """
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries_q.select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qq")
+    )
+    c = corpus_q.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("_qc")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                idot(F.col("_qc"), F.col("_qq")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("_qc"), F.col("_qc")).cast("double"))
+                    * F.sqrt(idot(F.col("_qq"), F.col("_qq")).cast("double"))
+                ),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def srp_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic sign-projection bucket: bit i = sign of a fixed
     sparse ±1 projection over coordinates ≡ i (mod n_planes).

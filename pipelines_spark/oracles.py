@@ -801,6 +801,58 @@ ORACLES: dict[str, str] = {
         FROM b
         GROUP BY event_type, bucket
     """,
+    # int8 quantization replayed exactly: scale = max|v|/127 (1 for
+    # all-zero), q = sign-aware half-up round of v/scale; cosine over
+    # the integer vectors (scales cancel, integer sums exact)
+    "embed_quantized_knn": """
+        WITH mx AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) = 0
+                        THEN 1.0
+                        ELSE list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                   END AS s
+            FROM embeddings
+        ), qv AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(CASE WHEN CAST(x AS DOUBLE) < 0
+                            THEN -floor(abs(CAST(x AS DOUBLE)) / s + 0.5)
+                            ELSE  floor(abs(CAST(x AS DOUBLE)) / s + 0.5)
+                       END AS BIGINT)) AS q
+            FROM mx
+        ), qn AS (
+            SELECT vec_id, q,
+                   list_sum(list_transform(q, x -> x * x)) AS n2
+            FROM qv
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(
+                       CAST(list_sum(list_transform(list_zip(c.q, p.q),
+                            x -> x[1] * x[2])) AS DOUBLE)
+                       / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(p.n2 AS DOUBLE))),
+                       4) AS cosine
+            FROM qn c CROSS JOIN (SELECT * FROM qn WHERE vec_id < 10) p
+            WHERE c.vec_id <> p.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    "a17_grouping_sets_revenue": """
+        SELECT CAST(coalesce(year(l_shipdate), -1) AS INTEGER) AS ship_year,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
+               CAST(grouping(year(l_shipdate)) AS INTEGER) AS g_year,
+               CAST(grouping(l_returnflag) AS INTEGER)     AS g_flag,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((year(l_shipdate)), (l_returnflag), ())
+    """,
     "j12_asof_forward": """
         WITH ev AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type

@@ -900,6 +900,23 @@ def embed_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def embed_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-5 (llm/similarity.py
+    quantize_embeddings + quantized_topk): the 4×-memory-reduction
+    scale path for brute-force search. Integer dot products are
+    exact, per-vector scales cancel in cosine — the oracle replays
+    the identical quantization and integer arithmetic."""
+    from pipelines_spark.llm.similarity import quantize_embeddings, quantized_topk
+
+    register(spark, sf_dir, ("embeddings",))
+    qemb = quantize_embeddings(spark.table("embeddings"))
+    return quantized_topk(
+        qemb, qemb.filter(F.col("vec_id") < 10), k=5
+    ).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def embed_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: deterministic sign-projection buckets, top-5
     within bucket (the 100-TB-scale path: equi-join, no cross join)."""
@@ -1124,6 +1141,25 @@ def a16_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(max(value), 4) AS DOUBLE) AS hi
         FROM events
         GROUP BY event_type, width_bucket(value, 0.0, 400.0, 8)
+        """
+    )
+
+
+def a17_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the a12 ROLLUP / a14 CUBE
+    family): exactly the (year), (returnflag), and grand-total sets —
+    not the full cube — in ONE map-side Expand pass over the scan."""
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(coalesce(year(l_shipdate), -1) AS INTEGER) AS ship_year,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
+               CAST(grouping(year(l_shipdate)) AS INTEGER) AS g_year,
+               CAST(grouping(l_returnflag) AS INTEGER)     AS g_flag,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((year(l_shipdate)), (l_returnflag), ())
         """
     )
 
@@ -2106,4 +2142,6 @@ QUERIES = {
     "a15_salted_event_totals": a15_salted_event_totals,
     "j12_asof_forward": j12_asof_forward,
     "a16_value_histogram": a16_value_histogram,
+    "a17_grouping_sets_revenue": a17_grouping_sets_revenue,
+    "embed_quantized_knn": embed_quantized_knn,
 }

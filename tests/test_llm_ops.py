@@ -800,3 +800,32 @@ def test_image_features_real_png_decode(spark):
     px = decode_png(out)
     assert px.shape == (4, 4, 3)
     assert (px == [200, 100, 50]).all()
+
+
+def test_quantized_knn_recall_vs_exact(spark, sf_medium):
+    """int8 quantization is lossy but must preserve nearly all true
+    top-5 neighbors at 64 dims (error ~1/254 per component)."""
+    from pipelines_spark.llm.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    qemb = quantize_embeddings(emb)
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(qemb, qemb.filter(F.col("vec_id") < 10), k=5).collect()
+    }
+    assert len(quant) == len(exact)
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
+    # quantized values stay inside int8 range
+    row = quantize_embeddings(emb).select(
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("m")
+    ).agg(F.max("m")).collect()[0][0]
+    assert row <= 127

@@ -61,14 +61,20 @@ def run_dump_flow(
     pruning for every downstream incremental consumer — the sort is
     task-local and costs no extra shuffle (see
     ``write_partitioned(sort_cols=...)``)."""
-    df = normalize_columns(source_df)
-    df = derive_partition_columns(df, date_col)
-    staged = to_all_string(df)
     from pipelines_spark.naming import normalize_column_name
 
-    sort_cols = [normalize_column_name(date_col)] if sort_by_date else None
+    df = normalize_columns(source_df)
+    # the frame is normalized, so every later reference to date_col
+    # must use its normalized name too
+    date_norm = normalize_column_name(date_col)
+    df = derive_partition_columns(df, date_norm)
+    staged = to_all_string(df)
     write_partitioned(
-        staged, lake_path, list(partition_cols), mode=mode, sort_cols=sort_cols
+        staged,
+        lake_path,
+        list(partition_cols),
+        mode=mode,
+        sort_cols=[date_norm] if sort_by_date else None,
     )
     create_staging_table(spark, staging_table, lake_path)
     return spark.table(staging_table)

@@ -52,6 +52,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every scored-pairs search: rank per query by
+    (cosine desc, neighbor asc) and keep k — WindowGroupLimit pushes
+    the limit into the shuffle, so full per-query sorts never
+    materialize."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,14 +94,7 @@ def brute_force_topk(
             "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def quantize_embeddings(
@@ -107,22 +115,35 @@ def quantize_embeddings(
     cancel — and the integer dot products are exact, so quantized
     search is bit-reproducible across engines and partitionings
     (unlike float dot products, which depend on summation order).
-    Map-only: zero shuffle.
+    Map-only: zero shuffle. The scale materializes as a column in a
+    first projection so the per-element lambda references it instead
+    of re-evaluating the array_max per element (higher-order lambdas
+    are interpreted — no codegen CSE inside them), and the squared
+    norm is precomputed once per vector for the search stage.
     """
     v = F.col(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.when(maxabs == 0.0, F.lit(1.0))
+        .otherwise(maxabs / F.lit(127.0))
+        .alias("scale"),
+    )
     qvec = F.transform(
-        v,
+        F.col("_v"),
         lambda x: (
             F.signum(x.cast("double"))
-            * F.floor(F.abs(x.cast("double")) / scale + F.lit(0.5))
+            * F.floor(F.abs(x.cast("double")) / F.col("scale") + F.lit(0.5))
         ).cast("long"),
     )
-    return df.select(
-        F.col(id_col),
-        qvec.alias("qvec"),
-        scale.alias("scale"),
+    return staged.select(F.col(id_col), qvec.alias("qvec"), "scale").withColumn(
+        "qnorm2",
+        F.aggregate(
+            F.transform("qvec", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -139,21 +160,21 @@ def quantized_topk(
 
     The dot product and squared norms are EXACT integer sums
     (64-dim × 127² ≪ int64), so the only float ops are two sqrts and
-    one division — engine- and order-independent. Same broadcast +
-    WindowGroupLimit plan shape as ``brute_force_topk``.
+    one division — engine- and order-independent. Norms come
+    precomputed per vector (``qnorm2`` from ``quantize_embeddings``),
+    so the O(n·q) scoring stage does ONE O(dim) aggregate per pair,
+    not three. Same broadcast + WindowGroupLimit plan shape as
+    ``brute_force_topk``.
     """
-    def idot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     q = queries_q.select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qq")
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("qnorm2").alias("_qn2"),
     )
     c = corpus_q.select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("_qc")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("_qc"),
+        F.col("qnorm2").alias("_cn2"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -161,23 +182,20 @@ def quantized_topk(
         .withColumn(
             "cosine",
             F.round(
-                idot(F.col("_qc"), F.col("_qq")).cast("double")
+                F.aggregate(
+                    F.zip_with(F.col("_qc"), F.col("_qq"), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
                 / (
-                    F.sqrt(idot(F.col("_qc"), F.col("_qc")).cast("double"))
-                    * F.sqrt(idot(F.col("_qq"), F.col("_qq")).cast("double"))
+                    F.sqrt(F.col("_cn2").cast("double"))
+                    * F.sqrt(F.col("_qn2").cast("double"))
                 ),
                 round_digits,
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def srp_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:

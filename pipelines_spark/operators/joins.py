@@ -113,12 +113,14 @@ def asof_join(
 
     Spark has no native as-of join; the usual range-join encoding
     explodes into an O(n·m) band join. This implementation instead
-    unions both sides tagged, sorts once per key, and propagates the
-    most recent right values with ``last(..., ignorenulls=True)`` over
-    an unbounded-preceding row frame — ONE shuffle on ``on``, linear
-    work per partition, no candidate blow-up. At 100 TB both sides
-    shuffle-hash-partition on the key once; skewed keys can reuse
-    operators.skew salting.
+    unions both sides tagged, sorts once per key (ascending for
+    backward, descending for forward), and propagates the nearest
+    right values with ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding row frame — ONE shuffle on ``on``, linear
+    work per partition in BOTH directions (a following frame would
+    re-scan the partition tail per row), no candidate blow-up. At
+    100 TB both sides shuffle-hash-partition on the key once; skewed
+    keys can reuse operators.skew salting.
 
     Right side must be unique per (key, right_ts); pre-aggregate if
     not (the reference's last-row-per-key operator, A3).
@@ -155,24 +157,24 @@ def asof_join(
         ).alias("_lrow"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
-    # equal-ts right events must land inside the left row's frame:
-    # backward scans a preceding frame, so right sorts first; forward
-    # scans a following frame, so right sorts last
-    if direction == "backward":
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = F.last("_rv", ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        filled = F.first("_rv", ignorenulls=True).over(w)
-    merged = l_tagged.unionByName(r_tagged).withColumn("_rv", filled)
+    # Both directions use a PRECEDING frame + last(ignorenulls) — the
+    # one window shape Spark executes as a linear running aggregate
+    # (a following frame re-scans the partition tail per row: O(n²)
+    # per key). Forward = the same scan over ts DESCENDING, so
+    # "preceding" means larger-or-equal timestamps and last() is the
+    # nearest following right event. Equal-ts right events sort
+    # before the left row in scan order either way (_is_left asc), so
+    # an exact-ts match is visible to the left row (>= / <=
+    # inclusive semantics).
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(ts_order, F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged).withColumn(
+        "_rv", F.last("_rv", ignorenulls=True).over(w)
+    )
     out = merged.filter(F.col("_is_left") == 1)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],

@@ -824,8 +824,9 @@ def test_quantized_knn_recall_vs_exact(spark, sf_medium):
     assert len(quant) == len(exact)
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, recall
-    # quantized values stay inside int8 range
-    row = quantize_embeddings(emb).select(
+    # quantized values stay inside int8 range (same frame whose
+    # recall was just asserted)
+    row = qemb.select(
         F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("m")
     ).agg(F.max("m")).collect()[0][0]
     assert row <= 127

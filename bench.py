@@ -94,6 +94,11 @@ EXTENDED = [
     "sample_stratified_counts",
     "scd2_order_history",
     "text_chunk_windows",
+    "a15_salted_event_totals",
+    "a16_value_histogram",
+    "a17_grouping_sets_revenue",
+    "j12_asof_forward",
+    "embed_quantized_knn",
 ]
 
 

@@ -77,6 +77,98 @@ def _crosses(px: Column, py: Column, v1: Column, v2: Column) -> Column:
     return straddles & (px < x_at_y)
 
 
+def rect_ring(x0, y0, x1, y1) -> Column:
+    """Axis-aligned rectangle as a CCW ring
+    ``array<struct<x,y>>`` (open — no repeated last vertex)."""
+    to_col = lambda v: v if isinstance(v, Column) else F.lit(v)  # noqa: E731
+    x0, y0, x1, y1 = map(to_col, (x0, y0, x1, y1))
+    return F.array(
+        F.struct(x0.alias("x"), y0.alias("y")),
+        F.struct(x1.alias("x"), y0.alias("y")),
+        F.struct(x1.alias("x"), y1.alias("y")),
+        F.struct(x0.alias("x"), y1.alias("y")),
+    )
+
+
+def polygon_area(ring: Column) -> Column:
+    """Shoelace area of a ring ``array<struct<x,y>>`` (open ring, any
+    orientation — absolute value). Pure higher-order-function math,
+    JVM-side, no UDF."""
+    n = F.size(ring)
+
+    def term(acc, i):
+        cur = F.element_at(ring, i + 1)
+        nxt = F.element_at(ring, F.when(i == n - 1, 1).otherwise(i + 2))
+        return acc + (cur["x"] * nxt["y"] - nxt["x"] * cur["y"])
+
+    return F.when(n < 3, F.lit(0.0)).otherwise(
+        F.abs(F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), term)) / 2
+    )
+
+
+def _clip_half_plane(ring: Column, a: Column, b: Column) -> Column:
+    """One Sutherland–Hodgman step: keep the part of ``ring`` on the
+    left of the directed clip edge a→b (CCW clip polygon ⇒ left =
+    inside). Emits 0–2 vertices per input edge, flattened back into a
+    ring."""
+    n = F.size(ring)
+
+    def side(p):
+        return (b["x"] - a["x"]) * (p["y"] - a["y"]) - (
+            b["y"] - a["y"]
+        ) * (p["x"] - a["x"])
+
+    def emit(i):
+        cur = F.element_at(ring, i + 1)
+        prev = F.element_at(ring, F.when(i == 0, n).otherwise(i))
+        sc, sp = side(cur), side(prev)
+        cur_in, prev_in = sc >= 0, sp >= 0
+        t = sp / (sp - sc)
+        inter = F.struct(
+            (prev["x"] + t * (cur["x"] - prev["x"])).alias("x"),
+            (prev["y"] + t * (cur["y"] - prev["y"])).alias("y"),
+        )
+        empty = F.slice(ring, 1, 0)  # typed empty array
+        return (
+            F.when(cur_in & prev_in, F.array(cur))
+            .when(cur_in & ~prev_in, F.array(inter, cur))
+            .when(~cur_in & prev_in, F.array(inter))
+            .otherwise(empty)
+        )
+
+    return F.when(n < 3, F.slice(ring, 1, 0)).otherwise(
+        F.flatten(F.transform(F.sequence(F.lit(0), n - 1), emit))
+    )
+
+
+def polygon_clip(subject: Column, clip: Column) -> Column:
+    """Sutherland–Hodgman polygon clipping: intersection of ``subject``
+    (any simple polygon) with ``clip`` (must be CONVEX, CCW-wound).
+    Both are open rings ``array<struct<x,y>>``. Entirely Catalyst
+    column math — aggregate over the clip edges, each step a
+    transform+flatten over the current ring. No UDF, no geo library;
+    the W2 best-overlap ranking (reference
+    pipelines/rj_escritorio/rain_dashboard/constants.py:116-125,
+    ``ST_AREA(ST_INTERSECTION(...))``) runs on this."""
+    m = F.size(clip)
+    return F.aggregate(
+        F.sequence(F.lit(0), m - 1),
+        subject,
+        lambda ring, j: _clip_half_plane(
+            ring,
+            F.element_at(clip, j + 1),
+            F.element_at(clip, F.when(j == m - 1, 1).otherwise(j + 2)),
+        ),
+    )
+
+
+def intersection_area(subject: Column, clip: Column) -> Column:
+    """``ST_AREA(ST_INTERSECTION(subject, clip))`` for a convex CCW
+    ``clip`` — planar (coordinate-unit²) area, matching the closed
+    form for axis-aligned cases."""
+    return polygon_area(polygon_clip(subject, clip))
+
+
 def geocode_addresses(
     df,
     addr_col: str,

@@ -448,6 +448,46 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CAST(dist_km AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_dist_km
         FROM inside GROUP BY nationkey
     """,
+    "j8b_best_overlap": """
+        WITH neigh AS (
+            SELECT n_nationkey AS nationkey,
+                   -43.6 + (n_nationkey % 5) * 0.1              AS nx0,
+                   -23.1 + FLOOR(n_nationkey / 5.0) * 0.1       AS ny0
+            FROM nation
+        ), n2 AS (
+            SELECT nationkey, nx0, ny0,
+                   nx0 + 0.15 AS nx1, ny0 + 0.15 AS ny1
+            FROM neigh
+        ), cells AS (
+            SELECT s_suppkey AS cell_id,
+                   -43.6 + ((s_suppkey * 7) % 89) * 0.01 AS cx0,
+                   -23.1 + (s_suppkey % 97) * 0.01       AS cy0
+            FROM supplier
+        ), c2 AS (
+            SELECT cell_id, cx0, cy0,
+                   cx0 + 0.08 AS cx1, cy0 + 0.08 AS cy1
+            FROM cells
+        ), pairs AS (
+            -- closed-form axis-aligned rectangle intersection: the
+            -- analytically exact answer the engine's general
+            -- Sutherland-Hodgman clip must reproduce
+            SELECT cell_id, nationkey,
+                   round(
+                       GREATEST(0, LEAST(cx1, nx1) - GREATEST(cx0, nx0))
+                       * GREATEST(0, LEAST(cy1, ny1) - GREATEST(cy0, ny0)),
+                   6) AS best_area
+            FROM c2 CROSS JOIN n2
+        ), ranked AS (
+            SELECT cell_id, nationkey, best_area,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cell_id
+                       ORDER BY best_area DESC, nationkey
+                   ) AS rn
+            FROM pairs WHERE best_area > 0
+        )
+        SELECT cell_id, nationkey AS best_nationkey, best_area
+        FROM ranked WHERE rn = 1
+    """,
     "o6_pivot_event_types": """
         SELECT CAST(ts AS DATE) AS event_date,
                count(*) FILTER (WHERE event_type = 'click')    AS click,

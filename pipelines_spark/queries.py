@@ -636,6 +636,102 @@ def j8_geo_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j8b_best_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 best-overlap ranking (reference
+    pipelines/rj_escritorio/rain_dashboard/constants.py:116-125):
+    `ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+    ST_AREA(ST_INTERSECTION(cell, neighborhood)) DESC)` — each grid
+    cell keeps the neighborhood it overlaps most.
+
+    Geometry is real polygon clipping (Sutherland–Hodgman + shoelace,
+    pure Catalyst HOF math — functions/geo.py:polygon_clip), driven
+    through the same grid-bucket pre-filter as J8: both rectangle sets
+    explode to the 0.1° buckets they cover, the tiny neighborhood side
+    broadcasts, and each candidate pair is kept exactly once via the
+    canonical-bucket trick (the bucket containing the intersection's
+    lower-left corner) — no pair-dedup shuffle. Oracle: closed-form
+    rectangle intersection in DuckDB, which pins the general clipping
+    code against an analytically exact answer."""
+    register(spark, sf_dir, ("supplier", "nation"))
+    from pipelines_spark.functions.geo import intersection_area, rect_ring
+
+    GRID = 10  # buckets per degree, same layout as functions.geo.grid_cell
+    STRIDE = 360 * GRID + 1
+
+    neigh = (
+        spark.table("nation")
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            (F.lit(-43.6) + (F.col("n_nationkey") % 5) * F.lit(0.1)).alias("nx0"),
+            (
+                F.lit(-23.1)
+                + F.floor(F.col("n_nationkey") / F.lit(5.0)) * F.lit(0.1)
+            ).alias("ny0"),
+        )
+        .withColumn("nx1", F.col("nx0") + F.lit(0.15))
+        .withColumn("ny1", F.col("ny0") + F.lit(0.15))
+    )
+    cells = (
+        spark.table("supplier")
+        .select(
+            F.col("s_suppkey").alias("cell_id"),
+            (F.lit(-43.6) + ((F.col("s_suppkey") * 7) % 89) * F.lit(0.01)).alias("cx0"),
+            (F.lit(-23.1) + (F.col("s_suppkey") % 97) * F.lit(0.01)).alias("cy0"),
+        )
+        .withColumn("cx1", F.col("cx0") + F.lit(0.08))
+        .withColumn("cy1", F.col("cy0") + F.lit(0.08))
+    )
+
+    def with_buckets(df, x0, y0, x1, y1):
+        lat_i = F.explode(
+            F.sequence(
+                F.floor((F.col(y0) + 90.0) * GRID).cast("long"),
+                F.floor((F.col(y1) + 90.0) * GRID).cast("long"),
+            )
+        ).alias("lat_i")
+        out = df.select("*", lat_i)
+        lon_i = F.explode(
+            F.sequence(
+                F.floor((F.col(x0) + 180.0) * GRID).cast("long"),
+                F.floor((F.col(x1) + 180.0) * GRID).cast("long"),
+            )
+        ).alias("lon_i")
+        return out.select("*", lon_i).withColumn(
+            "bucket", F.col("lat_i") * F.lit(STRIDE) + F.col("lon_i")
+        ).drop("lat_i", "lon_i")
+
+    cells_b = with_buckets(cells, "cx0", "cy0", "cx1", "cy1")
+    neigh_b = with_buckets(neigh, "nx0", "ny0", "nx1", "ny1")
+
+    ix0 = F.greatest("cx0", "nx0")
+    iy0 = F.greatest("cy0", "ny0")
+    canonical = (
+        F.floor((iy0 + 90.0) * GRID).cast("long") * F.lit(STRIDE)
+        + F.floor((ix0 + 180.0) * GRID).cast("long")
+    )
+    pairs = (
+        cells_b.join(F.broadcast(neigh_b), "bucket")
+        .filter(F.col("bucket") == canonical)  # each pair exactly once
+    )
+    area = F.round(
+        intersection_area(
+            rect_ring(F.col("cx0"), F.col("cy0"), F.col("cx1"), F.col("cy1")),
+            rect_ring(F.col("nx0"), F.col("ny0"), F.col("nx1"), F.col("ny1")),
+        ),
+        6,
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.desc("best_area"), F.asc("nationkey")
+    )
+    return (
+        pairs.withColumn("best_area", area)
+        .filter(F.col("best_area") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", F.col("nationkey").alias("best_nationkey"), "best_area")
+    )
+
+
 def o7_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload parse (O7): extract props.k, bucket it."""
     register(spark, sf_dir, ("events",))
@@ -2048,6 +2144,53 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "j11_asof_enrichment": j11_asof_enrichment,
+    "a13_value_percentiles": a13_value_percentiles,
+    "o10_unpivot": o10_unpivot,
+    "j8_geo_stations": j8_geo_stations,
+    "j8b_best_overlap": j8b_best_overlap,
+    "q2_min_per_group_subquery": q2_min_per_group_subquery,
+    "o11_intersect_custkeys": o11_intersect_custkeys,
+    "sample_split_counts": sample_split_counts,
+    "text_top_terms": text_top_terms,
+    "w6_sessionize": w6_sessionize,
+    "embed_ivf_ann": embed_ivf_ann,
+    "dedup_clusters": dedup_clusters,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "text_pii_redaction": text_pii_redaction,
+    "text_repetition_stats": text_repetition_stats,
+    "text_decontamination": text_decontamination,
+    "dedup_canonical_selection": dedup_canonical_selection,
+    "text_lang_mismatch": text_lang_mismatch,
+    "sample_token_shards": sample_token_shards,
+    "q9_product_profit": q9_product_profit,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_bracket_predicates": q19_bracket_predicates,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "text_boilerplate_stats": text_boilerplate_stats,
+    "q20_nested_in_chain": q20_nested_in_chain,
+    "q11_important_suppliers": q11_important_suppliers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "w7_rank_gauntlet": w7_rank_gauntlet,
+    "a14_cube_revenue": a14_cube_revenue,
+    "embed_ivf_kmeans": embed_ivf_kmeans,
+    "text_bm25_search": text_bm25_search,
+    "sample_stratified_counts": sample_stratified_counts,
+    "text_chunk_windows": text_chunk_windows,
+    "scd2_order_history": scd2_order_history,
+    "a15_salted_event_totals": a15_salted_event_totals,
+    "j12_asof_forward": j12_asof_forward,
+    "a16_value_histogram": a16_value_histogram,
+    "a17_grouping_sets_revenue": a17_grouping_sets_revenue,
+    "embed_quantized_knn": embed_quantized_knn,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2098,50 +2241,4 @@ QUERIES = {
     "a12_rollup_revenue": a12_rollup_revenue,
     "o9_except_nations": o9_except_nations,
     "w5_lag_event_gap": w5_lag_event_gap,
-    "j11_asof_enrichment": j11_asof_enrichment,
-    "a13_value_percentiles": a13_value_percentiles,
-    "o10_unpivot": o10_unpivot,
-    "j8_geo_stations": j8_geo_stations,
-    "q2_min_per_group_subquery": q2_min_per_group_subquery,
-    "o11_intersect_custkeys": o11_intersect_custkeys,
-    "sample_split_counts": sample_split_counts,
-    "text_top_terms": text_top_terms,
-    "w6_sessionize": w6_sessionize,
-    "embed_ivf_ann": embed_ivf_ann,
-    "dedup_clusters": dedup_clusters,
-    "q7_nation_volume": q7_nation_volume,
-    "q8_market_share": q8_market_share,
-    "q10_returned_items": q10_returned_items,
-    "text_pii_redaction": text_pii_redaction,
-    "text_repetition_stats": text_repetition_stats,
-    "text_decontamination": text_decontamination,
-    "dedup_canonical_selection": dedup_canonical_selection,
-    "text_lang_mismatch": text_lang_mismatch,
-    "sample_token_shards": sample_token_shards,
-    "q9_product_profit": q9_product_profit,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_bracket_predicates": q19_bracket_predicates,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "text_boilerplate_stats": text_boilerplate_stats,
-    "q20_nested_in_chain": q20_nested_in_chain,
-    "q11_important_suppliers": q11_important_suppliers,
-    "q12_priority_shipping": q12_priority_shipping,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_part_supplier_counts": q16_part_supplier_counts,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "w7_rank_gauntlet": w7_rank_gauntlet,
-    "a14_cube_revenue": a14_cube_revenue,
-    "embed_ivf_kmeans": embed_ivf_kmeans,
-    "text_bm25_search": text_bm25_search,
-    "sample_stratified_counts": sample_stratified_counts,
-    "text_chunk_windows": text_chunk_windows,
-    "scd2_order_history": scd2_order_history,
-    "a15_salted_event_totals": a15_salted_event_totals,
-    "j12_asof_forward": j12_asof_forward,
-    "a16_value_histogram": a16_value_histogram,
-    "a17_grouping_sets_revenue": a17_grouping_sets_revenue,
-    "embed_quantized_knn": embed_quantized_knn,
 }

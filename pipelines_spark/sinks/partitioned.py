@@ -69,6 +69,38 @@ def write_partitioned(
     writer.save(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
+    the same abstraction Spark's writers use, so deletes/listing work
+    on any configured scheme (file://, hdfs://, s3a://, …), not just
+    the local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _require_local_path(path: str, op: str) -> None:
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"{op} walks the local filesystem and would silently do "
+            f"nothing on scheme {scheme!r}; on an object store use a "
+            "table format with file-level transactions (Delta/Iceberg) "
+            "or Hadoop-FS-based tooling instead"
+        )
+
+
+# Above this many touched partitions the static OR-chain predicate is
+# replaced by a broadcast semi-join: a thousands-clause Catalyst tree
+# costs analysis time and can hit codegen limits, while the semi-join
+# stays O(1) in plan size and still prunes partitions at runtime via
+# dynamic partition pruning.
+_STATIC_PRUNE_MAX_COMBOS = 32
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -87,9 +119,10 @@ def merge_upsert(
     at row grain while keeping the partition-level I/O contract:
 
     1. the affected partition combos are collected (bounded by the
-       number of touched partitions, never row count) and turned into
-       a static pruning predicate — the existing-table scan reads
-       only those partitions;
+       number of touched partitions, never row count); few combos
+       become a static pruning predicate, many become a broadcast
+       semi-join on the partition columns (plan size stays bounded,
+       dynamic partition pruning keeps the scan pruned);
     2. survivors = existing rows of those partitions whose key is NOT
        in ``updates`` (left-anti join);
     3. survivors ∪ updates is staged under ``_tmp_merge/``
@@ -105,13 +138,41 @@ def merge_upsert(
 
     Returns ``{"partitions_touched": n, "rows_upserted": m}``.
     """
-    import shutil
-
+    overwrite_mode = str(
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    )
+    if overwrite_mode.lower() != "dynamic":
+        raise RuntimeError(
+            "merge_upsert requires "
+            "spark.sql.sources.partitionOverwriteMode=dynamic (got "
+            f"{overwrite_mode!r}): under static mode the final "
+            "partition-replace write deletes EVERY partition not present "
+            "in `updates` — whole-table data loss. Create the session "
+            "with pipelines_spark.session.get_spark or set the conf."
+        )
     existing = spark.read.format(file_format).load(path)
     if set(existing.columns) != set(updates.columns):
         raise ValueError(
             f"updates schema {sorted(updates.columns)} != table schema "
             f"{sorted(existing.columns)}"
+        )
+    # type drift in data columns would be silently widened by the
+    # unionByName below and written back, mutating the table's physical
+    # schema — reject it. Partition columns are exempt from the hard
+    # check: their types on the `existing` side are re-INFERRED from
+    # directory names, so a string-typed partition column legitimately
+    # reads back as int.
+    existing_types = {f.name: f.dataType for f in existing.schema.fields}
+    drift = [
+        (f.name, str(existing_types[f.name]), str(f.dataType))
+        for f in updates.schema.fields
+        if f.name not in partition_cols
+        and existing_types[f.name] != f.dataType
+    ]
+    if drift:
+        raise ValueError(
+            "updates column types drift from the table schema "
+            "(col, table, updates): " + ", ".join(map(str, drift))
         )
     # one pass over updates yields the affected-partition combos AND
     # the row count — counted BEFORE the table mutates, so an updates
@@ -124,14 +185,29 @@ def merge_upsert(
     )
     combos = agg
     n_rows = sum(r["_n"] for r in agg)
-    pred = F.lit(False)
-    for row in combos:
-        clause = F.lit(True)
+    if len(combos) <= _STATIC_PRUNE_MAX_COMBOS:
+        # few partitions: a static predicate prunes at plan time
+        pred = F.lit(False)
+        for row in combos:
+            clause = F.lit(True)
+            for c in partition_cols:
+                clause = clause & F.col(c).eqNullSafe(F.lit(row[c]))
+            pred = pred | clause
+        pruned = existing.filter(pred)
+    else:
+        # many partitions (backfill): broadcast semi-join on the
+        # partition columns — bounded plan, runtime partition pruning
+        combo_schema = updates.select(*partition_cols).schema
+        combos_df = spark.createDataFrame(
+            [tuple(r[c] for c in partition_cols) for r in combos],
+            schema=combo_schema,
+        )
+        cond = F.lit(True)
         for c in partition_cols:
-            clause = clause & F.col(c).eqNullSafe(F.lit(row[c]))
-        pred = pred | clause
+            cond = cond & existing[c].eqNullSafe(combos_df[c])
+        pruned = existing.join(F.broadcast(combos_df), cond, "left_semi")
     survivors = (
-        existing.filter(pred)
+        pruned
         .join(updates.select(*keys).distinct(), keys, "left_anti")
         .select(*updates.columns)
     )
@@ -150,7 +226,11 @@ def merge_upsert(
             mode="overwrite_partitions", file_format=file_format,
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Hadoop FS delete, not shutil: the staged _tmp_merge copy must
+        # also disappear on hdfs:///s3a:// tables, where a local rmtree
+        # silently leaves it behind (doubling storage per merge)
+        fs, hpath = _hadoop_fs(spark, tmp)
+        fs.delete(hpath, True)
     return {"partitions_touched": len(combos), "rows_upserted": n_rows}
 
 
@@ -226,11 +306,14 @@ def vacuum_partitions(
     Partition-value parsing is purely structural (``k=v`` path
     segments in ``partition_cols`` order); non-partition entries
     (underscore-prefixed staging dirs, ``_SUCCESS``) are never
-    touched.
+    touched. Local paths only — a remote scheme is rejected rather
+    than silently sweeping nothing.
     """
     import os
     import shutil
     from urllib.parse import unquote
+
+    _require_local_path(path, "vacuum_partitions")
 
     removed: list[str] = []
     for dirpath, dirnames, _files in os.walk(path):
@@ -296,10 +379,14 @@ def compact_partitions(
     directory-swap path.)
 
     Returns {partition_path: files_before} for the rewritten ones.
+    Local paths only — directory renames are only atomic there; a
+    remote scheme is rejected explicitly.
     """
     import collections
     import os
     import shutil
+
+    _require_local_path(path, "compact_partitions")
 
     sizes: dict[str, list[int]] = collections.defaultdict(list)
     for dirpath, _dirnames, filenames in os.walk(path):

@@ -148,3 +148,89 @@ def test_geocode_addresses_rate_limited_with_failures(spark):
     assert out[3] == (None, None)      # miss -> NULL
     assert out[4] == (None, None)      # API error -> NULL, job survives
     assert out[5] == (None, None)      # NULL address skipped
+
+
+def test_polygon_clip_area_known_answers(spark):
+    """General Sutherland–Hodgman clip against hand-computed areas:
+    triangle x unit square, disjoint, containment, non-axis-aligned."""
+    from pyspark.sql import functions as F
+    from pipelines_spark.functions.geo import (
+        intersection_area, polygon_area, polygon_clip, rect_ring,
+    )
+
+    def ring(*pts):
+        return F.array(
+            *[F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+              for x, y in pts]
+        )
+
+    unit_sq = rect_ring(0.0, 0.0, 1.0, 1.0)
+    cases = {
+        # big triangle containing the whole square (x+y<=2 on all of it)
+        "tri_contains_square": (ring((0, 0), (2, 0), (0, 2)), unit_sq, 1.0),
+        # triangle crossing the square edge: area under y=1-x/2 over [0,1]
+        "tri_crossing": (ring((0, 0), (2, 0), (0, 1)), unit_sq, 0.75),
+        # triangle fully inside
+        "tri_inside": (ring((0.2, 0.2), (0.8, 0.2), (0.5, 0.8)), unit_sq, 0.18),
+        # disjoint
+        "disjoint": (ring((5, 5), (6, 5), (6, 6)), unit_sq, 0.0),
+        # subject contains clip: intersection = clip polygon
+        "contains": (rect_ring(-5.0, -5.0, 5.0, 5.0), unit_sq, 1.0),
+        # diamond (rotated square, area 2) centered on unit square corner
+        "diamond": (ring((1, 0), (2, 1), (1, 2), (0, 1)), unit_sq, 0.5),
+    }
+    row = spark.range(1).select(
+        *[
+            F.round(intersection_area(subj, clip), 9).alias(name)
+            for name, (subj, clip, _) in cases.items()
+        ],
+        F.round(polygon_area(ring((0, 0), (4, 0), (4, 3))), 9).alias("tri_area"),
+        F.size(polygon_clip(ring((5, 5), (6, 5), (6, 6)), unit_sq)).alias("empty_n"),
+    ).collect()[0]
+    for name, (_, _, want) in cases.items():
+        assert row[name] == want, (name, row[name], want)
+    assert row["tri_area"] == 6.0
+    assert row["empty_n"] == 0
+
+
+def test_polygon_clip_matches_rect_closed_form(spark):
+    """Property: for axis-aligned rectangle pairs, the general clip
+    reproduces the closed-form overlap area exactly (to 1e-9)."""
+    from pyspark.sql import functions as F
+    from pipelines_spark.functions.geo import intersection_area, rect_ring
+
+    rows = [
+        (i,
+         (i * 37 % 100) / 10.0, (i * 53 % 100) / 10.0,   # ax0, ay0
+         1 + (i * 29 % 40) / 10.0, 1 + (i * 41 % 40) / 10.0,  # aw, ah
+         (i * 61 % 100) / 10.0, (i * 71 % 100) / 10.0,   # bx0, by0
+         1 + (i * 13 % 40) / 10.0, 1 + (i * 17 % 40) / 10.0)  # bw, bh
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, ax0 double, ay0 double, aw double, ah double,"
+              " bx0 double, by0 double, bw double, bh double"
+    ).select(
+        "*",
+        (F.col("ax0") + F.col("aw")).alias("ax1"),
+        (F.col("ay0") + F.col("ah")).alias("ay1"),
+        (F.col("bx0") + F.col("bw")).alias("bx1"),
+        (F.col("by0") + F.col("bh")).alias("by1"),
+    )
+    got = df.select(
+        "i",
+        F.round(
+            intersection_area(
+                rect_ring(F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")),
+                rect_ring(F.col("bx0"), F.col("by0"), F.col("bx1"), F.col("by1")),
+            ), 9
+        ).alias("clip_area"),
+        F.round(
+            F.greatest(F.lit(0.0), F.least("ax1", "bx1") - F.greatest("ax0", "bx0"))
+            * F.greatest(F.lit(0.0), F.least("ay1", "by1") - F.greatest("ay0", "by0")),
+            9,
+        ).alias("closed_form"),
+    ).collect()
+    bad = [(r["i"], r["clip_area"], r["closed_form"])
+           for r in got if r["clip_area"] != r["closed_form"]]
+    assert not bad, bad[:5]

@@ -223,3 +223,75 @@ def test_write_and_merge_orc_format(spark, tmp_path):
     assert {
         (r["id"], r["v"]) for r in spark.read.orc(path).collect()
     } == {(1, "a"), (2, "b2"), (3, "c")}
+
+
+def test_merge_upsert_requires_dynamic_overwrite(spark, tmp_path):
+    """Under static partitionOverwriteMode the final write would wipe
+    every untouched partition — merge_upsert must refuse up front."""
+    import pytest
+    from pipelines_spark.sinks.partitioned import merge_upsert
+
+    path = str(tmp_path / "guarded")
+    base = spark.createDataFrame([(1, "a", "1995")], "id long, v string, year string")
+    write_partitioned(base, path, ["year"], mode="overwrite")
+    updates = spark.createDataFrame([(1, "a2", "1995")], "id long, v string, year string")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        with pytest.raises(RuntimeError, match="partitionOverwriteMode=dynamic"):
+            merge_upsert(spark, path, updates, ["id"], ["year"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # nothing was written
+    assert {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()} == {(1, "a")}
+
+
+def test_merge_upsert_rejects_data_column_type_drift(spark, tmp_path):
+    """An updates frame whose DATA column types drift from the table
+    must be rejected, not silently widened and written back."""
+    import pytest
+    from pipelines_spark.sinks.partitioned import merge_upsert
+
+    path = str(tmp_path / "typed")
+    base = spark.createDataFrame([(1, "7", "1995")], "id long, v string, year string")
+    write_partitioned(base, path, ["year"], mode="overwrite")
+    drifted = spark.createDataFrame([(1, 7, "1995")], "id long, v int, year string")
+    with pytest.raises(ValueError, match="drift"):
+        merge_upsert(spark, path, drifted, ["id"], ["year"])
+    # partition-column representation differences stay allowed (dir
+    # values legitimately read back as string)
+    ok = spark.createDataFrame([(1, "8", 1995)], "id long, v string, year int")
+    stats = merge_upsert(spark, path, ok, ["id"], ["year"])
+    assert stats["rows_upserted"] == 1
+
+
+def test_merge_upsert_many_partitions_uses_semijoin_prune(spark, tmp_path):
+    """A backfill touching more partitions than the static-predicate
+    cap must still merge correctly (broadcast semi-join prune path, no
+    kiloclaus OR-chain)."""
+    from pipelines_spark.sinks import partitioned as P
+
+    path = str(tmp_path / "backfill")
+    n = P._STATIC_PRUNE_MAX_COMBOS + 8
+    base = spark.createDataFrame(
+        [(i, "old", f"d{i:04d}") for i in range(n)] + [(999, "keep", "d9999")],
+        "id long, v string, data string",
+    )
+    write_partitioned(base, path, ["data"], mode="overwrite")
+    updates = spark.createDataFrame(
+        [(i, "new", f"d{i:04d}") for i in range(n)],
+        "id long, v string, data string",
+    )
+    stats = P.merge_upsert(spark, path, updates, ["id"], ["data"])
+    assert stats == {"partitions_touched": n, "rows_upserted": n}
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(i, "new") for i in range(n)} | {(999, "keep")}
+
+
+def test_vacuum_and_compact_reject_remote_paths(spark):
+    import pytest
+    from pipelines_spark.sinks.partitioned import compact_partitions, vacuum_partitions
+
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        vacuum_partitions("s3a://bucket/table", ["data"], keep=lambda v: True)
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        compact_partitions(spark, "hdfs://nn/table", ["data"])

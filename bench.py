@@ -99,6 +99,7 @@ EXTENDED = [
     "a17_grouping_sets_revenue",
     "j12_asof_forward",
     "embed_quantized_knn",
+    "j8b_best_overlap",
 ]
 
 
@@ -114,7 +115,25 @@ SCALE_PROBE_QUERIES = [
 ]
 
 
-def bench_scale_probe(spark, sf_dir: str, timings: dict[str, float], n: int = 10) -> dict:
+#: deeper headroom probe: one order beyond scale10x, on the queries
+#: that showed the highest 10x ratios in round 2 — where shuffle
+#: spill / quadratic behavior would first surface on this box
+SCALE30_QUERIES = [
+    "q1_pricing_summary",
+    "a3_latest_event_per_user",
+    "dedup_minhash_lsh",
+    "embed_ivf_ann",
+]
+
+
+def bench_scale_probe(
+    spark,
+    sf_dir: str,
+    timings: dict[str, float],
+    n: int = 10,
+    query_names: list[str] | None = None,
+    runs: int = 2,
+) -> dict:
     """Replicate the corpus ``n``× (key-offset copies — real distinct
     keys, not duplicated rows) and re-run a probe subset, reporting
     wall-clock and the growth ratio vs this run's base timings. The
@@ -136,9 +155,9 @@ def bench_scale_probe(spark, sf_dir: str, timings: dict[str, float], n: int = 10
             replicate(table, out_dir, n, src=sf_dir, strides_by_col=strides)
         probe: dict[str, float] = {}
         ratios: dict[str, float] = {}
-        for name in SCALE_PROBE_QUERIES:
+        for name in query_names or SCALE_PROBE_QUERIES:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 _materialize(QUERIES[name](spark, str(out_dir)))
                 best = min(best, time.perf_counter() - t0)
@@ -206,6 +225,14 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_PROBE=0
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         result["scale10x"] = bench_scale_probe(spark, sf_dir, timings)
+        # one order deeper, single-shot, worst-offender subset — the
+        # spill-regime check the 10x probe can't see; disable with
+        # SPARK_GRAFT_SCALE30=0
+        if os.environ.get("SPARK_GRAFT_SCALE30", "1") != "0":
+            result["scale30x"] = bench_scale_probe(
+                spark, sf_dir, timings, n=30,
+                query_names=SCALE30_QUERIES, runs=1,
+            )
     print(json.dumps(result))
     spark.stop()
 

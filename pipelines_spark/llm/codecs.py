@@ -176,24 +176,32 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def image_format(payload: bytes) -> str | None:
-    """Magic-byte format sniff: 'bmp' | 'png' | None. The ONE owner
-    of format dispatch — decode/encode/kernel sites all route here,
-    so adding a format is a single-site change."""
+    """Magic-byte format sniff: 'bmp' | 'png' | 'jpeg' | None. The ONE
+    owner of format dispatch — decode/encode/kernel sites all route
+    here, so adding a format is a single-site change."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
 def decode_image_rgb(payload: bytes) -> np.ndarray:
     """Magic-dispatched decode of any supported still-image format →
-    (h, w, 3) uint8 RGB. Raises on formats needing PIL."""
+    (h, w, 3) uint8 RGB. Raises on formats needing PIL (and on JPEG
+    variants the baseline decoder rejects — progressive/arithmetic —
+    so kernel callers still stub-fallback per contract)."""
     fmt = image_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        from pipelines_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unsupported image format (need PIL)")
 
 
@@ -203,6 +211,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(pixels)
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "jpeg":
+        from pipelines_spark.llm.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

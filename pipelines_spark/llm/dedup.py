@@ -105,6 +105,30 @@ def band_key_cols(num_hashes: int, bands: int) -> list[Column]:
     ]
 
 
+def _attach_staging(out: DataFrame, frames) -> DataFrame:
+    """Record the persisted staging frames that back ``out`` so the
+    caller can release them with :func:`release_staging` once the
+    output is materialized."""
+    out._staged_frames = tuple(frames)
+    return out
+
+
+def release_staging(df: DataFrame) -> int:
+    """Unpersist the staging frames an operator cached while building
+    ``df`` (call AFTER materializing the output — an action before
+    release reuses the cache, one after recomputes). Mirrors
+    ``curate_corpus``'s explicit cache lifecycle for the standalone
+    operators; a long-lived multi-corpus session must not rely on LRU
+    eviction or session teardown. Returns the number of frames
+    released. No-op on frames without staging."""
+    frames = getattr(df, "_staged_frames", ())
+    for f in frames:
+        f.unpersist()
+    if frames:
+        del df._staged_frames
+    return len(frames)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -162,9 +186,10 @@ def minhash_near_dup_pairs(
     # sides of the candidate self-join, and without caching each side
     # would recompute the full signature stage.
     band_cols = band_key_cols(num_hashes, bands)
-    banded = sigs.select(
+    banded_cached = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("_band")
     ).persist()
+    banded = banded_cached
 
     if max_bucket_size is not None:
         # hot-bucket guard: at most n_docs·bands/max_bucket_size
@@ -221,7 +246,7 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return verified
+    return _attach_staging(verified, (shingled, banded_cached))
 
 
 def ngram_jaccard_pairs(
@@ -258,10 +283,12 @@ def ngram_jaccard_pairs(
     ).filter(F.size("_shingles") > 0)
     sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    staged: list[DataFrame] = []
     if max_shingle_freq is not None:
         # persisted: the posting list feeds the probe and (when hot
         # shingles exist) both sides of the candidate self-join
         inv = inv.persist()
+        staged.append(inv)
         hot = (
             inv.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -290,7 +317,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return (
+    scored = (
         inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
         .withColumn(
@@ -300,6 +327,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    return _attach_staging(scored, staged)
 
 
 def _md5_hash32(col: Column) -> Column:
@@ -386,7 +414,8 @@ def simhash_pairs(
     # persisted: the block table feeds both sides of the candidate
     # self-join (and the hot-group probe) — without caching each
     # consumer would recompute the 32-aggregate simhash stage
-    blocks = blocks.persist()
+    blocks_cached = blocks.persist()
+    blocks = blocks_cached
 
     if max_block_group is not None:
         hot = (
@@ -432,7 +461,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return pairs
+    return _attach_staging(pairs, (blocks_cached,))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

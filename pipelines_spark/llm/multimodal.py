@@ -5,11 +5,12 @@ metadata columns (mime, width/height or sample rate, …). Decode and
 feature extraction run as Arrow-batched pandas functions over
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
 partition sizing) is real, and the common still/audio formats decode
-for REAL with stdlib-only codecs (llm/codecs.py): 24-bit BMP, 8-bit
-PNG (all scanline filters), 16-bit PCM WAV. Formats needing native
-libs (JPEG/MP4 …) fall back to the clearly-marked deterministic
-stub — swap it for PIL/libav in production; the Spark surface does
-not change.
+for REAL with stdlib+numpy codecs (llm/codecs.py, llm/jpeg.py):
+24-bit BMP, 8-bit PNG (all scanline filters), baseline JPEG (any
+subsampling, restart markers), 16-bit PCM WAV. Formats needing
+native libs (MP4/video, progressive JPEG …) fall back to the
+clearly-marked deterministic stub — swap it for PIL/libav in
+production; the Spark surface does not change.
 
 Scale notes: binary payloads dominate partition size — the reader
 caps ``maxPartitionBytes`` thinking in payload bytes, and
@@ -56,11 +57,13 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL decode for BMP and PNG payloads (llm/codecs.py): true
-    dimensions and a channel-statistics feature [mean R, mean G,
-    mean B, grayscale std] in [0, 1]. Other formats — and variants
-    the codecs don't handle (compressed BMP, palette/16-bit/Adam7
-    PNG, truncated bytes) — fall back to the stub: one bad payload in
+    """REAL decode for BMP, PNG, and baseline JPEG payloads
+    (llm/codecs.py, llm/jpeg.py): true dimensions and a
+    channel-statistics feature [mean R, mean G, mean B, grayscale
+    std] in [0, 1]. Other formats — and variants the codecs don't
+    handle (compressed BMP, palette/16-bit/Adam7 PNG,
+    progressive/arithmetic JPEG, truncated bytes) — fall back to the
+    stub: one bad payload in
     a 100 TB corpus must never fail the task. The codecs import stays
     inside the try for the same reason — a broken executor deploy
     degrades to the stub instead of failing the task."""

@@ -344,6 +344,62 @@ def read_xlsx_stdlib(
     return spark.createDataFrame(data, schema)
 
 
+def _hdf5_long_frame(dsets: dict, variables: list[str]):
+    """netCDF-4-style HDF5 datasets → long-format pandas frame (dim
+    coordinate columns first, then variable values), mirroring
+    xarray's ``to_dataframe().reset_index()`` shape.
+
+    Dimension resolution: netCDF-4 marks each dimension as a 1-D
+    dataset with ``CLASS="DIMENSION_SCALE"``; a data variable's axes
+    are matched to scales by length (the DIMENSION_LIST attribute is
+    a vlen-of-object-references payload the minimal reader does not
+    chase). Equal-length dims disambiguate by scale declaration
+    order, consuming each scale once — exact for the common raster
+    shape (time, lat, lon with distinct sizes), positional otherwise.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = dsets.get(variables[0])
+    if first is None:
+        raise KeyError(f"variable {variables[0]!r} not in file")
+    for v in variables[1:]:
+        if dsets[v].data.shape != first.data.shape:
+            raise ValueError(
+                "long-format read needs all variables on the same "
+                f"dimensions; {v} differs from {variables[0]}"
+            )
+    scales = [
+        (name, d)
+        for name, d in sorted(dsets.items())
+        if d.attrs.get("CLASS") == "DIMENSION_SCALE" and d.data.ndim == 1
+    ]
+    used: set[str] = set()
+    dim_names: list[str] = []
+    coords: list[np.ndarray] = []
+    for ax, size in enumerate(first.data.shape):
+        hit = next(
+            (
+                (name, d)
+                for name, d in scales
+                if name not in used and len(d.data) == size
+            ),
+            None,
+        )
+        if hit is None:
+            dim_names.append(f"dim_{ax}")
+            coords.append(np.arange(size))
+        else:
+            used.add(hit[0])
+            dim_names.append(str(hit[1].attrs.get("NAME") or hit[0]))
+            coords.append(hit[1].data)
+    mesh = np.meshgrid(*coords, indexing="ij") if coords else []
+    data = {n: m.ravel() for n, m in zip(dim_names, mesh)}
+    for v in variables:
+        data[v] = dsets[v].data.ravel()
+    return pd.DataFrame(data)
+
+
 def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> DataFrame:
     """netCDF raster → long-format (dim coords…, variable values)
     DataFrame. Long format is the engine contract (SURVEY §1.1 raster
@@ -353,8 +409,11 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     classic netCDF-3 files (CDF-1/2 — station series, model output)
     always decode with the built-in pure-numpy parser
     (sources/netcdf3.py); netCDF-4 (HDF5 container, e.g. GOES
-    satellite tiles) and CDF-5 need xarray + a netCDF backend — a
-    clear error otherwise. (A bare xarray without backends raises a
+    satellite tiles) decodes with the built-in minimal HDF5 reader
+    (sources/hdf5_min.py) for flat chunked/deflate/shuffle files;
+    only the variants neither built-in handles (dense-group HDF5, v4
+    chunk indexes, CDF-5) fall back to xarray + a netCDF backend —
+    a clear error otherwise. (A bare xarray without backends raises a
     non-ImportError from open_dataset, so magic-first dispatch also
     keeps classic files working regardless of the xarray install
     state.) Mirrors xarray's ``to_dataframe().reset_index()`` shape:
@@ -363,15 +422,31 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     with open(path, "rb") as f:
         head = f.read(8)
     classic = head[:3] == b"CDF" and len(head) > 3 and head[3] in (1, 2)
+    if head == b"\x89HDF\r\n\x1a\n":
+        # netCDF-4 = HDF5 container: try the built-in minimal HDF5
+        # reader (sources/hdf5_min.py — flat files, symbol-table or
+        # compact-link groups, chunked+deflate+shuffle); variants it
+        # can't parse (dense groups, v4 chunk indexes) fall through to
+        # the xarray env-gate below.
+        try:
+            from pipelines_spark.sources.hdf5_min import parse_hdf5
+
+            with open(path, "rb") as f:
+                dsets = parse_hdf5(f.read())
+            pdf = _hdf5_long_frame(dsets, variables)
+            pdf.columns = normalize_names([str(c) for c in pdf.columns])
+            return spark.createDataFrame(pdf)
+        except NotImplementedError:
+            pass
     if not classic:
         try:
             import xarray as xr
         except ImportError as exc:
             raise NotImplementedError(
-                "this netCDF variant (netCDF-4/HDF5 or CDF-5) needs "
-                "xarray + a netCDF backend; install them in the "
-                "deployment image — classic CDF-1/2 files decode "
-                "with the built-in reader"
+                "this netCDF variant (dense-group/v4-index HDF5 or "
+                "CDF-5) needs xarray + a netCDF backend; install them "
+                "in the deployment image — classic CDF-1/2 and flat "
+                "netCDF-4/HDF5 files decode with the built-in readers"
             ) from exc
         ds = xr.open_dataset(path)
         pdf = ds[variables].to_dataframe().reset_index()

@@ -20,7 +20,7 @@ joins against fact data.
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -154,7 +154,9 @@ class WatermarkStore:
         return tgt_ts is None or src_ts > tgt_ts
 
     def _append(self, rows: list[tuple]) -> None:
-        now = datetime.utcnow()
+        # UTC wall clock, tz stripped: the audit column is NTZ by
+        # convention and utcnow() is deprecated
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
         df = self.spark.createDataFrame(
             [(*r, now) for r in rows], STATE_SCHEMA
         )

@@ -399,3 +399,37 @@ def test_run_maintenance_vacuum_then_compact_idempotent(spark, tmp_path):
         min_files_to_compact=2,
     )
     assert stats2 == {"partitions_removed": 0, "partitions_compacted": 0}
+
+
+def test_dedup_operators_release_staging_caches(spark, sf_medium):
+    """The standalone dedup operators persist staging frames; after
+    materializing the output and calling release_staging, no extra
+    persisted RDDs remain (explicit cache lifecycle, not LRU/teardown)."""
+    from pipelines_spark.llm.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        release_staging,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet").limit(300)
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    ops = [
+        lambda: minhash_near_dup_pairs(docs, id_col="doc_id", text_col="text"),
+        lambda: ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", max_shingle_freq=50
+        ),
+        lambda: simhash_pairs(docs, id_col="doc_id", text_col="text"),
+    ]
+    for build in ops:
+        out = build()
+        out.count()  # materialize while staging is cached
+        assert n_persisted() > base
+        released = release_staging(out)
+        assert released >= 1
+        assert n_persisted() == base
+        assert release_staging(out) == 0  # idempotent

@@ -830,3 +830,85 @@ def test_quantized_knn_recall_vs_exact(spark, sf_medium):
         F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("m")
     ).agg(F.max("m")).collect()[0][0]
     assert row <= 127
+
+
+def test_jpeg_roundtrip_and_variants():
+    """encode_jpeg → decode_jpeg across subsampling/quant/restart
+    combinations: near-lossless at quant=1, bounded error at quant=8,
+    and the restart-marker path bit-identical to the plain one."""
+    import numpy as np
+
+    from pipelines_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 37, 53  # deliberately not multiples of 8/16 (crop path)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 2 + 30), (yy * 2 + 40), ((xx + yy) + 50)], axis=2
+    ).clip(0, 255).astype(np.uint8)
+
+    for sub in ("444", "420"):
+        for quant, tol in ((1, 2), (8, 16)):
+            for ri in (0, 3):
+                dec = decode_jpeg(
+                    encode_jpeg(img, quant=quant, subsampling=sub, restart_interval=ri)
+                )
+                assert dec.shape == (h, w, 3)
+                err = np.abs(dec.astype(int) - img.astype(int))
+                assert err.max() <= tol, (sub, quant, ri, err.max())
+
+    # restart segments must decode to the same pixels as one segment
+    a = decode_jpeg(encode_jpeg(img, quant=4, restart_interval=2))
+    b = decode_jpeg(encode_jpeg(img, quant=4, restart_interval=0))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    import numpy as np
+    import pytest
+
+    from pipelines_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must raise cleanly
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc[: len(enc) // 2]))  # truncated entropy
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_image_features_real_jpeg_decode(spark):
+    """A real baseline JPEG decodes to true dimensions and channel
+    stats through the kernel seam — and a variant the decoder rejects
+    falls back to the stub instead of failing the task."""
+    import numpy as np
+
+    from pipelines_spark.llm.jpeg import encode_jpeg
+    from pipelines_spark.llm.multimodal import extract_image_features
+
+    solid = np.zeros((10, 20, 3), dtype=np.uint8)
+    solid[:, :, 0] = 200
+    solid[:, :, 1] = 100
+    solid[:, :, 2] = 50
+    enc = encode_jpeg(solid, quant=1, subsampling="444")
+    i = enc.find(b"\xff\xc0")
+    progressive = enc[:i] + b"\xff\xc2" + enc[i + 2:]
+    df = spark.createDataFrame(
+        [(1, bytearray(enc)), (2, bytearray(progressive))],
+        "item_id long, content binary",
+    )
+    rows = {r["item_id"]: r for r in extract_image_features(df).collect()}
+    good = rows[1]
+    assert (good["width"], good["height"]) == (20, 10)
+    r, g, b, gray_std = good["feature"]
+    assert abs(r - 200 / 255) < 0.01
+    assert abs(g - 100 / 255) < 0.01
+    assert abs(b - 50 / 255) < 0.01
+    assert gray_std < 0.01
+    # progressive payload: stub fallback, job never fails
+    stub = rows[2]
+    assert stub["width"] == 16 + (len(progressive) % 64)

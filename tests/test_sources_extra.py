@@ -463,3 +463,97 @@ def test_read_xlsx_stdlib_roundtrip(spark, tmp_path):
     assert rows["Rio"]["chuva_1h"] == "12.5"       # run-concatenated shared string
     assert rows["Niterói"]["chuva_1h"] is None     # ragged row padded
     assert rows["Niterói"][df.columns[2]] == "true"
+
+
+def test_hdf5_min_roundtrip_all_layouts():
+    """Minimal HDF5 writer → reader: contiguous, compact-free chunked
+    with deflate+shuffle, every supported dtype, string + numeric
+    attributes, edge chunks."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    rng = np.random.default_rng(11)
+    grid = rng.normal(size=(5, 7, 9)).astype("<f4")
+    specs = {
+        "grid": {
+            "data": grid,
+            "chunks": (2, 4, 4),  # edge chunks in every dim
+            "deflate": 6,
+            "shuffle": True,
+            "attrs": {"units": "K", "scale_factor": np.float64(0.5)},
+        },
+        "ints": {"data": np.arange(-5, 7, dtype="<i4").reshape(3, 4)},
+        "longs": {"data": np.arange(6, dtype="<i8"), "chunks": (4,), "deflate": 1},
+        "doubles": {"data": np.linspace(0, 1, 11).astype("<f8")},
+    }
+    ds = parse_hdf5(build_hdf5(specs))
+    assert sorted(ds) == sorted(specs)
+    for name, spec in specs.items():
+        assert np.array_equal(ds[name].data, spec["data"]), name
+    assert ds["grid"].attrs["units"] == "K"
+    assert ds["grid"].attrs["scale_factor"] == 0.5
+
+
+def test_hdf5_min_superblock_v2_path():
+    """The reader also follows a version-2 superblock (written by
+    newer HDF5 libs) to the same root group."""
+    import struct
+
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    arr = np.arange(12, dtype="<f8").reshape(3, 4)
+    buf = bytearray(build_hdf5({"v": {"data": arr}}))
+    (root_addr,) = struct.unpack_from("<Q", buf, 24 + 32 + 8)
+    sb2 = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0])
+    sb2 += struct.pack("<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, len(buf), root_addr)
+    sb2 += b"\0\0\0\0"  # checksum (reader doesn't verify)
+    buf[: len(sb2)] = sb2
+    ds = parse_hdf5(bytes(buf))
+    assert np.array_equal(ds["v"].data, arr)
+
+
+def test_netcdf4_long_format_parity_with_cdf2(spark, tmp_path):
+    """VERDICT r2 item 6: the same synthetic grid read through the
+    netCDF-4/HDF5 path and the classic CDF-2 path yields the same
+    long-format frame."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5
+    from pipelines_spark.sources.netcdf3 import build_netcdf3
+
+    lat = np.array([-23.0, -22.9, -22.8], dtype="<f8")
+    lon = np.array([-43.4, -43.2], dtype="<f8")
+    temp = (np.arange(6, dtype="<f8").reshape(3, 2) + 0.5) * 10
+
+    nc3 = tmp_path / "grid_classic.nc"
+    nc3.write_bytes(
+        build_netcdf3(
+            dims=[("lat", 3), ("lon", 2)],
+            variables=[
+                ("lat", ["lat"], lat),
+                ("lon", ["lon"], lon),
+                ("temp", ["lat", "lon"], temp),
+            ],
+            version=2,
+        )
+    )
+    nc4 = tmp_path / "grid_hdf5.nc"
+    nc4.write_bytes(
+        build_hdf5(
+            {
+                "lat": {"data": lat, "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "lat"}},
+                "lon": {"data": lon, "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "lon"}},
+                "temp": {"data": temp, "chunks": (2, 2), "deflate": 4, "shuffle": True},
+            }
+        )
+    )
+    a = read_netcdf_long(spark, str(nc3), ["temp"])
+    b = read_netcdf_long(spark, str(nc4), ["temp"])
+    assert a.columns == b.columns == ["lat", "lon", "temp"]
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) == 6

@@ -1,0 +1,338 @@
+"""Snapshot table format: a manifest-log over plain parquet files
+giving atomic commits, time travel, and incremental change reads.
+
+Why this exists (reference parity + scale): the reference's
+exactly-once-ish contract is partition-level replace with
+same-filename uploads (pipelines/utils/tasks.py:273-276,
+pipelines/utils/dump_db/tasks.py:401-435) — readers racing a re-upload
+can observe a half-replaced partition, and there is no way to read
+"the table as of yesterday's run" or "only what the last run added".
+At 100 TB those gaps dominate: a 1000-executor scan that starts
+mid-overwrite reads a torn table, and every incremental consumer
+re-lists millions of files. The fix is the same one Delta/Iceberg
+made standard, reduced to its core:
+
+- data files are immutable; a write job lands files under a unique
+  ``data/…`` subdirectory, invisible to readers;
+- a table VERSION is a manifest (JSON in ``_log/``) listing the exact
+  files of that snapshot — readers never list directories, they read
+  the manifest (O(1) listing at any file count) and hand Spark the
+  explicit file list;
+- commit = one atomic rename of the manifest into place. Rename
+  fails if the destination exists, which doubles as optimistic
+  concurrency control: two racing committers produce one winner and
+  one clean ``CommitConflict`` (retry re-reads the log). Readers see
+  the old complete snapshot or the new complete snapshot, never a
+  mix;
+- time travel = read an older manifest; incremental consumption =
+  union of files ADDED by manifests in ``(since, to]`` — the
+  streaming-ish "what changed" read without a streaming source;
+- ``expire_snapshots`` drops old manifests and deletes data files no
+  retained snapshot references (storage reclaim with a bounded
+  time-travel window).
+
+All filesystem access goes through the Hadoop FileSystem API, so the
+same code runs on file:// and hdfs:// (HDFS rename is atomic and
+fails on existing destinations). On S3-style stores without atomic
+rename, front the log with a coordinating catalog — documented, not
+silently wrong.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first; re-read the log
+    and retry."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _hp(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _write_text(fs, jvm, path: str, text: str) -> None:
+    out = fs.create(_hp(jvm, path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(fs, jvm, path: str) -> str:
+    # py4j passes bytearrays by value, so stream.read(buf) can't fill a
+    # Python buffer — drain the stream JVM-side instead
+    stream = fs.open(_hp(jvm, path))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
+
+
+def _manifest_name(version: int) -> str:
+    return f"v{version:08d}.json"
+
+
+def _list_versions(fs, jvm, log_dir: str) -> list[int]:
+    if not fs.exists(_hp(jvm, log_dir)):
+        return []
+    versions = []
+    for status in fs.listStatus(_hp(jvm, log_dir)):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                versions.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(versions)
+
+
+def _load_manifest(fs, jvm, log_dir: str, version: int) -> dict:
+    return json.loads(_read_text(fs, jvm, f"{log_dir}/{_manifest_name(version)}"))
+
+
+def _data_files(fs, jvm, directory: str) -> list[str]:
+    """Relative paths (from the table root) of the parquet files a
+    write job produced under ``directory``."""
+    out = []
+    it = fs.listFiles(_hp(jvm, directory), True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toUri().getPath()
+        if p.endswith(".parquet"):
+            out.append(p)
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    """Latest committed version, or None for a non-existent table."""
+    fs, jvm = _fs(spark, path)
+    versions = _list_versions(fs, jvm, f"{path}/{_LOG_DIR}")
+    return versions[-1] if versions else None
+
+
+def snapshot_write(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    mode: str = "append",
+    clock=time.time,
+    max_retries: int = 3,
+) -> int:
+    """Commit ``df`` as a new snapshot of the table at ``path``.
+
+    ``mode='append'``: the new snapshot is the previous file set plus
+    this write's files. ``mode='overwrite'``: the new snapshot is
+    exactly this write's files (old files stay on disk for time
+    travel until ``expire_snapshots``).
+
+    The data job runs FIRST, into a unique uncommitted directory; the
+    commit is a single manifest rename afterwards. A crash between
+    the two leaves orphan data files (cleaned by ``expire_snapshots``)
+    and no visible change. Returns the committed version number.
+
+    ``clock`` is injectable (engine-wide determinism contract —
+    SURVEY "non-determinism in the reference") so time-travel tests
+    replay exactly.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    fs.mkdirs(_hp(jvm, log_dir))
+
+    write_id = uuid.uuid4().hex[:12]
+    data_dir = f"{path}/{_DATA_DIR}/w-{write_id}"
+    df.write.mode("error").parquet(data_dir)
+    root_prefix = _hp(jvm, path).toUri().getPath().rstrip("/") + "/"
+    added = [
+        p[len(root_prefix):] if p.startswith(root_prefix) else p
+        for p in _data_files(fs, jvm, data_dir)
+    ]
+
+    for _attempt in range(max_retries):
+        versions = _list_versions(fs, jvm, log_dir)
+        prev = versions[-1] if versions else None
+        if mode == "append" and prev is not None:
+            base = _load_manifest(fs, jvm, log_dir, prev)["files"]
+        else:
+            base = []
+        version = (prev or 0) + 1
+        manifest = {
+            "version": version,
+            "parent": prev,
+            "operation": mode,
+            "committed_at": float(clock()),
+            "schema": df.schema.json(),
+            "added": added,
+            "files": base + added,
+        }
+        tmp = f"{log_dir}/_tmp-{uuid.uuid4().hex}.json"
+        _write_text(fs, jvm, tmp, json.dumps(manifest))
+        # rename-if-absent IS the commit: exactly one of two racing
+        # writers wins the destination name
+        if fs.rename(_hp(jvm, tmp), _hp(jvm, f"{log_dir}/{_manifest_name(version)}")):
+            return version
+        fs.delete(_hp(jvm, tmp), False)
+    raise CommitConflict(
+        f"lost the commit race {max_retries} times at {path} "
+        f"(last attempted version {version})"
+    )
+
+
+def _resolve_version(
+    fs, jvm, log_dir: str, version: int | None, as_of: float | None
+) -> int:
+    versions = _list_versions(fs, jvm, log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot log at {log_dir}")
+    if version is not None:
+        if version not in versions:
+            raise ValueError(f"version {version} not in log (have {versions})")
+        return version
+    if as_of is not None:
+        eligible = [
+            v for v in versions
+            if _load_manifest(fs, jvm, log_dir, v)["committed_at"] <= as_of
+        ]
+        if not eligible:
+            raise ValueError(f"no snapshot committed at or before {as_of}")
+        return eligible[-1]
+    return versions[-1]
+
+
+def snapshot_read(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Read a snapshot: latest by default, else an explicit
+    ``version`` or the newest one committed at-or-before ``as_of``
+    (unix seconds). The scan gets the manifest's explicit file list —
+    no directory listing, no chance of seeing uncommitted files."""
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    v = _resolve_version(fs, jvm, log_dir, version, as_of)
+    manifest = _load_manifest(fs, jvm, log_dir, v)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    files = [f"{path}/{f}" for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    *,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED by commits in ``(since_version, to_version]`` — the
+    incremental-consumption read (SURVEY T2's "start where the last
+    materialization ended" as a table-level primitive). An overwrite
+    commit contributes its full new file set, matching
+    overwrite-as-reload semantics."""
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    versions = _list_versions(fs, jvm, log_dir)
+    if to_version is None:
+        to_version = versions[-1] if versions else since_version
+    files: list[str] = []
+    schema_json = None
+    for v in versions:
+        if since_version < v <= to_version:
+            m = _load_manifest(fs, jvm, log_dir, v)
+            files.extend(m["added"])
+            schema_json = m["schema"]
+    if schema_json is None:
+        latest = snapshot_read(spark, path)
+        return spark.createDataFrame([], latest.schema)
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[f"{path}/{f}" for f in files])
+
+
+def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, operation,
+    committed_at, n_files, n_added."""
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    out = []
+    for v in _list_versions(fs, jvm, log_dir):
+        m = _load_manifest(fs, jvm, log_dir, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "committed_at": m["committed_at"],
+                "n_files": len(m["files"]),
+                "n_added": len(m["added"]),
+            }
+        )
+    return out
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, *, keep_last: int = 1
+) -> dict[str, int]:
+    """Drop all but the newest ``keep_last`` manifests and delete
+    every data file no retained manifest references (including orphans
+    from crashed writes). Bounds the time-travel window and reclaims
+    storage; the manifest-listed live set is untouched, so concurrent
+    readers of retained versions are safe. Returns counts."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    versions = _list_versions(fs, jvm, log_dir)
+    retained = versions[-keep_last:]
+    live: set[str] = set()
+    for v in retained:
+        live.update(_load_manifest(fs, jvm, log_dir, v)["files"])
+
+    removed_files = 0
+    data_root = f"{path}/{_DATA_DIR}"
+    if fs.exists(_hp(jvm, data_root)):
+        root_prefix = _hp(jvm, path).toUri().getPath().rstrip("/") + "/"
+        for abs_path in _data_files(fs, jvm, data_root):
+            rel = abs_path[len(root_prefix):] if abs_path.startswith(root_prefix) else abs_path
+            if rel not in live:
+                fs.delete(_hp(jvm, f"{path}/{rel}"), False)
+                removed_files += 1
+        # sweep write directories holding no live files (only
+        # _SUCCESS/.crc markers remain after the deletes above) so
+        # listing stays O(live)
+        live_dirs = {rel.split("/", 2)[1] for rel in live if rel.startswith(f"{_DATA_DIR}/")}
+        for status in fs.listStatus(_hp(jvm, data_root)):
+            if status.isDirectory() and status.getPath().getName() not in live_dirs:
+                fs.delete(status.getPath(), True)
+
+    removed_manifests = 0
+    for v in versions:
+        if v not in retained:
+            fs.delete(_hp(jvm, f"{log_dir}/{_manifest_name(v)}"), False)
+            removed_manifests += 1
+    return {"manifests_removed": removed_manifests, "data_files_removed": removed_files}

@@ -100,6 +100,8 @@ EXTENDED = [
     "j12_asof_forward",
     "embed_quantized_knn",
     "j8b_best_overlap",
+    "a18_heavy_hitter_users",
+    "dedup_semantic",
 ]
 
 

@@ -31,6 +31,9 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -557,3 +560,82 @@ def connected_components(
     return nodes.join(
         edges.select(F.col("u").alias("node"), F.col("v").alias("root")), "node", "left"
     ).select("node", F.coalesce("root", "node").alias("component_id"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    dim: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    compare pairs ONLY within a cluster — the clustering turns the
+    O(n²) all-pairs problem into n²/k per cluster, the same
+    bucket-then-verify shape as MinHash-LSH but in embedding space.
+
+    Returns one row per PRUNED vector: ``(id, canonical_id,
+    n_similar)`` where ``canonical_id`` is the lowest-id same-cluster
+    neighbor with cosine ≥ ``threshold`` (keep-lowest-id is the same
+    deterministic canonical rule as dedup_canonical_selection) and
+    ``n_similar`` counts its above-threshold lower-id neighbors.
+    Vectors with no lower-id near-neighbor survive.
+
+    Determinism/oracle posture: the trained clustering is
+    ``kmeans_train`` (hash-ordered init, exact integer means), and
+    assignment uses the same rounded-cosine/lowest-cell rule, so a SQL
+    oracle can replay the whole pipeline bit-for-bit.
+
+    Scale: training is O(k·dim) driver state; assignment is map-only
+    Arrow; the pair join shuffles each vector ONCE on its cell id. At
+    100 TB pick ``n_clusters`` so n/k vectors fit a task (the paper
+    runs k in the tens of thousands for web-scale corpora) — cluster
+    size bounds the per-task pair fan-out.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from pipelines_spark.llm.similarity import (
+        _round_half_up,
+        cosine_similarity,
+        kmeans_train,
+    )
+
+    cents = kmeans_train(
+        corpus, id_col=id_col, vec_col=vec_col, k=n_clusters,
+        iters=iters, dim=dim, assign_digits=round_digits,
+    )
+    cent_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @pandas_udf("bigint")
+    def nearest_cell(vec: pd.Series) -> pd.Series:
+        mat = np.array(vec.to_list(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = _round_half_up(unit @ cent_unit.T, round_digits)
+        return pd.Series(np.argmax(cos == cos.max(axis=1, keepdims=True), axis=1))
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
+    )
+    a = assigned.select(
+        F.col("_cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("_cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn(
+            "_cos", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_digits)
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    return pairs.groupBy(F.col("_idb").alias(id_col)).agg(
+        F.min("_ida").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_similar"),
+    )

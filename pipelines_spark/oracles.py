@@ -1629,4 +1629,46 @@ ORACLES: dict[str, str] = {
                CAST(NULL AS TIMESTAMP), TRUE
         FROM j2 WHERE sk IS NOT NULL AND NOT same
     """,
+    # exact heavy hitters: the MG-candidate + recount pipeline must be
+    # indistinguishable from the naive GROUP BY ... HAVING
+    "a18_heavy_hitter_users": """
+        SELECT user_id, count(*) AS cnt
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) * 125 > (SELECT count(*) FROM events)
+    """,
+    # SemDeDup replay: identical k-means training to embed_ivf_kmeans
+    # (hash-ordered init, two exact-integer-mean Lloyd iterations,
+    # rounded-cosine/lowest-cell assignment), then within-cluster
+    # lower-id pairs at cosine >= 0.4
+    "dedup_semantic": f"""
+        WITH cent0 AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 8
+        ), {_kmeans_iter('cent0', 1)}, {_kmeans_iter('cent1', 2)},
+        ranked AS (
+            SELECT q.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) DESC,
+                                c.cell ASC) AS cr
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings) q
+            CROSS JOIN cent2 c
+        ), corpus_cell AS (
+            SELECT vec_id, cell FROM ranked WHERE cr = 1
+        ), pairs AS (
+            SELECT ca.vec_id AS a_id, cb.vec_id AS b_id
+            FROM corpus_cell ca
+            JOIN corpus_cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+            JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = ca.vec_id
+            JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = cb.vec_id
+            WHERE round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) >= 0.4
+        )
+        SELECT b_id AS vec_id, min(a_id) AS canonical_id,
+               count(*) AS n_similar
+        FROM pairs
+        GROUP BY b_id
+    """,
 }

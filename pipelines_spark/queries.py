@@ -2143,6 +2143,35 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist
 
 
+def a18_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed heavy hitters (operators/frequency.py):
+    users with strictly more than 1/125 of all events, found via
+    per-partition Misra-Gries candidate generation + exact recount of
+    candidates only — the shuffle carries O(partitions x capacity)
+    candidate keys, never the full key cardinality. Output is
+    partitioning-independent (MG guarantees no false negatives at
+    capacity >= k; the recount drops false positives)."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.frequency import heavy_hitters
+
+    return heavy_hitters(spark.table("events"), "user_id", k=125)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (llm/dedup.py::semantic_dedup):
+    trained k-means clusters bound the pairwise comparison to
+    within-cluster candidates; pruned vectors report their
+    lowest-id near-neighbor as canonical. The oracle replays the
+    full deterministic training + assignment + pair scan in SQL."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.dedup import semantic_dedup
+
+    return semantic_dedup(
+        spark.table("embeddings"), id_col="vec_id", vec_col="embedding",
+        n_clusters=8, iters=2, threshold=0.4,
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2241,4 +2270,6 @@ QUERIES = {
     "a12_rollup_revenue": a12_rollup_revenue,
     "o9_except_nations": o9_except_nations,
     "w5_lag_event_gap": w5_lag_event_gap,
+    "a18_heavy_hitter_users": a18_heavy_hitter_users,
+    "dedup_semantic": dedup_semantic,
 }

@@ -72,9 +72,9 @@ def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
     banned everywhere; Arrow-batched Python (ArrowEvalPython) is
     allowed only where a numpy/codec kernel is the design
     (IVF centroid assignment)."""
-    # the two IVF variants assign cells via one numpy matmul per
-    # Arrow batch — the documented exception to the no-Python rule
-    arrow_allowed = {"embed_ivf_ann", "embed_ivf_kmeans"}
+    # the IVF variants and SemDeDup assign cells via one numpy matmul
+    # per Arrow batch — the documented exception to the no-Python rule
+    arrow_allowed = {"embed_ivf_ann", "embed_ivf_kmeans", "dedup_semantic"}
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, sf_medium))
         assert "BatchEvalPython" not in plan, name

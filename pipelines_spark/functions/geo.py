@@ -90,20 +90,37 @@ def rect_ring(x0, y0, x1, y1) -> Column:
     )
 
 
+def _bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` exactly once and feed it to ``body`` as a
+    lambda variable. Catalyst's interpreted HOF evaluation has no
+    common-subexpression elimination, so an expression referenced k
+    times is evaluated k times — catastrophic when ``value`` is itself
+    an expensive HOF tree (a polygon clip referenced from every
+    shoelace term turned O(n) area math into O(n·clip) per row; this
+    binding is the fix that took j8b_best_overlap from ~28 ms/row to
+    sub-ms)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def polygon_area(ring: Column) -> Column:
     """Shoelace area of a ring ``array<struct<x,y>>`` (open ring, any
     orientation — absolute value). Pure higher-order-function math,
-    JVM-side, no UDF."""
-    n = F.size(ring)
+    JVM-side, no UDF. The ring expression is bound once, so passing an
+    expensive expression (e.g. a clip result) costs one evaluation."""
 
-    def term(acc, i):
-        cur = F.element_at(ring, i + 1)
-        nxt = F.element_at(ring, F.when(i == n - 1, 1).otherwise(i + 2))
-        return acc + (cur["x"] * nxt["y"] - nxt["x"] * cur["y"])
+    def _area(r):
+        n = F.size(r)
 
-    return F.when(n < 3, F.lit(0.0)).otherwise(
-        F.abs(F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), term)) / 2
-    )
+        def term(acc, i):
+            cur = F.element_at(r, i + 1)
+            nxt = F.element_at(r, F.when(i == n - 1, 1).otherwise(i + 2))
+            return acc + (cur["x"] * nxt["y"] - nxt["x"] * cur["y"])
+
+        return F.when(n < 3, F.lit(0.0)).otherwise(
+            F.abs(F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), term)) / 2
+        )
+
+    return _bind_once(ring, _area)
 
 
 def _clip_half_plane(ring: Column, a: Column, b: Column) -> Column:
@@ -150,16 +167,19 @@ def polygon_clip(subject: Column, clip: Column) -> Column:
     the W2 best-overlap ranking (reference
     pipelines/rj_escritorio/rain_dashboard/constants.py:116-125,
     ``ST_AREA(ST_INTERSECTION(...))``) runs on this."""
-    m = F.size(clip)
-    return F.aggregate(
-        F.sequence(F.lit(0), m - 1),
-        subject,
-        lambda ring, j: _clip_half_plane(
-            ring,
-            F.element_at(clip, j + 1),
-            F.element_at(clip, F.when(j == m - 1, 1).otherwise(j + 2)),
-        ),
-    )
+    def _clip_with(c):
+        m = F.size(c)
+        return F.aggregate(
+            F.sequence(F.lit(0), m - 1),
+            subject,
+            lambda ring, j: _clip_half_plane(
+                ring,
+                F.element_at(c, j + 1),
+                F.element_at(c, F.when(j == m - 1, 1).otherwise(j + 2)),
+            ),
+        )
+
+    return _bind_once(clip, _clip_with)
 
 
 def intersection_area(subject: Column, clip: Column) -> Column:

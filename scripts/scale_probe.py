@@ -86,8 +86,19 @@ def replicate(
             cols = []
             for name in t.column_names:
                 col = t[name]
-                if name in strides and i > 0:
+                if i > 0 and name in strides:
                     col = pc.add(col, strides[name] * i)
+                elif i > 0 and table == "documents" and name == "text":
+                    # make each copy's shingle set disjoint from every
+                    # other copy's: verbatim text replicas are EXACT
+                    # duplicates, so dedup operators would (correctly)
+                    # emit C(n,2)/n x more pairs per doc — quadratic
+                    # OUTPUT growth that masquerades as a quadratic
+                    # PLAN in the ratio. Tagging every word keeps doc
+                    # length/shape while scaling true pairs linearly.
+                    col = pc.replace_substring_regex(
+                        col, r"(\w+)", rf"c{i}\1"
+                    )
                 cols.append(col)
             parts.append(pa.table(dict(zip(t.column_names, cols))))
     pq.write_table(pa.concat_tables(parts), out_dir / f"{table}.parquet")

@@ -1671,4 +1671,14 @@ ORACLES: dict[str, str] = {
         FROM pairs
         GROUP BY b_id
     """,
+    # variant extraction must agree with plain JSON-path extraction
+    "o12_variant_props": """
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY event_type
+    """,
 }

@@ -2172,6 +2172,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o12_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via VariantType (Spark 4): ``parse_json``
+    once into a variant, typed ``try_variant_get`` extraction — the
+    shredding-ready scale path for schema-on-read payloads (o7's
+    get_json_object twin; variant decodes the JSON once per row
+    instead of re-parsing per extracted path)."""
+    register(spark, sf_dir, ("events",))
+    v = F.parse_json(F.col("props"))
+    df = spark.table("events").select(
+        "event_type", F.try_variant_get(v, "$.k", "long").alias("k")
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2272,4 +2291,5 @@ QUERIES = {
     "w5_lag_event_gap": w5_lag_event_gap,
     "a18_heavy_hitter_users": a18_heavy_hitter_users,
     "dedup_semantic": dedup_semantic,
+    "o12_variant_props": o12_variant_props,
 }

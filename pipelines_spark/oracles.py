@@ -1681,4 +1681,45 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    # resample+interpolate replay: same tick spine, same two-sided
+    # ignore-nulls window scan, time-weighted blend; exact-hit ticks
+    # take the observation via the (t_s, is_tick) sort
+    "w8_resample_interpolate": """
+        WITH ev AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s, value AS val
+            FROM events
+        ), bounds AS (
+            SELECT user_id, min(t_s) AS t0, max(t_s) AS t1 FROM ev GROUP BY user_id
+        ), ticks AS (
+            SELECT user_id, unnest(range(
+                CAST(ceil(t0 / 1800.0) * 1800 AS BIGINT),
+                t1 + 1, 1800)) AS t_s
+            FROM bounds
+        ), merged AS (
+            SELECT user_id, t_s, val, 0 AS is_tick FROM ev
+            UNION ALL
+            SELECT user_id, t_s, NULL AS val, 1 AS is_tick FROM ticks
+        ), filled AS (
+            SELECT user_id, t_s, is_tick,
+                   last_value(val IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY t_s, is_tick, val NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
+                   last_value(CASE WHEN val IS NOT NULL THEN t_s END IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY t_s, is_tick, val NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+                   first_value(val IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY t_s, is_tick, val NULLS FIRST
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val,
+                   first_value(CASE WHEN val IS NOT NULL THEN t_s END IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY t_s, is_tick, val NULLS FIRST
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+            FROM merged
+        )
+        SELECT user_id,
+               CAST(to_timestamp(t_s) AS TIMESTAMP) AS tick_ts,
+               floor((CASE WHEN prev_t IS NOT NULL AND next_t IS NOT NULL
+                     THEN prev_val + (next_val - prev_val)
+                          * ((t_s - prev_t) / (next_t - prev_t)) END) * 1e4 + 0.5) / 1e4 AS value_interp
+        FROM filled WHERE is_tick = 1
+    """,
 }

@@ -2191,6 +2191,96 @@ def o12_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w8_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key time-series resampling with linear interpolation: each
+    user's `value` series re-gridded to 30-minute ticks; ticks between
+    two observations take the time-weighted linear blend, ticks
+    outside the observed range stay NULL (no extrapolation).
+
+    The Spark shape: per-user tick spine (sequence+explode over the
+    user's own [min,max] — bounded like the T4 recapture spine), a
+    union of ticks with observations, then two IGNORE-NULLS window
+    passes (last_value looking back, first_value looking forward) over
+    ONE partitioning by user — a single shuffle; the interpolation
+    itself is pure column math. The reference does this per-station in
+    pandas (`resample().interpolate()`); this is the distributed
+    equivalent with identical semantics."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "user_id", F.col("ts").alias("obs_ts"), F.col("value").alias("obs_val")
+    )
+    STEP = 1800  # 30 min
+    bounds = ev.groupBy("user_id").agg(
+        F.min("obs_ts").alias("t0"), F.max("obs_ts").alias("t1")
+    )
+    ticks = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                (F.ceil(F.unix_timestamp("t0") / STEP) * STEP).cast("long"),
+                F.unix_timestamp("t1").cast("long"),
+                F.lit(STEP),
+            )
+        ).alias("tick_s"),
+    )
+    obs = ev.select(
+        "user_id",
+        F.unix_timestamp("obs_ts").alias("t_s"),
+        F.col("obs_val").alias("val"),
+        F.lit(0).alias("is_tick"),
+    )
+    grid = ticks.select(
+        "user_id",
+        F.col("tick_s").alias("t_s"),
+        F.lit(None).cast(obs.schema["val"].dataType).alias("val"),
+        F.lit(1).alias("is_tick"),
+    )
+    # observations sort before a coincident tick so the tick sees the
+    # observation as its "previous" value (exact-hit => observed value)
+    # `val` joins the sort: two observations sharing a timestamp
+    # otherwise tie-break non-deterministically (and differently
+    # across engines) for the prev/next pick
+    order = [F.col("t_s"), F.col("is_tick"), F.col("val").asc_nulls_first()]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    both = obs.unionByName(grid)
+    filled = (
+        both.withColumn("prev_val", F.last("val", ignorenulls=True).over(w_back))
+        .withColumn(
+            "prev_t",
+            F.last(F.when(F.col("val").isNotNull(), F.col("t_s")), ignorenulls=True).over(w_back),
+        )
+        .withColumn("next_val", F.first("val", ignorenulls=True).over(w_fwd))
+        .withColumn(
+            "next_t",
+            F.first(F.when(F.col("val").isNotNull(), F.col("t_s")), ignorenulls=True).over(w_fwd),
+        )
+        .filter(F.col("is_tick") == 1)
+    )
+    frac = (F.col("t_s") - F.col("prev_t")) / (F.col("next_t") - F.col("prev_t"))
+    interp = F.when(
+        F.col("prev_t").isNotNull() & F.col("next_t").isNotNull(),
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac,
+    )
+    # floor-quantized half-up rounding: identical-formula rounding on
+    # both engines (round() semantics on binary doubles differ in the
+    # last ulp between Spark's BigDecimal HALF_UP and DuckDB)
+    quant = F.floor(interp * 1e4 + 0.5) / 1e4
+    return filled.select(
+        "user_id",
+        F.timestamp_seconds(F.col("t_s")).alias("tick_ts"),
+        quant.alias("value_interp"),
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2292,4 +2382,5 @@ QUERIES = {
     "a18_heavy_hitter_users": a18_heavy_hitter_users,
     "dedup_semantic": dedup_semantic,
     "o12_variant_props": o12_variant_props,
+    "w8_resample_interpolate": w8_resample_interpolate,
 }

@@ -102,6 +102,8 @@ EXTENDED = [
     "j8b_best_overlap",
     "a18_heavy_hitter_users",
     "dedup_semantic",
+    "o12_variant_props",
+    "w8_resample_interpolate",
 ]
 
 

@@ -336,3 +336,143 @@ def expire_snapshots(
             fs.delete(_hp(jvm, f"{log_dir}/{_manifest_name(v)}"), False)
             removed_manifests += 1
     return {"manifests_removed": removed_manifests, "data_files_removed": removed_files}
+
+
+# --------------------------------------------------------------- file stats
+
+#: columns eligible for manifest stats (orderable primitives)
+_STAT_TYPES = ("int", "bigint", "long", "double", "float", "date", "timestamp", "string", "smallint", "tinyint", "decimal")
+
+
+def _collect_file_stats(files: list[str], stat_cols: list[str]) -> dict:
+    """Per-file min/max for ``stat_cols`` from parquet footers — the
+    write job already computed these; reading footers is O(files),
+    zero data scanned."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        per_col = {}
+        for c in stat_cols:
+            if c not in names:
+                continue
+            idx = names.index(c)
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                per_col[c] = [_json_safe(lo), _json_safe(hi)]
+        stats[f] = per_col
+    return stats
+
+
+def _json_safe(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def snapshot_write_with_stats(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    mode: str = "append",
+    stat_cols: list[str] | None = None,
+    clock=time.time,
+    max_retries: int = 3,
+) -> int:
+    """``snapshot_write`` + per-file column min/max recorded in the
+    manifest (Iceberg-style manifest pruning): a filtered
+    ``snapshot_read_pruned`` then skips whole FILES from the manifest
+    alone — before Spark even plans the scan. At 100 TB the difference
+    between 'list a few hundred candidate files' and 'hand the
+    planner a million paths and let footer-skipping sort it out' is
+    driver memory and planning time, not just I/O.
+
+    Stats default to every orderable primitive column. Local-scheme
+    stats collection uses pyarrow on the committed files; the write
+    path is otherwise identical to ``snapshot_write``.
+    """
+    if stat_cols is None:
+        stat_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString().split("(")[0] in _STAT_TYPES
+        ]
+    version = snapshot_write(
+        spark, path, df, mode=mode, clock=clock, max_retries=max_retries
+    )
+    # enrich the just-committed manifest (idempotent same-file rewrite
+    # AFTER the rename won: the version is already durable)
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    manifest = _load_manifest(fs, jvm, log_dir, version)
+    abs_added = [f"{path}/{rel}" for rel in manifest["added"]]
+    file_stats = _collect_file_stats(abs_added, stat_cols)
+    manifest["stats"] = {
+        rel: file_stats.get(f"{path}/{rel}", {}) for rel in manifest["added"]
+    }
+    _write_text(fs, jvm, f"{log_dir}/{_manifest_name(version)}", json.dumps(manifest))
+    return version
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    path: str,
+    *,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read only the files whose manifest ``col`` range intersects
+    ``[lo, hi]`` (either bound optional). Files without recorded stats
+    for ``col`` are conservatively kept. The residual predicate is
+    still applied — pruning is an optimization, never a filter."""
+    from pyspark.sql import functions as F
+
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    v = _resolve_version(fs, jvm, log_dir, version, None)
+    # stats live on the manifest that ADDED each file; walk the chain
+    stats: dict[str, list] = {}
+    for ver in _list_versions(fs, jvm, log_dir):
+        if ver <= v:
+            m = _load_manifest(fs, jvm, log_dir, ver)
+            stats.update(m.get("stats", {}))
+    manifest = _load_manifest(fs, jvm, log_dir, v)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+
+    def keep(rel: str) -> bool:
+        rng = stats.get(rel, {}).get(col)
+        if not rng:
+            return True
+        mn, mx = rng
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    files = [f"{path}/{rel}" for rel in manifest["files"] if keep(rel)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    out = spark.read.schema(schema).parquet(*files)
+    if lo is not None:
+        out = out.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        out = out.filter(F.col(col) <= F.lit(hi))
+    return out

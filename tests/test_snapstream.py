@@ -1,0 +1,105 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipelines_spark.sinks.snapshots import (
+    snapshot_read,
+    snapshot_read_pruned,
+    snapshot_write,
+    snapshot_write_with_stats,
+)
+from pipelines_spark.sources.snapstream import SnapshotTableDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SnapshotTableDataSource)
+    return spark
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "id int, v string")
+
+
+def _run_stream(spark, table, out, ckpt):
+    q = (
+        spark.readStream.format("snapshot_table")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    time.sleep(0.2)
+
+
+def test_stream_replays_then_reads_only_new_commits(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snapshot_write(spark, table, _df(spark, [(1, "a"), (2, "b")]))
+    snapshot_write(spark, table, _df(spark, [(3, "c")]))
+
+    _run_stream(spark, table, out, ckpt)
+    got = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}
+
+    # two more commits; restart from checkpoint reads ONLY them
+    snapshot_write(spark, table, _df(spark, [(4, "d")]))
+    snapshot_write(spark, table, _df(spark, [(5, "e")]))
+    _run_stream(spark, table, out, ckpt)
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]  # no duplicates -> no re-read
+
+
+def test_stream_overwrite_commit_streams_new_fileset(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "tbl2")
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    snapshot_write(spark, table, _df(spark, [(1, "a")]))
+    _run_stream(spark, table, out, ckpt)
+    snapshot_write(spark, table, _df(spark, [(9, "z")]), mode="overwrite")
+    _run_stream(spark, table, out, ckpt)
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 9]
+
+
+def test_stats_pruning_skips_files_from_manifest(spark, tmp_path):
+    table = str(tmp_path / "tbl3")
+    # three commits with disjoint id ranges -> three file sets with
+    # disjoint manifest stats
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 50).select(
+            F.col("id").cast("int").alias("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ).coalesce(1)
+        snapshot_write_with_stats(spark, table, df)
+
+    pruned = snapshot_read_pruned(spark, table, col="id", lo=120, hi=130)
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(120, 131))
+    # the scan's file list only contains the one matching file
+    files = pruned.inputFiles() if hasattr(pruned, "inputFiles") else []
+    assert len(files) == 1
+
+    # unbounded side works; residual filter still applies
+    lo_only = snapshot_read_pruned(spark, table, col="id", lo=205)
+    assert sorted(r["id"] for r in lo_only.collect()) == list(range(205, 250))
+    assert len(lo_only.inputFiles()) == 1
+
+    # full read unchanged
+    assert snapshot_read(spark, table).count() == 150
+
+
+def test_stats_pruning_keeps_files_without_stats(spark, tmp_path):
+    table = str(tmp_path / "tbl4")
+    snapshot_write(spark, table, _df(spark, [(1, "a")]))  # no stats
+    snapshot_write_with_stats(spark, table, _df(spark, [(100, "z")]))
+    out = snapshot_read_pruned(spark, table, col="id", lo=0, hi=10)
+    # stat-less file conservatively read; row filter still correct
+    assert [r["id"] for r in out.collect()] == [1]

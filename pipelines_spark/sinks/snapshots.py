@@ -263,8 +263,12 @@ def snapshot_changes(
     for v in versions:
         if since_version < v <= to_version:
             m = _load_manifest(fs, jvm, log_dir, v)
-            files.extend(m["added"])
             schema_json = m["schema"]
+            if m["operation"] == "compact":
+                # file-level rewrite, no new rows — replaying its
+                # 'added' files would duplicate every row downstream
+                continue
+            files.extend(m["added"])
     if schema_json is None:
         latest = snapshot_read(spark, path)
         return spark.createDataFrame([], latest.schema)
@@ -476,3 +480,71 @@ def snapshot_read_pruned(
     if hi is not None:
         out = out.filter(F.col(col) <= F.lit(hi))
     return out
+
+
+# ---------------------------------------------------------- merge / compact
+
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    clock=time.time,
+) -> dict:
+    """Row-grain MERGE into a snapshot table (matched → replace row,
+    unmatched → insert), committed as one new version: readers see the
+    pre-merge or post-merge table, never a mix — the torn-read window
+    the Hive-layout ``merge_upsert`` closes with staged dynamic
+    overwrite simply does not exist here.
+
+    Copy-on-write at snapshot grain (the whole surviving file set is
+    rewritten). For huge tables where merges touch few rows, pair the
+    table with partition columns and use ``merge_upsert`` on a Hive
+    layout instead — or prune the rewrite set with manifest stats; the
+    contract here is correctness-first. Returns {"version",
+    "rows_upserted"}.
+    """
+    current = snapshot_read(spark, path)
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} != table schema "
+            f"{sorted(current.columns)}"
+        )
+    survivors = current.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    ).select(*updates.columns)
+    merged = survivors.unionByName(updates)
+    version = snapshot_write(spark, path, merged, mode="overwrite", clock=clock)
+    return {"version": version, "rows_upserted": updates.count()}
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 8,
+    clock=time.time,
+) -> dict:
+    """Rewrite the current snapshot into ``target_files`` files and
+    commit it with operation='compact' — a FILE-LEVEL rewrite that
+    changes no rows. Change consumers must not replay it:
+    ``snapshot_changes`` and the snapshot_table stream SKIP compact
+    commits (their 'added' files are rewrites of already-delivered
+    rows), and incremental rollups treat them as empty deltas. Old
+    small files stay readable for time travel until
+    ``expire_snapshots``. Returns {"version", "files_before",
+    "files_after"}."""
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    head = _resolve_version(fs, jvm, log_dir, None, None)
+    files_before = len(_load_manifest(fs, jvm, log_dir, head)["files"])
+    df = snapshot_read(spark, path, version=head).coalesce(target_files)
+    version = snapshot_write(spark, path, df, mode="overwrite", clock=clock)
+    # stamp the true operation (the rename already won; same-file
+    # rewrite of the committed manifest is idempotent)
+    manifest = _load_manifest(fs, jvm, log_dir, version)
+    manifest["operation"] = "compact"
+    _write_text(fs, jvm, f"{log_dir}/{_manifest_name(version)}", json.dumps(manifest))
+    files_after = len(manifest["files"])
+    return {"version": version, "files_before": files_before, "files_after": files_after}

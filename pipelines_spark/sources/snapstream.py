@@ -114,7 +114,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
         files: list[str] = []
         for v in _versions(self.log_dir):
             if start["version"] < v <= end["version"]:
-                files.extend(_manifest(self.log_dir, v)["added"])
+                m = _manifest(self.log_dir, v)
+                if m["operation"] == "compact":
+                    # rewritten files of already-streamed rows
+                    continue
+                files.extend(m["added"])
         if not files:
             # Spark requires >= 1 partition; an empty marker partition
             # yields no rows

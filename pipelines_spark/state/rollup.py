@@ -106,7 +106,10 @@ def run_incremental_rollup(
     if covered is not None:
         bad = [
             h for h in snapshot_history(spark, source_path)
-            if covered < h["version"] <= src_version and h["operation"] != "append"
+            if covered < h["version"] <= src_version
+            and h["operation"] not in ("append", "compact")
+            # compact commits change no rows; snapshot_changes already
+            # yields them as empty deltas
         ]
         if bad:
             raise ValueError(

@@ -103,3 +103,60 @@ def test_stats_pruning_keeps_files_without_stats(spark, tmp_path):
     out = snapshot_read_pruned(spark, table, col="id", lo=0, hi=10)
     # stat-less file conservatively read; row filter still correct
     assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_merge_and_compaction_commit_semantics(registered, tmp_path):
+    """MERGE commits one atomic version; compaction rewrites files but
+    never re-streams rows through the change feed or rollups."""
+    from pipelines_spark.sinks.snapshots import (
+        compact_snapshot,
+        snapshot_changes,
+        snapshot_merge,
+    )
+    from pipelines_spark.state.rollup import run_incremental_rollup
+
+    spark = registered
+    table = str(tmp_path / "tblm")
+    out, ckpt = str(tmp_path / "outm"), str(tmp_path / "ckptm")
+    rollup = str(tmp_path / "rollm")
+
+    snapshot_write(spark, table, _df(spark, [(1, "a"), (2, "b")]))
+    _run_stream(spark, table, out, ckpt)
+
+    # MERGE: update id=2, insert id=3 -> one new version, exact rows
+    r = snapshot_merge(spark, table, _df(spark, [(2, "B"), (3, "c")]), keys=["id"])
+    assert r["rows_upserted"] == 2
+    assert sorted(tuple(x) for x in snapshot_read(spark, table).collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+
+    # compaction after more appends: files shrink, rows identical
+    snapshot_write(spark, table, _df(spark, [(4, "d")]))
+    before = snapshot_read(spark, table)
+    c = compact_snapshot(spark, table, target_files=1)
+    assert c["files_after"] <= c["files_before"]
+    after = snapshot_read(spark, table)
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before.collect()))
+    assert len(after.inputFiles()) == 1
+
+    # change feed across the compact commit: no duplicate rows
+    # (stream restarted AFTER merge-overwrite replays the reloaded
+    # table once -- reload semantics -- but the compact version itself
+    # contributes nothing)
+    ch = snapshot_changes(spark, table, since_version=c["version"] - 1)
+    assert ch.count() == 0
+
+    # rollup across compact: treated as empty delta, no double count
+    run_incremental_rollup(
+        spark, table, rollup, keys=["v"],
+        measures={"n": ("count", "id"), "id_sum": ("sum", "id")},
+    )
+    snapshot_write(spark, table, _df(spark, [(5, "e")]))
+    compact_snapshot(spark, table, target_files=1)
+    r2 = run_incremental_rollup(
+        spark, table, rollup, keys=["v"],
+        measures={"n": ("count", "id"), "id_sum": ("sum", "id")},
+    )
+    assert r2["rows_delta"] == 1  # only id=5; compact contributed 0
+    got = {(r["v"], r["n"], r["id_sum"]) for r in snapshot_read(spark, rollup).collect()}
+    assert got == {("a", 1, 1), ("B", 1, 2), ("c", 1, 3), ("d", 1, 4), ("e", 1, 5)}

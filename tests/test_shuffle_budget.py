@@ -1,0 +1,73 @@
+"""Shuffle-budget pins: the per-query exchange counts documented in
+docs/SCALE.md, asserted against the physical plan so an accidental
+extra shuffle (a lost broadcast, a re-partition regression, an
+aggregate that stopped being partial) fails CI instead of shipping.
+
+Counts SHUFFLE exchanges only (hash/range/single-partition).
+BroadcastExchange is excluded — broadcasting a dim is the cheap move
+these budgets exist to protect. AQE is disabled for the probe so the
+static plan is visible; at runtime AQE can only coalesce/convert
+these further, never add exchanges.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pipelines_spark.queries import QUERIES
+
+#: query -> max shuffle exchanges allowed in the static plan
+#: (current counts pinned exactly — a +1 regression is precisely the
+#: lost-broadcast/extra-repartition case this test exists to catch)
+BUDGETS = {
+    # one agg exchange; scan-side partial agg
+    "q1_pricing_summary": 1,
+    # ALL dims broadcast: a 3-table (q3) / 6-table (q5) join tree
+    # costs exactly one shuffle — the aggregation's
+    "q3_shipping_priority": 1,
+    "q5_local_supplier_volume": 1,
+    # pre-aggregate below the join + final agg
+    "revenue_by_month": 2,
+    "top_customers_by_revenue": 2,
+    # single window partitioning
+    "a3_latest_event_per_user": 1,
+    "w4_rolling_hourly_sum": 1,
+    "w6_sessionize": 1,
+    # one agg over (date, hour)
+    "a7_hourly_event_counts": 1,
+    # broadcast anchors -> map-side cross, one per-cell window
+    "j9_idw_interpolation": 1,
+    # hash once on the dedup key
+    "dedup_exact": 1,
+    # per-key bounds agg + gap window
+    "j5_capture_gaps": 2,
+    # per-key bounds agg + one union-window partitioning
+    "w8_resample_interpolate": 2,
+}
+
+
+@pytest.fixture(scope="module")
+def no_aqe(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _shuffles(df) -> int:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # shuffle exchanges only; BroadcastExchange deliberately excluded
+    return len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(no_aqe, sf_medium, name):
+    df = QUERIES[name](no_aqe, sf_medium)
+    n = _shuffles(df)
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget {BUDGETS[name]} — "
+        "a broadcast was lost or an extra repartition crept in"
+    )

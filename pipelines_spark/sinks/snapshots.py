@@ -264,9 +264,11 @@ def snapshot_changes(
         if since_version < v <= to_version:
             m = _load_manifest(fs, jvm, log_dir, v)
             schema_json = m["schema"]
-            if m["operation"] == "compact":
-                # file-level rewrite, no new rows — replaying its
-                # 'added' files would duplicate every row downstream
+            if m["operation"] in ("compact", "delete"):
+                # file-level rewrites (no new rows) — replaying their
+                # 'added' files would duplicate surviving rows
+                # downstream; deletes additionally need retraction
+                # semantics no append-only consumer has
                 continue
             files.extend(m["added"])
     if schema_json is None:
@@ -548,3 +550,125 @@ def compact_snapshot(
     _write_text(fs, jvm, f"{log_dir}/{_manifest_name(version)}", json.dumps(manifest))
     files_after = len(manifest["files"])
     return {"version": version, "files_before": files_before, "files_after": files_after}
+
+
+def snapshot_delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    *,
+    prune_col: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+    clock=time.time,
+) -> dict:
+    """File-level copy-on-write DELETE: rows matching ``predicate`` (a
+    Column) are removed by rewriting ONLY the files that can contain
+    them; untouched files carry over into the new version unread and
+    unmoved.
+
+    ``prune_col``/``prune_lo``/``prune_hi`` select the candidate set
+    from manifest stats (files whose recorded [min,max] intersects the
+    range); without them, or for stat-less files, every file is a
+    candidate. The predicate is always applied exactly — pruning only
+    bounds the REWRITE I/O: a retention delete on a time column
+    rewrites days, not the table.
+
+    Concurrency: the commit must land directly on the version that was
+    read (its file set is the carry-over base); if another writer
+    commits in between, ``CommitConflict`` is raised — re-run against
+    the new head rather than silently dropping the racer's files.
+
+    The commit records operation='delete'. Change-feed consumers skip
+    it (its 'added' files are rewrites of surviving rows — replaying
+    them would duplicate), and incremental rollups reject the range
+    (rows changed non-monotonically) — rebuild or re-window instead.
+
+    Returns {"version", "rows_deleted", "files_rewritten",
+    "files_kept"}.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (predicate helpers)
+
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    head = _resolve_version(fs, jvm, log_dir, None, None)
+    manifest = _load_manifest(fs, jvm, log_dir, head)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+
+    stats: dict[str, dict] = {}
+    for ver in _list_versions(fs, jvm, log_dir):
+        if ver <= head:
+            stats.update(_load_manifest(fs, jvm, log_dir, ver).get("stats", {}))
+
+    def is_candidate(rel: str) -> bool:
+        if prune_col is None:
+            return True
+        rng = stats.get(rel, {}).get(prune_col)
+        if not rng:
+            return True
+        mn, mx = rng
+        if prune_lo is not None and mx < prune_lo:
+            return False
+        if prune_hi is not None and mn > prune_hi:
+            return False
+        return True
+
+    candidates = [rel for rel in manifest["files"] if is_candidate(rel)]
+    kept = [rel for rel in manifest["files"] if rel not in set(candidates)]
+
+    if not candidates:
+        return {
+            "version": head, "rows_deleted": 0,
+            "files_rewritten": 0, "files_kept": len(kept),
+        }
+
+    cand_df = spark.read.schema(schema).parquet(
+        *[f"{path}/{rel}" for rel in candidates]
+    )
+    survivors = cand_df.filter(~predicate)
+    n_before = cand_df.count()
+
+    write_id = uuid.uuid4().hex[:12]
+    data_dir = f"{path}/{_DATA_DIR}/w-{write_id}"
+    survivors.write.mode("error").parquet(data_dir)
+    root_prefix = _hp(jvm, path).toUri().getPath().rstrip("/") + "/"
+    added = [
+        p[len(root_prefix):] if p.startswith(root_prefix) else p
+        for p in _data_files(fs, jvm, data_dir)
+    ]
+    n_after = spark.read.schema(schema).parquet(
+        *[f"{path}/{rel}" for rel in added]
+    ).count() if added else 0
+
+    new_stats = {}
+    if prune_col is not None and added:
+        file_stats = _collect_file_stats(
+            [f"{path}/{rel}" for rel in added], [prune_col]
+        )
+        new_stats = {rel: file_stats.get(f"{path}/{rel}", {}) for rel in added}
+
+    version = head + 1
+    new_manifest = {
+        "version": version,
+        "parent": head,
+        "operation": "delete",
+        "committed_at": float(clock()),
+        "schema": manifest["schema"],
+        "added": added,
+        "files": kept + added,
+        "stats": new_stats,
+    }
+    tmp = f"{log_dir}/_tmp-{uuid.uuid4().hex}.json"
+    _write_text(fs, jvm, tmp, json.dumps(new_manifest))
+    if not fs.rename(_hp(jvm, tmp), _hp(jvm, f"{log_dir}/{_manifest_name(version)}")):
+        fs.delete(_hp(jvm, tmp), False)
+        raise CommitConflict(
+            f"version {version} committed concurrently at {path}; re-run "
+            "the delete against the new head (the carry-over base is stale)"
+        )
+    return {
+        "version": version,
+        "rows_deleted": n_before - n_after,
+        "files_rewritten": len(candidates),
+        "files_kept": len(kept),
+    }

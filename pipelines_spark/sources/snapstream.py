@@ -115,7 +115,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         for v in _versions(self.log_dir):
             if start["version"] < v <= end["version"]:
                 m = _manifest(self.log_dir, v)
-                if m["operation"] == "compact":
+                if m["operation"] in ("compact", "delete"):
                     # rewritten files of already-streamed rows
                     continue
                 files.extend(m["added"])

@@ -160,3 +160,63 @@ def test_merge_and_compaction_commit_semantics(registered, tmp_path):
     assert r2["rows_delta"] == 1  # only id=5; compact contributed 0
     got = {(r["v"], r["n"], r["id_sum"]) for r in snapshot_read(spark, rollup).collect()}
     assert got == {("a", 1, 1), ("B", 1, 2), ("c", 1, 3), ("d", 1, 4), ("e", 1, 5)}
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
+    from pipelines_spark.sinks.snapshots import (
+        snapshot_changes,
+        snapshot_delete_where,
+    )
+
+    table = str(tmp_path / "tbld")
+    # three stats-bearing commits with disjoint id ranges
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 50).select(
+            F.col("id").cast("int").alias("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ).coalesce(1)
+        snapshot_write_with_stats(spark, table, df)
+
+    r = snapshot_delete_where(
+        spark, table, F.col("id").between(110, 120),
+        prune_col="id", prune_lo=110, prune_hi=120,
+    )
+    # only the middle file intersects [110,120]
+    assert r["files_rewritten"] == 1 and r["files_kept"] == 2
+    assert r["rows_deleted"] == 11
+    remaining = sorted(row["id"] for row in snapshot_read(spark, table).collect())
+    written = list(range(50)) + list(range(100, 150)) + list(range(200, 250))
+    assert remaining == [i for i in written if not (110 <= i <= 120)]
+    # kept files carried over byte-identical (same physical paths)
+    paths = snapshot_read(spark, table).inputFiles()
+    assert len(paths) == 3  # 2 kept + 1 rewritten
+    # the delete version contributes nothing to the change feed
+    assert snapshot_changes(spark, table, since_version=r["version"] - 1).count() == 0
+
+
+def test_delete_without_stats_rewrites_everything_correctly(spark, tmp_path):
+    from pipelines_spark.sinks.snapshots import snapshot_delete_where
+
+    table = str(tmp_path / "tbld2")
+    snapshot_write(spark, table, _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    r = snapshot_delete_where(spark, table, F.col("id") == 2)
+    assert r["rows_deleted"] == 1 and r["files_kept"] == 0
+    assert sorted(row["id"] for row in snapshot_read(spark, table).collect()) == [1, 3]
+
+
+def test_delete_noop_when_pruning_excludes_all(spark, tmp_path):
+    from pipelines_spark.sinks.snapshots import current_version, snapshot_delete_where
+
+    table = str(tmp_path / "tbld3")
+    df = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("id"), F.lit("x").alias("v")
+    ).coalesce(1)
+    snapshot_write_with_stats(spark, table, df)
+    head = current_version(spark, table)
+    r = snapshot_delete_where(
+        spark, table, F.col("id").between(900, 950),
+        prune_col="id", prune_lo=900, prune_hi=950,
+    )
+    # no candidate file -> no new version at all
+    assert r["version"] == head and r["files_rewritten"] == 0
+    assert current_version(spark, table) == head

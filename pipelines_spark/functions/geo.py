@@ -189,6 +189,53 @@ def intersection_area(subject: Column, clip: Column) -> Column:
     return polygon_area(polygon_clip(subject, clip))
 
 
+def polygon_centroid(ring: Column) -> Column:
+    """``ST_CENTROID`` for a simple polygon ring ``array<struct<x,y>>``
+    (open ring, any orientation): the area-weighted centroid via the
+    shoelace formula, as ``struct<x,y>``. Reference parity: the rain
+    dashboard centers map tiles on ``ST_CENTROID(geometry)``
+    (pipelines/rj_escritorio/rain_dashboard/constants.py:107-205).
+    Degenerate rings (area 0 — collinear or <3 points) fall back to
+    the vertex mean. Pure Catalyst HOF math; the ring is bound once
+    (see ``_bind_once``)."""
+
+    def _centroid(r):
+        n = F.size(r)
+
+        def cross_terms(acc, i):
+            cur = F.element_at(r, i + 1)
+            nxt = F.element_at(r, F.when(i == n - 1, 1).otherwise(i + 2))
+            cross = cur["x"] * nxt["y"] - nxt["x"] * cur["y"]
+            return F.struct(
+                (acc["a"] + cross).alias("a"),
+                (acc["cx"] + (cur["x"] + nxt["x"]) * cross).alias("cx"),
+                (acc["cy"] + (cur["y"] + nxt["y"]) * cross).alias("cy"),
+            )
+
+        zero = F.struct(
+            F.lit(0.0).alias("a"), F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy")
+        )
+        acc = F.aggregate(F.sequence(F.lit(0), n - 1), zero, cross_terms)
+        mean = F.struct(
+            F.aggregate(r, F.lit(0.0), lambda s, p: s + p["x"]).alias("mx"),
+            F.aggregate(r, F.lit(0.0), lambda s, p: s + p["y"]).alias("my"),
+        )
+        return F.when(
+            (n < 3) | (F.abs(acc["a"]) < F.lit(1e-12)),
+            F.struct(
+                (mean["mx"] / n).cast("double").alias("x"),
+                (mean["my"] / n).cast("double").alias("y"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["cx"] / (3 * acc["a"])).alias("x"),
+                (acc["cy"] / (3 * acc["a"])).alias("y"),
+            )
+        )
+
+    return _bind_once(ring, _centroid)
+
+
 def geocode_addresses(
     df,
     addr_col: str,

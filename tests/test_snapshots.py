@@ -158,3 +158,27 @@ def test_empty_overwrite_reads_back_empty_with_schema(spark, table):
     out = snapshot_read(spark, table)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "v"]
+
+
+def test_schema_evolution_add_column(spark, table):
+    """A later commit may add columns: the latest manifest's schema
+    governs the read, and older files' missing columns surface as
+    NULL — additive evolution with no rewrite of history."""
+    from pyspark.sql import functions as F
+
+    snapshot_write(spark, table, _df(spark, [(1, "a")]))
+    widened = spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, v string, score double"
+    )
+    snapshot_write(spark, table, widened)
+    out = snapshot_read(spark, table)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "score"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    # time travel still reads v1 with its own (narrow) schema
+    v1 = snapshot_read(spark, table, version=1)
+    assert [f.name for f in v1.schema.fields] == ["id", "v"]
+    # incremental consumers see the widened schema for the delta
+    delta = snapshot_changes(spark, table, since_version=1)
+    assert [f.name for f in delta.schema.fields] == ["id", "v", "score"]
+    assert delta.collect()[0]["score"] == 9.5

@@ -109,3 +109,28 @@ def test_zorder_handles_dates_and_nulls(spark, tmp_path):
     keyed = with_zorder_key(df, ["x", "d"], bits=8)
     assert keyed.filter(F.col("_zorder").isNull()).count() == 0
     assert keyed.count() == 1000
+
+
+def test_polygon_centroid(spark):
+    from pipelines_spark.functions.geo import polygon_centroid, rect_ring
+
+    # rectangle centroid = its center, any winding
+    row = spark.range(1).select(
+        polygon_centroid(rect_ring(F.lit(2.0), F.lit(1.0), F.lit(6.0), F.lit(5.0))).alias("c")
+    ).collect()[0]["c"]
+    assert (row["x"], row["y"]) == (4.0, 3.0)
+
+    # L-shaped (non-convex) polygon: area-weighted centroid, not the
+    # vertex mean. L = 2x2 square + 1x2 tab -> centroid known
+    pts = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 2.0), (0.0, 2.0)]
+    ring = F.array(*[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in pts])
+    row = spark.range(1).select(polygon_centroid(ring).alias("c")).collect()[0]["c"]
+    # area = 3; centroid = (sum of piece centroids weighted): square
+    # [0,1]x[0,2] area2 c=(0.5,1.0); tab [1,2]x[0,1] area1 c=(1.5,0.5)
+    assert abs(row["x"] - (2 * 0.5 + 1 * 1.5) / 3) < 1e-9
+    assert abs(row["y"] - (2 * 1.0 + 1 * 0.5) / 3) < 1e-9
+
+    # degenerate (collinear) ring falls back to the vertex mean
+    line = F.array(*[F.struct(F.lit(float(i)).alias("x"), F.lit(0.0).alias("y")) for i in range(3)])
+    row = spark.range(1).select(polygon_centroid(line).alias("c")).collect()[0]["c"]
+    assert (row["x"], row["y"]) == (1.0, 0.0)

@@ -672,3 +672,132 @@ def snapshot_delete_where(
         "files_rewritten": len(candidates),
         "files_kept": len(kept),
     }
+
+
+# ------------------------------------------------------ write-audit-publish
+
+def snapshot_write_staged(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    mode: str = "append",
+    clock=time.time,
+) -> str:
+    """Stage a commit WITHOUT publishing it (the write half of
+    write-audit-publish): data files land normally, but the manifest
+    is written as ``_log/_staged-<id>.json`` — underscore-prefixed, so
+    version listing and every reader ignore it. Readers keep seeing
+    the current table while audits run against the staged snapshot.
+    Returns the stage id."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    fs.mkdirs(_hp(jvm, log_dir))
+
+    write_id = uuid.uuid4().hex[:12]
+    data_dir = f"{path}/{_DATA_DIR}/w-{write_id}"
+    df.write.mode("error").parquet(data_dir)
+    root_prefix = _hp(jvm, path).toUri().getPath().rstrip("/") + "/"
+    added = [
+        p[len(root_prefix):] if p.startswith(root_prefix) else p
+        for p in _data_files(fs, jvm, data_dir)
+    ]
+    staged = {
+        "operation": mode,
+        "staged_at": float(clock()),
+        "schema": df.schema.json(),
+        "added": added,
+    }
+    _write_text(fs, jvm, f"{log_dir}/_staged-{write_id}.json", json.dumps(staged))
+    return write_id
+
+
+def staged_snapshot_read(spark: SparkSession, path: str, stage_id: str) -> DataFrame:
+    """The table AS IT WOULD LOOK if the staged commit published —
+    the audit target. For mode='append' that is current ∪ staged
+    files; for 'overwrite', the staged files alone."""
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    staged = json.loads(_read_text(fs, jvm, f"{log_dir}/_staged-{stage_id}.json"))
+    schema = StructType.fromJson(json.loads(staged["schema"]))
+    files = [f"{path}/{rel}" for rel in staged["added"]]
+    if staged["operation"] == "append":
+        versions = _list_versions(fs, jvm, log_dir)
+        if versions:
+            base = _load_manifest(fs, jvm, log_dir, versions[-1])["files"]
+            files = [f"{path}/{rel}" for rel in base] + files
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    path: str,
+    stage_id: str,
+    *,
+    audit=None,
+    clock=time.time,
+    max_retries: int = 3,
+) -> int:
+    """Audit-then-publish: run ``audit`` (a callable receiving the
+    would-be table DataFrame, returning True to allow) against the
+    staged snapshot, then promote the staged manifest to the next
+    version with the usual rename-if-absent commit. A failing audit
+    leaves the table untouched and the stage in place for triage
+    (``abandon_staged`` discards it). This is the Iceberg WAP pattern:
+    bad data is caught while INVISIBLE, never rolled back after
+    readers saw it."""
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    spath = f"{log_dir}/_staged-{stage_id}.json"
+    staged = json.loads(_read_text(fs, jvm, spath))
+
+    if audit is not None and not audit(staged_snapshot_read(spark, path, stage_id)):
+        raise ValueError(
+            f"audit rejected staged commit {stage_id} at {path}; table "
+            "unchanged — fix or abandon_staged"
+        )
+
+    for _attempt in range(max_retries):
+        versions = _list_versions(fs, jvm, log_dir)
+        prev = versions[-1] if versions else None
+        base = (
+            _load_manifest(fs, jvm, log_dir, prev)["files"]
+            if staged["operation"] == "append" and prev is not None
+            else []
+        )
+        version = (prev or 0) + 1
+        manifest = {
+            "version": version,
+            "parent": prev,
+            "operation": staged["operation"],
+            "committed_at": float(clock()),
+            "schema": staged["schema"],
+            "added": staged["added"],
+            "files": base + staged["added"],
+        }
+        tmp = f"{log_dir}/_tmp-{uuid.uuid4().hex}.json"
+        _write_text(fs, jvm, tmp, json.dumps(manifest))
+        if fs.rename(_hp(jvm, tmp), _hp(jvm, f"{log_dir}/{_manifest_name(version)}")):
+            fs.delete(_hp(jvm, spath), False)
+            return version
+        fs.delete(_hp(jvm, tmp), False)
+    raise CommitConflict(
+        f"lost the publish race {max_retries} times for stage {stage_id} at {path}"
+    )
+
+
+def abandon_staged(spark: SparkSession, path: str, stage_id: str) -> None:
+    """Discard a staged commit: drop its manifest and data files.
+    (Unpublished stages are also swept as orphans by
+    ``expire_snapshots`` if never explicitly abandoned.)"""
+    fs, jvm = _fs(spark, path)
+    spath = f"{path}/{_LOG_DIR}/_staged-{stage_id}.json"
+    staged = json.loads(_read_text(fs, jvm, spath))
+    for rel in staged["added"]:
+        fs.delete(_hp(jvm, f"{path}/{rel}"), False)
+    fs.delete(_hp(jvm, f"{path}/{_DATA_DIR}/w-{stage_id}"), True)
+    fs.delete(_hp(jvm, spath), False)

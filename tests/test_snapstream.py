@@ -220,3 +220,40 @@ def test_delete_noop_when_pruning_excludes_all(spark, tmp_path):
     # no candidate file -> no new version at all
     assert r["version"] == head and r["files_rewritten"] == 0
     assert current_version(spark, table) == head
+
+
+def test_write_audit_publish(spark, tmp_path):
+    from pipelines_spark.sinks.snapshots import (
+        abandon_staged,
+        current_version,
+        publish_snapshot,
+        snapshot_write_staged,
+        staged_snapshot_read,
+    )
+
+    table = str(tmp_path / "wap")
+    snapshot_write(spark, table, _df(spark, [(1, "a")]))
+
+    # stage: readers keep seeing v1 while the stage exists
+    sid = snapshot_write_staged(spark, table, _df(spark, [(2, "b"), (-5, "bad")]))
+    assert current_version(spark, table) == 1
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [1]
+    # the audit target is the would-be table
+    assert sorted(r["id"] for r in staged_snapshot_read(spark, table, sid).collect()) == [-5, 1, 2]
+
+    # failing audit: publish refused, table untouched, stage kept
+    audit = lambda df: df.filter(F.col("id") < 0).limit(1).count() == 0
+    with pytest.raises(ValueError, match="audit rejected"):
+        publish_snapshot(spark, table, sid, audit=audit)
+    assert current_version(spark, table) == 1
+
+    abandon_staged(spark, table, sid)
+    import glob as _glob
+    assert not _glob.glob(f"{table}/_log/_staged-*")
+
+    # clean stage passes the audit and publishes atomically
+    sid2 = snapshot_write_staged(spark, table, _df(spark, [(2, "b")]))
+    v = publish_snapshot(spark, table, sid2, audit=audit)
+    assert v == 2
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [1, 2]
+    assert not _glob.glob(f"{table}/_log/_staged-*")

@@ -1722,4 +1722,18 @@ ORACLES: dict[str, str] = {
                           * ((t_s - prev_t) / (next_t - prev_t)) END) * 1e4 + 0.5) / 1e4 AS value_interp
         FROM filled WHERE is_tick = 1
     """,
+    # batch watchdog: silence measured against the corpus head with
+    # second-truncated timestamps (matching Spark's unix_timestamp)
+    "a19_stale_feeds": """
+        WITH head AS (
+            SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS head_s FROM events
+        ), per_key AS (
+            SELECT user_id, max(ts) AS last_seen, count(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, last_seen, n_events,
+               CAST(floor((head.head_s - CAST(floor(epoch(last_seen)) AS BIGINT)) / 3600.0) AS BIGINT) AS hours_silent
+        FROM per_key, head
+        WHERE floor((head.head_s - CAST(floor(epoch(last_seen)) AS BIGINT)) / 3600.0) > 48
+    """,
 }

@@ -2281,6 +2281,30 @@ def w8_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a19_stale_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch feed watchdog (the streaming twin lives in
+    streaming/twstate.py): per-key last reading vs the corpus head —
+    keys silent for more than 48 hours are flagged with their silence
+    duration. One agg shuffle; the corpus head is a 1-row broadcast
+    (the reference answers this from its Redis last-reading map;
+    here it is a query over the data itself)."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    head = ev.agg(F.max("ts").alias("head_ts"))
+    per_key = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(head))
+        .withColumn(
+            "hours_silent",
+            F.floor((F.unix_timestamp("head_ts") - F.unix_timestamp("last_seen")) / 3600).cast("long"),
+        )
+        .filter(F.col("hours_silent") > 48)
+        .select("user_id", "last_seen", "n_events", "hours_silent")
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2383,4 +2407,5 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "o12_variant_props": o12_variant_props,
     "w8_resample_interpolate": w8_resample_interpolate,
+    "a19_stale_feeds": a19_stale_feeds,
 }

@@ -639,3 +639,61 @@ def semantic_dedup(
         F.min("_ida").alias("canonical_id"),
         F.count(F.lit(1)).alias("n_similar"),
     )
+
+
+def lsh_tune(
+    threshold: float,
+    *,
+    num_hashes: int = 128,
+    false_negative_weight: float = 1.0,
+    false_positive_weight: float = 1.0,
+) -> dict:
+    """Choose (bands, rows) for MinHash-LSH targeting a Jaccard
+    ``threshold``: the collision probability of a pair with similarity
+    s is the S-curve ``1 - (1 - s^rows)^bands``; the tuner scans every
+    factorization of ``num_hashes`` and minimizes the weighted sum of
+    the false-negative mass above the threshold and false-positive
+    mass below it (rectangle-rule integral, the standard MMDS
+    procedure). Returns the chosen parameters, the curve's estimated
+    threshold ``(1/bands)^(1/rows)``, and both error masses — feed
+    ``bands`` straight into ``minhash_near_dup_pairs``.
+
+    Weights bias the choice: a dedup pass that must not lose real
+    duplicates raises ``false_negative_weight``; a candidate-volume-
+    constrained pass raises ``false_positive_weight``. Exact
+    verification downstream removes false positives anyway, so their
+    real cost is compute, not correctness.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    steps = 1000
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        fn = fp = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p_collide = 1.0 - (1.0 - s ** rows) ** bands
+            if s >= threshold:
+                fn += (1.0 - p_collide) / steps
+            else:
+                fp += p_collide / steps
+        cost = false_negative_weight * fn + false_positive_weight * fp
+        if best is None or cost < best["cost"]:
+            best = {
+                "bands": bands,
+                "rows_per_band": rows,
+                "cost": cost,
+                "false_negative_mass": fn,
+                "false_positive_mass": fp,
+                "estimated_threshold": (1.0 / bands) ** (1.0 / rows),
+            }
+    return best
+
+
+def lsh_collision_probability(similarity: float, bands: int, rows_per_band: int) -> float:
+    """P[candidate pair] for a pair with Jaccard ``similarity`` under
+    (bands, rows) banding — the S-curve the tuner optimizes."""
+    return 1.0 - (1.0 - similarity ** rows_per_band) ** bands

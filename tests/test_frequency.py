@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pipelines_spark.operators.frequency import heavy_hitters
@@ -78,3 +80,29 @@ def test_semantic_dedup_smoke(spark):
     assert {(100 + i, i) for i in range(20)} <= got
     # no original is pruned by its own twin (canonical is always lower)
     assert all(v > c for v, c in got)
+
+
+def test_lsh_tuner_scurve_math():
+    from pipelines_spark.llm.dedup import lsh_collision_probability, lsh_tune
+
+    # hand-checked S-curve point: s=0.5, b=8, r=4 -> 1-(1-0.0625)^8
+    p = lsh_collision_probability(0.5, 8, 4)
+    assert abs(p - (1 - (1 - 0.5**4) ** 8)) < 1e-12
+
+    out = lsh_tune(0.5, num_hashes=32)
+    assert out["bands"] * out["rows_per_band"] == 32
+    # the estimated threshold lands near the target
+    assert abs(out["estimated_threshold"] - 0.5) < 0.2
+    # the curve is steep around the threshold: far-below pairs rarely
+    # collide, far-above pairs almost surely do
+    b, r = out["bands"], out["rows_per_band"]
+    assert lsh_collision_probability(0.2, b, r) < 0.35
+    assert lsh_collision_probability(0.8, b, r) > 0.9
+
+    # weight asymmetry shifts the curve: recall-biased tuning picks
+    # parameters with lower false-negative mass
+    recall = lsh_tune(0.5, num_hashes=32, false_negative_weight=10.0)
+    assert recall["false_negative_mass"] <= out["false_negative_mass"]
+
+    with pytest.raises(ValueError):
+        lsh_tune(1.5)

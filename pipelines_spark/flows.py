@@ -22,6 +22,8 @@ pipelines/rj_smtr/flows.py:46-290.
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Callable
 from datetime import datetime, timedelta
 
@@ -40,6 +42,8 @@ from pipelines_spark.sinks.partitioned import (
     write_partitioned,
 )
 from pipelines_spark.state.watermark import WatermarkStore
+
+_LOG = logging.getLogger("pipelines_spark.flows")
 
 
 def run_dump_flow(
@@ -331,3 +335,61 @@ def run_maintenance(
     if log_path:
         append_capture_log(spark, log_path, [now], success=True)
     return stats
+
+
+def run_dump_flow_transactional(
+    spark: SparkSession,
+    source_df: DataFrame,
+    *,
+    table_path: str,
+    date_col: str,
+    checks: list | None = None,
+    mode: str = "append",
+    clock=None,
+) -> dict:
+    """§3.1 dump targeting a SNAPSHOT table with write-audit-publish:
+    normalize → derive partition columns → stage the commit invisibly
+    → run the check harness against the WOULD-BE table → publish
+    atomically (or leave the table untouched and the stage in place
+    for triage).
+
+    This is the transactional upgrade of ``run_dump_flow``: the Hive
+    layout's dynamic-overwrite idempotency contract is replaced by
+    versioned manifests — readers can never observe a half-loaded
+    batch, failed audits never expose bad data, and every dump is a
+    time-travelable version. ``checks`` is a list of
+    ``plans.checks.Check`` evaluated over the staged table registered
+    as the temp view ``_staged_dump``.
+
+    Returns {"published", "version" | "stage_id", "failed_checks"}.
+    """
+    import time as _time
+
+    from pipelines_spark.naming import normalize_column_name
+    from pipelines_spark.plans.checks import run_checks
+    from pipelines_spark.sinks.snapshots import (
+        publish_snapshot,
+        snapshot_write_staged,
+        staged_snapshot_read,
+    )
+
+    clock = clock or _time.time
+    df = normalize_columns(source_df)
+    df = derive_partition_columns(df, normalize_column_name(date_col))
+    stage_id = snapshot_write_staged(spark, table_path, df, mode=mode, clock=clock)
+
+    failed: list[str] = []
+    if checks:
+        staged_snapshot_read(spark, table_path, stage_id).createOrReplaceTempView(
+            "_staged_dump"
+        )
+        results = run_checks(spark, checks)
+        failed = [r.name for r in results if not r.passed]
+    if failed:
+        _LOG.warning(
+            "dump to %s NOT published: %d failed checks (%s); stage %s kept for triage",
+            table_path, len(failed), ", ".join(failed), stage_id,
+        )
+        return {"published": False, "stage_id": stage_id, "failed_checks": failed}
+    version = publish_snapshot(spark, table_path, stage_id, clock=clock)
+    return {"published": True, "version": version, "failed_checks": []}

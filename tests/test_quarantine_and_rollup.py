@@ -141,3 +141,36 @@ def test_rollup_rejects_non_distributive_measure(spark, tmp_path):
             spark, str(tmp_path / "s"), str(tmp_path / "r"),
             keys=["k"], measures={"bad": ("avg", "v")},
         )
+
+
+def test_transactional_dump_flow_wap(spark, tmp_path):
+    from pipelines_spark.flows import run_dump_flow_transactional
+    from pipelines_spark.plans.checks import Check
+    from pipelines_spark.sinks.snapshots import current_version, snapshot_read
+
+    table = str(tmp_path / "dump_tbl")
+    src = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00", 5.0), (2, "2024-02-01 11:00:00", -1.0)],
+        "ID int, Data_Medicao string, Valor double",
+    ).withColumn("Data_Medicao", F.to_timestamp("Data_Medicao"))
+
+    checks = [Check(
+        name="no_negative_values",
+        sql="SELECT * FROM _staged_dump WHERE CAST(valor AS DOUBLE) < 0",
+    )]
+    # first dump fails its audit: nothing published, no table version
+    r = run_dump_flow_transactional(
+        spark, src, table_path=table, date_col="Data_Medicao", checks=checks
+    )
+    assert r["published"] is False and r["failed_checks"] == ["no_negative_values"]
+    assert current_version(spark, table) is None
+
+    # clean batch publishes v1 with normalized columns + partitions
+    clean = src.filter(F.col("Valor") >= 0)
+    r2 = run_dump_flow_transactional(
+        spark, clean, table_path=table, date_col="Data_Medicao", checks=checks
+    )
+    assert r2["published"] is True and r2["version"] == 1
+    out = snapshot_read(spark, table)
+    assert out.count() == 1
+    assert "data_medicao" in out.columns and "ano_particao" in out.columns

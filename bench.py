@@ -104,6 +104,13 @@ EXTENDED = [
     "dedup_semantic",
     "o12_variant_props",
     "w8_resample_interpolate",
+    "a20_cohort_retention",
+    "w9_activity_islands",
+    "j13_fuzzy_name_match",
+    "a21_kmv_distinct",
+    "a22_funnel_conversion",
+    "w10_time_weighted_avg",
+    "j14_max_concurrent_orders",
 ]
 
 

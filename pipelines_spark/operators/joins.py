@@ -180,3 +180,49 @@ def asof_join(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_expr: Column,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: fuzzy self-match of the
+    distinct values of ``name_col`` under an edit-distance bound,
+    with a blocking key so the candidate set is an equi-join, never a
+    cross join.
+
+    Classic record-linkage blocking (Fellegi-Sunter style): only
+    values sharing ``block_expr`` (e.g. first token, phonetic code,
+    length band) are compared, so the pair count is
+    sum(block_size^2) instead of n^2 — the same
+    bucket-bounds-the-scan shape as LSH dedup (llm/dedup.py). The
+    Levenshtein refine runs JVM-side (built-in ``levenshtein``).
+
+    The reference does value recoding/matching by exact replace maps
+    (/root/reference/pipelines/rj_cor/comando/eventos/tasks.py:203-239);
+    fuzzy matching is the scale-path generalization for dirty keys.
+
+    Returns ``(name_a, name_b, edit_dist)`` with ``name_a < name_b``
+    (each unordered pair once).
+    """
+    names = df.select(F.col(name_col).alias("_name")).where(
+        F.col(name_col).isNotNull()
+    ).distinct()
+    blocked = names.withColumn("_blk", block_expr)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._name") < F.col("b._name")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a._name"), F.col("b._name")))
+        .where(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+            "edit_dist",
+        )
+    )

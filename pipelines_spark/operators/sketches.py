@@ -1,0 +1,94 @@
+"""Mergeable sketch operators.
+
+KMV (k-minimum-values) distinct-count estimation: every partition
+keeps only its ``k`` smallest *distinct* hash values (O(k) state and
+O(k) output per partition, regardless of partition size), and the
+global merge is a distinct + ordered ``LIMIT k`` over at most
+``k x partitions`` candidate rows. The k-th smallest of the merged
+candidates equals the k-th smallest of the global distinct hash set
+(any globally-top-k value is necessarily within the top-k of its own
+partition), so the distributed sketch is bit-identical to a
+single-node KMV — and therefore exactly replayable by the DuckDB
+oracle with a plain ``ORDER BY h LIMIT k``.
+
+Estimator (Bar-Yossef et al., "Counting distinct elements in a data
+stream", RANDOM 2002): with hashes uniform on [0, 2^32), the k-th
+smallest value h_k estimates the distinct count as
+``(k-1) * 2^32 / h_k``. Integer division keeps the result exact and
+engine-independent (no float rounding at the boundary).
+
+Hashing uses the repo's cross-engine convention: first 32 bits of
+``md5(value-as-string)`` (cf. llm/dedup._md5_hash32) so Spark and the
+DuckDB oracle agree on every hash. Hash collisions merge values in
+BOTH engines identically — they are part of the sketch's (bounded)
+error, not a parity hazard.
+
+Reference parity: the reference has no sketches — it answers
+"how many distinct X" with exact BigQuery COUNT(DISTINCT)
+(e.g. /root/reference/pipelines/rj_smtr/constants.py:348-420 checks).
+At 100 TB an exact distinct is a full shuffle of the key set; KMV
+answers the same monitoring questions with O(k) per-partition state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 32 bits of md5(string(col)) as a non-negative long —
+    reproducible in any engine with md5."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_candidates(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """Per-partition KMV state: the ``k`` smallest distinct 32-bit
+    hashes of ``value_col`` in each input partition, via an
+    Arrow-batched ``mapInPandas`` that never holds more than the
+    running top-k per partition."""
+    hashed = df.select(md5_hash32(F.col(value_col)).alias("h"))
+    schema = T.StructType([T.StructField("h", T.LongType())])
+
+    def _partition_kmv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        best: "np.ndarray | None" = None
+        for pdf in batches:
+            vals = np.unique(pdf["h"].to_numpy())  # sorted distinct
+            if best is None:
+                best = vals[:k]
+            else:
+                best = np.unique(np.concatenate([best, vals]))[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    return hashed.mapInPandas(_partition_kmv, schema=schema)
+
+
+def kmv_distinct(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """Distinct-count estimate for ``value_col``.
+
+    Returns one row ``(k, kth_hash, est_distinct)``. When fewer than
+    ``k`` distinct hashes exist the sketch degenerates to the exact
+    distinct count (est = n_seen); ``kth_hash = 0`` (an md5 prefix of
+    eight zero nibbles) is guarded to avoid division by zero.
+    """
+    cand = kmv_candidates(df, value_col, k)
+    # <= k x partitions candidate rows: the distinct + TakeOrdered is
+    # driver-cheap at any corpus size
+    merged = cand.dropDuplicates(["h"]).orderBy("h").limit(k)
+    numer = (k - 1) * (1 << 32)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth_hash")
+    ).select(
+        F.lit(k).alias("k"),
+        "kth_hash",
+        F.when(F.col("n_seen") < k, F.col("n_seen"))
+        .when(F.col("kth_hash") > 0, F.expr(f"CAST({numer} AS BIGINT) DIV kth_hash"))
+        .alias("est_distinct"),
+    )

@@ -1736,4 +1736,130 @@ ORACLES: dict[str, str] = {
         FROM per_key, head
         WHERE floor((head.head_s - CAST(floor(epoch(last_seen)) AS BIGINT)) / 3600.0) > 48
     """,
+    # cohort = month of first order; offset counts month boundaries
+    # (identical to Spark months_between on month-truncated stamps)
+    "a20_cohort_retention": """
+        WITH o AS (
+            SELECT o_custkey, date_trunc('month', o_orderdate) AS om FROM orders
+        ), first AS (
+            SELECT o_custkey, min(om) AS cohort_month FROM o GROUP BY o_custkey
+        )
+        SELECT CAST(cohort_month AS DATE) AS cohort_month,
+               CAST(date_diff('month', cohort_month, om) AS INTEGER) AS month_offset,
+               count(DISTINCT o.o_custkey) AS n_active
+        FROM o JOIN first USING (o_custkey)
+        GROUP BY 1, 2
+    """,
+    # day-number minus row-number island key over distinct purchase days
+    "w9_activity_islands": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events WHERE event_type = 'purchase'
+        ), keyed AS (
+            SELECT user_id, day,
+                   date_diff('day', DATE '1970-01-01', day)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+            FROM days
+        )
+        SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+               count(*) AS streak_days
+        FROM keyed GROUP BY user_id, grp
+    """,
+    # blocking key = first name token; refine = levenshtein <= 3
+    "j13_fuzzy_name_match": """
+        WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        blocked AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    # KMV replay: distinct 32-bit md5-fold hashes, k smallest, exact
+    # integer estimator (k-1)*2^32 // h_k; degenerate case n<k exact
+    "a21_kmv_distinct": """
+        WITH h AS (
+            SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8), ''),
+                c -> CAST(strpos('123456789abcdef', c) AS BIGINT))), (a, b) -> a * 16 + b) AS h
+            FROM lineitem
+        ), topk AS (
+            SELECT h FROM h ORDER BY h LIMIT 256
+        )
+        SELECT CAST(256 AS INTEGER) AS k,
+               max(h) AS kth_hash,
+               CASE WHEN count(*) < 256 THEN count(*)
+                    WHEN max(h) > 0 THEN CAST(255 * 4294967296 AS BIGINT) // max(h)
+               END AS est_distinct
+        FROM topk
+    """,
+    # three chained unbounded windows over one user partitioning
+    "a22_funnel_conversion": """
+        WITH w1 AS (
+            SELECT user_id, event_type, ts,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS v_ts
+            FROM events
+        ), w2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                       OVER (PARTITION BY user_id) AS c_ts
+            FROM w1
+        ), w3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                       OVER (PARTITION BY user_id) AS p_ts
+            FROM w2
+        ), per_user AS (
+            SELECT user_id, max(v_ts) AS v_ts, max(c_ts) AS c_ts, max(p_ts) AS p_ts
+            FROM w3 GROUP BY user_id
+        )
+        SELECT count(v_ts) AS n_viewed,
+               count(c_ts) AS n_clicked_after_view,
+               count(p_ts) AS n_purchased_after_click
+        FROM per_user
+    """,
+    # step-hold time-weighted average; DECIMAL weighted sum (exact,
+    # order-independent) then the engine-identical quantized rounding
+    "w10_time_weighted_avg": """
+        WITH ev AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+            FROM events
+        ), nxt AS (
+            SELECT user_id, t_us, value,
+                   lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, value) AS next_us
+            FROM ev
+        ), g AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN next_us IS NOT NULL
+                        THEN CAST(value AS DECIMAL(18,4)) * (next_us - t_us) END)
+                        AS DECIMAL(38,4)) AS wsum,
+                   max(t_us) - min(t_us) AS span_us,
+                   count(*) AS n_obs
+            FROM nxt GROUP BY user_id
+        )
+        SELECT user_id, n_obs,
+               floor(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) * 1e4 + 0.5) / 1e4 AS twa_value
+        FROM g WHERE span_us > 0
+    """,
+    # sweep-line: +1 at open, -1 at last-shipment close, running sum
+    # per customer; [open, close) via delta-ascending tie-break
+    "j14_max_concurrent_orders": """
+        WITH close AS (
+            SELECT l_orderkey, max(l_shipdate) AS close_ts
+            FROM lineitem GROUP BY l_orderkey
+        ), spans AS (
+            SELECT o_custkey, o_orderdate AS open_ts, close_ts
+            FROM orders JOIN close ON o_orderkey = l_orderkey
+        ), deltas AS (
+            SELECT o_custkey, open_ts AS t, 1 AS delta FROM spans
+            UNION ALL
+            SELECT o_custkey, close_ts AS t, -1 AS delta FROM spans
+        ), running AS (
+            SELECT o_custkey,
+                   sum(delta) OVER (PARTITION BY o_custkey ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+            FROM deltas
+        )
+        SELECT o_custkey, CAST(max(open_now) AS BIGINT) AS max_open_orders
+        FROM running GROUP BY o_custkey
+    """,
 }

@@ -2305,6 +2305,211 @@ def a19_stale_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a20_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers are cohorted by the month of
+    their FIRST order; each (cohort_month, month_offset) cell counts
+    the distinct cohort members who ordered that many months later.
+
+    Exactly two shuffles, no join: one ``collect_set`` aggregate packs
+    each customer's distinct active months (bounded by the calendar —
+    at most months-of-history entries per customer, never
+    orders-of-history), the cohort month is ``array_min`` of that set
+    (map-side), and the explode feeds a plain count — rows are
+    already distinct per (customer, month), so no COUNT DISTINCT
+    expand. The obvious first-order-subquery-join formulation costs a
+    third shuffle AND a per-customer build side that is not
+    broadcastable at scale."""
+    register(spark, sf_dir, ("orders",))
+    o = spark.table("orders").select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("om")
+    )
+    packed = o.groupBy("o_custkey").agg(F.collect_set("om").alias("oms"))
+    return (
+        packed.select(
+            F.array_min("oms").alias("cohort_month"),
+            F.explode("oms").alias("om"),
+        )
+        .groupBy(
+            "cohort_month",
+            F.months_between("om", "cohort_month").cast("int").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            "month_offset",
+            "n_active",
+        )
+    )
+
+
+def w9_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user streaks of CONSECUTIVE days with at
+    least one purchase. The island key is the classic
+    day-number-minus-row-number trick — constant within a consecutive
+    run, so one window pass + one aggregate finds every streak with a
+    single shuffle (both operators share the user_id partitioning).
+    The reference detects the inverse (missing capture minutes) with a
+    spine anti-join (J5/T4); islands are the dense-side dual."""
+    register(spark, sf_dir, ("events",))
+    days = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grp = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) - rn
+    return (
+        days.withColumn("_grp", grp)
+        .groupBy("user_id", "_grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )
+
+
+def j13_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (operators/joins.py::blocked_fuzzy_pairs):
+    near-identical part names at edit distance <= 3, compared only
+    within a blocking key (first name token) so the candidate set is
+    an equi-join over blocks — sum(block^2) pairs, never n^2. The
+    Levenshtein refine is the built-in JVM expression."""
+    register(spark, sf_dir, ("part",))
+    from pipelines_spark.operators.joins import blocked_fuzzy_pairs
+
+    return blocked_fuzzy_pairs(
+        spark.table("part"),
+        "p_name",
+        block_expr=F.split(F.col("_name"), " ").getItem(0),
+        max_dist=3,
+    )
+
+
+def a21_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py): estimate
+    COUNT(DISTINCT l_orderkey) from the 256 smallest distinct md5
+    hashes. Per-partition state is O(k) via mapInPandas; the merge is
+    a distinct + TakeOrdered over <= k x partitions rows — the exact
+    distinct's full key shuffle never happens. Deterministic and
+    bit-replayable by the oracle (same md5-fold hash family as
+    simhash/sampling)."""
+    register(spark, sf_dir, ("lineitem",))
+    from pipelines_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(spark.table("lineitem"), "l_orderkey", k=256)
+
+
+def a22_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel view -> click -> purchase: a user counts
+    at each stage only if the stage event happened strictly AFTER
+    their entry into the previous stage. Three chained unbounded
+    windows over ONE user_id partitioning (a single shuffle; Catalyst
+    reuses the exchange), then a global roll-up."""
+    register(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id")
+    df = spark.table("events").select("user_id", "event_type", "ts")
+    df = df.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("v_ts").alias("v_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked_after_view"),
+        F.count("p_ts").alias("n_purchased_after_click"),
+    )
+
+
+def w10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series (step-hold
+    between observations): sum(value_i * dt_i) / span, dt from
+    lead() over one user_id window — a single shuffle. The weighted
+    sum runs in DECIMAL (exact, order-independent) per the float
+    determinism convention; the final division is quantized with the
+    engine-identical floor(x*1e4+0.5)/1e4 rounding."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "user_id", _epoch_us("ts").alias("t_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "value")
+    withnext = ev.withColumn("next_us", F.lead("t_us").over(w))
+    contrib = F.when(
+        F.col("next_us").isNotNull(),
+        F.col("value").cast("decimal(18,4)") * (F.col("next_us") - F.col("t_us")),
+    )
+    g = withnext.groupBy("user_id").agg(
+        F.sum(contrib).cast("decimal(38,4)").alias("wsum"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    twa = F.col("wsum").cast("double") / F.col("span_us").cast("double")
+    return g.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_obs",
+        (F.floor(twa * 1e4 + 0.5) / 1e4).alias("twa_value"),
+    )
+
+
+def j14_max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: each order is open from
+    o_orderdate until its last lineitem ships; the peak number of
+    simultaneously-open orders per customer is the running sum of
+    +1/-1 boundary events ordered by time — one window partitioned by
+    customer. This is the scalable alternative to the quadratic
+    interval self-join (every pairwise overlap test); boundary events
+    double the rows but the work stays O(n log n) per key. Half-open
+    [open, close) semantics: a close sorts before an open at the same
+    instant (delta ascending)."""
+    register(spark, sf_dir, ("orders", "lineitem"))
+    close = spark.table("lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_ts")
+    )
+    spans = spark.table("orders").join(
+        close, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_custkey", F.col("o_orderdate").alias("open_ts"), "close_ts")
+    deltas = spans.select(
+        "o_custkey", F.col("open_ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            "o_custkey", F.col("close_ts").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("open_now", F.sum("delta").over(w))
+        .groupBy("o_custkey")
+        .agg(F.max("open_now").alias("max_open_orders"))
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2408,4 +2613,11 @@ QUERIES = {
     "o12_variant_props": o12_variant_props,
     "w8_resample_interpolate": w8_resample_interpolate,
     "a19_stale_feeds": a19_stale_feeds,
+    "a20_cohort_retention": a20_cohort_retention,
+    "w9_activity_islands": w9_activity_islands,
+    "j13_fuzzy_name_match": j13_fuzzy_name_match,
+    "a21_kmv_distinct": a21_kmv_distinct,
+    "a22_funnel_conversion": a22_funnel_conversion,
+    "w10_time_weighted_avg": w10_time_weighted_avg,
+    "j14_max_concurrent_orders": j14_max_concurrent_orders,
 }

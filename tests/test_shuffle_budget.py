@@ -45,6 +45,16 @@ BUDGETS = {
     "j5_capture_gaps": 2,
     # per-key bounds agg + one union-window partitioning
     "w8_resample_interpolate": 2,
+    # collect_set agg + retention-cell agg; no join, no distinct expand
+    "a20_cohort_retention": 2,
+    # distinct purchase days + island window (streak agg reuses it)
+    "w9_activity_islands": 2,
+    # candidate merge only — the full key set never shuffles
+    "a21_kmv_distinct": 1,
+    # one user_id exchange shared by all three windows + global rollup
+    "a22_funnel_conversion": 2,
+    # lead window; the per-user agg reuses the clustering
+    "w10_time_weighted_avg": 1,
 }
 
 

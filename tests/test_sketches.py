@@ -1,0 +1,66 @@
+"""KMV distinct sketch + blocked fuzzy join unit tests.
+
+The invariants that matter at scale:
+- KMV is partitioning-independent: the distributed per-partition
+  merge must be bit-identical to a single-partition run (that is the
+  property that makes the DuckDB oracle a valid referee).
+- KMV error is bounded: ~1/sqrt(k) relative error; a gross miss means
+  the hash fold or the estimator regressed.
+- Blocked fuzzy pairs never compare across blocks (the candidate set
+  is the equi-join, not a cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipelines_spark.operators.joins import blocked_fuzzy_pairs
+from pipelines_spark.operators.sketches import kmv_distinct
+
+
+def test_kmv_estimate_within_error(spark):
+    n = 20_000
+    df = spark.range(n).select((F.col("id") % 7_919).alias("v"))  # 7919 distinct
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["k"] == 256
+    # 1/sqrt(256) ~ 6% expected relative error; allow 3 sigma
+    assert abs(row["est_distinct"] - 7_919) / 7_919 < 0.20
+
+
+def test_kmv_partitioning_independent(spark):
+    df = spark.range(5_000).select((F.col("id") * 13 % 4_001).alias("v"))
+    a = kmv_distinct(df.repartition(1), "v", k=128).collect()[0]
+    b = kmv_distinct(df.repartition(17), "v", k=128).collect()[0]
+    assert a == b
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    # degenerate regime: fewer distincts than k -> exact count
+    assert row["est_distinct"] == 100
+
+
+def test_blocked_fuzzy_pairs_respects_blocks(spark):
+    df = spark.createDataFrame(
+        [("small bolt",), ("small bolt",), ("small rod",), ("large bolt",),
+         ("tiny gear",), (None,)],
+        ["name"],
+    )
+    rows = blocked_fuzzy_pairs(
+        df, "name", block_expr=F.split(F.col("_name"), " ").getItem(0), max_dist=3
+    ).collect()
+    pairs = {(r["name_a"], r["name_b"]): r["edit_dist"] for r in rows}
+    # within-block near match found once (distinct input)
+    assert pairs == {("small bolt", "small rod"): 3}
+    # cross-block near-identical names ("small bolt"/"large bolt", dist 4
+    # anyway) and NULLs never surface
+
+
+def test_blocked_fuzzy_pairs_orders_names(spark):
+    df = spark.createDataFrame([("bb",), ("ba",), ("bc",)], ["name"])
+    rows = blocked_fuzzy_pairs(
+        df, "name", block_expr=F.substring(F.col("_name"), 1, 1), max_dist=1
+    ).collect()
+    assert all(r["name_a"] < r["name_b"] for r in rows)
+    assert len(rows) == 3  # all three within-block pairs at dist 1

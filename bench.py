@@ -111,6 +111,8 @@ EXTENDED = [
     "a22_funnel_conversion",
     "w10_time_weighted_avg",
     "j14_max_concurrent_orders",
+    "w11_last_touch_attribution",
+    "a23_value_outliers",
 ]
 
 

@@ -1862,4 +1862,46 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey, CAST(max(open_now) AS BIGINT) AS max_open_orders
         FROM running GROUP BY o_custkey
     """,
+    # last preceding non-purchase touch within 24h, else unattributed;
+    # ties at identical timestamps break on event_id
+    "w11_last_touch_attribution": """
+        WITH ev AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+            FROM events
+        ), tagged AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+                   last_value(CASE WHEN event_type <> 'purchase' THEN t_us END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+            FROM ev
+        )
+        SELECT CASE WHEN touch_us IS NOT NULL AND t_us - touch_us <= 86400000000
+                    THEN touch_type ELSE 'unattributed' END AS touch_type,
+               count(*) AS n_purchases
+        FROM tagged WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    # z-score outliers: exact DECIMAL moments, double math from exact
+    # inputs, quantized |z| compared at the threshold
+    "a23_value_outliers": """
+        WITH stats AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s1,
+                   CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS s2
+            FROM events GROUP BY event_type
+        ), z AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   floor(abs((e.value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0))) * 1e4 + 0.5) / 1e4 AS abs_z
+            FROM events e JOIN stats USING (event_type)
+        )
+        SELECT event_id, event_type, value, abs_z
+        FROM z WHERE abs_z > 3.0
+    """,
 }

@@ -2510,6 +2510,79 @@ def j14_max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w11_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the
+    user's most recent PRECEDING non-purchase event, but only if that
+    touch happened within the 24 h lookback; otherwise
+    'unattributed'. One user_id window over the full event stream
+    (ignore-nulls last over an exclusive preceding frame — the same
+    scan shape as the as-of join's union-window encoding), then a
+    tiny aggregate by touch type. Ties at identical timestamps break
+    on event_id for engine-identical results."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "user_id", "event_type", "event_id", _epoch_us("ts").alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_t = F.when(F.col("event_type") != "purchase", F.col("t_us"))
+    tagged = ev.withColumn(
+        "touch_type", F.last(touch, ignorenulls=True).over(w)
+    ).withColumn("touch_us", F.last(touch_t, ignorenulls=True).over(w))
+    day_us = 24 * 3600 * 1_000_000
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch_us").isNotNull()
+                & (F.col("t_us") - F.col("touch_us") <= day_us),
+                F.col("touch_type"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+def a23_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (data-quality staple the reference
+    approximates with hard-coded bounds filters, cf. F1): events more
+    than 3 sample standard deviations from their event-type mean.
+    The moments (n, Σx, Σx²) accumulate in DECIMAL — exact and
+    order-independent, so mean/std are bit-identical across engines
+    and partitionings — and broadcast back onto the scan (5 groups);
+    the z itself is quantized before the threshold compare so the
+    cut is engine-identical at the boundary."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    vdec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("decimal(38,4)").alias("s1"),
+        F.sum(vdec * vdec).cast("decimal(38,8)").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    enriched = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "_z",
+        (F.col("value") - s1 / n)
+        / F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))),
+    )
+    zq = F.floor(F.abs(F.col("_z")) * 1e4 + 0.5) / 1e4
+    return (
+        enriched.withColumn("abs_z", zq)
+        .filter(F.col("abs_z") > 3.0)
+        .select("event_id", "event_type", "value", "abs_z")
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2620,4 +2693,6 @@ QUERIES = {
     "a22_funnel_conversion": a22_funnel_conversion,
     "w10_time_weighted_avg": w10_time_weighted_avg,
     "j14_max_concurrent_orders": j14_max_concurrent_orders,
+    "w11_last_touch_attribution": w11_last_touch_attribution,
+    "a23_value_outliers": a23_value_outliers,
 }

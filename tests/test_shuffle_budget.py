@@ -55,6 +55,11 @@ BUDGETS = {
     "a22_funnel_conversion": 2,
     # lead window; the per-user agg reuses the clustering
     "w10_time_weighted_avg": 1,
+    # one user_id window exchange + the tiny touch-type aggregate
+    "w11_last_touch_attribution": 2,
+    # moments agg (broadcast back onto the scan) — the outlier filter
+    # itself is map-side
+    "a23_value_outliers": 1,
 }
 
 

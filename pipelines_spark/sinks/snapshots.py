@@ -801,3 +801,155 @@ def abandon_staged(spark: SparkSession, path: str, stage_id: str) -> None:
         fs.delete(_hp(jvm, f"{path}/{rel}"), False)
     fs.delete(_hp(jvm, f"{path}/{_DATA_DIR}/w-{stage_id}"), True)
     fs.delete(_hp(jvm, spath), False)
+
+
+# ------------------------------------------------------------- bloom filters
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(bits m, hash count k) for n distinct values at the target
+    false-positive rate; standard sizing m = -n·ln(p)/ln²2."""
+    import math
+
+    n = max(1, n)
+    m = max(8, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_hashes(value: str) -> tuple[int, int]:
+    """Two independent 64-bit hashes from one md5 (Kirsch-Mitzenmacher
+    double hashing derives all k probes as h1 + i·h2)."""
+    import hashlib
+
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
+
+
+def _bloom_build(values, fpp: float) -> dict:
+    vals = {str(v) for v in values if v is not None}
+    m, k = _bloom_params(len(vals), fpp)
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    import base64
+
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+    h1, h2 = _bloom_hashes(str(value))
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
+
+
+def snapshot_write_with_blooms(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    bloom_cols: list[str],
+    fpp: float = 0.01,
+    mode: str = "append",
+    stat_cols: list[str] | None = None,
+    clock=time.time,
+    max_retries: int = 3,
+) -> int:
+    """``snapshot_write_with_stats`` + a per-file Bloom filter for each
+    ``bloom_cols`` column, recorded in the manifest.
+
+    Min/max stats prune RANGE predicates but are useless for point
+    lookups on high-cardinality scattered keys (a UUID or user-id
+    column spans nearly the full domain in every file, so no file is
+    ever excluded). The Bloom filter answers "could this file contain
+    key X?" with a bounded false-positive rate — a needle-in-haystack
+    lookup on a 100 TB table touches the handful of files whose
+    filters fire instead of every file. ~1.2 KB per file per column at
+    1% fpp for 1k distinct values; the manifest stays tiny.
+
+    Filters are built from the committed files' own column pages
+    (pyarrow, column-projected read — no Spark job). Values hash by
+    their canonical string form, so lookups must pass the same type
+    they wrote (int 5 and "5" collide by design: str(5)).
+    """
+    version = snapshot_write_with_stats(
+        spark, path, df, mode=mode, stat_cols=stat_cols, clock=clock,
+        max_retries=max_retries,
+    )
+    import pyarrow.parquet as pq
+
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    manifest = _load_manifest(fs, jvm, log_dir, version)
+    blooms: dict[str, dict] = {}
+    for rel in manifest["added"]:
+        tbl = pq.read_table(f"{path}/{rel}", columns=[c for c in bloom_cols])
+        per_col = {}
+        for c in bloom_cols:
+            if c in tbl.column_names:
+                per_col[c] = _bloom_build(tbl.column(c).to_pylist(), fpp)
+        blooms[rel] = per_col
+    manifest["blooms"] = blooms
+    _write_text(fs, jvm, f"{log_dir}/{_manifest_name(version)}", json.dumps(manifest))
+    return version
+
+
+def snapshot_read_point(
+    spark: SparkSession,
+    path: str,
+    *,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup ``col = value`` reading only the files whose Bloom
+    filter (and min/max range, when recorded) could contain the key.
+    Files without a filter are conservatively kept; the equality
+    predicate is always applied, so a false positive costs one extra
+    file scan, never a wrong row."""
+    from pyspark.sql import functions as F
+
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    v = _resolve_version(fs, jvm, log_dir, version, None)
+    blooms: dict[str, dict] = {}
+    stats: dict[str, dict] = {}
+    for ver in _list_versions(fs, jvm, log_dir):
+        if ver <= v:
+            m = _load_manifest(fs, jvm, log_dir, ver)
+            blooms.update(m.get("blooms", {}))
+            stats.update(m.get("stats", {}))
+    manifest = _load_manifest(fs, jvm, log_dir, v)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+
+    def keep(rel: str) -> bool:
+        rng = stats.get(rel, {}).get(col)
+        if rng is not None:
+            mn, mx = rng
+            try:
+                if value < mn or value > mx:
+                    return False
+            except TypeError:
+                pass  # stat type incomparable with the probe: keep
+        bl = blooms.get(rel, {}).get(col)
+        if bl is not None and not _bloom_maybe_contains(bl, value):
+            return False
+        return True
+
+    files = [f"{path}/{rel}" for rel in manifest["files"] if keep(rel)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .filter(F.col(col) == F.lit(value))
+    )

@@ -257,3 +257,61 @@ def test_write_audit_publish(spark, tmp_path):
     assert v == 2
     assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [1, 2]
     assert not _glob.glob(f"{table}/_log/_staged-*")
+
+
+def test_bloom_point_lookup_prunes_to_one_file(spark, tmp_path):
+    from pipelines_spark.sinks.snapshots import (
+        snapshot_read_point,
+        snapshot_write_with_blooms,
+    )
+
+    table = str(tmp_path / "tblb")
+    # three commits with DISJOINT scattered keys: min/max ranges all
+    # overlap (keys interleave mod 3), so range stats cannot prune —
+    # only the bloom can
+    for r in range(3):
+        df = spark.range(100).select(
+            (F.col("id") * 3 + r).alias("k"),
+            F.concat(F.lit(f"file{r}_"), F.col("id")).alias("v"),
+        ).coalesce(1)
+        snapshot_write_with_blooms(spark, table, df, bloom_cols=["k"])
+
+    hit = snapshot_read_point(spark, table, col="k", value=151)  # 151 % 3 == 1
+    rows = hit.collect()
+    assert [r["v"] for r in rows] == ["file1_50"]
+    # bloom pruned to (almost certainly, fpp=1%) exactly one file
+    assert len(hit.inputFiles()) == 1
+
+    # absent key: every bloom rejects -> empty result, empty scan
+    miss = snapshot_read_point(spark, table, col="k", value=1_000_003)
+    assert miss.count() == 0
+
+
+def test_bloom_keeps_files_without_filters(spark, tmp_path):
+    from pipelines_spark.sinks.snapshots import (
+        snapshot_read_point,
+        snapshot_write_with_blooms,
+    )
+
+    table = str(tmp_path / "tblb2")
+    snapshot_write(spark, table, _df(spark, [(7, "legacy")]))  # no bloom
+    snapshot_write_with_blooms(
+        spark, table, _df(spark, [(1000, "new")]), bloom_cols=["id"]
+    )
+    out = snapshot_read_point(spark, table, col="id", value=7)
+    # filterless legacy file conservatively scanned; row still found
+    assert [r["v"] for r in out.collect()] == ["legacy"]
+
+
+def test_bloom_false_positive_rate_bounded(spark, tmp_path):
+    from pipelines_spark.sinks.snapshots import (
+        _bloom_build,
+        _bloom_maybe_contains,
+    )
+
+    bloom = _bloom_build(range(1000), fpp=0.01)
+    fp = sum(
+        _bloom_maybe_contains(bloom, v) for v in range(10_000, 20_000)
+    )
+    assert fp < 300  # 1% target, 3x headroom for hash variance
+    assert all(_bloom_maybe_contains(bloom, v) for v in range(1000))

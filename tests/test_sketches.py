@@ -64,3 +64,44 @@ def test_blocked_fuzzy_pairs_orders_names(spark):
     ).collect()
     assert all(r["name_a"] < r["name_b"] for r in rows)
     assert len(rows) == 3  # all three within-block pairs at dist 1
+
+
+def test_sweepline_concurrency_matches_bruteforce(spark):
+    """The running-sum sweep must equal the O(n^2) definition: peak
+    over open-instants t of #{intervals with open <= t < close}
+    (half-open). The DuckDB oracle replays the same sweep, so this
+    brute-force check is the independent semantic pin."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(42)
+    rows = []
+    for key in range(8):
+        for _ in range(40):
+            a = rng.randint(0, 500)
+            rows.append((key, a, a + rng.randint(0, 120)))
+    expected = {}
+    for key in range(8):
+        iv = [(a, b) for k, a, b in rows if k == key]
+        expected[key] = max(
+            sum(1 for a2, b2 in iv if a2 <= a < b2) for a, _ in iv
+        )
+
+    df = spark.createDataFrame(rows, ["k", "open_t", "close_t"])
+    deltas = df.select("k", F.col("open_t").alias("t"), F.lit(1).alias("d")).unionByName(
+        df.select("k", F.col("close_t").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["k"]: r["mx"]
+        for r in deltas.withColumn("run", F.sum("d").over(w))
+        .groupBy("k")
+        .agg(F.max("run").alias("mx"))
+        .collect()
+    }
+    assert got == expected

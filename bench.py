@@ -125,6 +125,11 @@ SCALE_PROBE_QUERIES = [
     "w6_sessionize",
     "dedup_minhash_lsh",
     "embed_ivf_ann",
+    # round-3 additions with explicit sub-linear claims to back:
+    # KMV's shuffle is O(k x partitions) regardless of rows; cohort
+    # retention's collect_set state is calendar-bounded per customer
+    "a21_kmv_distinct",
+    "a20_cohort_retention",
 ]
 
 
@@ -237,7 +242,11 @@ def main() -> None:
     # metric stays comparable round-over-round; disable with
     # SPARK_GRAFT_SCALE_PROBE=0
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        result["scale10x"] = bench_scale_probe(spark, sf_dir, timings)
+        # extended timings merged in so probe queries outside the
+        # headline set still get a ratio_vs_base entry
+        result["scale10x"] = bench_scale_probe(
+            spark, sf_dir, {**timings, **extended}
+        )
         # one order deeper, single-shot, worst-offender subset — the
         # spill-regime check the 10x probe can't see; disable with
         # SPARK_GRAFT_SCALE30=0

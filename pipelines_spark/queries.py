@@ -2200,11 +2200,16 @@ def w8_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark shape: per-user tick spine (sequence+explode over the
     user's own [min,max] — bounded like the T4 recapture spine), a
     union of ticks with observations, then two IGNORE-NULLS window
-    passes (last_value looking back, first_value looking forward) over
-    ONE partitioning by user — a single shuffle; the interpolation
-    itself is pure column math. The reference does this per-station in
-    pandas (`resample().interpolate()`); this is the distributed
-    equivalent with identical semantics."""
+    passes over ONE partitioning by user — a single shuffle; the
+    interpolation itself is pure column math. The forward pass scans
+    the partition DESCENDING with a preceding frame (same trick as
+    the forward as-of join, operators/joins.py): Spark's
+    UnboundedFollowing frame re-evaluates from scratch per row —
+    O(rows²) per key — while the preceding frame over the reversed
+    order is linear; a second intra-partition sort, no extra
+    exchange. The reference does this per-station in pandas
+    (`resample().interpolate()`); this is the distributed equivalent
+    with identical semantics."""
     register(spark, sf_dir, ("events",))
     ev = spark.table("events").select(
         "user_id", F.col("ts").alias("obs_ts"), F.col("value").alias("obs_val")
@@ -2246,10 +2251,19 @@ def w8_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # "first non-null strictly AFTER this row in ascending order" ==
+    # "last non-null strictly BEFORE it when the partition is scanned
+    # in the exact reverse order" — a growing (linear) frame instead
+    # of Spark's per-row-recomputed UnboundedFollowing frame
+    rev_order = [
+        F.col("t_s").desc(),
+        F.col("is_tick").desc(),
+        F.col("val").desc_nulls_last(),
+    ]
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(*rev_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     both = obs.unionByName(grid)
     filled = (
@@ -2258,10 +2272,10 @@ def w8_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_t",
             F.last(F.when(F.col("val").isNotNull(), F.col("t_s")), ignorenulls=True).over(w_back),
         )
-        .withColumn("next_val", F.first("val", ignorenulls=True).over(w_fwd))
+        .withColumn("next_val", F.last("val", ignorenulls=True).over(w_fwd))
         .withColumn(
             "next_t",
-            F.first(F.when(F.col("val").isNotNull(), F.col("t_s")), ignorenulls=True).over(w_fwd),
+            F.last(F.when(F.col("val").isNotNull(), F.col("t_s")), ignorenulls=True).over(w_fwd),
         )
         .filter(F.col("is_tick") == 1)
     )

@@ -128,6 +128,21 @@ def current_version(spark: SparkSession, path: str) -> int | None:
     return versions[-1] if versions else None
 
 
+def _latest_txn_batch(fs, jvm, log_dir: str, versions: list[int], app_id: str):
+    """Highest batch id any retained manifest committed for
+    ``app_id`` (None if the app never committed). Chain walk — O(log
+    length); a production table format folds this into the latest
+    manifest, but the walk stays correct across interleaved merge/
+    compact/delete commits without threading txn state through every
+    commit path."""
+    best = None
+    for v in versions:
+        t = _load_manifest(fs, jvm, log_dir, v).get("txn")
+        if t and t.get("app") == app_id:
+            best = t["batch"] if best is None else max(best, t["batch"])
+    return best
+
+
 def snapshot_write(
     spark: SparkSession,
     path: str,
@@ -136,7 +151,8 @@ def snapshot_write(
     mode: str = "append",
     clock=time.time,
     max_retries: int = 3,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
     ``mode='append'``: the new snapshot is the previous file set plus
@@ -149,6 +165,18 @@ def snapshot_write(
     the two leaves orphan data files (cleaned by ``expire_snapshots``)
     and no visible change. Returns the committed version number.
 
+    ``txn=(app_id, batch_id)`` makes the commit IDEMPOTENT per
+    (app, batch) — the exactly-once contract Structured Streaming's
+    ``foreachBatch`` needs on task/epoch retry: a batch whose id is
+    <= the app's highest committed batch is skipped (returns None,
+    nothing becomes visible; the orphaned staged files are swept by
+    ``expire_snapshots``). The check re-runs inside the commit-race
+    retry loop, so two racing replays of the same batch still commit
+    once. Caveat shared with every txn-log design: ``expire_snapshots``
+    dropping a manifest older than the app's last batch forgets that
+    batch id — keep the retention window longer than the longest
+    possible replay gap.
+
     ``clock`` is injectable (engine-wide determinism contract —
     SURVEY "non-determinism in the reference") so time-travel tests
     replay exactly.
@@ -158,6 +186,15 @@ def snapshot_write(
     fs, jvm = _fs(spark, path)
     log_dir = f"{path}/{_LOG_DIR}"
     fs.mkdirs(_hp(jvm, log_dir))
+
+    if txn is not None:
+        # cheap pre-check BEFORE the write job: a replayed batch skips
+        # the data write entirely, not just the commit
+        done = _latest_txn_batch(
+            fs, jvm, log_dir, _list_versions(fs, jvm, log_dir), txn[0]
+        )
+        if done is not None and txn[1] <= done:
+            return None
 
     write_id = uuid.uuid4().hex[:12]
     data_dir = f"{path}/{_DATA_DIR}/w-{write_id}"
@@ -170,6 +207,13 @@ def snapshot_write(
 
     for _attempt in range(max_retries):
         versions = _list_versions(fs, jvm, log_dir)
+        if txn is not None:
+            # authoritative re-check under the current log head: the
+            # loser of a same-batch race lands here after its rename
+            # fails and must NOT commit a duplicate
+            done = _latest_txn_batch(fs, jvm, log_dir, versions, txn[0])
+            if done is not None and txn[1] <= done:
+                return None
         prev = versions[-1] if versions else None
         if mode == "append" and prev is not None:
             base = _load_manifest(fs, jvm, log_dir, prev)["files"]
@@ -185,6 +229,8 @@ def snapshot_write(
             "added": added,
             "files": base + added,
         }
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "batch": txn[1]}
         tmp = f"{log_dir}/_tmp-{uuid.uuid4().hex}.json"
         _write_text(fs, jvm, tmp, json.dumps(manifest))
         # rename-if-absent IS the commit: exactly one of two racing
@@ -953,3 +999,28 @@ def snapshot_read_point(
         .parquet(*files)
         .filter(F.col(col) == F.lit(value))
     )
+
+
+def snapshot_foreach_batch(path: str, app_id: str, *, mode: str = "append"):
+    """Exactly-once ``foreachBatch`` sink into a snapshot table:
+
+        q = (stream.writeStream
+             .foreachBatch(snapshot_foreach_batch(table, "my_app"))
+             .option("checkpointLocation", ckpt).start())
+
+    Structured Streaming guarantees ``batch_id`` is stable across
+    retries and restarts of the same epoch; ``snapshot_write`` with
+    ``txn=(app_id, batch_id)`` turns that into an exactly-once lake
+    sink — a replayed micro-batch (failure after commit but before
+    the checkpoint advanced) is recognized by its batch id and
+    skipped, so the reference's at-least-once capture upload
+    (same-filename replace, pipelines/utils/tasks.py:273-276) becomes
+    a real transactional guarantee."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_write(
+            batch_df.sparkSession, path, batch_df,
+            mode=mode, txn=(app_id, int(batch_id)),
+        )
+
+    return _write

@@ -182,3 +182,23 @@ def test_schema_evolution_add_column(spark, table):
     delta = snapshot_changes(spark, table, since_version=1)
     assert [f.name for f in delta.schema.fields] == ["id", "v", "score"]
     assert delta.collect()[0]["score"] == 9.5
+
+
+def test_txn_commit_is_idempotent_per_app_batch(spark, tmp_path):
+    table = str(tmp_path / "txn_tbl")
+    v1 = snapshot_write(spark, table, _df(spark, [(1, "a")]), txn=("app1", 0))
+    assert v1 == 1
+    # exact replay of the same batch: skipped, no new version
+    assert snapshot_write(spark, table, _df(spark, [(1, "dup")]), txn=("app1", 0)) is None
+    # a LOWER batch after a higher one (late replay): also skipped
+    v2 = snapshot_write(spark, table, _df(spark, [(2, "b")]), txn=("app1", 5))
+    assert v2 == 2
+    assert snapshot_write(spark, table, _df(spark, [(3, "late")]), txn=("app1", 3)) is None
+    # other apps are independent
+    v3 = snapshot_write(spark, table, _df(spark, [(4, "c")]), txn=("app2", 0))
+    assert v3 == 3
+    rows = {(r["id"], r["v"]) for r in snapshot_read(spark, table).collect()}
+    assert rows == {(1, "a"), (2, "b"), (4, "c")}
+    # interleaved non-txn commits don't break the chain walk
+    snapshot_write(spark, table, _df(spark, [(5, "d")]))
+    assert snapshot_write(spark, table, _df(spark, [(6, "again")]), txn=("app1", 5)) is None

@@ -315,3 +315,53 @@ def test_bloom_false_positive_rate_bounded(spark, tmp_path):
     )
     assert fp < 300  # 1% target, 3x headroom for hash variance
     assert all(_bloom_maybe_contains(bloom, v) for v in range(1000))
+
+
+def test_foreach_batch_sink_exactly_once(spark, tmp_path):
+    """Drive a real Structured Streaming query through the
+    snapshot_foreach_batch sink, then simulate the crash-after-commit
+    retry (foreachBatch re-invoked with the same batch_id) and assert
+    nothing duplicates."""
+    from pipelines_spark.sinks.snapshots import (
+        current_version,
+        snapshot_foreach_batch,
+        snapshot_read,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\n')
+    table = str(tmp_path / "tbl_fb")
+    ckpt = str(tmp_path / "ckpt_fb")
+
+    sink = snapshot_foreach_batch(table, "capture_app")
+    stream = (
+        spark.readStream.schema("id BIGINT, v STRING").json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert {r["id"] for r in snapshot_read(spark, table).collect()} == {1, 2}
+    v_after = current_version(spark, table)
+
+    # epoch retry: the engine re-invokes foreachBatch with the SAME
+    # batch id after a failure between commit and checkpoint advance
+    batch_df = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING")
+    sink(batch_df, 0)
+    assert current_version(spark, table) == v_after
+    assert snapshot_read(spark, table).count() == 2
+
+    # a genuinely new file -> new batch id -> commits
+    (src / "b.json").write_text('{"id": 3, "v": "c"}\n')
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert {r["id"] for r in snapshot_read(spark, table).collect()} == {1, 2, 3}

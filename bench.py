@@ -113,6 +113,8 @@ EXTENDED = [
     "j14_max_concurrent_orders",
     "w11_last_touch_attribution",
     "a23_value_outliers",
+    "j15_part_cooccurrence",
+    "w12_cumulative_new_users",
 ]
 
 

@@ -1904,4 +1904,31 @@ ORACLES: dict[str, str] = {
         SELECT event_id, event_type, value, abs_z
         FROM z WHERE abs_z > 3.0
     """,
+    # same-order part pairs; (count, pair) is a total order so the
+    # top-20 cut is deterministic
+    "j15_part_cooccurrence": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
+    # first-seen day per (user, type) -> per-day adopters -> running
+    # total per type
+    "w12_cumulative_new_users": """
+        WITH first_seen AS (
+            SELECT user_id, event_type, min(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id, event_type
+        ), daily AS (
+            SELECT event_type, first_day, count(*) AS n_new_users
+            FROM first_seen GROUP BY event_type, first_day
+        )
+        SELECT event_type, first_day AS day, n_new_users,
+               CAST(sum(n_new_users) OVER (PARTITION BY event_type ORDER BY first_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+        FROM daily
+    """,
 }

@@ -2597,6 +2597,73 @@ def a23_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j15_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 part pairs most often bought in
+    the same order. NO self-join: one basket aggregate packs each
+    order's distinct parts (collect_set dedupes map-side), and the
+    i<j pair expansion is array math on that row — O(items²) per
+    ORDER, bounded by basket size (~4 here), never corpus size. Two
+    shuffles total vs the join formulation's three-plus-join; at
+    100 TB the join would also re-shuffle the distinct output onto
+    the order key. Deterministic top-k tie-break on the pair."""
+    register(spark, sf_dir, ("lineitem",))
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x: F.transform(
+                    F.col("parts"),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        ),
+        lambda s: s["part_a"] < s["part_b"],
+    )
+    return (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+def w12_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption growth curves: per event type, how many users
+    performed it for the FIRST time each day, and the running total of
+    adopters. First-seen day per (user, type) is one aggregate; the
+    cumulative sum runs per type over per-day counts — at most one
+    row per (type, calendar day), so the window input is tiny and
+    partitioned by type regardless of event volume (the heavy data
+    never enters any global ordering)."""
+    register(spark, sf_dir, ("events",))
+    first_seen = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+    )
+    daily = first_seen.groupBy("event_type", "first_day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("first_day").alias("day"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cumulative_users"),
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2709,4 +2776,6 @@ QUERIES = {
     "j14_max_concurrent_orders": j14_max_concurrent_orders,
     "w11_last_touch_attribution": w11_last_touch_attribution,
     "a23_value_outliers": a23_value_outliers,
+    "j15_part_cooccurrence": j15_part_cooccurrence,
+    "w12_cumulative_new_users": w12_cumulative_new_users,
 }

@@ -57,6 +57,9 @@ BUDGETS = {
     "w10_time_weighted_avg": 1,
     # one user_id window exchange + the tiny touch-type aggregate
     "w11_last_touch_attribution": 2,
+    # basket agg + pair agg; the array pair expansion is map-side —
+    # no self-join, no third exchange
+    "j15_part_cooccurrence": 2,
     # moments agg (broadcast back onto the scan) — the outlier filter
     # itself is map-side
     "a23_value_outliers": 1,

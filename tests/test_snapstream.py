@@ -365,3 +365,36 @@ def test_foreach_batch_sink_exactly_once(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert {r["id"] for r in snapshot_read(spark, table).collect()} == {1, 2, 3}
+
+
+def test_zorder_into_snapshot_prunes_both_dimensions(spark, tmp_path):
+    """Composition: Z-order-cluster the data, commit it via
+    snapshot_write_with_stats, and the MANIFEST (not just parquet
+    footers) prunes selective ranges on BOTH clustered columns — a
+    linear sort can only ever serve its leading column."""
+    from pipelines_spark.functions.zorder import with_zorder_key
+    from pipelines_spark.sinks.snapshots import (
+        snapshot_read_pruned,
+        snapshot_write_with_stats,
+    )
+
+    table = str(tmp_path / "tblz")
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    clustered = (
+        with_zorder_key(df, ["x", "y"])
+        .repartitionByRange(16, F.col("_zorder"))
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+    )
+    snapshot_write_with_stats(spark, table, clustered, stat_cols=["x", "y"])
+
+    for col in ("x", "y"):
+        rd = snapshot_read_pruned(spark, table, col=col, lo=0, hi=3)
+        assert rd.count() == 4 * 64
+        # a selective slice on EITHER dimension reads a fraction of
+        # the 16 committed files straight from the manifest
+        assert len(rd.inputFiles()) <= 8, col

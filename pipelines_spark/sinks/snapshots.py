@@ -216,7 +216,26 @@ def snapshot_write(
                 return None
         prev = versions[-1] if versions else None
         if mode == "append" and prev is not None:
-            base = _load_manifest(fs, jvm, log_dir, prev)["files"]
+            prev_m = _load_manifest(fs, jvm, log_dir, prev)
+            base = prev_m["files"]
+            # additive evolution only: new columns may appear, but a
+            # column the table already has must keep its name AND
+            # type — a silently dropped or retyped column would make
+            # the latest schema misread every older file
+            prev_schema = StructType.fromJson(json.loads(prev_m["schema"]))
+            new_fields = {f.name: f.dataType for f in df.schema.fields}
+            bad = [
+                f"{f.name} ({f.dataType.simpleString()} -> "
+                f"{new_fields[f.name].simpleString() if f.name in new_fields else 'MISSING'})"
+                for f in prev_schema.fields
+                if f.name not in new_fields or new_fields[f.name] != f.dataType
+            ]
+            if bad:
+                raise ValueError(
+                    f"append schema incompatible with table {path}: "
+                    f"{', '.join(bad)}; only additive column changes are "
+                    "allowed on append (use mode='overwrite' to redefine)"
+                )
         else:
             base = []
         version = (prev or 0) + 1
@@ -572,6 +591,8 @@ def compact_snapshot(
     path: str,
     *,
     target_files: int = 8,
+    sort_cols: list[str] | None = None,
+    stat_cols: list[str] | None = None,
     clock=time.time,
 ) -> dict:
     """Rewrite the current snapshot into ``target_files`` files and
@@ -582,13 +603,34 @@ def compact_snapshot(
     rows), and incremental rollups treat them as empty deltas. Old
     small files stay readable for time travel until
     ``expire_snapshots``. Returns {"version", "files_before",
-    "files_after"}."""
+    "files_after"}.
+
+    The rewrite re-collects manifest min/max stats (``stat_cols``,
+    default: every orderable primitive) so ``snapshot_read_pruned``
+    keeps working on the compacted file set — a compaction that
+    silently discarded stats would turn every pruned read into a full
+    scan. ``sort_cols`` additionally range-partitions + sorts the
+    rewrite (the OPTIMIZE-and-cluster move): each compacted file owns
+    a disjoint range of the sort key, so stat pruning on that key hits
+    single files. Per-file Bloom filters are NOT carried through a
+    compact (rebuild with ``snapshot_write_with_blooms`` if point
+    lookups matter post-compaction)."""
+    from pyspark.sql import functions as F  # noqa: F401 (column refs)
+
     fs, jvm = _fs(spark, path)
     log_dir = f"{path}/{_LOG_DIR}"
     head = _resolve_version(fs, jvm, log_dir, None, None)
     files_before = len(_load_manifest(fs, jvm, log_dir, head)["files"])
-    df = snapshot_read(spark, path, version=head).coalesce(target_files)
-    version = snapshot_write(spark, path, df, mode="overwrite", clock=clock)
+    df = snapshot_read(spark, path, version=head)
+    if sort_cols:
+        df = df.repartitionByRange(target_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(target_files)
+    version = snapshot_write_with_stats(
+        spark, path, df, mode="overwrite", stat_cols=stat_cols, clock=clock
+    )
     # stamp the true operation (the rename already won; same-file
     # rewrite of the committed manifest is idempotent)
     manifest = _load_manifest(fs, jvm, log_dir, version)

@@ -202,3 +202,25 @@ def test_txn_commit_is_idempotent_per_app_batch(spark, tmp_path):
     # interleaved non-txn commits don't break the chain walk
     snapshot_write(spark, table, _df(spark, [(5, "d")]))
     assert snapshot_write(spark, table, _df(spark, [(6, "again")]), txn=("app1", 5)) is None
+
+
+def test_append_rejects_dropped_or_retyped_columns(spark, tmp_path):
+    table = str(tmp_path / "guard_tbl")
+    snapshot_write(spark, table, _df(spark, [(1, "a")]))
+    # dropped column
+    with pytest.raises(ValueError, match="MISSING"):
+        snapshot_write(
+            spark, table, spark.createDataFrame([(2,)], "id bigint")
+        )
+    # retyped column
+    with pytest.raises(ValueError, match="only additive"):
+        snapshot_write(
+            spark, table, spark.createDataFrame([("2", "b")], "id string, v string")
+        )
+    # table unchanged by the failed attempts
+    assert snapshot_read(spark, table).count() == 1
+    # overwrite may redefine
+    snapshot_write(
+        spark, table, spark.createDataFrame([(9,)], "id bigint"), mode="overwrite"
+    )
+    assert [f.name for f in snapshot_read(spark, table).schema.fields] == ["id"]

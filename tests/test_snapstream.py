@@ -398,3 +398,36 @@ def test_zorder_into_snapshot_prunes_both_dimensions(spark, tmp_path):
         # a selective slice on EITHER dimension reads a fraction of
         # the 16 committed files straight from the manifest
         assert len(rd.inputFiles()) <= 8, col
+
+
+def test_compact_preserves_stats_and_clusters(spark, tmp_path):
+    """Compaction must not degrade pruned reads: the rewrite
+    re-collects manifest stats, and sort_cols range-clusters the
+    files so a selective range hits a single compacted file."""
+    from pipelines_spark.sinks.snapshots import (
+        compact_snapshot,
+        snapshot_read,
+        snapshot_read_pruned,
+        snapshot_write_with_stats,
+    )
+
+    table = str(tmp_path / "tblc2")
+    # interleaved ids across commits: pre-compaction stats can't
+    # prune an id range (every file spans the domain)
+    for r in range(4):
+        df = spark.range(250).select(
+            (F.col("id") * 4 + r).alias("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ).coalesce(1)
+        snapshot_write_with_stats(spark, table, df)
+    wide = snapshot_read_pruned(spark, table, col="id", lo=10, hi=40)
+    assert len(wide.inputFiles()) == 4  # nothing prunable yet
+
+    out = compact_snapshot(spark, table, target_files=4, sort_cols=["id"])
+    assert out["files_before"] == 4 and out["files_after"] <= 4
+
+    pruned = snapshot_read_pruned(spark, table, col="id", lo=10, hi=40)
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(10, 41))
+    # clustered rewrite + fresh stats: one file serves the range
+    assert len(pruned.inputFiles()) == 1
+    assert snapshot_read(spark, table).count() == 1000

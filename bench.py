@@ -115,6 +115,7 @@ EXTENDED = [
     "a23_value_outliers",
     "j15_part_cooccurrence",
     "w12_cumulative_new_users",
+    "j16_asof_tolerance",
 ]
 
 

@@ -101,6 +101,7 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row gains the right row's ``value_cols``
     from the nearest right event for the same ``on`` key — the latest
@@ -125,6 +126,13 @@ def asof_join(
     Right side must be unique per (key, right_ts); pre-aggregate if
     not (the reference's last-row-per-key operator, A3).
 
+    ``tolerance`` bounds the match gap (pandas ``merge_asof``
+    tolerance): a nearest right event further than ``tolerance`` from
+    the left timestamp yields NULLs instead. Seconds for timestamp
+    columns (fractions allowed), same-unit for numeric ones. Purely a
+    post-window column expression — the plan (one shuffle, linear
+    frame) is unchanged.
+
     All ``value_cols`` are propagated as ONE struct with a single
     ``last(ignorenulls=True)``: every output value comes from the same
     (latest) right row, so a NULL field in the newest right row stays
@@ -140,6 +148,7 @@ def asof_join(
     ]
     rv_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+        + [T.StructField("_asof_mts", right.schema[right_ts].dataType, True)]
     )
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -155,7 +164,10 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_lrow"].dataType
         ).alias("_lrow"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_ts).alias("_asof_mts"),
+        ).alias("_rv"),
     )
     # Both directions use a PRECEDING frame + last(ignorenulls) — the
     # one window shape Spark executes as a linear running aggregate
@@ -176,9 +188,19 @@ def asof_join(
         "_rv", F.last("_rv", ignorenulls=True).over(w)
     )
     out = merged.filter(F.col("_is_left") == 1)
+    rv = F.col("_rv")
+    if tolerance is not None:
+        if isinstance(right.schema[right_ts].dataType, T.NumericType):
+            gap_ok = F.abs(F.col("_ts") - rv["_asof_mts"]) <= F.lit(tolerance)
+        else:
+            gap_ok = (
+                F.abs(F.expr("timestampdiff(MICROSECOND, _rv._asof_mts, _ts)"))
+                <= F.lit(int(tolerance * 1_000_000))
+            )
+        rv = F.when(rv.isNotNull() & gap_ok, rv)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in value_cols],
+        *[rv[c].alias(f"asof_{c}") for c in value_cols],
     )
 
 

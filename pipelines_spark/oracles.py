@@ -1931,4 +1931,22 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
         FROM daily
     """,
+    # native ASOF JOIN + explicit 10-minute gap bound
+    "j16_asof_tolerance": """
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), r AS (
+            SELECT user_id, ts, max(value) AS value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ), j AS (
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS rts, r.value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN rts IS NOT NULL
+                     AND epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(rts AS TIMESTAMP)) <= 600000000
+                    THEN value END AS prior_click_value
+        FROM j
+    """,
 }

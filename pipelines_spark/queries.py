@@ -2664,6 +2664,30 @@ def w12_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j16_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof
+    ``tolerance``): each purchase takes the user's most recent prior
+    click value, but only if that click happened within the last 10
+    minutes — staler matches yield NULL. The bound is a post-window
+    column expression on the same single-shuffle union-window as-of
+    plan (operators/joins.py); the oracle replays it as DuckDB ASOF
+    JOIN + gap check."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="backward", tolerance=600.0,
+    ).withColumnRenamed("asof_value", "prior_click_value")
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2778,4 +2802,5 @@ QUERIES = {
     "a23_value_outliers": a23_value_outliers,
     "j15_part_cooccurrence": j15_part_cooccurrence,
     "w12_cumulative_new_users": w12_cumulative_new_users,
+    "j16_asof_tolerance": j16_asof_tolerance,
 }

@@ -251,3 +251,31 @@ def test_asof_join_forward_semantics(spark):
     # nearest at-or-after: ts=5→7(70), ts=10→10 inclusive (100),
     # ts=25→nothing following → NULL
     assert rows == {1: 70.0, 2: 100.0, 3: None}
+
+
+def test_asof_join_tolerance_bounds_the_gap(spark):
+    """merge_asof-style tolerance: a nearest match farther than the
+    bound yields NULL; numeric ts uses same-unit tolerance."""
+    from pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "near"), (1, 500, "far"), (1, 50, "none")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame([(1, 90, 9.0)], "k long, ts long, v double")
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", value_cols=["v"], tolerance=50
+        ).collect()
+    }
+    # near: gap 10 <= 50 matches; far: gap 410 > 50 -> NULL; none: no
+    # prior at all -> NULL
+    assert out == {"near": 9.0, "far": None, "none": None}
+
+    # without tolerance the far row still matches (regression guard)
+    out2 = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+    assert out2 == {"near": 9.0, "far": 9.0, "none": None}

@@ -1066,3 +1066,102 @@ def snapshot_foreach_batch(path: str, app_id: str, *, mode: str = "append"):
         )
 
     return _write
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    small_file_mb: float = 32,
+    target_files: int = 4,
+    min_files_to_compact: int = 2,
+    stat_cols: list[str] | None = None,
+    clock=time.time,
+) -> dict:
+    """PARTIAL compaction: rewrite only the files below
+    ``small_file_mb`` into ~``target_files`` larger ones; every file
+    already at a healthy size carries over into the new version
+    unread and unmoved (its manifest stats and Bloom filters stay
+    valid — they key on the file path, which doesn't change).
+
+    This is the 100 TB-shape maintenance operation: a minutely
+    capture stream deposits a trickle of tiny files on top of a huge
+    compacted base, and ``compact_snapshot`` (full rewrite) would
+    re-copy the entire table to fix a few hundred KB. Here the
+    rewrite I/O is proportional to the SMALL-file volume only —
+    run it on every maintenance tick.
+
+    Commit semantics match ``snapshot_delete_where``: the commit must
+    land directly on the version that was read (its file set is the
+    carry-over base); a concurrent commit raises ``CommitConflict`` —
+    re-run against the new head. The commit records
+    operation='compact', so change feeds, the stream source, and
+    incremental rollups skip it (no replay duplication). New files
+    get fresh manifest min/max stats (``stat_cols`` default: every
+    orderable primitive).
+
+    Returns {"version", "files_rewritten", "files_kept"};
+    version is the pre-existing head when nothing qualified.
+    """
+    fs, jvm = _fs(spark, path)
+    log_dir = f"{path}/{_LOG_DIR}"
+    head = _resolve_version(fs, jvm, log_dir, None, None)
+    manifest = _load_manifest(fs, jvm, log_dir, head)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+
+    limit = int(small_file_mb * (1 << 20))
+    candidates = [
+        rel
+        for rel in manifest["files"]
+        if fs.getFileStatus(_hp(jvm, f"{path}/{rel}")).getLen() < limit
+    ]
+    kept = [rel for rel in manifest["files"] if rel not in set(candidates)]
+    if len(candidates) < min_files_to_compact:
+        return {"version": head, "files_rewritten": 0, "files_kept": len(manifest["files"])}
+
+    small_df = spark.read.schema(schema).parquet(
+        *[f"{path}/{rel}" for rel in candidates]
+    ).coalesce(target_files)
+
+    write_id = uuid.uuid4().hex[:12]
+    data_dir = f"{path}/{_DATA_DIR}/w-{write_id}"
+    small_df.write.mode("error").parquet(data_dir)
+    root_prefix = _hp(jvm, path).toUri().getPath().rstrip("/") + "/"
+    added = [
+        p[len(root_prefix):] if p.startswith(root_prefix) else p
+        for p in _data_files(fs, jvm, data_dir)
+    ]
+
+    if stat_cols is None:
+        stat_cols = [
+            f.name
+            for f in schema.fields
+            if f.dataType.simpleString().split("(")[0] in _STAT_TYPES
+        ]
+    file_stats = _collect_file_stats([f"{path}/{rel}" for rel in added], stat_cols)
+    new_stats = {rel: file_stats.get(f"{path}/{rel}", {}) for rel in added}
+
+    version = head + 1
+    new_manifest = {
+        "version": version,
+        "parent": head,
+        "operation": "compact",
+        "committed_at": float(clock()),
+        "schema": manifest["schema"],
+        "added": added,
+        "files": kept + added,
+        "stats": new_stats,
+    }
+    tmp = f"{log_dir}/_tmp-{uuid.uuid4().hex}.json"
+    _write_text(fs, jvm, tmp, json.dumps(new_manifest))
+    if not fs.rename(_hp(jvm, tmp), _hp(jvm, f"{log_dir}/{_manifest_name(version)}")):
+        fs.delete(_hp(jvm, tmp), False)
+        raise CommitConflict(
+            f"version {version} committed concurrently at {path}; re-run "
+            "the compaction against the new head (the carry-over base is stale)"
+        )
+    return {
+        "version": version,
+        "files_rewritten": len(candidates),
+        "files_kept": len(kept),
+    }

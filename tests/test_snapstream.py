@@ -431,3 +431,48 @@ def test_compact_preserves_stats_and_clusters(spark, tmp_path):
     # clustered rewrite + fresh stats: one file serves the range
     assert len(pruned.inputFiles()) == 1
     assert snapshot_read(spark, table).count() == 1000
+
+
+def test_compact_small_files_rewrites_only_small(spark, tmp_path):
+    """Partial compaction: small files merge, the big file carries
+    over untouched (same path => manifest stats/blooms stay valid);
+    I/O proportional to small-file volume only."""
+    from pipelines_spark.sinks.snapshots import (
+        compact_small_files,
+        snapshot_changes,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    table = str(tmp_path / "tblpc")
+    # md5-derived pad: incompressible, so the file is genuinely large
+    # on disk (a constant pad RLE-compresses under any threshold)
+    big = spark.range(50_000).select(
+        F.col("id").alias("id"),
+        F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i)))) for i in range(4)]).alias("pad"),
+    ).coalesce(1)
+    snapshot_write_with_stats(spark, table, big)
+    big_files = set(snapshot_read(spark, table).inputFiles())
+    # a trickle of tiny commits on top
+    for r in range(3):
+        tiny = spark.createDataFrame(
+            [(100_000 + r, "t")], "id bigint, pad string"
+        )
+        snapshot_write_with_stats(spark, table, tiny)
+
+    out = compact_small_files(spark, table, small_file_mb=1, target_files=1)
+    # each tiny commit lands 2 part files (one empty) -> 6 small files
+    assert out["files_rewritten"] == 6 and out["files_kept"] == 1
+
+    after = set(snapshot_read(spark, table).inputFiles())
+    # the big file is byte-identical and still referenced by path
+    assert big_files <= after
+    assert len(after) == 2  # big + one merged small file
+    assert snapshot_read(spark, table).count() == 50_003
+
+    # compact commit invisible to change consumers
+    assert snapshot_changes(spark, table, since_version=out["version"] - 1).count() == 0
+
+    # nothing small left -> clean noop, same version
+    again = compact_small_files(spark, table, small_file_mb=0.001)
+    assert again["files_rewritten"] == 0 and again["version"] == out["version"]

@@ -116,6 +116,8 @@ EXTENDED = [
     "j15_part_cooccurrence",
     "w12_cumulative_new_users",
     "j16_asof_tolerance",
+    "a24_mode_per_group",
+    "o13_token_positions",
 ]
 
 

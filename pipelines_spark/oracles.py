@@ -1949,4 +1949,31 @@ ORACLES: dict[str, str] = {
                     THEN value END AS prior_click_value
         FROM j
     """,
+    # explicit mode with deterministic tie-break (count desc, type asc)
+    "a24_mode_per_group": """
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type) AS rn
+            FROM counts
+        )
+        SELECT user_id, event_type AS mode_event_type, cnt
+        FROM ranked WHERE rn = 1
+    """,
+    # first-occurrence positions: list_position (first match, 1-based)
+    # replays Spark's posexplode + min(pos)+1
+    "o13_token_positions": """
+        WITH hits AS (
+            SELECT doc_id, t.term,
+                   list_position(string_split(text, ' '), t.term) AS first_pos
+            FROM documents
+            CROSS JOIN (VALUES ('spark'), ('window'), ('hash')) t(term)
+            WHERE list_position(string_split(text, ' '), t.term) > 0
+        )
+        SELECT term, count(*) AS n_docs,
+               floor(avg(first_pos) * 1e4 + 0.5) / 1e4 AS avg_first_pos
+        FROM hits GROUP BY term
+    """,
 }

@@ -2688,6 +2688,56 @@ def j16_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("asof_value", "prior_click_value")
 
 
+def a24_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode with a DETERMINISTIC tie-break: each user's
+    most frequent event type (ties → alphabetically first). Built-in
+    ``mode()`` leaves ties engine-defined, so both engines compute it
+    explicitly: count per (user, type), rank by (count desc, type) —
+    the count aggregate's (user, type) clustering feeds the per-user
+    window without perfectly aligned partitioning, so this costs two
+    exchanges; at scale the window input is already one row per
+    (user, type), tiny next to the event volume."""
+    register(spark, sf_dir, ("events",))
+    counts = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "cnt")
+    )
+
+
+def o13_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional array semantics (posexplode / WITH ORDINALITY): for
+    three probe terms, how early they first appear in documents —
+    count of containing docs and the average 1-based first-occurrence
+    position. Spark enumerates positions with ``posexplode`` and takes
+    the min per (doc, term); the oracle uses ``list_position`` (first
+    match) — two routes to the same contract, which is the point of
+    the check. Map-side explode bounded by tokens/doc; one small
+    aggregate."""
+    register(spark, sf_dir, ("documents",))
+    probes = ["spark", "window", "hash"]
+    toks = spark.table("documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    )
+    first = (
+        toks.filter(F.col("term").isin(probes))
+        .groupBy("doc_id", "term")
+        .agg((F.min("pos") + 1).alias("first_pos"))  # 1-based
+    )
+    return first.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.avg("first_pos") * 1e4 + 0.5) / 1e4).alias("avg_first_pos"),
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2803,4 +2853,6 @@ QUERIES = {
     "j15_part_cooccurrence": j15_part_cooccurrence,
     "w12_cumulative_new_users": w12_cumulative_new_users,
     "j16_asof_tolerance": j16_asof_tolerance,
+    "a24_mode_per_group": a24_mode_per_group,
+    "o13_token_positions": o13_token_positions,
 }

@@ -224,3 +224,78 @@ def test_append_rejects_dropped_or_retyped_columns(spark, tmp_path):
         spark, table, spark.createDataFrame([(9,)], "id bigint"), mode="overwrite"
     )
     assert [f.name for f in snapshot_read(spark, table).schema.fields] == ["id"]
+
+
+def test_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check of the transactional surface: a seeded
+    random walk over append / overwrite / merge / delete / compact /
+    partial-compact, with a pure-Python dict as the model. After
+    every op the table must equal the model exactly, and a random
+    earlier version must still time-travel to its recorded state —
+    the invariants that make the format trustworthy, checked under
+    op interleavings no hand-written test enumerates."""
+    import random
+
+    from pipelines_spark.sinks.snapshots import (
+        compact_small_files,
+        compact_snapshot,
+        snapshot_delete_where,
+        snapshot_merge,
+    )
+    from pyspark.sql import functions as F
+
+    def table_rows(path, version=None):
+        df = snapshot_read(spark, path, version=version)
+        return {(r["id"], r["v"]) for r in df.collect()}
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"walk_{seed}")
+        history: dict[int, set] = {}  # model state per committed version
+        next_val = 0
+
+        def fresh_rows(n):
+            nonlocal next_val
+            out = [(rng.randrange(50), f"s{next_val + i}") for i in range(n)]
+            next_val += n
+            return out
+
+        # v1 must exist before merge/delete/compact make sense
+        rows = fresh_rows(3)
+        snapshot_write(spark, path, _df(spark, rows))
+        # append keeps duplicates per key; model as set of (id, v)
+        # (values are globally unique so a set is exact)
+        multiset = set(rows)
+        history = {1: set(multiset)}
+
+        for _step in range(10):
+            op = rng.choice(["append", "overwrite", "merge", "delete", "compact", "small"])
+            if op == "append":
+                rows = fresh_rows(rng.randrange(1, 4))
+                snapshot_write(spark, path, _df(spark, rows))
+                multiset |= set(rows)
+            elif op == "overwrite":
+                rows = fresh_rows(rng.randrange(1, 4))
+                snapshot_write(spark, path, _df(spark, rows), mode="overwrite")
+                multiset = set(rows)
+            elif op == "merge":
+                rows = fresh_rows(rng.randrange(1, 3))
+                keys = {k for k, _ in rows}
+                snapshot_merge(spark, path, _df(spark, rows), keys=["id"])
+                multiset = {(k, v) for k, v in multiset if k not in keys} | set(rows)
+            elif op == "delete":
+                cut = rng.randrange(50)
+                snapshot_delete_where(spark, path, F.col("id") < cut)
+                multiset = {(k, v) for k, v in multiset if k >= cut}
+            elif op == "compact":
+                compact_snapshot(spark, path, target_files=2)
+            else:
+                compact_small_files(spark, path, small_file_mb=64, target_files=1)
+            history[current_version(spark, path)] = set(multiset)
+            assert table_rows(path) == multiset, f"seed={seed} op={op}"
+
+        # time travel: each committed version equals its recorded model
+        for ver in rng.sample(sorted(history), k=3):
+            assert table_rows(path, version=ver) == history[ver], (
+                f"seed={seed} version={ver}"
+            )

@@ -1976,4 +1976,17 @@ ORACLES: dict[str, str] = {
                floor(avg(first_pos) * 1e4 + 0.5) / 1e4 AS avg_first_pos
         FROM hits GROUP BY term
     """,
+    # same LATERAL shape natively
+    "j17_lateral_topk": """
+        SELECT n.n_name AS nation, t.c_name AS customer,
+               t.c_acctbal AS acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal, c_custkey
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+    """,
 }

@@ -2738,6 +2738,31 @@ def o13_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j17_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.2+ / DuckDB LATERAL): for
+    each nation, its top-2 customers by account balance via a
+    per-nation correlated ORDER BY ... LIMIT. Catalyst decorrelates
+    this into the same WindowGroupLimit shape as an explicit window
+    top-k — the point of the query is that the LATERAL surface parses,
+    decorrelates, and matches the window formulation's results
+    exactly. Deterministic tie-break on custkey."""
+    register(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name AS customer,
+               t.c_acctbal AS acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal, c_custkey
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        """
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2855,4 +2880,5 @@ QUERIES = {
     "j16_asof_tolerance": j16_asof_tolerance,
     "a24_mode_per_group": a24_mode_per_group,
     "o13_token_positions": o13_token_positions,
+    "j17_lateral_topk": j17_lateral_topk,
 }

@@ -119,6 +119,7 @@ EXTENDED = [
     "a24_mode_per_group",
     "o13_token_positions",
     "j17_lateral_topk",
+    "graph_pagerank",
 ]
 
 

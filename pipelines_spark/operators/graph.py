@@ -1,0 +1,89 @@
+"""Graph operators beyond connected components (llm/dedup.py).
+
+PageRank with EXACT integer arithmetic: ranks are maintained as
+BIGINT numerators scaled by 1e15, and every division is integer
+``DIV`` — deterministic to the last unit across engines and
+partitionings, so a DuckDB oracle can replay the iterations
+bit-for-bit (the same exact-replay discipline as the k-means and KMV
+oracles; float PageRank would drift in the last ulp with summation
+order). The truncation error per step is < 1e-15 of total mass —
+irrelevant next to the damping-factor convergence error of a bounded
+iteration count.
+
+Each iteration is one join (rank ⋈ edges on src) + one aggregate
+(sum contributions by dst) — the standard scalable PR shape: at 100
+TB the edge table shuffle-partitions on src once and every iteration
+reuses it; iterations are bounded by the caller, never data-driven.
+Dangling nodes (no out-edges) are excluded from the node universe by
+construction when edges are made bidirectional; for directed use,
+pre-filter or accept mass leakage like the simple formulation does.
+
+The reference has no graph operators; this generalizes its
+"relation check" notion of entity importance (SURVEY §2.6 A1) the
+way near-dup clustering generalized its exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000_000  # 1e15 fixed-point rank numerators
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns ``(node, rank_scaled)`` where ``rank_scaled`` is the
+    BIGINT fixed-point rank (divide by 1e15 for the float value).
+    ``damping_pct`` is the damping factor in percent (integer, so the
+    85/100 split stays exact).
+
+    rank_0 = SCALE DIV N per node;
+    rank_{t+1}(v) = ((100-d) * (SCALE DIV N)) DIV 100
+                  + (d * Σ_{u→v} rank_t(u) DIV outdeg(u)) DIV 100.
+    Nodes nobody links to keep the teleport term only.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one small action; N is a plan constant
+    base = SCALE // n_nodes
+    teleport = (100 - damping_pct) * base // 100
+
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["_s"])
+            .join(outdeg, "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("rank_scaled DIV _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"CAST({damping_pct} AS BIGINT) * coalesce(_in, CAST(0 AS BIGINT)) DIV 100"
+                    )
+                ).cast("long").alias("rank_scaled"),
+            )
+        )
+    return ranks

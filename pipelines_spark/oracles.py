@@ -1989,4 +1989,46 @@ ORACLES: dict[str, str] = {
             LIMIT 2
         ) t
     """,
+    # exact integer-fixed-point PageRank, two unrolled iterations
+    # (DuckDB // == Spark DIV on positive BIGINTs: truncation)
+    "graph_pagerank": """
+        WITH e AS (
+            SELECT DISTINCT concat('c', o_custkey) AS s,
+                            concat('s', l_suppkey) AS d
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT s AS _s, d AS _d FROM e
+            UNION ALL
+            SELECT d AS _s, s AS _d FROM e
+        ), nodes AS (
+            SELECT DISTINCT _s AS node FROM bi
+            UNION
+            SELECT DISTINCT _d AS node FROM bi
+        ), params AS (
+            SELECT CAST(1000000000000000 // count(*) AS BIGINT) AS base FROM nodes
+        ), outdeg AS (
+            SELECT _s, count(*) AS deg FROM bi GROUP BY _s
+        ), r0 AS (
+            SELECT node, (SELECT base FROM params) AS rank FROM nodes
+        ), c1 AS (
+            SELECT _d AS node, sum(rank // deg) AS cin
+            FROM r0 JOIN bi ON node = _s JOIN outdeg USING (_s)
+            GROUP BY _d
+        ), r1 AS (
+            SELECT n.node,
+                   CAST((15 * (SELECT base FROM params)) // 100
+                        + (85 * coalesce(cin, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c1 USING (node)
+        ), c2 AS (
+            SELECT _d AS node, sum(rank // deg) AS cin
+            FROM r1 JOIN bi ON node = _s JOIN outdeg USING (_s)
+            GROUP BY _d
+        ), r2 AS (
+            SELECT n.node,
+                   CAST((15 * (SELECT base FROM params)) // 100
+                        + (85 * coalesce(cin, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c2 USING (node)
+        )
+        SELECT node, rank AS rank_scaled FROM r2
+    """,
 }

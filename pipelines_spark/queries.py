@@ -2763,6 +2763,36 @@ def j17_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank over the customer↔supplier trade graph
+    (operators/graph.py): who are the structurally central parties.
+    Ranks are BIGINT fixed-point with integer division only, so the
+    oracle unrolls the identical iterations in SQL and matches to the
+    last unit — the same exact-replay discipline as the k-means and
+    KMV oracles (float PR would drift with summation order). Each
+    iteration is one join + one aggregate; iterations are bounded by
+    construction, never data-driven."""
+    register(spark, sf_dir, ("lineitem", "orders"))
+    from pipelines_spark.operators.graph import pagerank
+
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    # undirected: both directions (prefixes keep them disjoint, so a
+    # plain union is already duplicate-free)
+    bi = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(bi, iterations=2)
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2881,4 +2911,5 @@ QUERIES = {
     "a24_mode_per_group": a24_mode_per_group,
     "o13_token_positions": o13_token_positions,
     "j17_lateral_topk": j17_lateral_topk,
+    "graph_pagerank": graph_pagerank,
 }

@@ -105,3 +105,26 @@ def test_sweepline_concurrency_matches_bruteforce(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_pagerank_matches_hand_model(spark):
+    """Integer fixed-point PageRank equals a pure-Python replay of
+    the same recurrence on a small graph (star: hub <-> 3 leaves) —
+    and the hub outranks the leaves."""
+    from pipelines_spark.operators.graph import SCALE, pagerank
+
+    edges = [("h", x) for x in "abc"] + [(x, "h") for x in "abc"]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, iterations=2).collect()}
+
+    nodes = ["h", "a", "b", "c"]
+    base = SCALE // len(nodes)
+    deg = {"h": 3, "a": 1, "b": 1, "c": 1}
+    rank = {n: base for n in nodes}
+    for _ in range(2):
+        cin = {n: 0 for n in nodes}
+        for s, d in edges:
+            cin[d] += rank[s] // deg[s]
+        rank = {n: (15 * base) // 100 + (85 * cin[n]) // 100 for n in nodes}
+    assert got == rank
+    assert got["h"] > got["a"] == got["b"] == got["c"]

@@ -120,6 +120,7 @@ EXTENDED = [
     "o13_token_positions",
     "j17_lateral_topk",
     "graph_pagerank",
+    "graph_triangles",
 ]
 
 

@@ -87,3 +87,41 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count of an undirected graph given as an edge
+    list (either or both directions; self-loops ignored).
+
+    Textbook scalable shape: canonicalize each edge to (lo, hi) with
+    a TOTAL order on vertices, then count paths lo→mid→hi whose
+    closing edge (lo, hi) exists — each triangle is counted exactly
+    once. Two equi-joins on vertex keys; the degree-skew refinement
+    (order vertices by degree instead of id, so hubs never serve as
+    the fan-out vertex of the join) drops in by swapping the ordering
+    expression — id order keeps the oracle replay simple here.
+
+    Returns a 1-row frame ``(n_triangles)``.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.alias("e1")  # a < b
+    e2 = canon.alias("e2")  # b < c
+    e3 = canon.alias("e3")  # closing a < c
+    paths = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+    closed = paths.join(
+        e3,
+        (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -2031,4 +2031,19 @@ ORACLES: dict[str, str] = {
         )
         SELECT node, rank AS rank_scaled FROM r2
     """,
+    # canonical lo<mid<hi triangle orientation — each triangle once
+    "graph_triangles": """
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ), pairs AS (
+            SELECT DISTINCT a.p AS a, b.p AS b
+            FROM baskets, unnest(parts) a(p), unnest(parts) b(p)
+            WHERE a.p < b.p
+        )
+        SELECT count(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e1.b = e2.a
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
 }

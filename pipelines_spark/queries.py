@@ -2793,6 +2793,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(bi, iterations=2)
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts are
+    adjacent when some order contains both): a clustering-coefficient
+    primitive. Edges come from the basket pair expansion (j15's
+    shape); counting uses the canonical lo<mid<hi orientation
+    (operators/graph.py::triangle_count) so each triangle counts
+    once — two equi-joins, no enumeration of all vertex triples."""
+    register(spark, sf_dir, ("lineitem",))
+    from pipelines_spark.operators.graph import triangle_count
+
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x: F.transform(
+                    F.col("parts"),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        ),
+        lambda s: s["src"] < s["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2912,4 +2946,5 @@ QUERIES = {
     "o13_token_positions": o13_token_positions,
     "j17_lateral_topk": j17_lateral_topk,
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
 }

@@ -128,3 +128,21 @@ def test_pagerank_matches_hand_model(spark):
         rank = {n: (15 * base) // 100 + (85 * cin[n]) // 100 for n in nodes}
     assert got == rank
     assert got["h"] > got["a"] == got["b"] == got["c"]
+
+
+def test_triangle_count_small_graphs(spark):
+    from pipelines_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; duplicate/reversed edges and self-loops
+    # must not change the count
+    edges = [
+        (a, b) for a in "abcd" for b in "abcd" if a != b
+    ] + [("a", "a"), ("b", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+    # a square (no diagonal) has none
+    sq = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    assert triangle_count(sq).collect()[0]["n_triangles"] == 0

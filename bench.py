@@ -121,6 +121,8 @@ EXTENDED = [
     "j17_lateral_topk",
     "graph_pagerank",
     "graph_triangles",
+    "a25_column_profile",
+    "a26_benford_digits",
 ]
 
 

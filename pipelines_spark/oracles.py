@@ -2046,4 +2046,57 @@ ORACLES: dict[str, str] = {
         JOIN pairs e2 ON e1.b = e2.a
         JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
     """,
+    # one stats row per column; doubles render via DECIMAL(18,2)
+    "a25_column_profile": """
+        SELECT 'o_orderkey' AS column_name,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_totalprice),
+               CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+               CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    # Benford screen: first digit of the decimal rendering
+    "a26_benford_digits": """
+        WITH counts AS (
+            SELECT CAST(substr(CAST(abs(o_totalprice) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1
+        ), t AS (SELECT sum(n) AS total FROM counts)
+        SELECT digit, n,
+               floor(n / CAST(total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS observed_share,
+               floor(log10(1 + 1.0 / digit) * 1e6 + 0.5) / 1e6 AS benford_share
+        FROM counts, t
+    """,
 }

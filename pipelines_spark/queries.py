@@ -2827,6 +2827,73 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def a25_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (the Deequ/Great-Expectations
+    staple the reference approximates with per-check SQL): one row
+    per column with null count, exact distinct count, and min/max
+    rendered as strings. All columns profile in a single wide
+    aggregate pass over one scan; COUNT DISTINCT per column expands
+    internally, but the input is scanned once and the output is
+    columns-many rows. The unpivot to (column, stats) rows is a
+    stack() projection — no extra shuffle."""
+    register(spark, sf_dir, ("orders",))
+    o = spark.table("orders")
+    cols = o.columns
+    aggs = []
+    for c in cols:
+        # doubles render through DECIMAL(18,2) first: double→string
+        # formatting (shortest-round-trip vs enough-digits) is the one
+        # place engine string casts can disagree
+        base = F.col(c)
+        if o.schema[c].dataType.simpleString() == "double":
+            base = base.cast("decimal(18,2)")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            # min/max in the NATIVE type, rendered afterwards —
+            # min(cast-to-string) would be lexicographic
+            F.min(base).cast("string").alias(f"lo_{c}"),
+            F.max(base).cast("string").alias(f"hi_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', n_{c}, d_{c}, lo_{c}, hi_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+def a26_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals (a classic fraud /
+    data-entry anomaly check): observed share per leading digit next
+    to the Benford expectation log10(1+1/d). Map-side digit extract +
+    one 9-group aggregate; shares quantized with the engine-identical
+    floor rounding."""
+    register(spark, sf_dir, ("orders",))
+    d = F.substring(F.abs(F.col("o_totalprice")).cast("string"), 1, 1).cast("int")
+    counts = (
+        spark.table("orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total")
+    expected = F.log10(1 + 1 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.floor(share * 1e6 + 0.5) / 1e6).alias("observed_share"),
+            (F.floor(expected * 1e6 + 0.5) / 1e6).alias("benford_share"),
+        )
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -2947,4 +3014,6 @@ QUERIES = {
     "j17_lateral_topk": j17_lateral_topk,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "a25_column_profile": a25_column_profile,
+    "a26_benford_digits": a26_benford_digits,
 }

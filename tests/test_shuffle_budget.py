@@ -63,6 +63,18 @@ BUDGETS = {
     # moments agg (broadcast back onto the scan) — the outlier filter
     # itself is map-side
     "a23_value_outliers": 1,
+    # decorrelated lateral == window top-k: one exchange
+    "j17_lateral_topk": 1,
+    # (user, type) count agg + per-user mode window
+    "a24_mode_per_group": 2,
+    # per-(doc,term) min agg + per-term rollup
+    "o13_token_positions": 2,
+    # one wide agg with countDistinct expand; stack() is projection
+    "a25_column_profile": 2,
+    # digit agg + 1-row total + broadcast-join back
+    "a26_benford_digits": 3,
+    # canonical edge distinct + two vertex-key joins + final count
+    "graph_triangles": 5,
 }
 
 

@@ -123,6 +123,7 @@ EXTENDED = [
     "graph_triangles",
     "a25_column_profile",
     "a26_benford_digits",
+    "graph_khop_reach",
 ]
 
 

@@ -125,3 +125,43 @@ def triangle_count(
         (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def khop_reachability(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 2,
+) -> DataFrame:
+    """Minimum hop distance from a source node set, bounded by
+    ``max_hops`` (BFS unrolled a fixed number of levels).
+
+    Level expansion is one join (frontier ⋈ edges) + one min-aggregate
+    per hop; the frontier is only the nodes FIRST reached at the
+    previous level, so re-expansion of settled nodes never happens —
+    the standard bounded-reachability shape (recommendation radius,
+    blast-radius analysis, fraud rings). Hop counts are exact
+    integers, so the oracle unrolls the same levels in SQL.
+
+    Returns ``(node, min_hops)`` for every node within ``max_hops``
+    (sources at 0).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    reached = sources.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("min_hops")
+    ).distinct()
+    frontier = reached
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .select("node", F.lit(hop).alias("min_hops"))
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    return reached

@@ -2099,4 +2099,33 @@ ORACLES: dict[str, str] = {
                floor(log10(1 + 1.0 / digit) * 1e6 + 0.5) / 1e6 AS benford_share
         FROM counts, t
     """,
+    # BFS unrolled two levels; anti-join against settled nodes per hop
+    "graph_khop_reach": """
+        WITH e AS (
+            SELECT DISTINCT concat('c', o_custkey) AS s,
+                            concat('s', l_suppkey) AS d
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT s AS _s, d AS _d FROM e
+            UNION ALL
+            SELECT d AS _s, s AS _d FROM e
+        ), l0 AS (
+            SELECT DISTINCT concat('s', s_suppkey) AS node
+            FROM supplier WHERE s_nationkey = 0
+        ), l1 AS (
+            SELECT DISTINCT _d AS node
+            FROM l0 JOIN bi ON l0.node = bi._s
+            WHERE _d NOT IN (SELECT node FROM l0)
+        ), l2 AS (
+            SELECT DISTINCT _d AS node
+            FROM l1 JOIN bi ON l1.node = bi._s
+            WHERE _d NOT IN (SELECT node FROM l0)
+              AND _d NOT IN (SELECT node FROM l1)
+        )
+        SELECT node, 0 AS min_hops FROM l0
+        UNION ALL
+        SELECT node, 1 FROM l1
+        UNION ALL
+        SELECT node, 2 FROM l2
+    """,
 }

@@ -2894,6 +2894,38 @@ def a26_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the trade graph
+    (operators/graph.py::khop_reachability): blast radius of nation
+    0's suppliers — hop 1 = their customers, hop 2 = the other
+    suppliers those customers also use. Per hop: one join + one
+    distinct + one anti-join against settled nodes (the frontier
+    never re-expands); hop counts are exact so the oracle unrolls the
+    identical levels."""
+    register(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    from pipelines_spark.operators.graph import khop_reachability
+
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = (
+        spark.table("supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    return khop_reachability(bi, sources, max_hops=2)
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -3016,4 +3048,5 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "a25_column_profile": a25_column_profile,
     "a26_benford_digits": a26_benford_digits,
+    "graph_khop_reach": graph_khop_reach,
 }

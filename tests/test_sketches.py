@@ -146,3 +146,20 @@ def test_triangle_count_small_graphs(spark):
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
     )
     assert triangle_count(sq).collect()[0]["n_triangles"] == 0
+
+
+def test_khop_reachability_path_graph(spark):
+    """Path a-b-c-d from source a: hops 0,1,2 reached at max_hops=2;
+    d unreachable within the bound; no node settles twice."""
+    from pipelines_spark.operators.graph import khop_reachability
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")],
+        ["src", "dst"],
+    )
+    srcs = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["min_hops"]
+        for r in khop_reachability(edges, srcs, max_hops=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}

@@ -254,3 +254,31 @@ def test_scd2_merge_matches_model_fold(spark, snaps):
     # invariant: at most one open row per key
     open_rows = [r for r in got if r[4]]
     assert len({r[0] for r in open_rows}) == len(open_rows)
+
+
+# ---- Bloom filter (snapshot point-lookup pruning) ----
+
+from pipelines_spark.sinks.snapshots import (  # noqa: E402
+    _bloom_build,
+    _bloom_maybe_contains,
+    _bloom_params,
+)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(values):
+    bloom = _bloom_build(values, fpp=0.05)
+    # the one property pruning correctness rests on: a present key is
+    # NEVER rejected (a false negative would silently drop rows)
+    assert all(_bloom_maybe_contains(bloom, v) for v in values)
+
+
+@given(st.integers(min_value=1, max_value=100_000), st.floats(min_value=0.001, max_value=0.5))
+@settings(max_examples=200, deadline=None)
+def test_bloom_params_sane(n, fpp):
+    m, k = _bloom_params(n, fpp)
+    assert m >= 8 and k >= 1
+    # standard sizing: bits per element grows as fpp shrinks, and the
+    # hash count stays in a practical range
+    assert k <= max(1, int(m / n * 0.7)) + 1

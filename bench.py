@@ -124,6 +124,9 @@ EXTENDED = [
     "a25_column_profile",
     "a26_benford_digits",
     "graph_khop_reach",
+    "t3_sliding_window",
+    "a27_seasonal_anomaly",
+    "o14_snapshot_diff",
 ]
 
 

@@ -2128,4 +2128,71 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT node, 2 FROM l2
     """,
+    # hopping windows: each event lands in window/slide = 4 windows,
+    # starts at its 15-min bucket minus k slides; epoch alignment
+    # matches Spark's TimeWindow (both anchor at 1970-01-01 naive)
+    "t3_sliding_window": """
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '15 minutes' * k.k AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        GROUP BY 1, 2
+    """,
+    # seasonal anomalies: integer hourly counts -> exact integer
+    # moments per (type, hour-of-day) -> quantized |z|; zero-variance
+    # slots excluded by exact integer guard
+    "a27_seasonal_anomaly": """
+        WITH hourly AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), keyed AS (
+            SELECT *, CAST(hour(bucket_ts) AS INTEGER) AS hod
+            FROM hourly
+        ), base AS (
+            SELECT event_type, hod, count(*) AS n,
+                   sum(n_events) AS s1,
+                   sum(n_events * n_events) AS s2
+            FROM keyed GROUP BY 1, 2
+        )
+        SELECT k.event_type, k.bucket_ts, k.n_events,
+               floor(abs((k.n_events - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+                   / sqrt((CAST(b.s2 AS DOUBLE)
+                           - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+                          / (CAST(b.n AS DOUBLE) - 1.0))) * 1e4 + 0.5) / 1e4 AS abs_z
+        FROM keyed k
+        JOIN base b
+          ON k.event_type = b.event_type AND k.hod = b.hod
+        WHERE b.n >= 3 AND b.n * b.s2 - b.s1 * b.s1 > 0
+          AND floor(abs((k.n_events - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+                  / sqrt((CAST(b.s2 AS DOUBLE)
+                          - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+                         / (CAST(b.n AS DOUBLE) - 1.0))) * 1e4 + 0.5) / 1e4 > 2.5
+    """,
+    # snapshot diff: presence via full-outer join, change via direct
+    # column compare (the oracle checks the SEMANTICS the xxhash64
+    # fingerprint stands in for)
+    "o14_snapshot_diff": """
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-06-01'
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS diff_type
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
 }

@@ -2926,6 +2926,110 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_reachability(bi, sources, max_hops=2)
 
 
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every
+    15 minutes over the event stream — the overlapping-window twin of
+    T1's tumbling capture (get_rounded_timestamp,
+    pipelines/rj_smtr/tasks.py:262-297). Spark's TimeWindow expands
+    each row into window/slide = 4 window assignments map-side, then
+    one agg shuffle on (window_start, event_type); the data multiple
+    is the fixed overlap factor, independent of corpus size."""
+    register(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def a27_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: hourly event counts
+    compared against the same hour-of-day's own mean/stddev — the
+    principled version of the reference's hard-coded sanity bounds
+    (filter_data, pipelines/rj_smtr/utils.py:436-465). The baseline
+    pools ~30 daily samples per (type, hour) slot, enough mass for a
+    2.5σ cut (a per-hour-of-WEEK slot at one month of data caps |z|
+    at (n-1)/√n ≈ 1.5 — mathematically unable to alarm). Hourly
+    counts are exact integers; the moments (n, Σc, Σc²) accumulate as
+    integers too, so both engines see bit-identical baselines; |z| is
+    quantized before the threshold compare. Two agg shuffles (hour
+    grid, then ~120-group baseline broadcast back onto the grid)."""
+    register(spark, sf_dir, ("events",))
+    hourly = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("hod", F.hour("bucket_ts").cast("int"))
+    )
+    # baseline moments as window aggregates over the one hourly grid:
+    # a groupBy-then-join formulation would re-aggregate the events
+    # scan once per branch (two full scans at 100 TB); the window
+    # reuses the grid with a single extra (tiny) exchange
+    c = F.col("n_events").cast("long")
+    w = Window.partitionBy("event_type", "hod")
+    withbase = (
+        hourly.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum(c).over(w))
+        .withColumn("s2", F.sum(c * c).over(w))
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    # exact-integer variance guard BEFORE the float z: a zero-variance
+    # slot would put Infinity through floor(), which ANSI mode
+    # rejects; the guard is engine-identical integer math
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    scored = withbase.filter((F.col("n") >= 3) & (var_num > 0)).withColumn(
+        "_z",
+        (F.col("n_events") - s1 / n)
+        / F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))),
+    )
+    zq = F.floor(F.abs(F.col("_z")) * 1e4 + 0.5) / 1e4
+    return (
+        scored.withColumn("abs_z", zq)
+        .filter(F.col("abs_z") > 2.5)
+        .select("event_type", "bucket_ts", "n_events", "abs_z")
+    )
+
+
+def o14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain table diff (operators/diff.py::table_diff) between
+    two simulated snapshots of orders: the \"old\" load stops at
+    1998-01-01, the \"new\" load extends to 1998-06-01 and carries a
+    deterministic price correction on every 97th key. Both sides
+    reduce to (key, xxhash64 fingerprint) map-side; one full-outer
+    sort-merge join on the key classifies added/removed/changed."""
+    register(spark, sf_dir, ("orders",))
+    from pipelines_spark.operators.diff import table_diff
+
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    new = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return table_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -3049,4 +3153,7 @@ QUERIES = {
     "a25_column_profile": a25_column_profile,
     "a26_benford_digits": a26_benford_digits,
     "graph_khop_reach": graph_khop_reach,
+    "t3_sliding_window": t3_sliding_window,
+    "a27_seasonal_anomaly": a27_seasonal_anomaly,
+    "o14_snapshot_diff": o14_snapshot_diff,
 }

@@ -75,6 +75,14 @@ BUDGETS = {
     "a26_benford_digits": 3,
     # canonical edge distinct + two vertex-key joins + final count
     "graph_triangles": 5,
+    # window expansion is map-side (explode of 4 assignments); one
+    # agg exchange on (window_start, event_type)
+    "t3_sliding_window": 1,
+    # hour-grid agg + baseline agg (broadcast back) — z filter map-side
+    "a27_seasonal_anomaly": 2,
+    # both sides fingerprint map-side; one full-outer sort-merge join
+    # = one exchange per side
+    "o14_snapshot_diff": 2,
 }
 
 

@@ -127,6 +127,8 @@ EXTENDED = [
     "t3_sliding_window",
     "a27_seasonal_anomaly",
     "o14_snapshot_diff",
+    "graph_hierarchy_rollup",
+    "sample_weighted_topk",
 ]
 
 

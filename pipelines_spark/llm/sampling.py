@@ -135,3 +135,49 @@ def pack_token_shards(
         )
         .drop("_tokens_before")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int = 10,
+    group_cols: tuple[str, ...] = (),
+    salt: str = "",
+    score_col: str = "score_q",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``k`` rows per group whose key ``ln(u)/w`` ranks highest, where
+    ``u`` is an md5-derived uniform in (0,1) and ``w`` the row weight
+    — the Efraimidis–Spirakis A-ES exponential-jumps key (selection
+    probability proportional to weight), with the randomness replaced
+    by the corpus's content hash so the sample is reproducible across
+    engines, runs, and partitionings (the same determinism contract
+    as ``assign_split``).
+
+    Map-only scoring plus one top-k window per group; Spark rewrites
+    the ``row_number <= k`` filter into WindowGroupLimit, so each
+    partition forwards at most k candidates per group — no full sort,
+    no global shuffle of the corpus. The score is quantized (1e-12
+    grid) before ranking and ties break on the id, so the cut is
+    engine-identical. Rows with non-positive weight are excluded (a
+    zero weight has zero selection probability; ln(u)/0 is ±Inf).
+    """
+    c = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    score = F.log(u) / F.col(weight_col).cast("double")
+    sq = F.floor(score * F.lit(1e12)) / F.lit(1e12)
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        F.col(score_col).desc(), c.asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(score_col, sq)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

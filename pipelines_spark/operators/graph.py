@@ -165,3 +165,52 @@ def khop_reachability(
         reached = reached.unionByName(nxt)
         frontier = nxt
     return reached
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    *,
+    node: str = "node",
+    parent: str = "parent",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Transitive (node, ancestor) closure of a parent-pointer forest
+    — the hierarchy primitive behind org-chart rollups and
+    bill-of-materials explosion, which SQL expresses as a recursive
+    CTE and Spark as iterated joins.
+
+    Pointer DOUBLING, not level-at-a-time chaining: round r joins the
+    closure-so-far with itself, so paths up to 2^r edges exist after r
+    rounds — ceil(log2(max_depth)) self-joins instead of max_depth
+    sequential ones. For a 16-deep hierarchy that is 4 shuffled joins
+    rather than 16; at 100 TB the win is fewer barrier stages, and
+    every join keys on the (node/ancestor) id so AQE handles skewed
+    fan-in nodes. Output size is n·depth pairs (each node has at most
+    ``max_depth`` proper ancestors); the per-round distinct dedupes
+    the multiple split points a doubled path can take.
+
+    Returns ``(node, ancestor)`` for every PROPER ancestor reachable
+    within ``max_depth`` parent steps (self pairs excluded; union
+    them in if subtree-inclusive semantics are wanted).
+    """
+    closure = (
+        edges.select(F.col(node).alias("node"), F.col(parent).alias("ancestor"))
+        .filter(F.col("ancestor").isNotNull())
+        .distinct()
+    )
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        hop = closure.select(
+            F.col("node").alias("_mid"), F.col("ancestor").alias("_anc")
+        )
+        doubled = (
+            closure.join(hop, closure["ancestor"] == hop["_mid"])
+            .select("node", F.col("_anc").alias("ancestor"))
+        )
+        # lazy lineage cut: each round references closure twice, so
+        # without a checkpoint the plan tree TRIPLES per round — the
+        # same trap connected_components dodges (llm/dedup.py:533)
+        closure = (
+            closure.unionByName(doubled).distinct().localCheckpoint(eager=False)
+        )
+    return closure

@@ -2195,4 +2195,45 @@ ORACLES: dict[str, str] = {
            OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
     """,
+    # recursive CTE walks the same parent chain the pointer-doubling
+    # closure materializes; self pairs unioned in for subtree-inclusive
+    # semantics
+    "graph_hierarchy_rollup": """
+        WITH RECURSIVE anc AS (
+            SELECT c_custkey AS node, c_custkey // 10 AS ancestor
+            FROM customer WHERE c_custkey >= 10
+            UNION ALL
+            SELECT a.node, a.ancestor // 10
+            FROM anc a WHERE a.ancestor >= 10
+        ), subtree AS (
+            SELECT node, ancestor FROM anc
+            UNION ALL
+            SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
+        )
+        SELECT s.ancestor AS node_key,
+               count(*) AS n_subtree,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS subtree_bal
+        FROM subtree s JOIN customer c ON c.c_custkey = s.node
+        WHERE s.ancestor < 100
+        GROUP BY 1
+    """,
+    # A-ES weighted sampling replay: same md5 hex fold -> uniform ->
+    # ln(u)/w key, same 1e-12 quantization, same (key desc, id) order
+    "sample_weighted_topk": """
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   floor(ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                               c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                           (a, x) -> a * 16 + x) AS DOUBLE) + 0.5) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) * 1e12) / 1e12 AS score_q
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT lang, rn, doc_id, n_chars FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY score_q DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    """,
 }

@@ -3030,6 +3030,56 @@ def o14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM-style) subtree rollup: customers form a
+    parent-pointer forest (parent key = key DIV 10 — ~5 levels at
+    sf0.1), and every node under key 100 reports its subtree size and
+    total account balance. Spark has no recursive CTE; the closure
+    comes from operators/graph.py::ancestor_closure (pointer
+    doubling, ceil(log2(depth)) joins) and the rollup is one
+    aggregate over the closure ⨝ balances. The oracle IS a recursive
+    CTE — DuckDB walks the identical chain."""
+    register(spark, sf_dir, ("customer",))
+    from pipelines_spark.operators.graph import ancestor_closure
+
+    cust = spark.table("customer").select("c_custkey", "c_acctbal")
+    edges = cust.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey DIV 10").alias("parent"),
+    )
+    closure = ancestor_closure(edges, max_depth=8)
+    subtree = closure.unionByName(
+        cust.select(
+            F.col("c_custkey").alias("node"), F.col("c_custkey").alias("ancestor")
+        )
+    )
+    return (
+        subtree.filter(F.col("ancestor") < 100)
+        .join(cust, subtree["node"] == cust["c_custkey"])
+        .groupBy(F.col("ancestor").alias("node_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("subtree_bal"),
+        )
+    )
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (llm/sampling.py::
+    weighted_sample): 10 documents per language, selection probability
+    proportional to n_chars, via the A-ES key ln(u)/w with md5-hash
+    uniforms — reproducible across engines/runs/partitionings.
+    Map-only scoring + WindowGroupLimit top-k per group."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import weighted_sample
+
+    return weighted_sample(
+        spark.table("documents"), "doc_id", "n_chars", k=10, group_cols=("lang",)
+    ).select("lang", "rn", "doc_id", "n_chars")
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -3156,4 +3206,6 @@ QUERIES = {
     "t3_sliding_window": t3_sliding_window,
     "a27_seasonal_anomaly": a27_seasonal_anomaly,
     "o14_snapshot_diff": o14_snapshot_diff,
+    "graph_hierarchy_rollup": graph_hierarchy_rollup,
+    "sample_weighted_topk": sample_weighted_topk,
 }

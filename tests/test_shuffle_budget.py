@@ -83,6 +83,12 @@ BUDGETS = {
     # both sides fingerprint map-side; one full-outer sort-merge join
     # = one exchange per side
     "o14_snapshot_diff": 2,
+    # visible plan = rollup agg only — the pointer-doubling closure's
+    # per-round join/distinct shuffles sit behind its localCheckpoint
+    # lineage cut (bounded at ceil(log2(depth)) rounds by design)
+    "graph_hierarchy_rollup": 1,
+    # map-only A-ES scoring + one WindowGroupLimit top-k exchange
+    "sample_weighted_topk": 1,
 }
 
 

@@ -35,7 +35,13 @@ def _run_stream(spark, table, out, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination(t) returns False on timeout with the stream
+    # still running — under a fully loaded test box the availableNow
+    # batch can exceed a tight bound, and a silent partial read then
+    # fails the assertion downstream instead of here
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("snapshot stream did not drain in 600s")
     time.sleep(0.2)
 
 

@@ -129,6 +129,7 @@ EXTENDED = [
     "o14_snapshot_diff",
     "graph_hierarchy_rollup",
     "sample_weighted_topk",
+    "text_tfidf_pairs",
 ]
 
 

@@ -2236,4 +2236,45 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rn <= 10
     """,
+    # brute-force replay of the prefix-filtered AllPairs join: same
+    # integer-quantized tf-idf weights (wq), exact integer dot/norm,
+    # 1e-9-grid cosine; the prefix filter is lossless so brute force
+    # and filtered plans agree exactly
+    "text_tfidf_pairs": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), toks AS (
+            SELECT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS term,
+                   count(*) AS tf
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+            GROUP BY 1, 2
+        ), nn AS (SELECT count(*) AS n FROM documents),
+        dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+        feats AS (
+            SELECT t.doc_id, t.term,
+                   CAST(floor(t.tf * ln((nn.n + 1.0) / (d.df + 1.0)) * 1e4 + 0.5)
+                        AS BIGINT) AS wq
+            FROM toks t JOIN dfreq d USING (term), nn
+            WHERE CAST(d.df AS DOUBLE) / nn.n <= 0.5
+        ), norms AS (
+            SELECT doc_id, sum(wq * wq) AS n2 FROM feats GROUP BY 1
+        ), dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(a.wq * b.wq) AS dot_q
+            FROM feats a JOIN feats b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               floor(CAST(dot_q AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                     * 1e9) / 1e9 AS cos_sim
+        FROM dots
+        JOIN norms na ON na.doc_id = dots.doc_a
+        JOIN norms nb ON nb.doc_id = dots.doc_b
+        WHERE floor(CAST(dot_q AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                    * 1e9) / 1e9 >= 0.5
+    """,
 }

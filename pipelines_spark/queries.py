@@ -3080,6 +3080,21 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "rn", "doc_id", "n_chars")
 
 
+def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine all-pairs join (llm/allpairs.py — Bayardo WWW'07
+    prefix filtering) over 3-word shingle features: the weighted
+    complement of the Jaccard near-dup family. Integer-quantized
+    weights make every dot/norm exact, so the oracle brute-forces the
+    identical arithmetic; Spark's plan never goes all-pairs — prefix
+    postings ⋈ full postings, then exact map_zip_with verification."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.allpairs import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        spark.table("documents"), threshold=0.5, max_df_frac=0.5
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -3208,4 +3223,5 @@ QUERIES = {
     "o14_snapshot_diff": o14_snapshot_diff,
     "graph_hierarchy_rollup": graph_hierarchy_rollup,
     "sample_weighted_topk": sample_weighted_topk,
+    "text_tfidf_pairs": text_tfidf_pairs,
 }

@@ -89,6 +89,10 @@ BUDGETS = {
     "graph_hierarchy_rollup": 1,
     # map-only A-ES scoring + one WindowGroupLimit top-k exchange
     "sample_weighted_topk": 1,
+    # visible plan: candidate distinct + pair aggregate; the 4-window
+    # feature pipeline (term-df, doc-norm, term-maxweight, suffix
+    # bound) sits behind the feats localCheckpoint lineage cut
+    "text_tfidf_pairs": 2,
 }
 
 

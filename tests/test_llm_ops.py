@@ -912,3 +912,51 @@ def test_image_features_real_jpeg_decode(spark):
     # progressive payload: stub fallback, job never fails
     stub = rows[2]
     assert stub["width"] == 16 + (len(progressive) % 64)
+
+
+def test_audio_spectrogram_peak_frequency(spark):
+    """STFT spectrogram on a pure sine: the dominant FFT bin must sit
+    at the sine frequency (within one bin), band energies have the
+    configured arity, and a non-WAV payload yields zero rows."""
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import encode_wav
+    from pipelines_spark.llm.multimodal import audio_spectrogram
+
+    rate, freq = 8000, 1000
+    t = np.arange(rate)  # 1 s
+    sine = 0.5 * np.sin(2 * np.pi * freq * t / rate)
+    rows = [(1, encode_wav(sine, rate)), (2, b"not audio at all")]
+    df = spark.createDataFrame(rows, "item_id long, content binary")
+    out = audio_spectrogram(df, frame_len=512, hop=256, n_bands=16).collect()
+
+    assert {r["item_id"] for r in out} == {1}  # bad payload: no rows, no crash
+    # 8000 samples, frame 512 hop 256 -> (8000-512)//256 + 1 = 30 frames
+    assert len(out) == 30
+    bin_hz = rate / 512
+    for r in out:
+        assert len(r["band_energy"]) == 16
+        assert abs(r["peak_freq_hz"] - freq) <= bin_hz
+    # frame timeline advances by hop/rate seconds
+    first = sorted(out, key=lambda r: r["frame_no"])[:2]
+    assert first[0]["start_ms"] == 0.0
+    assert abs(first[1]["start_ms"] - 256 * 1000.0 / rate) < 1e-9
+
+
+def test_audio_spectrogram_band_energy_location(spark):
+    """Energy concentrates in the band containing the sine frequency:
+    that band's log-power dominates every other band."""
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import encode_wav
+    from pipelines_spark.llm.multimodal import audio_spectrogram
+
+    rate, freq = 8000, 2000  # bin 128 of 257 -> band 8 of 16
+    sine = 0.9 * np.sin(2 * np.pi * freq * np.arange(rate) / rate)
+    df = spark.createDataFrame([(7, encode_wav(sine, rate))], "item_id long, content binary")
+    out = audio_spectrogram(df, frame_len=512, hop=256, n_bands=16).collect()
+    assert out
+    for r in out:
+        bands = r["band_energy"]
+        expect_band = int(r["peak_band"] // ((512 // 2 + 1) // 16))
+        assert bands.index(max(bands)) == min(expect_band, 15)

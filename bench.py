@@ -130,6 +130,7 @@ EXTENDED = [
     "graph_hierarchy_rollup",
     "sample_weighted_topk",
     "text_tfidf_pairs",
+    "a28_cms_frequencies",
 ]
 
 

@@ -92,3 +92,98 @@ def kmv_distinct(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
         .when(F.col("kth_hash") > 0, F.expr(f"CAST({numer} AS BIGINT) DIV kth_hash"))
         .alias("est_distinct"),
     )
+
+
+def cms_table(
+    df: DataFrame, value_col: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) of
+    ``value_col`` frequencies as an aggregated table
+    ``(row_idx, bucket, cnt)``.
+
+    Each input row explodes into ``depth`` (row, bucket) updates
+    map-side (salted md5 per row — the repo's cross-engine hash
+    convention, so a SQL oracle replays the sketch EXACTLY); partial
+    aggregation caps the shuffle at depth x width keys per partition
+    regardless of input size — the same bounded-state posture as KMV.
+    The sketch is mergeable by construction: summing two sketches'
+    ``cnt`` per (row_idx, bucket) is the sketch of the union.
+
+    NULL values are excluded (a NULL has no frequency; the salted
+    concat would propagate NULL through the hash anyway).
+    """
+    updates = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_idx"),
+                    (
+                        md5_hash32(
+                            F.concat(
+                                F.lit(f"cms{i}|"), F.col(value_col).cast("string")
+                            )
+                        )
+                        % width
+                    ).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(updates.alias("u"))
+        .select("u.row_idx", "u.bucket")
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates from a ``cms_table`` sketch: for each
+    probe value, min over the sketch rows of its bucket counts — never
+    an undercount, overcount bounded by collisions (≤ n/width per row,
+    the min over ``depth`` independent rows makes it exp. unlikely).
+
+    The probe side re-derives the same salted hashes; empty buckets
+    count 0 via the left join. The sketch is tiny (≤ depth x width
+    rows) so Spark broadcasts it under the probes at any corpus size.
+    """
+    ph = (
+        probes.filter(F.col(probe_col).isNotNull())
+        .select(
+            F.col(probe_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_idx"),
+                            (
+                                md5_hash32(
+                                    F.concat(
+                                        F.lit(f"cms{i}|"),
+                                        F.col(probe_col).cast("string"),
+                                    )
+                                )
+                                % width
+                            ).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("u"),
+        )
+        .select(probe_col, "u.row_idx", "u.bucket")
+    )
+    return (
+        ph.join(F.broadcast(cms), ["row_idx", "bucket"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -2277,4 +2277,41 @@ ORACLES: dict[str, str] = {
                     / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
                     * 1e9) / 1e9 >= 0.5
     """,
+    # exact CMS replay: same salted md5 fold per sketch row, same
+    # depth/width, min-over-rows estimate left-joined with 0-default
+    "a28_cms_frequencies": """
+        WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        upd AS (
+            SELECT i.i AS row_idx,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('cms' || CAST(i.i AS VARCHAR) || '|'
+                               || CAST(user_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) % 1024 AS bucket
+            FROM events CROSS JOIN rows_i i
+            WHERE user_id IS NOT NULL
+        ), cms AS (
+            SELECT row_idx, bucket, count(*) AS cnt FROM upd GROUP BY 1, 2
+        ), probes AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+        ), ph AS (
+            SELECT user_id, i.i AS row_idx,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('cms' || CAST(i.i AS VARCHAR) || '|'
+                               || CAST(user_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) % 1024 AS bucket
+            FROM probes CROSS JOIN rows_i i
+        ), est AS (
+            SELECT ph.user_id, min(COALESCE(cms.cnt, 0)) AS cms_est
+            FROM ph LEFT JOIN cms USING (row_idx, bucket)
+            GROUP BY 1
+        ), exact AS (
+            SELECT user_id, count(*) AS exact_n
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        )
+        SELECT user_id, cms_est, exact_n FROM est JOIN exact USING (user_id)
+    """,
 }

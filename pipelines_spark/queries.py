@@ -3095,6 +3095,29 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a28_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point frequencies vs exact counts
+    (operators/sketches.py::cms_table/cms_estimate): per-user event
+    frequency estimated from a depth-4 × width-1024 sketch whose
+    shuffle is bounded at depth×width keys per partition, joined
+    against the exact count so the CMS no-undercount guarantee is
+    visible in the output. Salted md5 bucket hashes make the sketch
+    bit-identical across engines — the oracle replays it exactly."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.sketches import cms_estimate, cms_table
+
+    ev = spark.table("events")
+    sketch = cms_table(ev, "user_id")
+    probes = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, probes, "user_id")
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, "user_id").select("user_id", "cms_est", "exact_n")
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -3224,4 +3247,5 @@ QUERIES = {
     "graph_hierarchy_rollup": graph_hierarchy_rollup,
     "sample_weighted_topk": sample_weighted_topk,
     "text_tfidf_pairs": text_tfidf_pairs,
+    "a28_cms_frequencies": a28_cms_frequencies,
 }

@@ -93,6 +93,9 @@ BUDGETS = {
     # feature pipeline (term-df, doc-norm, term-maxweight, suffix
     # bound) sits behind the feats localCheckpoint lineage cut
     "text_tfidf_pairs": 2,
+    # sketch agg (bounded at depth x width keys/partition) + probe
+    # distinct + exact-count agg; the sketch joins back via broadcast
+    "a28_cms_frequencies": 3,
 }
 
 

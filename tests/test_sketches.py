@@ -163,3 +163,59 @@ def test_khop_reachability_path_graph(spark):
         for r in khop_reachability(edges, srcs, max_hops=2).collect()
     }
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    """CMS guarantee: estimate >= exact frequency for EVERY key, and
+    with far fewer keys than buckets (no forced collisions across all
+    depth rows) the estimate is exact."""
+    from pipelines_spark.operators.sketches import cms_estimate, cms_table
+
+    rows = [(f"k{i % 37}",) for i in range(1000)]  # 37 keys, skewed 28/27
+    df = spark.createDataFrame(rows, ["v"])
+    sketch = cms_table(df, "v", depth=4, width=1024)
+    probes = df.distinct()
+    est = {r["v"]: r["cms_est"] for r in cms_estimate(sketch, probes, "v").collect()}
+    exact = {r["v"]: r["cnt"] for r in df.groupBy("v").count().withColumnRenamed("count", "cnt").collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] >= exact[k]
+    # sketch is 37x4 updates into 4x1024 buckets: exact w.h.p., and the
+    # deterministic md5 hashes make this reproducible, not flaky
+    assert est == exact
+
+
+def test_cms_overcount_bounded_under_forced_collisions(spark):
+    """With width 2 every bucket collides: estimates still never
+    undercount, and the min-over-rows estimate is <= total mass."""
+    from pipelines_spark.operators.sketches import cms_estimate, cms_table
+
+    rows = [("a",)] * 90 + [("b",)] * 9 + [("c",)]
+    df = spark.createDataFrame(rows, ["v"])
+    sketch = cms_table(df, "v", depth=3, width=2)
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(sketch, df.distinct(), "v", depth=3, width=2).collect()
+    }
+    assert est["a"] >= 90 and est["b"] >= 9 and est["c"] >= 1
+    assert all(v <= 100 for v in est.values())
+
+
+def test_cms_mergeable(spark):
+    """Summing two sketches per (row_idx, bucket) equals the sketch of
+    the concatenated input — the mergeability contract."""
+    from pyspark.sql import functions as F
+
+    from pipelines_spark.operators.sketches import cms_table
+
+    d1 = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, ["v"])
+    d2 = spark.createDataFrame([("y",)] * 2 + [("z",)] * 7, ["v"])
+    merged = (
+        cms_table(d1, "v").unionByName(cms_table(d2, "v"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(d1.unionByName(d2), "v")
+    a = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row_idx"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b

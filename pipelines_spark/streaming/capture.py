@@ -92,3 +92,28 @@ def run_capture_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_within_watermark(
+    source: DataFrame,
+    *,
+    keys: list[str],
+    event_ts_col: str,
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming dedup for at-least-once sources whose RETRANSMISSION
+    carries a different event timestamp (so the exact
+    (keys, event_ts) dedup in ``run_capture_stream`` cannot catch it
+    — the reference's capture identity is pk + timestamp_captura,
+    SURVEY T9, and a re-capture restamps the timestamp).
+
+    ``dropDuplicatesWithinWatermark`` keys the state on ``keys`` only
+    and evicts each entry once the watermark passes its event time
+    plus the delay — per-key state is bounded by the watermark
+    horizon, never by stream length, which is the 100 TB contract for
+    an unbounded stream. A key that legitimately recurs after the
+    horizon passes through as a new row.
+    """
+    return source.withWatermark(event_ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )

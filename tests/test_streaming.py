@@ -375,3 +375,56 @@ def test_cdc_upsert_stream_folds_batches_into_lake(spark, tmp_path):
     t2 = {(r["id"], r["v"], r["year"]) for r in spark.read.parquet(lake).collect()}
     assert t2 == {(1, "a1", "1995"), (2, "b2", "1996"), (3, "c", "1997")}
     assert sorted(os.listdir(os.path.join(lake, "year=1995"))) == before
+
+
+def test_dedup_within_watermark_retransmits_and_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: a
+    retransmitted key with a DIFFERENT event ts inside the horizon is
+    dropped; once the watermark passes the key's expiry the same key
+    is a fresh row again. State is keyed on the id only, so this is
+    the at-least-once-source dedup the exact (key, ts) variant cannot
+    express."""
+    import pandas as pd
+
+    from pipelines_spark.streaming.capture import dedup_within_watermark
+
+    src = tmp_path / "src"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def drop(name, rows):
+        pd.DataFrame(rows, columns=["k", "ts"]).astype(
+            {"k": "str", "ts": "datetime64[us]"}
+        ).to_parquet(src / name)
+
+    def run():
+        stream = spark.readStream.schema("k string, ts timestamp").parquet(str(src))
+        q = (
+            dedup_within_watermark(
+                stream, keys=["k"], event_ts_col="ts", watermark_delay="2 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    t = pd.Timestamp
+    # batch 1: A arrives twice with different event times (retransmit)
+    drop("b1.parquet", [("A", t("2024-01-01 10:00:00")),
+                        ("A", t("2024-01-01 10:00:30")),
+                        ("B", t("2024-01-01 10:01:00"))])
+    run()
+    # batch 2: C advances the watermark past A's expiry (10:00 + 2min)
+    drop("b2.parquet", [("C", t("2024-01-01 11:00:00"))])
+    run()
+    # batch 3: A again, far past the horizon -> fresh row
+    drop("b3.parquet", [("A", t("2024-01-01 12:00:00"))])
+    run()
+
+    counts = {}
+    for r in spark.read.parquet(out).collect():
+        counts[r["k"]] = counts.get(r["k"], 0) + 1
+    assert counts == {"A": 2, "B": 1, "C": 1}

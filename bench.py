@@ -131,6 +131,11 @@ EXTENDED = [
     "sample_weighted_topk",
     "text_tfidf_pairs",
     "a28_cms_frequencies",
+    "text_ngram_entropy",
+    "text_dup_spans",
+    "dedup_containment",
+    "sample_mixture_rates",
+    "a29_hll_distinct",
 ]
 
 

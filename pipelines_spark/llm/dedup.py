@@ -333,6 +333,64 @@ def ngram_jaccard_pairs(
     return _attach_staging(scored, staged)
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """One-sided Jaccard containment dedup: pairs where the smaller
+    document's shingle set is mostly a subset of the larger one's
+    (|A∩B| / min(|A|,|B|) ≥ threshold). Symmetric Jaccard misses
+    these — a paragraph quoted inside a 100× longer page scores
+    near-zero Jaccard but containment 1.0. This is the wire-story /
+    quote / excerpt dedup rule (cf. Broder's containment from the
+    original resemblance paper).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs``: explode →
+    posting-list self-join on the shingle → pair-count aggregation —
+    candidates are pairs sharing ≥1 shingle, never the cross product.
+    Returns (contained_id, container_id, containment) with the
+    smaller set (ties: smaller id) as contained."""
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
+    inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    inter = (
+        inv.alias("l")
+        .join(inv.alias("r"), "_sh")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    scored = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
+        .withColumn(
+            "containment",
+            F.col("_inter") / F.least("_na", "_nb").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    smaller_is_a = (F.col("_na") < F.col("_nb")) | (
+        (F.col("_na") == F.col("_nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return scored.select(
+        F.when(smaller_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "contained_id"
+        ),
+        F.when(smaller_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "container_id"
+        ),
+        F.round("containment", 4).alias("containment"),
+    )
+
+
 def _md5_hash32(col: Column) -> Column:
     """First 32 bits of md5 as a non-negative long — deterministic and
     reproducible in any engine with md5 (used for oracle parity)."""

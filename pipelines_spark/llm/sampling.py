@@ -137,6 +137,75 @@ def pack_token_shards(
     )
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, int],
+    *,
+    salt: str = "mix|",
+) -> DataFrame:
+    """Rebalance a multi-source corpus toward target mixture
+    ``weights`` by deterministic down-sampling only (the Pile-style
+    mixture construction, without up-sampling duplication): the
+    most-constrained source — the one with the smallest n_s/w_s —
+    keeps all its rows, and every other source's acceptance rate is
+    scaled so expected kept counts are proportional to the weights.
+
+    Rates are exact integer basis points,
+    ``rate_bp = min(10000, ⌊10000·w_s·n_min / (w_min·n_s)⌋)``
+    computed from exact counts (no float ratios anywhere), and
+    acceptance is the md5 hash-bucket rule shared by the whole
+    sampling family — engine-reproducible, growth-stable, map-only
+    after one counts aggregation (sources are few; the counts and
+    the anchor row broadcast).
+
+    Sources absent from ``weights`` default to weight 1. Returns the
+    kept rows with their source's ``rate_bp`` attached; the rates
+    frame itself is available via ``mixture_rates``."""
+    rates = mixture_rates(df, source_col, weights)
+    return df.join(F.broadcast(rates.drop("n_docs")), source_col).filter(
+        hash_bucket(id_col, buckets=10000, salt=salt) < F.col("rate_bp")
+    )
+
+
+def mixture_rates(
+    df: DataFrame, source_col: str, weights: dict[str, int]
+) -> DataFrame:
+    """Per-source acceptance rates for ``mixture_rebalance``:
+    (source, n_docs, rate_bp). One counts aggregation; the anchor
+    (most-constrained source, ties toward the smaller name) is a
+    TakeOrdered over the tiny per-source counts, never the corpus."""
+    wmap = F.create_map(
+        *[x for s, w in sorted(weights.items()) for x in (F.lit(s), F.lit(int(w)))]
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", F.coalesce(wmap[F.col(source_col)], F.lit(1)))
+    )
+    anchor = (
+        counts.orderBy(
+            (F.col("_n").cast("double") / F.col("_w")).asc(), F.col(source_col).asc()
+        )
+        .limit(1)
+        .select(F.col("_n").alias("_n_min"), F.col("_w").alias("_w_min"))
+    )
+    return counts.crossJoin(F.broadcast(anchor)).select(
+        source_col,
+        F.col("_n").alias("n_docs"),
+        F.least(
+            F.lit(10000),
+            F.floor(
+                F.lit(10000) * F.col("_w") * F.col("_n_min")
+                / (F.col("_w_min") * F.col("_n"))
+            ),
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -162,6 +162,173 @@ def dup_word_ratio(text: Column | str) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws).cast("double")
 
 
+def lm_tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the
+    tokenization contract shared by the n-gram LM operators and their
+    oracles (double spaces must not mint '' vocabulary entries)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), " "), lambda w: w != "")
+
+
+def ngram_cross_entropy(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """CCNet-style n-gram language-model quality scoring: train an
+    add-one-smoothed bigram LM on the corpus itself, then score every
+    document by its per-bigram cross-entropy (bits). Low-entropy docs
+    read like the corpus; high-entropy docs are noise/outliers —
+    thresholding this column is the classic perplexity filter used to
+    curate web-scale pre-training data (cf. CCNet, Wenzek et al. 2020).
+
+    Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) with c(·) corpus
+    occurrence counts and V the corpus vocabulary size. Per-bigram
+    log2-probabilities are rounded to 4 dp and summed as DECIMAL so
+    the per-doc total is summation-order-independent (bit-identical
+    across partitionings and engines); the final bits-per-bigram is a
+    single deterministic double division.
+
+    Scale shape: token/bigram explode is map-side; counts are two
+    hash aggregations on (token)/(bigram); scoring joins each doc
+    bigram to the two count tables (shuffle joins on high-cardinality
+    keys — fine, linear) and re-aggregates on the doc id. V and the
+    training tables come from the same corpus pass; no driver state.
+    Docs with fewer than 2 tokens have no bigrams and are excluded.
+    Returns (id_col, n_bigrams, h_bits)."""
+    toks = docs.select(F.col(id_col), lm_tokens(text_col).alias("w"))
+    uni = toks.select(F.explode("w").alias("tok"))
+    unic = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = unic.agg(F.count(F.lit(1)).alias("v"))
+    bg = toks.filter(F.size("w") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("w1"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("w"), i),
+                        F.element_at(F.col("w"), i + 1),
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.bg")
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bgc, "bg")
+        .join(unic.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.round(
+                F.log2((F.col("cb") + F.lit(1)) / (F.col("cu") + F.col("v"))), 4
+            ).cast("decimal(18,4)"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                -F.col("_slp").cast("double") / F.col("n_bigrams"), 4
+            ).alias("h_bits"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 8,
+):
+    """Exact duplicate-substring detection (the span-level dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every ``window_words``-word window is hashed;
+    windows whose hash occurs more than once in the corpus (another
+    doc OR another position) are duplicates, and overlapping duplicate
+    windows merge into maximal spans via a gaps-and-islands pass.
+
+    Scale shape: the window explode is linear in corpus tokens
+    (map-side); duplicate hashes come from one hash aggregation with
+    a count>1 filter (the output is only the *repeated* window set);
+    marking is a shuffle join on the hash; island-merging is one
+    window-function pass partitioned by doc. No pairwise stage exists
+    — cost is O(tokens) + two shuffles regardless of how many docs
+    share a span.
+
+    Returns per-doc summaries (id_col, n_words, n_dup_spans,
+    dup_words, dup_frac) for ALL docs (zero rows for clean ones),
+    where dup_words counts word positions covered by ≥1 duplicate
+    window and dup_frac = dup_words / n_words rounded to 4 dp."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), lm_tokens(text_col).alias("w"))
+    sizes = toks.select(id_col, F.size("w").alias("n_words"))
+    win = toks.filter(F.size("w") >= window_words).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (window_words - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, window_words))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.start", "p.h")
+    dup_h = win.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(
+        F.col("occ") > 1
+    )
+    marked = win.join(dup_h.select("h"), "h").select(
+        id_col, "start", (F.col("start") + (window_words - 1)).alias("end")
+    )
+    order = Window.partitionBy(id_col).orderBy("start")
+    prev_max = (
+        F.max("end").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    islands = marked.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("start") > prev_max + 1), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_words"),
+    )
+    return (
+        sizes.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def doc_shingles(
     docs,
     *,

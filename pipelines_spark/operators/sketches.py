@@ -187,3 +187,95 @@ def cms_estimate(
         .groupBy(probe_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def hll_registers(df: DataFrame, value_col: str, *, b: int = 8) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al., AofA 2007) for
+    ``value_col`` as an aggregated table ``(bucket, m_j)``.
+
+    Hash = first 56 bits of md5('hll|' || value) — the repo's
+    cross-engine convention, so a SQL oracle replays every register
+    exactly. Top ``b`` bits pick the bucket (m = 2^b registers); the
+    register value m_j is the 1-based position of the first set bit
+    in the remaining 48 bits (all-zero remainder → 49).
+
+    Scale shape: map-only hashing + one hash aggregation whose
+    partial (map-side) state is capped at 2^b keys per partition —
+    the shuffle carries O(partitions × 2^b) rows no matter how many
+    input rows exist. Registers merge by MAX(m_j) per bucket, the
+    HLL union, so sketches from independent corpora compose.
+    """
+    rem_bits = 56 - b
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), F.col(value_col).cast("string"))), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    hashed = df.filter(F.col(value_col).isNotNull()).select(h.alias("h"))
+    w = F.col("h") % (1 << rem_bits)
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        # integer DIV, not `/`: float division of a 56-bit value loses
+        # low bits (53-bit mantissa) and can misplace boundary hashes
+        hashed.select(
+            F.expr(f"CAST(h DIV {1 << rem_bits} AS BIGINT)").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct(df: DataFrame, value_col: str, *, b: int = 8) -> DataFrame:
+    """One-row HyperLogLog distinct-count estimate:
+    ``(m, n_used, zeros, denom_scaled, est_distinct)``.
+
+    The harmonic-mean denominator Σ 2^(-m_j) is kept as an EXACT
+    integer scaled by 2^49 (max 2^b · 2^48 < 2^63 — no float
+    summation order anywhere), so both engines agree bit-for-bit;
+    only the final estimate applies the float constant α_m and the
+    small-range linear-counting branch (E ≤ 2.5m with empty
+    registers → m·ln(m/zeros)), each a single deterministic libm
+    call rounded to an integer. Large-range (2^32) correction is
+    deliberately omitted: the 56-bit hash space makes it moot below
+    ~10^15 distincts."""
+    m = 1 << b
+    scale = 56 - b + 1  # Σ2^(-m_j) scaled exact: max m·2^scale < 2^63
+    alpha = 0.7213 / (1 + 1.079 / m)
+    regs = hll_registers(df, value_col, b=b)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - m_j)"))
+        .cast("long")
+        .alias("denom_used"),
+    )
+    raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << scale))
+        / F.col("denom_scaled").cast("double")
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        "n_used",
+        (F.lit(m) - F.col("n_used")).alias("zeros"),
+        (
+            F.col("denom_used")
+            + (F.lit(m) - F.col("n_used")) * F.lit(1 << scale)
+        ).cast("long").alias("denom_scaled"),
+    ).select(
+        "m",
+        "n_used",
+        "zeros",
+        "denom_scaled",
+        F.round(
+            F.when(
+                (raw <= 2.5 * m) & (F.col("zeros") > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+            ).otherwise(raw),
+            0,
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )

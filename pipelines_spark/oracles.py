@@ -2314,4 +2314,183 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id, cms_est, exact_n FROM est JOIN exact USING (user_id)
     """,
+    # Add-one bigram LM trained on the corpus; per-bigram log2-probs
+    # rounded to 4 dp and DECIMAL-summed (order-independent), exactly
+    # mirroring llm/text.py::ngram_cross_entropy.
+    "text_ngram_entropy": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+            FROM documents
+        ),
+        uni AS (SELECT t.doc_id, tok FROM toks t, UNNEST(t.w) AS u(tok)),
+        unic AS (SELECT tok, count(*) AS cu FROM uni GROUP BY 1),
+        vocab AS (SELECT count(*) AS v FROM unic),
+        bg AS (
+            SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+            FROM toks, UNNEST(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        bgc AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+        scored AS (
+            SELECT bg.doc_id,
+                   CAST(round(log2((cb + 1.0) / (cu + v)), 4)
+                        AS DECIMAL(18,4)) AS logp
+            FROM bg
+            JOIN bgc USING (bg)
+            JOIN unic ON bg.w1 = unic.tok
+            CROSS JOIN vocab
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-CAST(sum(logp) AS DOUBLE) / count(*), 4) AS h_bits
+        FROM scored GROUP BY doc_id
+    """,
+    # 8-word duplicate windows (count > 1 corpus-wide) merged into
+    # maximal spans with the same gaps-and-islands pass as Spark.
+    "text_dup_spans": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, len(w) AS n_words FROM toks),
+        win AS (
+            SELECT doc_id, i AS s0,
+                   md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS h
+            FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+            WHERE len(w) >= 8
+        ),
+        dup_h AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+        marked AS (
+            SELECT w.doc_id, w.s0, w.s0 + 7 AS e0
+            FROM win w JOIN dup_h USING (h)
+        ),
+        isl AS (
+            SELECT doc_id, s0, e0,
+                   CASE WHEN max(e0) OVER prev IS NULL
+                             OR s0 > max(e0) OVER prev + 1
+                        THEN 1 ELSE 0 END AS new_island
+            FROM marked
+            WINDOW prev AS (PARTITION BY doc_id ORDER BY s0
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        isl2 AS (
+            SELECT doc_id, s0, e0,
+                   sum(new_island) OVER (PARTITION BY doc_id ORDER BY s0
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, island, min(s0) AS s, max(e0) AS e
+            FROM isl2 GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS dup_words
+            FROM spans GROUP BY 1
+        )
+        SELECT z.doc_id, z.n_words,
+               CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+               round(COALESCE(p.dup_words, 0)
+                     / CAST(greatest(z.n_words, 1) AS DOUBLE), 4) AS dup_frac
+        FROM sizes z LEFT JOIN per_doc p USING (doc_id)
+    """,
+    # One-sided containment over the shared 3-word shingle universe;
+    # smaller set (ties: smaller id) reported as contained.
+    "dedup_containment": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
+                    THEN id_a ELSE id_b END AS contained_id,
+               CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
+                    THEN id_b ELSE id_a END AS container_id,
+               round(inter / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+        FROM pair_inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.8
+    """,
+    # Exact-integer basis-point rates anchored on the most-constrained
+    # source; md5 hash-bucket acceptance (the sampling family's rule).
+    "sample_mixture_rates": """
+        WITH counts AS (
+            SELECT source, count(*) AS n,
+                   CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                        ELSE 1 END AS w
+            FROM documents GROUP BY 1
+        ),
+        anchor AS (
+            SELECT n AS n_min, w AS w_min FROM counts
+            ORDER BY n * 1.0 / w ASC, source ASC LIMIT 1
+        ),
+        rates AS (
+            SELECT source, n AS n_docs,
+                   least(10000, CAST(floor(
+                       (10000 * w * n_min) * 1.0 / (w_min * n)
+                   ) AS BIGINT)) AS rate_bp
+            FROM counts CROSS JOIN anchor
+        ),
+        sampled AS (
+            SELECT d.source, count(*) AS n_sampled
+            FROM documents d JOIN rates r USING (source)
+            WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                          string_split(substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                          c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                      (a, x) -> a * 16 + x) % 10000 < r.rate_bp
+            GROUP BY 1
+        )
+        SELECT r.source, r.n_docs, r.rate_bp,
+               CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM rates r LEFT JOIN sampled s USING (source)
+    """,
+    # HLL registers replayed exactly: 56-bit md5 fold, top-8-bit
+    # bucket via integer division, rank-of-first-set-bit via bin(),
+    # harmonic denominator as an exact 2^49-scaled BIGINT.
+    "a29_hll_distinct": """
+        WITH hashed AS (
+            SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 14), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) AS h
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        regs AS (
+            SELECT CAST(h // 281474976710656 AS BIGINT) AS bucket,
+                   max(CASE WHEN h % 281474976710656 = 0 THEN 49
+                            ELSE 49 - length(bin(h % 281474976710656))
+                       END) AS m_j
+            FROM hashed GROUP BY 1
+        ),
+        agg AS (
+            SELECT count(*) AS n_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT) AS denom_used
+            FROM regs
+        ),
+        wide AS (
+            SELECT 256 AS m, n_used, 256 - n_used AS zeros,
+                   CAST(denom_used
+                        + (256 - n_used) * (CAST(1 AS BIGINT) << 49)
+                        AS BIGINT) AS denom_scaled
+            FROM agg
+        ),
+        est AS (
+            SELECT m, n_used, zeros, denom_scaled,
+                   CAST(round(
+                       CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0 / denom_scaled <= 2.5 * 256
+                                 AND zeros > 0
+                            THEN 256.0 * ln(256.0 / zeros)
+                            ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0 / denom_scaled
+                       END, 0) AS BIGINT) AS est_distinct
+            FROM wide
+        )
+        SELECT e.m, e.n_used, e.zeros, e.denom_scaled, e.est_distinct,
+               x.exact_distinct
+        FROM est e CROSS JOIN (
+            SELECT count(DISTINCT user_id) AS exact_distinct
+            FROM events WHERE user_id IS NOT NULL
+        ) x
+    """,
 }

@@ -3118,6 +3118,90 @@ def a28_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "user_id").select("user_id", "cms_est", "exact_n")
 
 
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020), the
+    quality gate the reference approximates with hand rules: train an
+    add-one bigram LM on the corpus itself and score every document's
+    bits-per-bigram cross-entropy (llm/text.py::ngram_cross_entropy).
+    Per-bigram log-probs round to 4 dp and sum as DECIMAL, so the doc
+    score is partitioning- and engine-independent; plan is two count
+    aggregations + two shuffle joins + one doc regroup — all linear."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.text import ngram_cross_entropy
+
+    return ngram_cross_entropy(spark.table("documents")).orderBy("doc_id")
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. 2022): 8-word
+    windows hashed corpus-wide; windows occurring more than once are
+    duplicates and merge into maximal per-doc spans via one
+    gaps-and-islands window pass (llm/text.py::duplicate_spans). The
+    repeated-window set comes from a count>1 aggregation — no
+    pairwise stage at any scale."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.text import duplicate_spans
+
+    return duplicate_spans(spark.table("documents")).orderBy("doc_id")
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided Jaccard containment pairs (Broder's containment):
+    quoted/excerpted docs that symmetric Jaccard misses. Inverted
+    shingle index + pair-count aggregation, smaller set reported as
+    contained (llm/dedup.py::containment_pairs)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.dedup import containment_pairs
+
+    return containment_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text", threshold=0.8
+    ).orderBy("contained_id", "container_id")
+
+
+def sample_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalancing (llm/sampling.py::mixture_rebalance):
+    deterministic down-sampling so kept counts track per-source target
+    weights (src0→3, src1→2, others→1 — a stand-in for a curated
+    mixture spec). Exact integer basis-point rates from one
+    counts aggregation; acceptance is the family's md5 hash rule.
+    Output: per-source funnel (n_docs, rate_bp, n_sampled)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import mixture_rates, mixture_rebalance
+
+    docs = spark.table("documents")
+    weights = {"src0": 3, "src1": 2}  # others default to weight 1
+    kept = mixture_rebalance(docs, "doc_id", "source", weights)
+    rates = mixture_rates(docs, "source", weights)
+    sampled = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_bp",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+def a29_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users (operators/sketches.py::hll_distinct)
+    joined against the exact count: the register table is an exact
+    integer replay in any engine (md5 bucketing, scaled harmonic sum
+    as BIGINT), shuffle capped at 2^b keys per partition — the
+    bounded-state alternative to a full COUNT DISTINCT key shuffle."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.sketches import hll_distinct
+
+    ev = spark.table("events")
+    est = hll_distinct(ev, "user_id", b=8)
+    exact = ev.filter(F.col("user_id").isNotNull()).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -3248,4 +3332,9 @@ QUERIES = {
     "sample_weighted_topk": sample_weighted_topk,
     "text_tfidf_pairs": text_tfidf_pairs,
     "a28_cms_frequencies": a28_cms_frequencies,
+    "text_ngram_entropy": text_ngram_entropy,
+    "text_dup_spans": text_dup_spans,
+    "dedup_containment": dedup_containment,
+    "sample_mixture_rates": sample_mixture_rates,
+    "a29_hll_distinct": a29_hll_distinct,
 }

@@ -960,3 +960,81 @@ def test_audio_spectrogram_band_energy_location(spark):
         bands = r["band_energy"]
         expect_band = int(r["peak_band"] // ((512 // 2 + 1) // 16))
         assert bands.index(max(bands)) == min(expect_band, 15)
+
+
+def test_containment_finds_excerpt(spark):
+    """A short doc quoted inside a much longer one has low symmetric
+    Jaccard but containment 1.0 — exactly the pair this operator
+    exists to catch."""
+    from pipelines_spark.llm.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"],
+    )
+    pairs = containment_pairs(df, id_col="doc_id", text_col="text").collect()
+    assert len(pairs) == 1
+    row = pairs[0]
+    assert row["contained_id"] == 1 and row["container_id"] == 2
+    assert row["containment"] == 1.0
+    # symmetric Jaccard misses it at any reasonable threshold
+    jac = ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.3
+    ).collect()
+    assert jac == []
+
+
+def test_duplicate_spans_marks_shared_run(spark):
+    from pipelines_spark.llm.text import duplicate_spans
+
+    shared = " ".join(f"common{i}" for i in range(12))  # 12-word run
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "unrelated words here " + shared + " trailing tail"),
+            (3, "totally distinct text with no duplicate windows at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(df).collect()}
+    # the 12 shared words are covered by one merged span in both docs
+    assert rows[1]["n_dup_spans"] == 1 and rows[1]["dup_words"] == 12
+    assert rows[2]["n_dup_spans"] == 1 and rows[2]["dup_words"] == 12
+    assert rows[3]["n_dup_spans"] == 0 and rows[3]["dup_frac"] == 0.0
+
+
+def test_ngram_entropy_scores_outlier_higher(spark):
+    """Docs that look like the corpus get low cross-entropy; a doc of
+    bigrams seen nowhere else scores strictly higher."""
+    from pipelines_spark.llm.text import ngram_cross_entropy
+
+    common = "the cat sat on the mat"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(10)] + [(99, "zxqv wkjh pqrs mnbv")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["h_bits"] for r in ngram_cross_entropy(df).collect()}
+    assert rows[99] > rows[0]
+    assert all(rows[i] == rows[0] for i in range(10))
+
+
+def test_mixture_rebalance_rates_and_determinism(spark):
+    from pipelines_spark.llm.sampling import mixture_rates, mixture_rebalance
+
+    rows = [(i, "heavy") for i in range(400)] + [(1000 + i, "light") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {
+        r["source"]: r["rate_bp"]
+        for r in mixture_rates(df, "source", {"heavy": 1, "light": 1}).collect()
+    }
+    # light (100 docs) is most constrained -> keeps all; heavy thins to match
+    assert rates["light"] == 10000
+    assert rates["heavy"] == 2500
+    kept = mixture_rebalance(df, "doc_id", "source", {"heavy": 1, "light": 1})
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.repartition(13).collect())
+    assert a == b  # partitioning-independent acceptance
+    n_heavy = sum(1 for i in a if i < 1000)
+    assert abs(n_heavy - 100) < 40  # binomial around the 25% rate

@@ -96,6 +96,20 @@ BUDGETS = {
     # sketch agg (bounded at depth x width keys/partition) + probe
     # distinct + exact-count agg; the sketch joins back via broadcast
     "a28_cms_frequencies": 3,
+    # unigram agg + bigram agg + two scoring joins + doc regroup +
+    # vocab 1-row agg; all linear, no pairwise stage
+    "text_ngram_entropy": 6,
+    # dup-hash agg + mark join + per-doc summary (islands window
+    # reuses the doc_id exchange)
+    "text_dup_spans": 3,
+    # posting-list pair agg + size joins (sizes broadcast)
+    "dedup_containment": 2,
+    # counts agg + 1-row anchor + kept-count agg + tiny rate/sample
+    # joins (20-row frames — AQE broadcasts them at runtime)
+    "sample_mixture_rates": 5,
+    # register agg (map-capped at 2^b keys) + 1-row estimate +
+    # exact count-distinct (2: expand + global)
+    "a29_hll_distinct": 4,
 }
 
 

@@ -219,3 +219,53 @@ def test_cms_mergeable(spark):
     a = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
     b = {(r["row_idx"], r["bucket"]): r["cnt"] for r in direct.collect()}
     assert a == b
+
+
+def test_hll_estimate_within_error(spark):
+    from pipelines_spark.operators.sketches import hll_distinct
+
+    n = 30_000
+    df = spark.range(n).select((F.col("id") % 9_973).alias("v"))  # 9973 distinct
+    row = hll_distinct(df, "v", b=8).collect()[0]
+    assert row["m"] == 256
+    # ~1.04/sqrt(256) ~ 6.5% expected relative error; allow 3 sigma
+    assert abs(row["est_distinct"] - 9_973) / 9_973 < 0.20
+
+
+def test_hll_partitioning_independent(spark):
+    from pipelines_spark.operators.sketches import hll_distinct
+
+    df = spark.range(5_000).select((F.col("id") * 13 % 4_001).alias("v"))
+    a = hll_distinct(df.repartition(1), "v").collect()[0]
+    b = hll_distinct(df.repartition(17), "v").collect()[0]
+    assert a == b
+
+
+def test_hll_registers_merge_is_union(spark):
+    """MAX-per-bucket of two disjoint halves' registers == registers
+    of the union: the mergeability contract that lets per-day sketches
+    roll up without touching raw data."""
+    from pipelines_spark.operators.sketches import hll_registers
+
+    df = spark.range(8_000).select((F.col("id") % 3_001).alias("v"))
+    left = hll_registers(df.filter(F.col("v") % 2 == 0), "v")
+    right = hll_registers(df.filter(F.col("v") % 2 == 1), "v")
+    merged = (
+        left.unionByName(right)
+        .groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = hll_registers(df, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from pipelines_spark.operators.sketches import hll_distinct
+
+    # 50 distincts over 256 buckets: deep in the linear-counting regime
+    df = spark.range(50).select(F.col("id").alias("v"))
+    row = hll_distinct(df, "v").collect()[0]
+    assert row["zeros"] > 0
+    assert abs(row["est_distinct"] - 50) <= 10

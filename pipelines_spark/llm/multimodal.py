@@ -135,6 +135,152 @@ def extract_image_features(
     return df.select(*cols).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+#: Schema of the perceptual-hash output.
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def _dhash64(px) -> int:
+    """64-bit difference hash of an RGB array: grayscale → 9×8
+    block-mean downscale → horizontal-gradient bits, packed row-major
+    into a signed (two's-complement) 64-bit int. Block-mean pooling
+    (not nearest-neighbor) so the hash is stable under the small
+    rescale/recompress edits perceptual dedup exists to catch."""
+    import numpy as np
+
+    gray = px.astype("float64").mean(axis=2)
+    h, w = gray.shape
+    # mean-pool onto a 9x8 grid (cells as equal as integer bounds allow)
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 10).astype(int)
+    cells = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            block = gray[ys[r] : max(ys[r + 1], ys[r] + 1),
+                         xs[c] : max(xs[c + 1], xs[c] + 1)]
+            cells[r, c] = block.mean()
+    bits = (cells[:, :-1] < cells[:, 1:]).flatten()  # 8x8 row-major
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual (difference) hash per image payload — the standard
+    near-duplicate-image signature (cf. pHash/dHash in public image
+    dedup tooling): re-encodes, mild recompression, and small edits
+    keep the Hamming distance low while distinct images land ~32 bits
+    apart. Decodable BMP/PNG/baseline-JPEG payloads hash for real;
+    undecodable payloads yield a NULL hash (bad bytes are data, not
+    errors — the 100 TB posture). Arrow-batched mapInPandas, map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from pipelines_spark.llm.codecs import decode_image_rgb, image_format
+        except Exception:
+            image_format = lambda _p: None  # noqa: E731
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                dh = None
+                if image_format(payload) is not None:
+                    try:
+                        dh = _dhash64(decode_image_rgb(payload))
+                    except Exception:
+                        dh = None
+                out.append({"item_id": row[id_col], "dhash": dh})
+            yield pd.DataFrame(out, columns=["item_id", "dhash"])
+
+    return df.select(F.col(id_col).alias("item_id"), content_col).mapInPandas(
+        run, DHASH_SCHEMA
+    )
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 6,
+    max_block_group: int | None = 10_000,
+) -> DataFrame:
+    """Image near-dup pairs within ``max_hamming`` of the 64-bit
+    dhash, via the same pigeonhole block LSH as the text SimHash
+    operator (llm/dedup.py::simhash_pairs): split into
+    ``max_hamming + 1`` blocks, candidates from per-block equi-joins
+    (a pair at distance ≤ d must agree on ≥1 block), verified with an
+    exact JVM ``bit_count(xor)``. ``max_block_group`` drops
+    pathologically hot (block_no, block_val) groups — e.g. the
+    constant hash of single-color thumbnails — keeping the join from
+    going quadratic; recall degrades gracefully through the other
+    blocks. Input: (item_id, dhash) with NULL hashes ignored.
+    Returns (id_a, id_b, hamming)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    hs = hashes.filter(F.col("dhash").isNotNull())
+    blocks = hs.select(
+        "item_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_no"),
+                        F.shiftright("dhash", b * width)
+                        .bitwiseAND(
+                            F.lit((1 << width) - 1)
+                            if b < nblocks - 1
+                            else F.lit(-1)  # top block keeps sign bits
+                        )
+                        .alias("block_val"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("item_id", "dhash", "blk.block_no", "blk.block_val")
+    if max_block_group is not None:
+        counts = blocks.groupBy("block_no", "block_val").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        blocks = (
+            blocks.join(counts, ["block_no", "block_val"])
+            .filter(F.col("_n") <= max_block_group)
+            .drop("_n")
+        )
+    cands = (
+        blocks.alias("l")
+        .join(
+            blocks.alias("r"),
+            (F.col("l.block_no") == F.col("r.block_no"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.item_id") < F.col("r.item_id")),
+        )
+        .select(
+            F.col("l.item_id").alias("id_a"),
+            F.col("r.item_id").alias("id_b"),
+            F.col("l.dhash").alias("h_a"),
+            F.col("r.dhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(h_a ^ h_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def sample_frames(
     df: DataFrame,
     *,

@@ -1038,3 +1038,71 @@ def test_mixture_rebalance_rates_and_determinism(spark):
     assert a == b  # partitioning-independent acceptance
     n_heavy = sum(1 for i in a if i < 1000)
     assert abs(n_heavy - 100) < 40  # binomial around the 25% rate
+
+
+def _synth_bmp(seed: int, flip_pixels: int = 0) -> bytes:
+    """Deterministic 48x32 RGB noise image as BMP bytes; optionally
+    perturb a few pixels (a near-duplicate edit)."""
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import encode_image
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(32, 48, 3)).astype("uint8")
+    if flip_pixels:
+        px[:flip_pixels, 0, :] = 255 - px[:flip_pixels, 0, :]
+    return encode_image(px, "bmp")
+
+
+def test_image_dhash_near_dup_detection(spark):
+    """dHash: a lightly-edited copy stays within Hamming 6 of the
+    original; an unrelated image does not; garbage payloads hash NULL
+    and never reach the pair join."""
+    from pipelines_spark.llm.multimodal import dhash_near_dup_pairs, image_dhash
+
+    rows = [
+        (1, _synth_bmp(7)),
+        (2, _synth_bmp(7, flip_pixels=2)),   # near-dup edit
+        (3, _synth_bmp(99)),                  # unrelated
+        (4, b"not an image at all"),          # undecodable
+    ]
+    df = spark.createDataFrame(rows, ["item_id", "content"])
+    hashes = image_dhash(df)
+    by_id = {r["item_id"]: r["dhash"] for r in hashes.collect()}
+    assert by_id[4] is None
+    assert by_id[1] is not None and by_id[3] is not None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_image_dhash_partitioning_independent(spark):
+    from pipelines_spark.llm.multimodal import image_dhash
+
+    rows = [(i, _synth_bmp(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, ["item_id", "content"])
+    a = sorted(map(tuple, image_dhash(df.repartition(1)).collect()))
+    b = sorted(map(tuple, image_dhash(df.repartition(5)).collect()))
+    assert a == b
+
+
+def test_dhash_hot_block_cap_drops_constant_images(spark):
+    """A pile of identical constant-color thumbnails shares every
+    block; the cap keeps them out of candidate generation instead of
+    letting the join go quadratic."""
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import encode_image
+    from pipelines_spark.llm.multimodal import dhash_near_dup_pairs, image_dhash
+
+    flat = encode_image(np.full((16, 16, 3), 128, dtype="uint8"), "bmp")
+    rows = [(i, flat) for i in range(30)] + [(100, _synth_bmp(1)), (101, _synth_bmp(1, 2))]
+    df = spark.createDataFrame(rows, ["item_id", "content"])
+    hashes = image_dhash(df)
+    pairs = dhash_near_dup_pairs(hashes, max_hamming=6, max_block_group=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got            # real near-dup survives the cap
+    assert not any(a < 30 and b < 30 for a, b in got)  # flat clique dropped

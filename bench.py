@@ -136,6 +136,8 @@ EXTENDED = [
     "dedup_containment",
     "sample_mixture_rates",
     "a29_hll_distinct",
+    "text_bpe_merges",
+    "text_bpe_top_tokens",
 ]
 
 

@@ -67,6 +67,87 @@ jaccards AS (
 _EXACT_JACCARD_SQL = f"WITH {_SHINGLES_CTE} SELECT id_a, id_b, jaccard FROM jaccards"
 
 
+def _bpe_sql(n_merges: int, final: str) -> str:
+    """Exact replay of llm/bpe.py training: per iteration, a weighted
+    adjacent-pair count over the symbol table, the (cnt DESC, l, r)
+    argmax, then greedy leftmost merge application — expressed as
+    match-start islands where the odd-ranked match of each consecutive
+    run survives (equivalent to the engine's left-to-right fold; for
+    left≠right rules consecutive match-starts cannot occur at all).
+    CTEs are MATERIALIZED so the 8-level chain doesn't inline
+    exponentially. Assumes the corpus supports all n_merges merges
+    (pair count ≥ 2) — true of any non-degenerate text corpus."""
+    parts = [
+        """wf AS MATERIALIZED (
+            SELECT word, count(*) AS freq FROM (
+                SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              w -> w <> '')) AS word
+                FROM documents
+            ) GROUP BY 1
+        ),
+        s0 AS MATERIALIZED (
+            SELECT word AS wid, i AS pos, substr(word, i, 1) AS sym
+            FROM wf, UNNEST(range(1, length(word) + 1)) AS t(i)
+        )"""
+    ]
+    for k in range(n_merges):
+        parts.append(f""",
+        p{k} AS MATERIALIZED (
+            SELECT a.sym AS l, b.sym AS r, CAST(sum(f.freq) AS BIGINT) AS cnt
+            FROM s{k} a
+            JOIN s{k} b ON a.wid = b.wid AND b.pos = a.pos + 1
+            JOIN wf f ON f.word = a.wid
+            GROUP BY 1, 2
+        ),
+        best{k} AS MATERIALIZED (
+            SELECT l, r, cnt FROM p{k} WHERE cnt >= 2
+            ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        ),
+        m{k} AS MATERIALIZED (
+            SELECT a.wid, a.pos
+            FROM s{k} a
+            JOIN s{k} b ON a.wid = b.wid AND b.pos = a.pos + 1
+            CROSS JOIN best{k} bst
+            WHERE a.sym = bst.l AND b.sym = bst.r
+        ),
+        kept{k} AS MATERIALIZED (
+            SELECT wid, pos FROM (
+                SELECT wid, pos,
+                       row_number() OVER (PARTITION BY wid, grp ORDER BY pos) AS rn
+                FROM (
+                    SELECT wid, pos,
+                           pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
+                    FROM m{k}
+                )
+            ) WHERE rn % 2 = 1
+        ),
+        s{k + 1} AS MATERIALIZED (
+            SELECT s.wid,
+                   row_number() OVER (PARTITION BY s.wid ORDER BY s.pos) AS pos,
+                   CASE WHEN k1.pos IS NOT NULL THEN s.sym || bst.r
+                        ELSE s.sym END AS sym
+            FROM s{k} s
+            CROSS JOIN best{k} bst
+            LEFT JOIN kept{k} k1 ON s.wid = k1.wid AND s.pos = k1.pos
+            LEFT JOIN kept{k} k2 ON s.wid = k2.wid AND s.pos = k2.pos + 1
+            WHERE k2.pos IS NULL
+        )""")
+    return "WITH " + "".join(parts) + final
+
+
+_BPE_MERGES_FINAL = "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({k + 1} AS INTEGER) AS rank, l AS left_sym, "
+    f"r AS right_sym, cnt AS pair_count FROM best{k}"
+    for k in range(8)
+) + "\n)"
+
+_BPE_TOKENS_FINAL = """
+SELECT s.sym AS token, CAST(sum(f.freq) AS BIGINT) AS n
+FROM s8 s JOIN wf f ON s.wid = f.word
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 def _stopword_ratio(lang_words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in lang_words)
     return (
@@ -2493,4 +2574,6 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL
         ) x
     """,
+    "text_bpe_merges": _bpe_sql(8, _BPE_MERGES_FINAL),
+    "text_bpe_top_tokens": _bpe_sql(8, _BPE_TOKENS_FINAL),
 }

@@ -3202,6 +3202,46 @@ def a29_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) on the corpus:
+    the first 8 learned merges with their pair counts. Training runs
+    over the DISTINCT-WORD table (one corpus aggregation up front;
+    each iteration is a vocabulary-sized pair count + a 1-row
+    TakeOrdered argmax — bounded driver state, llm/bpe.py). The
+    oracle replays all 8 iterations exactly: integer pair counts,
+    (cnt DESC, l, r) argmax, and greedy leftmost merge application
+    via a gaps-and-islands rewrite equivalent to the engine's fold."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.bpe import bpe_train
+
+    merges = bpe_train(spark.table("documents"), n_merges=8)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left_sym"], m["right_sym"], m["pair_count"])
+            for m in merges
+        ],
+        "rank int, left_sym string, right_sym string, pair_count long",
+    ).orderBy("rank")
+
+
+def text_bpe_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies under the 8-merge BPE vocabulary —
+    the distributed ENCODE path: learned merges applied as chained
+    JVM folds over the distinct-word table, weighted by word
+    frequency (tokenize once per distinct word, never per
+    occurrence), top 20 tokens with deterministic tie-break."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.bpe import bpe_token_counts, bpe_train
+
+    docs = spark.table("documents")
+    merges = bpe_train(docs, n_merges=8)
+    return (
+        bpe_token_counts(docs, merges)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
@@ -3337,4 +3377,6 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "sample_mixture_rates": sample_mixture_rates,
     "a29_hll_distinct": a29_hll_distinct,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_top_tokens": text_bpe_top_tokens,
 }

@@ -1106,3 +1106,44 @@ def test_dhash_hot_block_cap_drops_constant_images(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (100, 101) in got            # real near-dup survives the cap
     assert not any(a < 30 and b < 30 for a, b in got)  # flat clique dropped
+
+
+def test_bpe_apply_merge_greedy_leftmost(spark):
+    """The fold must merge leftmost-first in self-pair runs (the
+    property the oracle's islands rewrite replicates)."""
+    from pipelines_spark.llm.bpe import apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a"],), (["a", "b", "a", "b"],)], ["syms"])
+    rows = df.select(apply_merge(F.col("syms"), "a", "a").alias("out")).collect()
+    assert rows[0]["out"] == ["aa", "a"]
+    assert rows[1]["out"] == ["a", "b", "a", "b"]
+    rows = df.select(apply_merge(F.col("syms"), "a", "b").alias("out")).collect()
+    assert rows[0]["out"] == ["a", "a", "a"]
+    assert rows[1]["out"] == ["ab", "ab"]
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from pipelines_spark.llm.bpe import bpe_token_counts, bpe_train
+
+    # 'low' x5, 'lower' x2: BPE learns l+o then lo+w first
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, n_merges=2)
+    assert [(m["left_sym"], m["right_sym"]) for m in merges] == [("l", "o"), ("lo", "w")]
+    assert merges[0]["pair_count"] == 7 and merges[1]["pair_count"] == 7
+    counts = {r["token"]: r["n"] for r in bpe_token_counts(docs, merges).collect()}
+    assert counts["low"] == 7  # 'low' fully merged; 'lower' -> low+e+r
+    assert counts["e"] == 2 and counts["r"] == 2
+
+
+def test_bpe_train_partitioning_independent(spark):
+    from pipelines_spark.llm.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the hat") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    a = bpe_train(docs.repartition(1), n_merges=4)
+    b = bpe_train(docs.repartition(7), n_merges=4)
+    assert a == b

@@ -138,6 +138,7 @@ EXTENDED = [
     "a29_hll_distinct",
     "text_bpe_merges",
     "text_bpe_top_tokens",
+    "a30_hll_by_type",
 ]
 
 

@@ -228,6 +228,79 @@ def hll_registers(df: DataFrame, value_col: str, *, b: int = 8) -> DataFrame:
     )
 
 
+def hll_distinct_by(
+    df: DataFrame, value_col: str, group_cols: list[str], *, b: int = 8
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimates:
+    ``(*group_cols, n_used, zeros, est_distinct)``.
+
+    The grouped register aggregation keys on (group, bucket) — state
+    per group is 2^b registers no matter how many values stream
+    through, which is the whole point vs a per-group COUNT DISTINCT
+    (whose shuffle carries every distinct (group, value) pair). Same
+    exact-integer harmonic sum and small-range branch as
+    ``hll_distinct``; same hash, so a group's registers here merge
+    with any other sketch of the same values."""
+    m = 1 << b
+    scale = 56 - b + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rem_bits = 56 - b
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll|"), F.col(value_col).cast("string"))), 1, 14
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = F.col("h") % (1 << rem_bits)
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(
+            *group_cols,
+            F.expr(f"CAST(h DIV {1 << rem_bits} AS BIGINT)").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - m_j)"))
+        .cast("long")
+        .alias("denom_used"),
+    )
+    denom_scaled = (
+        F.col("denom_used") + (F.lit(m) - F.col("n_used")) * F.lit(1 << scale)
+    ).cast("long")
+    zeros = (F.lit(m) - F.col("n_used"))
+    raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << scale))
+        / denom_scaled.cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_used",
+        zeros.alias("zeros"),
+        F.round(
+            F.when(
+                (raw <= 2.5 * m) & (zeros > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+            ).otherwise(raw),
+            0,
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 def hll_distinct(df: DataFrame, value_col: str, *, b: int = 8) -> DataFrame:
     """One-row HyperLogLog distinct-count estimate:
     ``(m, n_used, zeros, denom_scaled, est_distinct)``.

@@ -2576,4 +2576,50 @@ ORACLES: dict[str, str] = {
     """,
     "text_bpe_merges": _bpe_sql(8, _BPE_MERGES_FINAL),
     "text_bpe_top_tokens": _bpe_sql(8, _BPE_TOKENS_FINAL),
+    # Per-group HLL: identical register replay, grouped by event_type.
+    "a30_hll_by_type": """
+        WITH hashed AS (
+            SELECT event_type,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 14), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) AS h
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        regs AS (
+            SELECT event_type,
+                   CAST(h // 281474976710656 AS BIGINT) AS bucket,
+                   max(CASE WHEN h % 281474976710656 = 0 THEN 49
+                            ELSE 49 - length(bin(h % 281474976710656))
+                       END) AS m_j
+            FROM hashed GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type, count(*) AS n_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT) AS denom_used
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type, n_used, 256 - n_used AS zeros,
+                   CAST(round(
+                       CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0
+                                 / (denom_used + (256 - n_used)
+                                    * (CAST(1 AS BIGINT) << 49)) <= 2.5 * 256
+                                 AND 256 - n_used > 0
+                            THEN 256.0 * ln(256.0 / (256 - n_used))
+                            ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0
+                                 / (denom_used + (256 - n_used)
+                                    * (CAST(1 AS BIGINT) << 49))
+                       END, 0) AS BIGINT) AS est_distinct
+            FROM agg
+        )
+        SELECT e.event_type, e.n_used, e.zeros, e.est_distinct, x.exact_distinct
+        FROM est e JOIN (
+            SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ) x USING (event_type)
+    """,
 }

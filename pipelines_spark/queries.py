@@ -3202,6 +3202,25 @@ def a29_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def a30_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog (operators/sketches.py::hll_distinct_by):
+    distinct users per event type with 2^b registers of state per
+    group — the shuffle carries (group × 2^b) keys, never the
+    (group, user) distinct pairs an exact COUNT DISTINCT moves.
+    Joined against the exact per-type count to expose the error."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.sketches import hll_distinct_by
+
+    ev = spark.table("events")
+    est = hll_distinct_by(ev, "user_id", ["event_type"], b=8)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016) on the corpus:
     the first 8 learned merges with their pair counts. Training runs
@@ -3379,4 +3398,5 @@ QUERIES = {
     "a29_hll_distinct": a29_hll_distinct,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_top_tokens": text_bpe_top_tokens,
+    "a30_hll_by_type": a30_hll_by_type,
 }

@@ -269,3 +269,21 @@ def test_hll_small_range_uses_linear_counting(spark):
     row = hll_distinct(df, "v").collect()[0]
     assert row["zeros"] > 0
     assert abs(row["est_distinct"] - 50) <= 10
+
+
+def test_hll_by_group_matches_per_group_global(spark):
+    """Each group's grouped-HLL estimate must equal a global HLL run
+    on that group alone — same hash, same registers, same estimator."""
+    from pipelines_spark.operators.sketches import hll_distinct, hll_distinct_by
+
+    df = spark.range(6_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 997).alias("v"),
+    )
+    grouped = {
+        r["g"]: (r["n_used"], r["zeros"], r["est_distinct"])
+        for r in hll_distinct_by(df, "v", ["g"]).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = hll_distinct(df.filter(F.col("g") == g), "v").collect()[0]
+        assert grouped[g] == (solo["n_used"], solo["zeros"], solo["est_distinct"])

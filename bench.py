@@ -156,6 +156,11 @@ SCALE_PROBE_QUERIES = [
     # retention's collect_set state is calendar-bounded per customer
     "a21_kmv_distinct",
     "a20_cohort_retention",
+    # round-3 curation additions with linearity claims to back: the
+    # LM scorer is two count aggs + linear joins; dup-span detection
+    # is O(tokens) + a count>1 aggregation — no pairwise stage
+    "text_ngram_entropy",
+    "text_dup_spans",
 ]
 
 

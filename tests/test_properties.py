@@ -282,3 +282,77 @@ def test_bloom_params_sane(n, fpp):
     # standard sizing: bits per element grows as fpp shrinks, and the
     # hash count stays in a practical range
     assert k <= max(1, int(m / n * 0.7)) + 1
+
+
+# --- BPE merge-application fold vs a pure-python greedy reference ----------
+
+def _bpe_apply_ref(syms: list[str], left: str, right: str) -> list[str]:
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=0, max_size=12),
+    rule=st.sampled_from([("a", "a"), ("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]),
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_fold_matches_greedy_reference(spark, syms, rule):
+    from pyspark.sql import functions as F
+    from pipelines_spark.llm.bpe import apply_merge
+
+    df = spark.createDataFrame([(syms,)], "syms: array<string>")
+    got = df.select(apply_merge(F.col("syms"), *rule).alias("out")).collect()[0]["out"]
+    assert got == _bpe_apply_ref(syms, *rule)
+
+
+# --- duplicate_spans vs a brute-force python computation -------------------
+
+def _dup_spans_ref(texts: dict[int, str], w: int = 3):
+    from collections import Counter
+
+    toks = {i: [x for x in t.lower().split(" ") if x] for i, t in texts.items()}
+    wins = Counter()
+    for ws in toks.values():
+        for i in range(len(ws) - w + 1):
+            wins[" ".join(ws[i : i + w])] += 1
+    out = {}
+    for i, ws in toks.items():
+        covered = set()
+        for s in range(len(ws) - w + 1):
+            if wins[" ".join(ws[s : s + w])] > 1:
+                covered.update(range(s, s + w))
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        out[i] = (len(ws), spans, len(covered))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=10).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_duplicate_spans_matches_bruteforce(spark, docs):
+    from pipelines_spark.llm.text import duplicate_spans
+
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_dup_spans"], r["dup_words"])
+        for r in duplicate_spans(df, window_words=3).collect()
+    }
+    assert got == _dup_spans_ref(texts, 3)

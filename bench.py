@@ -139,6 +139,8 @@ EXTENDED = [
     "text_bpe_merges",
     "text_bpe_top_tokens",
     "a30_hll_by_type",
+    "a31_sampled_percentiles",
+    "a32_psi_drift",
 ]
 
 

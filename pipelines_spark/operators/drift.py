@@ -1,0 +1,104 @@
+"""Distribution-drift monitoring: Population Stability Index.
+
+PSI is the standard production drift check (credit-risk lineage,
+now ubiquitous for ML feature monitoring): bin a reference period's
+value distribution, re-bin the current period on the SAME breakpoints,
+and score Σ (p_i − q_i)·ln(p_i/q_i). Rule-of-thumb thresholds:
+< 0.1 stable, 0.1–0.25 drifting, > 0.25 action.
+
+Scale shape: two bounded aggregations — per-group reference min/max
+(broadcast back), then one (group, bin) count aggregation per period;
+the per-row binning is pure column math. Output is groups × bins
+rows. Nothing here holds per-row state, so the same plan serves a
+streaming foreachBatch monitor unchanged.
+
+Determinism contract (the repo's float convention): bin ids come from
+IEEE double math identical in any engine; proportions are clamped to
+``min_frac`` before the log-ratio (the standard zero-bin guard) and
+each bin's PSI term is rounded to 6 dp and summed as DECIMAL so the
+total is partitioning- and engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    bins: int = 10,
+    min_frac: float = 1e-4,
+) -> DataFrame:
+    """PSI per group between a reference and a current frame.
+
+    Breakpoints are ``bins`` equal-width intervals over the REFERENCE
+    period's per-group [min, max] (the standard protocol — the
+    reference defines the expected distribution; current-period
+    values outside it clamp into the edge bins). Returns
+    ``(*group_cols, n_ref, n_cur, psi)``.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    bounds = ref.groupBy(*gcols).agg(
+        F.min(v).alias("_vmin"), F.max(v).alias("_vmax")
+    )
+
+    def _binned(df: DataFrame) -> DataFrame:
+        span = F.col("_vmax") - F.col("_vmin")
+        raw = F.floor((v - F.col("_vmin")) * bins / span)
+        b = F.when(span == 0, F.lit(0)).otherwise(
+            F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+        )
+        return (
+            df.join(F.broadcast(bounds), group_cols)
+            .select(*gcols, b.cast("int").alias("_bin"))
+            .groupBy(*group_cols, "_bin")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+
+    rb = _binned(ref)
+    cb = _binned(cur)
+    totals_r = rb.groupBy(*group_cols).agg(F.sum("_n").alias("_nr"))
+    totals_c = cb.groupBy(*group_cols).agg(F.sum("_n").alias("_nc"))
+    # full bin spine per group so empty bins contribute via the clamp
+    spine = (
+        bounds.select(*gcols)
+        .crossJoin(
+            F.broadcast(
+                ref.sparkSession.range(bins).select(
+                    F.col("id").cast("int").alias("_bin")
+                )
+            )
+        )
+    )
+    joined = (
+        spine.join(rb, [*group_cols, "_bin"], "left")
+        .withColumnRenamed("_n", "_n_ref")
+        .join(cb, [*group_cols, "_bin"], "left")
+        .withColumnRenamed("_n", "_n_cur")
+        .join(totals_r, group_cols)
+        .join(totals_c, group_cols)
+    )
+    p = F.greatest(
+        F.coalesce(F.col("_n_ref"), F.lit(0)) / F.col("_nr").cast("double"),
+        F.lit(min_frac),
+    )
+    q = F.greatest(
+        F.coalesce(F.col("_n_cur"), F.lit(0)) / F.col("_nc").cast("double"),
+        F.lit(min_frac),
+    )
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        joined.select(*gcols, F.col("_nr"), F.col("_nc"), term.alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("_nr").cast("long").alias("n_ref"),
+            F.max("_nc").cast("long").alias("n_cur"),
+            F.round(F.sum("_t").cast("double"), 4).alias("psi"),
+        )
+    )

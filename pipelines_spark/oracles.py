@@ -2574,6 +2574,109 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL
         ) x
     """,
+    # 10% salted-hash sample (the sampling family's md5 rule) vs exact
+    # interpolated percentiles.
+    "a31_sampled_percentiles": """
+        WITH ev AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE value IS NOT NULL
+        ),
+        samp AS (
+            SELECT event_type, value FROM ev
+            WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                          string_split(substr(md5('pct|' || CAST(event_id AS VARCHAR)), 1, 8), ''),
+                          c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                      (a, x) -> a * 16 + x) % 100 < 10
+        ),
+        exact AS (
+            SELECT event_type, count(*) AS n_full,
+                   round(quantile_cont(value, 0.5), 4)  AS p50_exact,
+                   round(quantile_cont(value, 0.95), 4) AS p95_exact
+            FROM ev GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type, count(*) AS n_sample,
+                   round(quantile_cont(value, 0.5), 4)  AS p50_sample,
+                   round(quantile_cont(value, 0.95), 4) AS p95_sample
+            FROM samp GROUP BY 1
+        )
+        SELECT e.event_type, e.n_full, e.p50_exact, e.p95_exact,
+               s.n_sample, s.p50_sample, s.p95_sample
+        FROM exact e JOIN est s USING (event_type)
+    """,
+    # PSI drift: 15-day reference window defines per-group equal-width
+    # bins; both periods re-binned on those breakpoints; per-bin terms
+    # rounded to 6 dp and DECIMAL-summed (order-independent).
+    "a32_psi_drift": """
+        WITH ev AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+            WHERE value IS NOT NULL
+        ),
+        cutoff AS (
+            SELECT CAST(min(CAST(ts AS DATE)) + 15 AS DATE) AS cut FROM ev
+        ),
+        ref AS (
+            SELECT event_type, value FROM ev, cutoff
+            WHERE CAST(ts AS DATE) < cut
+        ),
+        cur AS (
+            SELECT event_type, value FROM ev, cutoff
+            WHERE CAST(ts AS DATE) >= cut
+        ),
+        bounds AS (
+            SELECT event_type, min(value) AS vmin, max(value) AS vmax
+            FROM ref GROUP BY 1
+        ),
+        rb AS (
+            SELECT r.event_type,
+                   CASE WHEN vmax = vmin THEN 0
+                        ELSE CAST(greatest(0, least(9,
+                             floor((value - vmin) * 10 / (vmax - vmin)))) AS INT)
+                   END AS bin,
+                   count(*) AS n
+            FROM ref r JOIN bounds USING (event_type) GROUP BY 1, 2
+        ),
+        cb AS (
+            SELECT c.event_type,
+                   CASE WHEN vmax = vmin THEN 0
+                        ELSE CAST(greatest(0, least(9,
+                             floor((value - vmin) * 10 / (vmax - vmin)))) AS INT)
+                   END AS bin,
+                   count(*) AS n
+            FROM cur c JOIN bounds USING (event_type) GROUP BY 1, 2
+        ),
+        tot_r AS (SELECT event_type, sum(n) AS nr FROM rb GROUP BY 1),
+        tot_c AS (SELECT event_type, sum(n) AS nc FROM cb GROUP BY 1),
+        spine AS (
+            SELECT event_type, CAST(i AS INT) AS bin
+            FROM bounds, UNNEST(range(0, 10)) AS t(i)
+        ),
+        j AS (
+            SELECT s.event_type, s.bin,
+                   COALESCE(rb.n, 0) AS n_ref, COALESCE(cb.n, 0) AS n_cur,
+                   tr.nr, tc.nc
+            FROM spine s
+            LEFT JOIN rb ON s.event_type = rb.event_type AND s.bin = rb.bin
+            LEFT JOIN cb ON s.event_type = cb.event_type AND s.bin = cb.bin
+            JOIN tot_r tr ON s.event_type = tr.event_type
+            JOIN tot_c tc ON s.event_type = tc.event_type
+        ),
+        terms AS (
+            SELECT event_type, nr, nc,
+                   CAST(round(
+                       (greatest(n_ref / CAST(nr AS DOUBLE), 0.0001)
+                        - greatest(n_cur / CAST(nc AS DOUBLE), 0.0001))
+                       * ln(greatest(n_ref / CAST(nr AS DOUBLE), 0.0001)
+                            / greatest(n_cur / CAST(nc AS DOUBLE), 0.0001)),
+                   6) AS DECIMAL(18,6)) AS t
+            FROM j
+        )
+        SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+               CAST(max(nc) AS BIGINT) AS n_cur,
+               round(CAST(sum(t) AS DOUBLE), 4) AS psi
+        FROM terms GROUP BY 1
+    """,
     "text_bpe_merges": _bpe_sql(8, _BPE_MERGES_FINAL),
     "text_bpe_top_tokens": _bpe_sql(8, _BPE_TOKENS_FINAL),
     # Per-group HLL: identical register replay, grouped by event_type.

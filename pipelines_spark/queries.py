@@ -3202,6 +3202,51 @@ def a29_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def a31_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a deterministic 10% hash sample next to the
+    exact ones: the bounded-memory scale path for quantile profiling
+    (a fixed-rate md5 sample is mergeable across partitions/days by
+    construction — union of samples IS the sample of the union, the
+    property random sampling lacks). Exact interpolated percentile on
+    both sides; the sample membership rule is the sampling family's
+    salted hash, replayed bit-for-bit by the oracle."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.llm.sampling import sample_fraction
+
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    samp = sample_fraction(ev, "event_id", percent=10, salt="pct|")
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_full"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
+    )
+    est = samp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_sample"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_sample"),
+    )
+    return exact.join(est, "event_type").orderBy("event_type")
+
+
+def a32_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor
+    (operators/drift.py::psi_drift): value distribution of each event
+    type in the first 15 days (reference) vs the rest (current), 10
+    equal-width bins on the reference min/max, zero-bin clamp at
+    1e-4, per-bin terms rounded + DECIMAL-summed. The production
+    check that catches a feature distribution shifting before the
+    model downstream degrades."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.drift import psi_drift
+
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    cut = ev.agg(F.date_add(F.min(F.to_date("ts")), 15).alias("_cut"))
+    with_cut = ev.crossJoin(F.broadcast(cut))
+    ref = with_cut.filter(F.to_date("ts") < F.col("_cut")).drop("_cut")
+    cur = with_cut.filter(F.to_date("ts") >= F.col("_cut")).drop("_cut")
+    return psi_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
+
+
 def a30_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HyperLogLog (operators/sketches.py::hll_distinct_by):
     distinct users per event type with 2^b registers of state per
@@ -3399,4 +3444,6 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_top_tokens": text_bpe_top_tokens,
     "a30_hll_by_type": a30_hll_by_type,
+    "a31_sampled_percentiles": a31_sampled_percentiles,
+    "a32_psi_drift": a32_psi_drift,
 }

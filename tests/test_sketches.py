@@ -287,3 +287,32 @@ def test_hll_by_group_matches_per_group_global(spark):
     for g in ("0", "1", "2"):
         solo = hll_distinct(df.filter(F.col("g") == g), "v").collect()[0]
         assert grouped[g] == (solo["n_used"], solo["zeros"], solo["est_distinct"])
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
+    from pipelines_spark.operators.drift import psi_drift
+
+    base = [(i, "g", float(i % 100)) for i in range(1000)]
+    shifted = [(i, "g", float(i % 100) + 60.0) for i in range(1000)]
+    ref = spark.createDataFrame(base, ["id", "grp", "v"])
+    same = psi_drift(ref, ref, "v", ["grp"]).collect()[0]
+    assert same["psi"] == 0.0 and same["n_ref"] == 1000
+    cur = spark.createDataFrame(shifted, ["id", "grp", "v"])
+    moved = psi_drift(ref, cur, "v", ["grp"]).collect()[0]
+    assert moved["psi"] > 0.25  # rule-of-thumb "action" threshold
+
+
+def test_psi_drift_partitioning_independent(spark):
+    from pipelines_spark.operators.drift import psi_drift
+
+    rows = [(i, "a" if i % 2 else "b", float((i * 37) % 250)) for i in range(2000)]
+    ref = spark.createDataFrame(rows[:1000], ["id", "grp", "v"])
+    cur = spark.createDataFrame(rows[1000:], ["id", "grp", "v"])
+    one = sorted(map(tuple, psi_drift(ref, cur, "v", ["grp"]).collect()))
+    many = sorted(
+        map(
+            tuple,
+            psi_drift(ref.repartition(11), cur.repartition(7), "v", ["grp"]).collect(),
+        )
+    )
+    assert one == many

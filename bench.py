@@ -141,6 +141,7 @@ EXTENDED = [
     "a30_hll_by_type",
     "a31_sampled_percentiles",
     "a32_psi_drift",
+    "w13_ses_forecast",
 ]
 
 

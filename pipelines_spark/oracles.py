@@ -2574,6 +2574,36 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL
         ) x
     """,
+    # SES closed form: weighted terms rounded to 6 dp, DECIMAL-summed.
+    "w13_ses_forecast": """
+        WITH daily AS (
+            SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, day, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+            FROM daily
+        ),
+        tmax AS (
+            SELECT event_type, max(t) AS tt, max(day) AS last_day
+            FROM seq GROUP BY 1
+        ),
+        terms AS (
+            SELECT s.event_type, m.tt, m.last_day,
+                   CAST(round(
+                       CASE WHEN s.t = 1 THEN s.y * pow(0.7, m.tt - 1)
+                            ELSE s.y * 0.3 * pow(0.7, m.tt - s.t)
+                       END, 6) AS DECIMAL(18,6)) AS term
+            FROM seq s JOIN tmax m USING (event_type)
+        )
+        SELECT event_type, CAST(max(tt) AS BIGINT) AS n_days,
+               max(last_day) AS last_day,
+               round(CAST(sum(term) AS DOUBLE), 4) AS forecast
+        FROM terms GROUP BY 1
+    """,
     # 10% salted-hash sample (the sampling family's md5 rule) vs exact
     # interpolated percentiles.
     "a31_sampled_percentiles": """

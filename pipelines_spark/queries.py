@@ -3202,6 +3202,60 @@ def a29_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def w13_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing next-day forecast of daily value
+    totals per event type (α = 0.3), via the closed form
+    l_T = α·Σ_{t≥2}(1−α)^{T−t}·y_t + (1−α)^{T−1}·y_1 — the recursion
+    unrolled into ONE weighted aggregation instead of a sequential
+    per-key scan (the same rewrite family as the time-weighted
+    average). Daily totals are DECIMAL-exact; each weighted term is
+    rounded to 6 dp and DECIMAL-summed so the forecast is
+    partitioning- and engine-exact. Plan: one daily agg + one per-key
+    T join + one final agg — smoothing over observed days in
+    sequence order."""
+    register(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("t", F.row_number().over(w))
+    tmax = seq.groupBy("event_type").agg(
+        F.max("t").alias("t_last"), F.max("day").alias("last_day")
+    )
+    terms = seq.join(tmax, "event_type").withColumn(
+        "term",
+        F.round(
+            F.when(
+                F.col("t") == 1,
+                F.col("y") * F.pow(F.lit(0.7), F.col("t_last") - 1),
+            ).otherwise(
+                F.col("y")
+                * F.lit(0.3)
+                * F.pow(F.lit(0.7), F.col("t_last") - F.col("t"))
+            ),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("t_last").alias("n_days"),
+            F.max("last_day").alias("last_day"),
+            F.round(F.sum("term").cast("double"), 4).alias("forecast"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def a31_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentiles from a deterministic 10% hash sample next to the
     exact ones: the bounded-memory scale path for quantile profiling
@@ -3446,4 +3500,5 @@ QUERIES = {
     "a30_hll_by_type": a30_hll_by_type,
     "a31_sampled_percentiles": a31_sampled_percentiles,
     "a32_psi_drift": a32_psi_drift,
+    "w13_ses_forecast": w13_ses_forecast,
 }

@@ -316,3 +316,33 @@ def test_psi_drift_partitioning_independent(spark):
         )
     )
     assert one == many
+
+
+def test_ses_closed_form_matches_recursion(spark):
+    """The one-shot weighted aggregation must equal the textbook
+    l_t = a*y_t + (1-a)*l_{t-1} recursion (modulo the documented 6-dp
+    term rounding)."""
+    import datetime
+
+    from pipelines_spark.queries import w13_ses_forecast
+
+    # reuse the real query at sf0.001 and recompute its inputs in python
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in w13_ses_forecast(spark, sf).collect()}
+    daily = (
+        spark.table("events")
+        .where("value is not null")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double").alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["y"]))
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        level = ys[0]
+        for y in ys[1:]:
+            level = 0.3 * y + 0.7 * level
+        assert abs(got[et]["forecast"] - level) < 1e-3
+        assert got[et]["n_days"] == len(ys)

@@ -110,6 +110,20 @@ BUDGETS = {
     # register agg (map-capped at 2^b keys) + 1-row estimate +
     # exact count-distinct (2: expand + global)
     "a29_hll_distinct": 4,
+    # grouped register agg + per-group estimate + exact distinct +
+    # final join on the tiny group key
+    "a30_hll_by_type": 5,
+    # full-side agg + sample-side agg + join on the group key
+    "a31_sampled_percentiles": 3,
+    # two corpus-sized bin aggs; everything after operates on
+    # (groups x bins)-sized frames — the 5-way spine join exchanges
+    # are tiny by construction and AQE broadcasts them at runtime
+    "a32_psi_drift": 10,
+    # daily agg + seq window + t_last agg + term join + final agg
+    "w13_ses_forecast": 5,
+    # word-frequency agg + token regroup (encode folds are map-only;
+    # training actions run before the returned plan)
+    "text_bpe_top_tokens": 2,
 }
 
 

@@ -142,6 +142,7 @@ EXTENDED = [
     "a31_sampled_percentiles",
     "a32_psi_drift",
     "w13_ses_forecast",
+    "a33_hll_rolling_distinct",
 ]
 
 

@@ -2574,6 +2574,67 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL
         ) x
     """,
+    # Rolling 7-day HLL: per-day registers MAX-merged across the
+    # window — identical replay of the mergeable-sketch math.
+    "a33_hll_rolling_distinct": """
+        WITH ev AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        hashed AS (
+            SELECT day,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 14), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) AS h
+            FROM ev
+        ),
+        daily_regs AS (
+            SELECT day, CAST(h // 281474976710656 AS BIGINT) AS bucket,
+                   max(CASE WHEN h % 281474976710656 = 0 THEN 49
+                            ELSE 49 - length(bin(h % 281474976710656))
+                       END) AS m_j
+            FROM hashed GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day FROM daily_regs),
+        merged AS (
+            SELECT d.day, r.bucket, max(r.m_j) AS m_j
+            FROM days d JOIN daily_regs r
+              ON r.day <= d.day AND r.day >= d.day - 6
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT day, count(*) AS n_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT) AS denom_used
+            FROM merged GROUP BY 1
+        ),
+        est AS (
+            SELECT day,
+                   CAST(round(
+                       CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0
+                                 / (denom_used + (256 - n_used)
+                                    * (CAST(1 AS BIGINT) << 49)) <= 2.5 * 256
+                                 AND 256 - n_used > 0
+                            THEN 256.0 * ln(256.0 / (256 - n_used))
+                            ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0
+                                 / (denom_used + (256 - n_used)
+                                    * (CAST(1 AS BIGINT) << 49))
+                       END, 0) AS BIGINT) AS est_distinct
+            FROM agg
+        ),
+        pairs AS (SELECT DISTINCT day, user_id FROM ev),
+        exact AS (
+            SELECT d.day, count(DISTINCT p.user_id) AS exact_distinct
+            FROM days d JOIN pairs p
+              ON p.day <= d.day AND p.day >= d.day - 6
+            GROUP BY 1
+        )
+        SELECT e.day, e.est_distinct, x.exact_distinct
+        FROM est e JOIN exact x USING (day)
+    """,
     # SES closed form: weighted terms rounded to 6 dp, DECIMAL-summed.
     "w13_ses_forecast": """
         WITH daily AS (

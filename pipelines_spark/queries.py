@@ -3256,6 +3256,91 @@ def w13_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a33_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed by MERGING
+    per-day HLL registers (MAX per bucket) instead of re-scanning raw
+    events per window — the sketch-mergeability payoff: day sketches
+    are built once (one bounded aggregation) and every window is a
+    union of 7 tiny register tables. Exact trailing distinct joined
+    alongside to expose the error. The estimator math matches
+    operators/sketches.py::hll_distinct bit-for-bit."""
+    register(spark, sf_dir, ("events",))
+    m, scale = 256, 49
+    alpha = 0.7213 / (1 + 1.079 / m)
+    ev = spark.table("events").filter(F.col("user_id").isNotNull())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string"))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = h % (1 << 48)
+    rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+    daily_regs = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr(
+                "CAST(conv(substring(md5(concat('hll|', CAST(user_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+                f" DIV {1 << 48}"
+            ).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    days = daily_regs.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            daily_regs.alias("r"),
+            (F.col("r.day") <= F.col("d.day"))
+            & (F.col("r.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    agg = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - m_j)"))
+        .cast("long")
+        .alias("denom_used"),
+    )
+    denom_scaled = (
+        F.col("denom_used") + (F.lit(m) - F.col("n_used")) * F.lit(1 << scale)
+    ).cast("long")
+    zeros = F.lit(m) - F.col("n_used")
+    raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << scale))
+        / denom_scaled.cast("double")
+    )
+    est = agg.select(
+        "day",
+        F.round(
+            F.when(
+                (raw <= 2.5 * m) & (zeros > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+            ).otherwise(raw),
+            0,
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("p.user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").orderBy("day")
+
+
 def a31_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentiles from a deterministic 10% hash sample next to the
     exact ones: the bounded-memory scale path for quantile profiling
@@ -3501,4 +3586,5 @@ QUERIES = {
     "a31_sampled_percentiles": a31_sampled_percentiles,
     "a32_psi_drift": a32_psi_drift,
     "w13_ses_forecast": w13_ses_forecast,
+    "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
 }

@@ -121,6 +121,10 @@ BUDGETS = {
     "a32_psi_drift": 10,
     # daily agg + seq window + t_last agg + term join + final agg
     "w13_ses_forecast": 5,
+    # one corpus-sized register agg + one distinct-pair agg for the
+    # exact side; every window merge operates on (days x 256)-row
+    # register tables — the range joins and re-aggs are tiny
+    "a33_hll_rolling_distinct": 8,
     # word-frequency agg + token regroup (encode folds are map-only;
     # training actions run before the returned plan)
     "text_bpe_top_tokens": 2,

@@ -143,6 +143,7 @@ EXTENDED = [
     "a32_psi_drift",
     "w13_ses_forecast",
     "a33_hll_rolling_distinct",
+    "a34_kmv_set_ops",
 ]
 
 

@@ -94,6 +94,56 @@ def kmv_distinct(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     )
 
 
+def kmv_candidates_by(
+    df: DataFrame, value_col: str, group_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV state as (group_col, h) — the ``k`` smallest
+    distinct hashes per group, via distinct + per-group top-k.
+
+    Pure JVM: the ``row_number() <= k`` filter compiles to
+    WindowGroupLimit, whose partial mode caps each map task's output
+    at k rows per group BEFORE the exchange — the same bounded-shuffle
+    posture as the mapInPandas global sketch, without Python.
+
+    Sketches over the same hash family compose: the union sketch of
+    two groups is the k smallest of their candidates' union, and
+    intersections follow by inclusion–exclusion — the set-algebra
+    trick theta sketches industrialize."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), md5_hash32(F.col(value_col)).alias("h"))
+        .dropDuplicates([group_col, "h"])
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_estimate_from_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """(n_seen, kth_hash, est_distinct) from a single sketch's
+    candidate rows (column ``h``): same integer estimator and
+    below-k degeneracy as ``kmv_distinct``."""
+    numer = (k - 1) * (1 << 32)
+    merged = cand.dropDuplicates(["h"]).orderBy("h").limit(k)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth_hash")
+    ).select(
+        "n_seen",
+        "kth_hash",
+        F.when(F.col("n_seen") < k, F.col("n_seen"))
+        .when(
+            F.col("kth_hash") > 0,
+            F.expr(f"CAST({numer} AS BIGINT) DIV kth_hash"),
+        )
+        .alias("est_distinct"),
+    )
+
+
 def cms_table(
     df: DataFrame, value_col: str, *, depth: int = 4, width: int = 1024
 ) -> DataFrame:

@@ -2574,6 +2574,58 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL
         ) x
     """,
+    # KMV set algebra: per-segment ORDER BY h LIMIT k sketches, union
+    # sketch from merged candidates, intersection by
+    # inclusion-exclusion; same integer estimator as a21.
+    "a34_kmv_set_ops": """
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5(CAST(user_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) AS h
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IN ('view', 'click')
+        ),
+        ca AS (SELECT h FROM hashed WHERE event_type = 'view'
+               ORDER BY h LIMIT 256),
+        cb AS (SELECT h FROM hashed WHERE event_type = 'click'
+               ORDER BY h LIMIT 256),
+        cu AS (SELECT DISTINCT h FROM (
+                   SELECT h FROM ca UNION ALL SELECT h FROM cb)
+               ORDER BY h LIMIT 256),
+        ea AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                           WHEN max(h) > 0
+                           THEN CAST(1095216660480 AS BIGINT) // max(h)
+                      END AS est_view FROM ca),
+        eb AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                           WHEN max(h) > 0
+                           THEN CAST(1095216660480 AS BIGINT) // max(h)
+                      END AS est_click FROM cb),
+        eu AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                           WHEN max(h) > 0
+                           THEN CAST(1095216660480 AS BIGINT) // max(h)
+                      END AS est_union FROM cu),
+        v AS (SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'view'),
+        c AS (SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'click'),
+        ex AS (
+            SELECT CAST(count(v.user_id) AS BIGINT) AS exact_view,
+                   CAST(count(c.user_id) AS BIGINT) AS exact_click,
+                   CAST(count(*) AS BIGINT) AS exact_union,
+                   CAST(sum(CASE WHEN v.user_id IS NOT NULL
+                                  AND c.user_id IS NOT NULL
+                            THEN 1 END) AS BIGINT) AS exact_inter
+            FROM v FULL JOIN c USING (user_id)
+        )
+        SELECT ea.est_view, eb.est_click, eu.est_union,
+               CAST(greatest(0, ea.est_view + eb.est_click - eu.est_union)
+                    AS BIGINT) AS est_inter,
+               ex.exact_view, ex.exact_click, ex.exact_union, ex.exact_inter
+        FROM ea, eb, eu, ex
+    """,
     # Rolling 7-day HLL: per-day registers MAX-merged across the
     # window — identical replay of the mergeable-sketch math.
     "a33_hll_rolling_distinct": """

@@ -3341,6 +3341,62 @@ def a33_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "day").orderBy("day")
 
 
+def a34_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra (the theta-sketch trick on KMV): per-segment
+    user sketches built ONCE (operators/sketches.py::kmv_candidates_by,
+    WindowGroupLimit-bounded shuffle), then |view ∪ click| from the
+    merged candidates and |view ∩ click| by inclusion–exclusion —
+    segment-overlap questions answered from tiny sketches without
+    re-scanning raw events per combination. Exact counterparts
+    alongside."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.sketches import (
+        kmv_candidates_by,
+        kmv_estimate_from_candidates,
+    )
+
+    k = 256
+    ev = spark.table("events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isin("view", "click")
+    )
+    cand = kmv_candidates_by(ev, "user_id", "event_type", k=k)
+    est_a = kmv_estimate_from_candidates(
+        cand.filter(F.col("event_type") == "view").select("h"), k
+    ).select(F.col("est_distinct").alias("est_view"))
+    est_b = kmv_estimate_from_candidates(
+        cand.filter(F.col("event_type") == "click").select("h"), k
+    ).select(F.col("est_distinct").alias("est_click"))
+    est_u = kmv_estimate_from_candidates(cand.select("h"), k).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    exact = (
+        views.withColumn("_v", F.lit(1))
+        .join(clicks.withColumn("_c", F.lit(1)), "user_id", "full")
+        .agg(
+            F.sum("_v").cast("long").alias("exact_view"),
+            F.sum("_c").cast("long").alias("exact_click"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(
+                F.when(F.col("_v").isNotNull() & F.col("_c").isNotNull(), 1)
+            ).cast("long").alias("exact_inter"),
+        )
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .withColumn(
+            "est_inter",
+            F.greatest(
+                F.lit(0),
+                F.col("est_view") + F.col("est_click") - F.col("est_union"),
+            ).cast("long"),
+        )
+        .crossJoin(exact)
+    )
+
+
 def a31_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentiles from a deterministic 10% hash sample next to the
     exact ones: the bounded-memory scale path for quantile profiling
@@ -3587,4 +3643,5 @@ QUERIES = {
     "a32_psi_drift": a32_psi_drift,
     "w13_ses_forecast": w13_ses_forecast,
     "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
+    "a34_kmv_set_ops": a34_kmv_set_ops,
 }

@@ -346,3 +346,30 @@ def test_ses_closed_form_matches_recursion(spark):
             level = 0.3 * y + 0.7 * level
         assert abs(got[et]["forecast"] - level) < 1e-3
         assert got[et]["n_days"] == len(ys)
+
+
+def test_kmv_set_ops_accuracy_and_plan(spark):
+    """Per-group KMV: sketch-derived union/intersection estimates land
+    within sketch error of truth, and the per-group top-k compiles to
+    WindowGroupLimit (bounded map-side output, no full sort)."""
+    from pipelines_spark.operators.sketches import (
+        kmv_candidates_by,
+        kmv_estimate_from_candidates,
+    )
+
+    # |A| = 6000, |B| = 6000, |A ∩ B| = 2000
+    a = spark.range(6_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(4_000, 10_000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    df = a.union(b)
+    cand = kmv_candidates_by(df, "v", "g", k=256)
+    assert "WindowGroupLimit" in cand._jdf.queryExecution().toString()
+    est_a = kmv_estimate_from_candidates(
+        cand.filter(F.col("g") == "a").select("h"), 256
+    ).collect()[0]["est_distinct"]
+    est_u = kmv_estimate_from_candidates(cand.select("h"), 256).collect()[0][
+        "est_distinct"
+    ]
+    assert abs(est_a - 6_000) / 6_000 < 0.25
+    assert abs(est_u - 10_000) / 10_000 < 0.25
+    inter = est_a + est_a - est_u  # symmetric sets
+    assert abs(inter - 2_000) < 1_500  # inclusion-exclusion compounds error

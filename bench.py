@@ -144,6 +144,7 @@ EXTENDED = [
     "w13_ses_forecast",
     "a33_hll_rolling_distinct",
     "a34_kmv_set_ops",
+    "embed_srp_multiprobe",
 ]
 
 

@@ -297,6 +297,98 @@ def srp_bucketed_topk(
     )
 
 
+def _srp_projections(vec: Column, dim: int, n_planes: int) -> list[Column]:
+    """The raw per-plane projection values behind ``srp_bucket_key``
+    (same terms, same left-to-right addition order)."""
+    projs: list[Column] = []
+    for i in range(n_planes):
+        proj: Column | None = None
+        for m, j in enumerate(range(i, dim, n_planes)):
+            term = F.element_at(vec, j + 1).cast("double") * F.lit(
+                1.0 if m % 2 == 0 else -1.0
+            )
+            proj = term if proj is None else proj + term
+        projs.append(proj)
+    return projs
+
+
+def srp_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_probes: int = 3,
+    dim: int | None = None,
+    round_digits: int = 4,
+    corpus_bucket_col: str | None = None,
+) -> DataFrame:
+    """Multi-probe SRP ANN (Lv et al., VLDB 2007): each query probes
+    its own bucket PLUS the buckets reached by flipping its
+    ``n_probes − 1`` weakest-margin sign bits — the planes where the
+    projection landed nearest zero, i.e. where a true neighbor most
+    plausibly fell on the other side. Recall rises toward brute force
+    without growing the index: the corpus still stores ONE bucket key
+    per vector (``with_srp_bucket``), only the (broadcast-small) query
+    side fans out, so the join stays a bucket equi-join with
+    n_probes× the probe rows. A corpus vector lives in exactly one
+    bucket, so (query, neighbor) pairs are unique — no dedup stage.
+    Deterministic: margins are the same fixed-order sums as the key,
+    ties break toward the lower plane index."""
+    dim = dim or 64
+    projs = _srp_projections(F.col(vec_col), dim, n_planes)
+    cand = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(p).alias("absp"), F.lit(i).alias("bit"))
+                for i, p in enumerate(projs)
+            ]
+        )
+    )
+    probe_terms = ["_key"] + [
+        f"_key ^ shiftleft(1, element_at(_cand, {t}).bit)"
+        for t in range(1, n_probes)
+    ]
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_key"),
+            cand.alias("_cand"),
+        )
+        .withColumn("_bucket", F.explode(F.expr(f"array({', '.join(probe_terms)})")))
+        .drop("_key", "_cand")
+    )
+    corpus_key = (
+        F.col(corpus_bucket_col)
+        if corpus_bucket_col is not None
+        else srp_bucket_key(F.col(vec_col), dim, n_planes)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        corpus_key.alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
     """Round half away from zero, matching SQL ROUND (Spark F.round /
     DuckDB round) rather than numpy's banker's rounding — a cosine

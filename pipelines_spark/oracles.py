@@ -211,6 +211,22 @@ def _srp_bucket(table_alias: str, dim: int = 64, n_planes: int = 8) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def _srp_probe_parts(table_alias: str, dim: int = 64, n_planes: int = 8) -> tuple[str, str]:
+    """(key_expr, sorted-candidate-list expr) for multi-probe SRP —
+    margins |proj_i| with their plane index, ascending, mirroring
+    llm.similarity._srp_projections term-for-term."""
+    structs = []
+    for i in range(n_planes):
+        terms = []
+        for m, j in enumerate(range(i, dim, n_planes)):
+            sign = "1.0" if m % 2 == 0 else "-1.0"
+            terms.append(f"CAST({table_alias}.embedding[{j + 1}] AS DOUBLE) * {sign}")
+        proj = " + ".join(terms)
+        structs.append(f"{{'absp': abs({proj}), 'bit': {i}}}")
+    cand = "list_sort([" + ", ".join(structs) + "])"
+    return _srp_bucket(table_alias, dim, n_planes), cand
+
+
 _COS_DOT = (
     "list_sum(list_transform(list_zip(c.cv, q.qv), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -751,6 +767,37 @@ ORACLES: dict[str, str] = {
             SELECT q.query_id, c.neighbor_id,
                    round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
             FROM c CROSS JOIN q
+            WHERE c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    "embed_srp_multiprobe": f"""
+        WITH q0 AS (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   {_srp_probe_parts('embeddings')[0]} AS key,
+                   {_srp_probe_parts('embeddings')[1]} AS cand
+            FROM embeddings WHERE vec_id < 50
+        ), q AS (
+            SELECT query_id, qv,
+                   unnest([CAST(key AS BIGINT),
+                           xor(CAST(key AS BIGINT),
+                               CAST(1 AS BIGINT) << cand[1].bit),
+                           xor(CAST(key AS BIGINT),
+                               CAST(1 AS BIGINT) << cand[2].bit)]) AS bucket
+            FROM q0
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv,
+                   CAST({_srp_bucket('embeddings')} AS BIGINT) AS bucket
+            FROM embeddings
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM c JOIN q ON c.bucket = q.bucket
             WHERE c.neighbor_id <> q.query_id
         )
         SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank

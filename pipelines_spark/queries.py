@@ -1024,6 +1024,26 @@ def embed_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def embed_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN (Lv et al. 2007,
+    llm/similarity.py::srp_multiprobe_topk): each query also probes
+    the buckets across its two weakest-margin hyperplanes — recall
+    rises toward brute force while the corpus side stays ONE stored
+    bucket key and the join stays an equi-join (only the broadcast
+    query side fans out 3×). Deterministic margins, oracle-replayed."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import srp_multiprobe_topk
+
+    emb = spark.table("embeddings")
+    return srp_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 50), id_col="vec_id",
+        vec_col="embedding", k=5, n_planes=8, n_probes=3,
+    ).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped EXISTS semi-join: orders in a quarter having at
     least one line shipped >60 days after the order date, counted per
@@ -3644,4 +3664,5 @@ QUERIES = {
     "w13_ses_forecast": w13_ses_forecast,
     "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
     "a34_kmv_set_ops": a34_kmv_set_ops,
+    "embed_srp_multiprobe": embed_srp_multiprobe,
 }

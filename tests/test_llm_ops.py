@@ -1147,3 +1147,40 @@ def test_bpe_train_partitioning_independent(spark):
     a = bpe_train(docs.repartition(1), n_merges=4)
     b = bpe_train(docs.repartition(7), n_merges=4)
     assert a == b
+
+
+def test_srp_multiprobe_recall_dominates_single_probe(spark, sf_medium):
+    """Probing the two weakest-margin neighbor buckets must not lose
+    recall vs the single-bucket path, and should typically gain it."""
+    from pipelines_spark.llm.similarity import (
+        brute_force_topk,
+        srp_bucketed_topk,
+        srp_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 30)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, id_col="vec_id",
+                                  vec_col="embedding", k=5).collect()
+    }
+    # 4 planes -> 16 buckets over 500 vectors: buckets actually group
+    # neighbors (8 planes shatters this tiny corpus to ~2/bucket and
+    # every bucketed method floors out)
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_bucketed_topk(emb, queries, id_col="vec_id",
+                                   vec_col="embedding", k=5, n_planes=4).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_multiprobe_topk(emb, queries, id_col="vec_id",
+                                     vec_col="embedding", k=5, n_planes=4,
+                                     n_probes=3).collect()
+    }
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_single
+    assert r_multi >= 0.3
+    assert r_multi > 0.0

@@ -145,6 +145,7 @@ EXTENDED = [
     "a33_hll_rolling_distinct",
     "a34_kmv_set_ops",
     "embed_srp_multiprobe",
+    "a35_mad_outliers",
 ]
 
 

@@ -2621,6 +2621,33 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL
         ) x
     """,
+    # Robust MAD outlier screen: two quantile passes + threshold scan.
+    "a35_mad_outliers": """
+        WITH ev AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM ev GROUP BY 1
+        ),
+        mad AS (
+            SELECT e.event_type, max(m.med) AS med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM ev e JOIN med m USING (event_type) GROUP BY 1
+        )
+        SELECT e.event_type,
+               round(max(m.med), 4) AS median,
+               round(max(m.mad), 4) AS mad,
+               count(*) AS n,
+               CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(max(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                              THEN e.value END), 4) AS worst_high,
+               round(min(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                              THEN e.value END), 4) AS worst_low
+        FROM ev e JOIN mad m USING (event_type)
+        GROUP BY 1
+    """,
     # KMV set algebra: per-segment ORDER BY h LIMIT k sketches, union
     # sketch from merged candidates, intersection by
     # inclusion-exclusion; same integer estimator as a21.

@@ -3361,6 +3361,55 @@ def a33_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "day").orderBy("day")
 
 
+def a35_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: the
+    z-score screen (a23) breaks when the outliers themselves inflate
+    the mean/stddev; median ± k·MAD does not (50% breakdown point).
+    Per event type: median, MAD, and the count/extremes of rows with
+    |value − median| > 3 · 1.4826 · MAD (the normal-consistency
+    constant). Two percentile aggregations + a broadcast-back filter
+    — same shape as the moments pass in a23."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("_med").alias("_med"),
+            F.expr("percentile(abs(value - _med), 0.5)").alias("_mad"),
+        )
+    )
+    flagged = (
+        ev.join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "_is_out",
+            F.abs(F.col("value") - F.col("_med"))
+            > F.lit(3 * 1.4826) * F.col("_mad"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.max("_med"), 4).alias("median"),
+            F.round(F.max("_mad"), 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_is_out"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(F.when(F.col("_is_out"), F.col("value"))), 4).alias(
+                "worst_high"
+            ),
+            F.round(F.min(F.when(F.col("_is_out"), F.col("value"))), 4).alias(
+                "worst_low"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def a34_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch set algebra (the theta-sketch trick on KMV): per-segment
     user sketches built ONCE (operators/sketches.py::kmv_candidates_by,
@@ -3665,4 +3714,5 @@ QUERIES = {
     "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
     "a34_kmv_set_ops": a34_kmv_set_ops,
     "embed_srp_multiprobe": embed_srp_multiprobe,
+    "a35_mad_outliers": a35_mad_outliers,
 }

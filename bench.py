@@ -146,6 +146,7 @@ EXTENDED = [
     "a34_kmv_set_ops",
     "embed_srp_multiprobe",
     "a35_mad_outliers",
+    "embed_pq_adc",
 ]
 
 

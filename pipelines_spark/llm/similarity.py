@@ -389,6 +389,174 @@ def srp_multiprobe_topk(
     )
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    salt: str = "pq|",
+) -> DataFrame:
+    """Product-quantization codebook: ``n_codes`` hash-ordered sample
+    vectors (the fixed-k sampled-centroid discipline of ``ivf_topk`` —
+    O(n_codes·dim) driver-independent state at any corpus size), each
+    split into ``n_sub`` subvectors → (sub, cw, subvec) rows.
+    Swap in per-subspace k-means (``kmeans_train`` on sliced vectors)
+    for trained codebooks; the encode/ADC plan below is unchanged."""
+    sub_len = dim // n_sub
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).alias("_sv"),
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
+        )
+        .orderBy("_h", "_sid")
+        .limit(n_codes)
+    )
+    w = Window.orderBy("_h", "_sid")
+    coded = sample.withColumn("cw", F.row_number().over(w).cast("int"))
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(F.col("_sv"), s * sub_len + 1, sub_len).alias("subvec"),
+                )
+                for s in range(n_sub)
+            ]
+        )
+    ).alias("p")
+    return coded.select("cw", subs).select("cw", "p.sub", "p.subvec")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Fixed-order squared L2 between two float arrays. Explicit
+    (x−y)·(x−y), not pow(x−y, 2) — pow may differ from the plain
+    product by an ulp between engines, flipping argmin near ties."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+) -> DataFrame:
+    """PQ codes: (id, sub, cw) — nearest codeword per subspace,
+    ties toward the lower codeword id. The codebook broadcasts
+    (n_codes × n_sub rows); the argmin is a map-side-combinable
+    MIN(struct(dist, cw)) — one aggregation keyed on (id, sub),
+    never a window over the exploded candidates. At 64× corpus rows
+    of candidates this is the real PQ build cost, linear and
+    shuffle-bounded by the (id, sub) key space."""
+    sub_len = dim // n_sub
+    cand = (
+        corpus.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "_dist",
+            _sq_l2(
+                F.slice(F.col("_v"), F.col("sub") * sub_len + 1, sub_len),
+                F.col("subvec"),
+            ),
+        )
+    )
+    return (
+        cand.groupBy("pid", "sub")
+        .agg(F.min(F.struct("_dist", "cw")).alias("_best"))
+        .select("pid", "sub", F.col("_best.cw").alias("cw"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (Jégou et al., TPAMI 2011): the
+    corpus is stored as ``n_sub`` byte codes per vector (16×
+    compression at these defaults — the codebook reconstructs the
+    rest); each query precomputes one inner-product lookup table per
+    subspace against the codebook (n_sub × n_codes entries, broadcast
+    side), and every candidate's score is the sum of n_sub table
+    lookups — no full-vector math against the corpus at query time.
+
+    Returns (query_id, neighbor_id, adc_dot, rank): approximate dot
+    product, ranked desc with neighbor-id tie-break. Per-subspace
+    contributions round to 6 dp and DECIMAL-sum, so scores are
+    engine/partitioning-exact (the repo's float convention)."""
+    sub_len = dim // n_sub
+    cb = pq_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
+        n_codes=n_codes,
+    )
+    codes = pq_encode(
+        corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub
+    )
+    qtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "sub",
+            "cw",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("_qv"), F.col("sub") * sub_len + 1, sub_len),
+                        F.col("subvec"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("contrib"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["sub", "cw"])
+        .filter(F.col("pid") != F.col("query_id"))
+        .groupBy("query_id", F.col("pid").alias("neighbor_id"))
+        .agg(F.sum("contrib").alias("_adc"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_adc").cast("double").alias("adc_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", "rank")
+    )
+
+
 def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
     """Round half away from zero, matching SQL ROUND (Spark F.round /
     DuckDB round) rather than numpy's banker's rounding — a cosine

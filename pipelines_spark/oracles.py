@@ -776,6 +776,64 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rn <= 5
     """,
+    # PQ/ADC replay: hash-sampled codebook, per-(vector, subspace)
+    # argmin with (dist, cw) tie-break, per-subspace dot contributions
+    # rounded + DECIMAL-summed.
+    "embed_pq_adc": """
+        WITH samp0 AS (
+            SELECT vec_id, embedding,
+                   md5('pq|' || CAST(vec_id AS VARCHAR)) AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT 16
+        ),
+        cb AS (
+            SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cw,
+                   s.s AS sub,
+                   embedding[s.s * 16 + 1 : s.s * 16 + 16] AS subvec
+            FROM samp0, (SELECT unnest(range(0, 4)) AS s) s
+        ),
+        cand AS (
+            SELECT e.vec_id AS pid, cb.sub, cb.cw,
+                   list_sum(list_transform(
+                       list_zip(e.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
+                                cb.subvec),
+                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                   )) AS dist
+            FROM embeddings e CROSS JOIN cb
+        ),
+        codes AS (
+            SELECT pid, sub, cw FROM (
+                SELECT pid, sub, cw,
+                       row_number() OVER (PARTITION BY pid, sub
+                                          ORDER BY dist, cw) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT q.vec_id AS query_id, cb.sub, cb.cw,
+                   CAST(round(list_sum(list_transform(
+                       list_zip(q.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
+                                cb.subvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+                   )), 6) AS DECIMAL(18,6)) AS contrib
+            FROM embeddings q CROSS JOIN cb
+            WHERE q.vec_id < 50
+        ),
+        scored AS (
+            SELECT t.query_id, c.pid AS neighbor_id,
+                   CAST(sum(t.contrib) AS DOUBLE) AS adc_dot
+            FROM codes c JOIN qtab t ON c.sub = t.sub AND c.cw = t.cw
+            WHERE c.pid <> t.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adc_dot, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dot DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
     "embed_srp_multiprobe": f"""
         WITH q0 AS (
             SELECT vec_id AS query_id, embedding AS qv,

@@ -1044,6 +1044,29 @@ def embed_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (Jégou et al. 2011; llm/similarity.py::pq_adc_topk): the corpus
+    compresses to 4 byte-codes per vector (16× at these defaults),
+    queries precompute per-subspace lookup tables against the
+    broadcast codebook, and candidate scores are 4 table lookups —
+    no full-vector math at query time. Codebook is the hash-sampled
+    fixed-k kind (ivf_topk discipline); encode is a
+    map-side-combinable MIN(struct) argmin; contributions round +
+    DECIMAL-sum so the oracle replays scores exactly."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import pq_adc_topk
+
+    emb = spark.table("embeddings")
+    return pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 50), id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select(
+        "query_id", "neighbor_id", "adc_dot",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped EXISTS semi-join: orders in a quarter having at
     least one line shipped >60 days after the order date, counted per
@@ -3715,4 +3738,5 @@ QUERIES = {
     "a34_kmv_set_ops": a34_kmv_set_ops,
     "embed_srp_multiprobe": embed_srp_multiprobe,
     "a35_mad_outliers": a35_mad_outliers,
+    "embed_pq_adc": embed_pq_adc,
 }

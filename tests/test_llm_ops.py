@@ -1184,3 +1184,38 @@ def test_srp_multiprobe_recall_dominates_single_probe(spark, sf_medium):
     assert r_multi >= r_single
     assert r_multi >= 0.3
     assert r_multi > 0.0
+
+
+def test_pq_codes_shape_and_adc_recall(spark, sf_medium):
+    """PQ: every vector gets exactly n_sub codes from a 16-codeword
+    book (the 16x compression contract), and ADC ranking retrieves a
+    nontrivial share of the true top-5."""
+    from pipelines_spark.llm.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    cb = pq_codebook(emb)
+    assert cb.count() == 16 * 4
+    codes = pq_encode(emb, cb)
+    per_vec = codes.groupBy("pid").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [4]
+    cw_range = codes.agg(F.min("cw"), F.max("cw")).collect()[0]
+    assert cw_range[0] >= 1 and cw_range[1] <= 16
+
+    queries = emb.filter(F.col("vec_id") < 30)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, id_col="vec_id",
+                                  vec_col="embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(emb, queries, id_col="vec_id",
+                             vec_col="embedding", k=5).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall > 0.15  # 4x16 codebook on random-ish vectors: coarse

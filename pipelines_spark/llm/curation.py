@@ -46,6 +46,14 @@ class CurationConfig:
     shard_tokens: int = 100_000
     shard_buckets: int = 8
     split: bool = True
+    #: CCNet-style LM gate: drop docs whose bigram cross-entropy
+    #: (bits, llm/text.py::ngram_cross_entropy — trained on the
+    #: post-exact-dedup corpus) exceeds this. None disables.
+    max_entropy_bits: float | None = None
+    #: span-dedup gate: drop docs whose corpus-duplicated-window
+    #: fraction (llm/text.py::duplicate_spans) exceeds this.
+    #: None disables.
+    max_dup_frac: float | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -108,6 +116,32 @@ def curate_corpus(
     if collect_stats:
         counts.append(("exact_dedup", exact_kept.count()))
 
+    # 2b. optional corpus-statistics gates, trained on the
+    # post-exact-dedup corpus (CCNet order: dedup before the LM so
+    # duplicated boilerplate can't dominate the model it is judged
+    # by). Both are linear aggregate+join passes.
+    released: list[DataFrame] = []
+    if cfg.max_entropy_bits is not None:
+        from pipelines_spark.llm.text import ngram_cross_entropy
+
+        keep_ids = ngram_cross_entropy(
+            exact_kept, id_col=id_c, text_col=text_c
+        ).filter(F.col("h_bits") <= cfg.max_entropy_bits).select(id_c)
+        released.append(exact_kept)
+        exact_kept = persist(exact_kept.join(keep_ids, id_c, "semi"))
+        if collect_stats:
+            counts.append(("lm_entropy_gate", exact_kept.count()))
+    if cfg.max_dup_frac is not None:
+        from pipelines_spark.llm.text import duplicate_spans
+
+        keep_ids = duplicate_spans(
+            exact_kept, id_col=id_c, text_col=text_c
+        ).filter(F.col("dup_frac") <= cfg.max_dup_frac).select(id_c)
+        released.append(exact_kept)
+        exact_kept = persist(exact_kept.join(keep_ids, id_c, "semi"))
+        if collect_stats:
+            counts.append(("dup_span_gate", exact_kept.count()))
+
     # 3. near-dup clustering + best-quality canonical per component
     pairs = minhash_near_dup_pairs(
         exact_kept, id_col=id_c, text_col=text_c,
@@ -142,6 +176,14 @@ def curate_corpus(
     if collect_stats:
         gated.unpersist()
         exact_kept.unpersist()
+        for frame in released:
+            frame.unpersist()
+        # the LSH staging tables (shingles, banded keys) are persisted
+        # inside minhash_near_dup_pairs; the canonical count above has
+        # materialized everything that needs them
+        from pipelines_spark.llm.dedup import release_staging
+
+        release_staging(pairs)
         stats = spark.createDataFrame(counts, "stage string, n_docs long")
     else:
         stats = None

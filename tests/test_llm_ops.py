@@ -1236,3 +1236,59 @@ def test_ivf_pq_candidates_are_cell_bounded(spark, sf_medium):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert len(per_q) == 10
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_curate_corpus_optional_stat_gates(spark):
+    """The LM-entropy gate drops the corpus outlier (threshold derived
+    from the actual score distribution, not a magic number), the
+    dup-span gate drops the duplicated-run docs, both record funnel
+    stages, and no staging frames stay persisted."""
+    from pipelines_spark.llm.curation import CurationConfig, curate_corpus
+    from pipelines_spark.llm.text import ngram_cross_entropy
+
+    # entropy scenario: similar sentences w/ unique words per doc (no
+    # shared 8-word runs) + one gibberish outlier
+    rows = [
+        (i, f"the cat sat on the mat and looked at bird{i} near tree{i}")
+        for i in range(10)
+    ]
+    rows.append((100, "zxqv wkjh pqrs mnbv qqqq wwww eeee rrrr tttt yyyy"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ent = {r["doc_id"]: r["h_bits"] for r in ngram_cross_entropy(docs).collect()}
+    normal_max = max(v for k, v in ent.items() if k != 100)
+    assert ent[100] > normal_max  # the outlier really is the max
+    cut = (ent[100] + normal_max) / 2
+    # near_dup_threshold raised so the deliberately-similar docs don't
+    # collapse — this scenario isolates the entropy gate
+    cfg = CurationConfig(
+        min_quality=0.0, min_tokens=1, max_entropy_bits=cut,
+        near_dup_threshold=0.95,
+    )
+    curated, stats = curate_corpus(docs, cfg)
+    kept = {r["doc_id"] for r in curated.collect()}
+    assert "lm_entropy_gate" in [r["stage"] for r in stats.collect()]
+    assert 100 not in kept and len(kept) == 10
+
+    # dup-span scenario: two docs sharing a 20-word run + clean docs
+    dup_run = " ".join(f"boiler{i}" for i in range(20))
+    rows2 = [
+        (i, f"clean document number word{i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(5)
+    ]
+    rows2.append((200, dup_run + " unique middle words " + dup_run))
+    rows2.append((201, "prefix words here " + dup_run + " and a suffix"))
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    cfg2 = CurationConfig(min_quality=0.0, min_tokens=1, max_dup_frac=0.6)
+    curated2, stats2 = curate_corpus(docs2, cfg2)
+    kept2 = {r["doc_id"] for r in curated2.collect()}
+    assert "dup_span_gate" in [r["stage"] for r in stats2.collect()]
+    assert 200 not in kept2 and 201 not in kept2
+    assert set(range(5)) <= kept2
+    # cache hygiene: every gate staging frame was explicitly released
+    # (the returned canonical frame itself may stay cached by design,
+    # and connected_components' localCheckpoint blocks free on GC)
+    from pyspark import StorageLevel
+
+    for df_out in (curated, curated2):
+        for frame in getattr(df_out, "_staged_frames", ()):  # none expected
+            assert frame.storageLevel == StorageLevel.NONE

@@ -340,6 +340,7 @@ def containment_pairs(
     text_col: str,
     shingle_words: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """One-sided Jaccard containment dedup: pairs where the smaller
     document's shingle set is mostly a subset of the larger one's
@@ -352,13 +353,36 @@ def containment_pairs(
     Same inverted-index shape as ``ngram_jaccard_pairs``: explode →
     posting-list self-join on the shingle → pair-count aggregation —
     candidates are pairs sharing ≥1 shingle, never the cross product.
-    Returns (contained_id, container_id, containment) with the
-    smaller set (ties: smaller id) as contained."""
+    ``max_shingle_freq`` is the same posting-list cap as
+    ``ngram_jaccard_pairs`` (hot boilerplate shingles dropped with a
+    logged count; containment then scores EXACTLY over the surviving
+    shingle universe — numerator and denominators alike). Returns
+    (contained_id, container_id, containment) with the smaller set
+    (ties: smaller id) as contained."""
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0)
     sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    staged: list[DataFrame] = []
+    if max_shingle_freq is not None:
+        inv = inv.persist()
+        staged.append(inv)
+        hot = (
+            inv.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+        )
+        n_hot = hot.count()  # bounded: <= memberships/max_shingle_freq
+        if n_hot:
+            _LOG.warning(
+                "containment: dropping %d hot shingles (doc freq > %d) "
+                "from the inverted index; pairs score exact containment "
+                "over the surviving shingle universe",
+                n_hot, max_shingle_freq,
+            )
+            inv = inv.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
+            sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         inv.alias("l")
         .join(inv.alias("r"), "_sh")
@@ -380,7 +404,7 @@ def containment_pairs(
     smaller_is_a = (F.col("_na") < F.col("_nb")) | (
         (F.col("_na") == F.col("_nb")) & (F.col("id_a") < F.col("id_b"))
     )
-    return scored.select(
+    out = scored.select(
         F.when(smaller_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
             "contained_id"
         ),
@@ -389,6 +413,7 @@ def containment_pairs(
         ),
         F.round("containment", 4).alias("containment"),
     )
+    return _attach_staging(out, staged)
 
 
 def _md5_hash32(col: Column) -> Column:

@@ -1292,3 +1292,30 @@ def test_curate_corpus_optional_stat_gates(spark):
     for df_out in (curated, curated2):
         for frame in getattr(df_out, "_staged_frames", ()):  # none expected
             assert frame.storageLevel == StorageLevel.NONE
+
+
+def test_containment_posting_list_cap(spark, caplog):
+    """Boilerplate shingles would make the containment index
+    quadratic; the cap drops them (logged) while a genuine excerpt
+    pair sharing rare shingles still scores containment 1.0."""
+    import logging
+
+    boiler = "shared legal disclaimer text appears on every single page here"
+    rows = [(i, boiler) for i in range(200)]
+    quote = "rare unique analysis of partition pruning strategies"
+    filler = " ".join(f"pad{i}" for i in range(60))
+    rows += [(1000, quote), (1001, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pipelines_spark.llm.dedup import containment_pairs
+
+    with caplog.at_level(logging.WARNING, logger="pipelines_spark.llm.dedup"):
+        got = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in containment_pairs(
+                df, id_col="doc_id", text_col="text", threshold=0.8,
+                max_shingle_freq=50,
+            ).collect()
+        }
+    assert any("hot shingle" in m for m in caplog.messages), caplog.messages
+    assert not any(a < 200 and b < 200 for (a, b) in got)
+    assert got.get((1000, 1001)) == 1.0

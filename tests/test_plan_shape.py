@@ -74,7 +74,12 @@ def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
     (IVF centroid assignment)."""
     # the IVF variants and SemDeDup assign cells via one numpy matmul
     # per Arrow batch — the documented exception to the no-Python rule
-    arrow_allowed = {"embed_ivf_ann", "embed_ivf_kmeans", "dedup_semantic"}
+    arrow_allowed = {
+        "embed_ivf_ann",
+        "embed_ivf_kmeans",
+        "dedup_semantic",
+        "embed_ivf_pq",  # same numpy-matmul cell assignment as ivf_ann
+    }
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, sf_medium))
         assert "BatchEvalPython" not in plan, name

@@ -148,6 +148,7 @@ EXTENDED = [
     "a35_mad_outliers",
     "embed_pq_adc",
     "embed_ivf_pq",
+    "a36_kmv_by_type",
 ]
 
 

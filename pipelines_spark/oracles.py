@@ -2763,6 +2763,41 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL
         ) x
     """,
+    # Per-group KMV: k smallest distinct hashes per group, integer
+    # estimator; mirrors kmv_candidates_by's window top-k.
+    "a36_kmv_by_type": """
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5(CAST(user_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) AS h
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        topk AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM hashed
+            ) WHERE rn <= 256
+        ),
+        est AS (
+            SELECT event_type,
+                   CASE WHEN count(*) < 256 THEN count(*)
+                        WHEN max(h) > 0
+                        THEN CAST(1095216660480 AS BIGINT) // max(h)
+                   END AS est_distinct
+            FROM topk GROUP BY 1
+        )
+        SELECT e.event_type, e.est_distinct, x.exact_distinct
+        FROM est e JOIN (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_distinct
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ) x USING (event_type)
+    """,
     # Robust MAD outlier screen: two quantile passes + threshold scan.
     "a35_mad_outliers": """
         WITH ev AS (

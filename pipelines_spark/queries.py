@@ -3404,6 +3404,40 @@ def a33_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "day").orderBy("day")
 
 
+def a36_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct users (the order-statistics sibling of
+    a30's per-group HLL): kmv_candidates_by keeps the 256 smallest
+    distinct hashes per event type — WindowGroupLimit caps each map
+    task's output at k rows per group before the exchange — and the
+    integer estimator runs per group. Exact counts joined alongside."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.sketches import kmv_candidates_by
+
+    k = 256
+    ev = spark.table("events")
+    cand = kmv_candidates_by(ev, "user_id", "event_type", k=k)
+    numer = (k - 1) * (1 << 32)
+    est = (
+        cand.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth_hash"))
+        .select(
+            "event_type",
+            F.when(F.col("n_seen") < k, F.col("n_seen"))
+            .when(
+                F.col("kth_hash") > 0,
+                F.expr(f"CAST({numer} AS BIGINT) DIV kth_hash"),
+            )
+            .alias("est_distinct"),
+        )
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 def a35_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via median absolute deviation: the
     z-score screen (a23) breaks when the outliers themselves inflate
@@ -3760,4 +3794,5 @@ QUERIES = {
     "a35_mad_outliers": a35_mad_outliers,
     "embed_pq_adc": embed_pq_adc,
     "embed_ivf_pq": embed_ivf_pq,
+    "a36_kmv_by_type": a36_kmv_by_type,
 }

@@ -124,11 +124,21 @@ def curate_corpus(
     if cfg.max_entropy_bits is not None:
         from pipelines_spark.llm.text import ngram_cross_entropy
 
-        keep_ids = ngram_cross_entropy(
+        # left-join rather than semi: docs with <2 tokens produce no
+        # bigrams and therefore no score row — they pass the gate
+        # (h_bits IS NULL) instead of being silently dropped.
+        scores = ngram_cross_entropy(
             exact_kept, id_col=id_c, text_col=text_c
-        ).filter(F.col("h_bits") <= cfg.max_entropy_bits).select(id_c)
+        ).select(id_c, "h_bits")
         released.append(exact_kept)
-        exact_kept = persist(exact_kept.join(keep_ids, id_c, "semi"))
+        exact_kept = persist(
+            exact_kept.join(scores, id_c, "left")
+            .filter(
+                F.col("h_bits").isNull()
+                | (F.col("h_bits") <= cfg.max_entropy_bits)
+            )
+            .drop("h_bits")
+        )
         if collect_stats:
             counts.append(("lm_entropy_gate", exact_kept.count()))
     if cfg.max_dup_frac is not None:
@@ -143,10 +153,15 @@ def curate_corpus(
             counts.append(("dup_span_gate", exact_kept.count()))
 
     # 3. near-dup clustering + best-quality canonical per component
+    # staging caches are only attached (and later released) on the
+    # stats path, where we control when everything materializes; with
+    # collect_stats=False the plan is fully lazy and persist-free, so
+    # nothing can leak for the session.
     pairs = minhash_near_dup_pairs(
         exact_kept, id_col=id_c, text_col=text_c,
         threshold=cfg.near_dup_threshold,
         log_hot_buckets=collect_stats,
+        persist_staging=collect_stats,
     )
     labels = connected_components(pairs).select(
         F.col("node").alias(id_c), "component_id"

@@ -143,9 +143,16 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     log_hot_buckets: bool = True,
+    persist_staging: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (Jaccard ≥ threshold) via MinHash-LSH
     candidate generation + exact verification.
+
+    ``persist_staging=False`` skips caching the shingle/band staging
+    tables entirely (and attaches nothing for ``release_staging`` to
+    free) — for callers that cannot release the caches after
+    materializing, trading one recompute of the shingle stage in the
+    verification join for a guaranteed-leak-free plan.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b. Because every
     candidate is exactly verified, precision is 1.0; recall is the
@@ -178,11 +185,11 @@ def minhash_near_dup_pairs(
     # of the verification join); cache them once. At cluster scale
     # this is the classic LSH staging table — swap persist() for a
     # checkpoint/temp table when the corpus exceeds cluster memory.
-    shingled = (
-        df.select(F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles"))
-        .filter(F.size("_shingles") > 0)
-        .persist()
-    )
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    if persist_staging:
+        shingled = shingled.persist()
     sigs = _minhash_signatures(shingled, id_col, F.col("_shingles"), num_hashes)
 
     # Band keys (shared helper). Persisted — the band table feeds both
@@ -191,7 +198,9 @@ def minhash_near_dup_pairs(
     band_cols = band_key_cols(num_hashes, bands)
     banded_cached = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("_band")
-    ).persist()
+    )
+    if persist_staging:
+        banded_cached = banded_cached.persist()
     banded = banded_cached
 
     if max_bucket_size is not None:
@@ -249,6 +258,8 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    if not persist_staging:
+        return verified
     return _attach_staging(verified, (shingled, banded_cached))
 
 

@@ -274,7 +274,7 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     toks = docs.select(F.col(id_col), lm_tokens(text_col).alias("w"))
-    sizes = toks.select(id_col, F.size("w").alias("n_words"))
+    sizes = toks.select(id_col, F.size("w").cast("long").alias("n_words"))
     win = toks.filter(F.size("w") >= window_words).select(
         F.col(id_col),
         F.explode(

@@ -51,17 +51,28 @@ def pagerank(
                   + (d * Σ_{u→v} rank_t(u) DIV outdeg(u)) DIV 100.
     Nodes nobody links to keep the teleport term only.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # The distinct edge list, node universe, and out-degree table are
+    # loop INVARIANTS consumed by every iteration — persist them once
+    # so each iteration's join reads cached data instead of re-running
+    # the edge dedup shuffle (the r3 bench showed ~3 edge re-scans per
+    # iteration without this; at 100 TB swap persist() for a temp
+    # table / checkpoint, same as the LSH staging note in llm/dedup.py).
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()  # one small action; N is a plan constant
     base = SCALE // n_nodes
     teleport = (100 - damping_pct) * base // 100
 
-    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).persist()
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
     for _ in range(iterations):
         contrib = (
@@ -86,7 +97,13 @@ def pagerank(
                 ).cast("long").alias("rank_scaled"),
             )
         )
-    return ranks
+        # lazy lineage cut so the plan tree stays O(1) per iteration
+        # (mirrors ancestor_closure's discipline below); harmless at
+        # iterations=2, load-bearing when callers raise the bound
+        ranks = ranks.localCheckpoint(eager=False)
+    from pipelines_spark.llm.dedup import _attach_staging
+
+    return _attach_staging(ranks, (e, nodes, outdeg))
 
 
 def triangle_count(
@@ -98,13 +115,18 @@ def triangle_count(
     """Global triangle count of an undirected graph given as an edge
     list (either or both directions; self-loops ignored).
 
-    Textbook scalable shape: canonicalize each edge to (lo, hi) with
-    a TOTAL order on vertices, then count paths lo→mid→hi whose
-    closing edge (lo, hi) exists — each triangle is counted exactly
-    once. Two equi-joins on vertex keys; the degree-skew refinement
-    (order vertices by degree instead of id, so hubs never serve as
-    the fan-out vertex of the join) drops in by swapping the ordering
-    expression — id order keeps the oracle replay simple here.
+    Textbook scalable shape with the DEGREE-ORDERED orientation
+    (Cohen / "MapReduce triangle enumeration" refinement): vertices
+    are totally ordered by (degree, id) and every undirected edge is
+    oriented low→high under that order. Each triangle then has
+    exactly one vertex with two out-edges (its order-minimum), so
+    counting pairs of out-neighbors whose closing edge exists counts
+    each triangle once — and because a hub's order rank is HIGH, hubs
+    collect in-edges instead of fanning out the path join: the
+    candidate-pair count is bounded by Σ_v min-degree²(v) ≈ m^1.5
+    instead of Σ_v degree²(v), which is what dies on power-law graphs
+    at 100×. The count itself is orientation-invariant, so the SQL
+    oracle can keep the simpler id-ordered replay.
 
     Returns a 1-row frame ``(n_triangles)``.
     """
@@ -116,15 +138,41 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    e1 = canon.alias("e1")  # a < b
-    e2 = canon.alias("e2")  # b < c
-    e3 = canon.alias("e3")  # closing a < c
-    paths = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-    closed = paths.join(
-        e3,
-        (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # orient each edge low→high under the (degree, id) total order,
+    # carrying the head's order key for the out-neighbor comparison
+    keyed = (
+        canon.join(deg.withColumnsRenamed({"v": "a", "d": "_da"}), "a")
+        .join(deg.withColumnsRenamed({"v": "b", "d": "_db"}), "b")
+    )
+    a_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dhi"),
+    ).persist()  # feeds all three sides of the count below
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    o3 = oriented.select("lo", "hi").alias("o3")
+    # unordered out-neighbor pairs of each order-minimum vertex …
+    pairs = o1.join(o2, F.col("o1.lo") == F.col("o2.lo")).where(
+        F.struct(F.col("o1._dhi"), F.col("o1.hi"))
+        < F.struct(F.col("o2._dhi"), F.col("o2.hi"))
+    )
+    # … closed by an oriented edge between the two heads
+    closed = pairs.join(
+        o3,
+        (F.col("o1.hi") == F.col("o3.lo")) & (F.col("o2.hi") == F.col("o3.hi")),
+    )
+    out = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    from pipelines_spark.llm.dedup import _attach_staging
+
+    return _attach_staging(out, (oriented,))
 
 
 def khop_reachability(

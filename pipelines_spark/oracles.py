@@ -1584,10 +1584,10 @@ ORACLES: dict[str, str] = {
     """,
     "q12_priority_shipping": """
         SELECT l.l_returnflag AS returnflag,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -1945,7 +1945,7 @@ ORACLES: dict[str, str] = {
     "o12_variant_props": """
         SELECT event_type,
                count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events
@@ -2319,39 +2319,39 @@ ORACLES: dict[str, str] = {
     # one stats row per column; doubles render via DECIMAL(18,2)
     "a25_column_profile": """
         SELECT 'o_orderkey' AS column_name,
-               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                count(DISTINCT o_orderkey) AS n_distinct,
                CAST(min(o_orderkey) AS VARCHAR) AS min_str,
                CAST(max(o_orderkey) AS VARCHAR) AS max_str
         FROM orders
         UNION ALL
         SELECT 'o_custkey',
-               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_custkey),
                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderstatus',
-               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderstatus),
                min(o_orderstatus), max(o_orderstatus)
         FROM orders
         UNION ALL
         SELECT 'o_totalprice',
-               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_totalprice),
                CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
                CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderdate',
-               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderdate),
                CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority',
-               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderpriority),
                min(o_orderpriority), max(o_orderpriority)
         FROM orders
@@ -2816,11 +2816,11 @@ ORACLES: dict[str, str] = {
                round(max(m.med), 4) AS median,
                round(max(m.mad), 4) AS mad,
                count(*) AS n,
-               CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+               CAST(sum(CASE WHEN round(abs(e.value - m.med), 6) > round(3 * 1.4826 * m.mad, 6)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-               round(max(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+               round(max(CASE WHEN round(abs(e.value - m.med), 6) > round(3 * 1.4826 * m.mad, 6)
                               THEN e.value END), 4) AS worst_high,
-               round(min(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+               round(min(CASE WHEN round(abs(e.value - m.med), 6) > round(3 * 1.4826 * m.mad, 6)
                               THEN e.value END), 4) AS worst_low
         FROM ev e JOIN mad m USING (event_type)
         GROUP BY 1

@@ -3311,7 +3311,7 @@ def w13_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.groupBy("event_type")
         .agg(
-            F.max("t_last").alias("n_days"),
+            F.max("t_last").cast("long").alias("n_days"),
             F.max("last_day").alias("last_day"),
             F.round(F.sum("term").cast("double"), 4).alias("forecast"),
         )
@@ -3462,9 +3462,14 @@ def a35_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (
         ev.join(F.broadcast(mad), "event_type")
         .withColumn(
+            # quantize both sides to 6 dp before comparing: med/mad
+            # come from percentile interpolation, and a last-ulp
+            # engine difference at an exact threshold boundary would
+            # flip the count (repo convention: round-before-compare,
+            # cf. a23's quantized z-threshold)
             "_is_out",
-            F.abs(F.col("value") - F.col("_med"))
-            > F.lit(3 * 1.4826) * F.col("_mad"),
+            F.round(F.abs(F.col("value") - F.col("_med")), 6)
+            > F.round(F.lit(3 * 1.4826) * F.col("_mad"), 6),
         )
     )
     return (
@@ -3648,6 +3653,57 @@ def text_bpe_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q12_priority_shipping": q12_priority_shipping,
+    "a18_heavy_hitter_users": a18_heavy_hitter_users,
+    "dedup_semantic": dedup_semantic,
+    "o12_variant_props": o12_variant_props,
+    "w8_resample_interpolate": w8_resample_interpolate,
+    "a20_cohort_retention": a20_cohort_retention,
+    "w9_activity_islands": w9_activity_islands,
+    "j13_fuzzy_name_match": j13_fuzzy_name_match,
+    "a21_kmv_distinct": a21_kmv_distinct,
+    "a22_funnel_conversion": a22_funnel_conversion,
+    "w10_time_weighted_avg": w10_time_weighted_avg,
+    "j14_max_concurrent_orders": j14_max_concurrent_orders,
+    "w11_last_touch_attribution": w11_last_touch_attribution,
+    "a23_value_outliers": a23_value_outliers,
+    "j15_part_cooccurrence": j15_part_cooccurrence,
+    "w12_cumulative_new_users": w12_cumulative_new_users,
+    "j16_asof_tolerance": j16_asof_tolerance,
+    "a24_mode_per_group": a24_mode_per_group,
+    "o13_token_positions": o13_token_positions,
+    "j17_lateral_topk": j17_lateral_topk,
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
+    "a25_column_profile": a25_column_profile,
+    "a26_benford_digits": a26_benford_digits,
+    "graph_khop_reach": graph_khop_reach,
+    "t3_sliding_window": t3_sliding_window,
+    "a27_seasonal_anomaly": a27_seasonal_anomaly,
+    "o14_snapshot_diff": o14_snapshot_diff,
+    "graph_hierarchy_rollup": graph_hierarchy_rollup,
+    "sample_weighted_topk": sample_weighted_topk,
+    "text_tfidf_pairs": text_tfidf_pairs,
+    "a28_cms_frequencies": a28_cms_frequencies,
+    "text_ngram_entropy": text_ngram_entropy,
+    "text_dup_spans": text_dup_spans,
+    "dedup_containment": dedup_containment,
+    "sample_mixture_rates": sample_mixture_rates,
+    "a29_hll_distinct": a29_hll_distinct,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_top_tokens": text_bpe_top_tokens,
+    "a30_hll_by_type": a30_hll_by_type,
+    "a31_sampled_percentiles": a31_sampled_percentiles,
+    "a32_psi_drift": a32_psi_drift,
+    "w13_ses_forecast": w13_ses_forecast,
+    "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
+    "a34_kmv_set_ops": a34_kmv_set_ops,
+    "embed_srp_multiprobe": embed_srp_multiprobe,
+    "a35_mad_outliers": a35_mad_outliers,
+    "embed_pq_adc": embed_pq_adc,
+    "embed_ivf_pq": embed_ivf_pq,
+    "a36_kmv_by_type": a36_kmv_by_type,
+    "a19_stale_feeds": a19_stale_feeds,
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
     "o10_unpivot": o10_unpivot,
@@ -3678,7 +3734,6 @@ QUERIES = {
     "text_boilerplate_stats": text_boilerplate_stats,
     "q20_nested_in_chain": q20_nested_in_chain,
     "q11_important_suppliers": q11_important_suppliers,
-    "q12_priority_shipping": q12_priority_shipping,
     "q15_top_supplier": q15_top_supplier,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -3745,54 +3800,4 @@ QUERIES = {
     "a12_rollup_revenue": a12_rollup_revenue,
     "o9_except_nations": o9_except_nations,
     "w5_lag_event_gap": w5_lag_event_gap,
-    "a18_heavy_hitter_users": a18_heavy_hitter_users,
-    "dedup_semantic": dedup_semantic,
-    "o12_variant_props": o12_variant_props,
-    "w8_resample_interpolate": w8_resample_interpolate,
-    "a19_stale_feeds": a19_stale_feeds,
-    "a20_cohort_retention": a20_cohort_retention,
-    "w9_activity_islands": w9_activity_islands,
-    "j13_fuzzy_name_match": j13_fuzzy_name_match,
-    "a21_kmv_distinct": a21_kmv_distinct,
-    "a22_funnel_conversion": a22_funnel_conversion,
-    "w10_time_weighted_avg": w10_time_weighted_avg,
-    "j14_max_concurrent_orders": j14_max_concurrent_orders,
-    "w11_last_touch_attribution": w11_last_touch_attribution,
-    "a23_value_outliers": a23_value_outliers,
-    "j15_part_cooccurrence": j15_part_cooccurrence,
-    "w12_cumulative_new_users": w12_cumulative_new_users,
-    "j16_asof_tolerance": j16_asof_tolerance,
-    "a24_mode_per_group": a24_mode_per_group,
-    "o13_token_positions": o13_token_positions,
-    "j17_lateral_topk": j17_lateral_topk,
-    "graph_pagerank": graph_pagerank,
-    "graph_triangles": graph_triangles,
-    "a25_column_profile": a25_column_profile,
-    "a26_benford_digits": a26_benford_digits,
-    "graph_khop_reach": graph_khop_reach,
-    "t3_sliding_window": t3_sliding_window,
-    "a27_seasonal_anomaly": a27_seasonal_anomaly,
-    "o14_snapshot_diff": o14_snapshot_diff,
-    "graph_hierarchy_rollup": graph_hierarchy_rollup,
-    "sample_weighted_topk": sample_weighted_topk,
-    "text_tfidf_pairs": text_tfidf_pairs,
-    "a28_cms_frequencies": a28_cms_frequencies,
-    "text_ngram_entropy": text_ngram_entropy,
-    "text_dup_spans": text_dup_spans,
-    "dedup_containment": dedup_containment,
-    "sample_mixture_rates": sample_mixture_rates,
-    "a29_hll_distinct": a29_hll_distinct,
-    "text_bpe_merges": text_bpe_merges,
-    "text_bpe_top_tokens": text_bpe_top_tokens,
-    "a30_hll_by_type": a30_hll_by_type,
-    "a31_sampled_percentiles": a31_sampled_percentiles,
-    "a32_psi_drift": a32_psi_drift,
-    "w13_ses_forecast": w13_ses_forecast,
-    "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
-    "a34_kmv_set_ops": a34_kmv_set_ops,
-    "embed_srp_multiprobe": embed_srp_multiprobe,
-    "a35_mad_outliers": a35_mad_outliers,
-    "embed_pq_adc": embed_pq_adc,
-    "embed_ivf_pq": embed_ivf_pq,
-    "a36_kmv_by_type": a36_kmv_by_type,
 }

@@ -66,6 +66,52 @@ def test_every_query_has_oracle():
     assert set(QUERIES) == set(ORACLES)
 
 
+def _spark_family(dt) -> str:
+    """Coarse type family for a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "list:" + _spark_family(dt.elementType)
+    return "other"
+
+
+def _arrow_family(at) -> str:
+    """Coarse type family for a pyarrow DataType."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_floating(at):
+        return "float"
+    if pa.types.is_decimal(at):
+        return "decimal"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "string"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return "list:" + _arrow_family(at.value_type)
+    return "other"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_parity(name, spark, duck):
     sdf = QUERIES[name](spark, SF_DIR)
@@ -77,6 +123,20 @@ def test_parity(name, spark, duck):
     d_rows = res.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+
+    # Type-family check via Arrow: the external driver ships both
+    # result sets through Arrow/pandas, so a DuckDB HUGEINT
+    # (decimal128(38,0)) against a Spark BIGINT hash-mismatches even
+    # when every value is identical (this killed q12 in round 3).
+    # Compare coarse families — int↔int, float↔float — and treat
+    # decimal as its own family so un-CAST sums fail here, locally.
+    arrow_schema = duck.execute(ORACLES[name]).arrow().schema
+    d_fams = {f.name: _arrow_family(f.type) for f in arrow_schema}
+    s_fams = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+    fam_diffs = {
+        c: (s_fams[c], d_fams[c]) for c in s_fams if s_fams[c] != d_fams[c]
+    }
+    assert not fam_diffs, f"{name}: type-family mismatches (spark, duck): {fam_diffs}"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
 
     s_canon = _rows_to_canon(s_cols, s_rows)

@@ -148,6 +148,25 @@ def test_triangle_count_small_graphs(spark):
     assert triangle_count(sq).collect()[0]["n_triangles"] == 0
 
 
+def test_triangle_count_skewed_hub_graph(spark):
+    """Power-law stress for the degree-ordered orientation: a hub
+    wired to 60 spokes (star: 0 triangles) plus a chain of spoke-spoke
+    edges closing exactly 10 triangles through the hub, plus one
+    hub-free triangle. Under id-order the hub would fan out ~60²
+    candidate pairs; degree-order keeps it as the order-MAX vertex so
+    it never serves as the pair pivot — and the count is exact."""
+    from pipelines_spark.operators.graph import triangle_count
+
+    spokes = [f"s{i:02d}" for i in range(60)]
+    edges = [("hub", s) for s in spokes]
+    # 10 spoke-spoke edges, each closing one triangle with the hub
+    edges += [(spokes[i], spokes[i + 30]) for i in range(10)]
+    # one triangle that avoids the hub entirely
+    edges += [("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 11
+
+
 def test_khop_reachability_path_graph(spark):
     """Path a-b-c-d from source a: hops 0,1,2 reached at max_hops=2;
     d unreachable within the bound; no node settles twice."""

@@ -316,7 +316,9 @@ def run_maintenance(
         raise ValueError("log_path requires an explicit `now` timestamp")
     try:
         removed = (
-            vacuum_partitions(path, partition_cols, keep=keep) if keep else []
+            vacuum_partitions(path, partition_cols, keep=keep, spark=spark)
+            if keep
+            else []
         )
         compacted = compact_partitions(
             spark,

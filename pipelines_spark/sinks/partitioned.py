@@ -77,20 +77,62 @@ def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
+    # qualify so path strings compare stably against listStatus output
+    # (which always returns fully-qualified scheme://… paths)
+    return fs, fs.makeQualified(hpath)
 
 
-def _require_local_path(path: str, op: str) -> None:
+#: schemes whose "rename" is a non-atomic O(data) copy — the
+#: compaction swap relies on atomic directory rename, so these are
+#: rejected rather than left with a corruption window
+_NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos"}
+)
+
+
+def _require_atomic_rename(path: str, op: str) -> None:
     from urllib.parse import urlparse
 
     scheme = urlparse(path).scheme
-    if scheme not in ("", "file"):
+    if scheme in _NON_ATOMIC_RENAME_SCHEMES:
         raise NotImplementedError(
-            f"{op} walks the local filesystem and would silently do "
-            f"nothing on scheme {scheme!r}; on an object store use a "
-            "table format with file-level transactions (Delta/Iceberg) "
-            "or Hadoop-FS-based tooling instead"
+            f"{op} swaps directories with atomic renames, which scheme "
+            f"{scheme!r} does not provide (rename there is a non-atomic "
+            "copy, leaving a corruption window); on an object store use "
+            "a table format with file-level transactions "
+            "(Delta/Iceberg rewrite) instead"
         )
+
+
+def _walk_partition_dirs(fs, root, partition_cols):
+    """Yield ``(rel_path, values_dict, hadoop_path)`` for every
+    directory exactly ``len(partition_cols)`` levels below ``root``
+    whose segments are structural ``col=value`` pairs, via the Hadoop
+    FileSystem API (works on file://, hdfs://, s3a://, …). Staging and
+    bookkeeping entries (underscore/dot-prefixed) are never entered."""
+    from urllib.parse import unquote
+
+    stack = [(root, [], {})]
+    while stack:
+        cur, segs, vals = stack.pop()
+        depth = len(segs)
+        if depth == len(partition_cols):
+            yield "/".join(segs), vals, cur
+            continue
+        col = partition_cols[depth]
+        for st in fs.listStatus(cur):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")) or not name.startswith(f"{col}="):
+                continue
+            stack.append(
+                (
+                    st.getPath(),
+                    segs + [name],
+                    {**vals, col: unquote(name[len(col) + 1 :])},
+                )
+            )
 
 
 # Above this many touched partitions the static OR-chain predicate is
@@ -289,15 +331,18 @@ def vacuum_partitions(
     *,
     keep,
     dry_run: bool = False,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """Retention sweep: delete Hive partition directories whose
     partition values fail the ``keep`` predicate.
 
     ``keep`` receives a ``{col: value}`` dict of the partition's
     (string) values and returns True to retain it. The sweep is a
-    driver-side directory walk — cost scales with partition COUNT,
-    never row count; data files are not opened. A raw/staging zone on
-    a minutely capture cadence grows partitions forever without this
+    driver-side directory walk over the Hadoop FileSystem API — it
+    works on any configured scheme (``file://``, ``hdfs://``,
+    ``s3a://``, …) and its cost scales with partition COUNT, never
+    row count; data files are not opened. A raw/staging zone on a
+    minutely capture cadence grows partitions forever without this
     (the reference ages them out storage-side; here it is an explicit,
     testable operation).
 
@@ -306,49 +351,25 @@ def vacuum_partitions(
     Partition-value parsing is purely structural (``k=v`` path
     segments in ``partition_cols`` order); non-partition entries
     (underscore-prefixed staging dirs, ``_SUCCESS``) are never
-    touched. Local paths only — a remote scheme is rejected rather
-    than silently sweeping nothing.
+    touched.
     """
-    import os
-    import shutil
-    from urllib.parse import unquote
-
-    _require_local_path(path, "vacuum_partitions")
+    spark = spark or SparkSession.active()
+    fs, root = _hadoop_fs(spark, path)
 
     removed: list[str] = []
-    for dirpath, dirnames, _files in os.walk(path):
-        rel = os.path.relpath(dirpath, path)
-        if rel == ".":
-            # never descend into staging/bookkeeping dirs
-            dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+    for rel, vals, hdir in _walk_partition_dirs(fs, root, partition_cols):
+        if keep(vals):
             continue
-        segs = rel.split(os.sep)
-        if len(segs) != len(partition_cols):
-            continue
-        vals = {}
-        ok = True
-        for col, seg in zip(partition_cols, segs):
-            if not seg.startswith(f"{col}="):
-                ok = False
-                break
-            vals[col] = unquote(seg[len(col) + 1 :])
-        if not ok:
-            continue
-        dirnames[:] = []  # a full partition dir: don't walk deeper
-        if not keep(vals):
-            removed.append(rel)
-            if not dry_run:
-                shutil.rmtree(dirpath)
-                # prune now-empty parents up to the table root —
-                # otherwise multi-level layouts accumulate empty
-                # year=… shells that every future listing re-walks
-                parent = os.path.dirname(dirpath)
-                while (
-                    os.path.realpath(parent) != os.path.realpath(path)
-                    and not os.listdir(parent)
-                ):
-                    os.rmdir(parent)
-                    parent = os.path.dirname(parent)
+        removed.append(rel)
+        if not dry_run:
+            fs.delete(hdir, True)
+            # prune now-empty parents up to the table root —
+            # otherwise multi-level layouts accumulate empty
+            # year=… shells that every future listing re-walks
+            parent = hdir.getParent()
+            while str(parent) != str(root) and not fs.listStatus(parent):
+                fs.delete(parent, False)
+                parent = parent.getParent()
     return sorted(removed)
 
 
@@ -379,47 +400,47 @@ def compact_partitions(
     directory-swap path.)
 
     Returns {partition_path: files_before} for the rewritten ones.
-    Local paths only — directory renames are only atomic there; a
-    remote scheme is rejected explicitly.
+    Runs over the Hadoop FileSystem API, so ``file://`` and
+    ``hdfs://`` lakes both work (HDFS rename is atomic); object-store
+    schemes whose rename is a non-atomic copy are rejected explicitly.
     """
-    import collections
-    import os
-    import shutil
+    _require_atomic_rename(path, "compact_partitions")
 
-    _require_local_path(path, "compact_partitions")
+    fs, root = _hadoop_fs(spark, path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
 
-    sizes: dict[str, list[int]] = collections.defaultdict(list)
-    for dirpath, _dirnames, filenames in os.walk(path):
-        rel = os.path.relpath(dirpath, path)
-        if rel != "." and all(f"{c}=" in rel for c in partition_cols):
-            for fn in filenames:
-                if fn.endswith(".parquet"):
-                    sizes[rel].append(os.path.getsize(os.path.join(dirpath, fn)))
+    sizes: dict[str, list[int]] = {}
+    for rel, _vals, hdir in _walk_partition_dirs(fs, root, partition_cols):
+        sizes[rel] = [
+            st.getLen()
+            for st in fs.listStatus(hdir)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
 
-    tmp_root = os.path.join(path, "_tmp_compact")
+    tmp_root = jvm_path(root, "_tmp_compact")
     rewritten: dict[str, int] = {}
     for rel, files in sizes.items():
         if len(files) < min_files_to_compact:
             continue
-        part_dir = os.path.join(path, rel)
-        tmp_dir = os.path.join(tmp_root, rel)
+        part_dir = jvm_path(root, rel)
+        tmp_dir = jvm_path(tmp_root, rel)
         n_target = max(1, int(sum(files) / (target_file_mb * (1 << 20))) or 1)
         # materialize the compacted copy completely before touching
         # the source files
-        spark.read.parquet(part_dir).coalesce(n_target).write.mode(
+        spark.read.parquet(str(part_dir)).coalesce(n_target).write.mode(
             "overwrite"
-        ).parquet(tmp_dir)
+        ).parquet(str(tmp_dir))
         # underscore prefix: invisible to Spark partition discovery
         # while it briefly exists
-        old_dir = os.path.join(
-            os.path.dirname(part_dir), "_old_" + os.path.basename(part_dir)
+        old_dir = jvm_path(
+            part_dir.getParent(), "_old_" + part_dir.getName()
         )
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
-        os.rename(part_dir, old_dir)
-        os.rename(tmp_dir, part_dir)
-        shutil.rmtree(old_dir)
+        if fs.exists(old_dir):
+            fs.delete(old_dir, True)
+        fs.rename(part_dir, old_dir)
+        fs.rename(tmp_dir, part_dir)
+        fs.delete(old_dir, True)
         rewritten[rel] = len(files)
-    if os.path.exists(tmp_root):
-        shutil.rmtree(tmp_root, ignore_errors=True)
+    if fs.exists(tmp_root):
+        fs.delete(tmp_root, True)
     return rewritten

@@ -287,11 +287,48 @@ def test_merge_upsert_many_partitions_uses_semijoin_prune(spark, tmp_path):
     assert got == {(i, "new") for i in range(n)} | {(999, "keep")}
 
 
-def test_vacuum_and_compact_reject_remote_paths(spark):
+def test_compact_rejects_non_atomic_rename_schemes(spark):
+    """Compaction's directory swap needs atomic rename; object-store
+    schemes where rename is a copy are rejected BEFORE any filesystem
+    connection is attempted (vacuum has no such constraint — its
+    deletes go through the Hadoop FS on any scheme)."""
     import pytest
-    from pipelines_spark.sinks.partitioned import compact_partitions, vacuum_partitions
+    from pipelines_spark.sinks.partitioned import compact_partitions
 
-    with pytest.raises(NotImplementedError, match="local filesystem"):
-        vacuum_partitions("s3a://bucket/table", ["data"], keep=lambda v: True)
-    with pytest.raises(NotImplementedError, match="local filesystem"):
-        compact_partitions(spark, "hdfs://nn/table", ["data"])
+    for scheme in ("s3a", "gs", "wasbs"):
+        with pytest.raises(NotImplementedError, match="atomic"):
+            compact_partitions(spark, f"{scheme}://bucket/table", ["data"])
+
+
+def test_vacuum_and_compact_over_hadoop_fs_scheme(spark, tmp_path):
+    """Maintenance runs through the Hadoop FileSystem API: drive both
+    against an explicit file:// URI (a non-empty scheme the old
+    os.walk implementation rejected) and verify the same retention +
+    rewrite semantics as the local-path tests."""
+    from pipelines_spark.sinks.partitioned import (
+        compact_partitions,
+        vacuum_partitions,
+    )
+
+    path = "file://" + str(tmp_path / "lake")
+    for i in range(5):
+        spark.createDataFrame(
+            [(i, "2024-01-01")], "v long, data string"
+        ).coalesce(1).write.mode("append").partitionBy("data").parquet(path)
+    spark.createDataFrame(
+        [(99, "2023-12-31")], "v long, data string"
+    ).coalesce(1).write.mode("append").partitionBy("data").parquet(path)
+
+    removed = vacuum_partitions(
+        path, ["data"], keep=lambda v: v["data"] >= "2024", spark=spark
+    )
+    assert removed == ["data=2023-12-31"]
+
+    rewritten = compact_partitions(spark, path, ["data"], min_files_to_compact=4)
+    assert rewritten == {"data=2024-01-01": 5}
+    got = spark.read.parquet(path)
+    assert sorted(r["v"] for r in got.collect()) == [0, 1, 2, 3, 4]
+    assert len([
+        f for f in os.listdir(tmp_path / "lake" / "data=2024-01-01")
+        if f.endswith(".parquet")
+    ]) == 1

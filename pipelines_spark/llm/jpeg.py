@@ -116,6 +116,13 @@ def _extend(v: int, n: int) -> int:
 def _split_entropy(data: bytes) -> list[bytes]:
     """Unstuff 0xFF00 and split the scan on RST markers; returns one
     bytes segment per restart interval."""
+    return _split_entropy_consumed(data)[0]
+
+
+def _split_entropy_consumed(data: bytes) -> tuple[list[bytes], int]:
+    """Like :func:`_split_entropy` but also returns the number of
+    input bytes consumed — progressive streams carry several scans, so
+    the marker parser must resume right after each one."""
     segs: list[bytearray] = [bytearray()]
     i = 0
     n = len(data)
@@ -134,7 +141,7 @@ def _split_entropy(data: bytes) -> list[bytes]:
             break  # next real marker: scan over
         segs[-1].append(b)
         i += 1
-    return [bytes(s) for s in segs]
+    return [bytes(s) for s in segs], i
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:

@@ -52,27 +52,36 @@ def pagerank(
     Nodes nobody links to keep the teleport term only.
     """
     # The distinct edge list, node universe, and out-degree table are
-    # loop INVARIANTS consumed by every iteration — persist them once
-    # so each iteration's join reads cached data instead of re-running
-    # the edge dedup shuffle (the r3 bench showed ~3 edge re-scans per
-    # iteration without this; at 100 TB swap persist() for a temp
-    # table / checkpoint, same as the LSH staging note in llm/dedup.py).
+    # loop INVARIANTS consumed by every iteration — materialize them
+    # ONCE with an eager localCheckpoint so (a) every iteration's join
+    # reads the stored partitions instead of re-running the edge-dedup
+    # shuffle, (b) the static plan references one materialized scan per
+    # alias rather than re-expanding the lineage, and (c) the backing
+    # blocks are freed by the ContextCleaner as soon as the caller
+    # drops the result frame — no CacheManager entry to leak until
+    # session end (the round-4 staging-leak pattern). At 100 TB swap
+    # localCheckpoint for a reliable checkpoint / temp table, same as
+    # the LSH staging note in llm/dedup.py.
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # one small action; N is a plan constant
+    n_nodes = nodes.count()  # cheap action over the checkpointed blocks
     base = SCALE // n_nodes
     teleport = (100 - damping_pct) * base // 100
 
-    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).persist()
+    outdeg = (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
     for _ in range(iterations):
         contrib = (
@@ -101,9 +110,7 @@ def pagerank(
         # (mirrors ancestor_closure's discipline below); harmless at
         # iterations=2, load-bearing when callers raise the bound
         ranks = ranks.localCheckpoint(eager=False)
-    from pipelines_spark.llm.dedup import _attach_staging
-
-    return _attach_staging(ranks, (e, nodes, outdeg))
+    return ranks
 
 
 def triangle_count(
@@ -151,11 +158,18 @@ def triangle_count(
         .join(deg.withColumnsRenamed({"v": "b", "d": "_db"}), "b")
     )
     a_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
+    # `oriented` feeds all THREE sides of the count below. An eager
+    # localCheckpoint (not persist) materializes it once and CUTS the
+    # lineage, so the static plan shows one stored scan per alias —
+    # with persist() alone each alias re-expands the full
+    # canon⨝deg⨝deg tree in the plan (the round-4 shuffle-budget
+    # regression: 5 intended exchanges explained as 19–55 depending on
+    # cache state), and the CacheManager entry outlives the query.
     oriented = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dhi"),
-    ).persist()  # feeds all three sides of the count below
+    ).localCheckpoint(eager=True)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     o3 = oriented.select("lo", "hi").alias("o3")
@@ -169,10 +183,7 @@ def triangle_count(
         o3,
         (F.col("o1.hi") == F.col("o3.lo")) & (F.col("o2.hi") == F.col("o3.hi")),
     )
-    out = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-    from pipelines_spark.llm.dedup import _attach_staging
-
-    return _attach_staging(out, (oriented,))
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def khop_reachability(
@@ -197,7 +208,15 @@ def khop_reachability(
     Returns ``(node, min_hops)`` for every node within ``max_hops``
     (sources at 0).
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # the edge list is a loop invariant read by every hop — checkpoint
+    # it once so each level joins against stored partitions instead of
+    # re-expanding the distinct in the plan (same discipline as
+    # pagerank above)
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     reached = sources.select(
         F.col(node_col).alias("node"), F.lit(0).alias("min_hops")
     ).distinct()
@@ -209,6 +228,9 @@ def khop_reachability(
             .distinct()
             .join(reached, "node", "left_anti")
             .select("node", F.lit(hop).alias("min_hops"))
+            # lazy lineage cut: nxt feeds BOTH the reached union and the
+            # next frontier, so without it the plan tree doubles per hop
+            .localCheckpoint(eager=False)
         )
         reached = reached.unionByName(nxt)
         frontier = nxt

@@ -2860,9 +2860,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the part co-purchase graph (parts are
     adjacent when some order contains both): a clustering-coefficient
     primitive. Edges come from the basket pair expansion (j15's
-    shape); counting uses the canonical lo<mid<hi orientation
-    (operators/graph.py::triangle_count) so each triangle counts
-    once — two equi-joins, no enumeration of all vertex triples."""
+    shape); counting uses the DEGREE-ORDERED (degree, id) orientation
+    (operators/graph.py::triangle_count) so each triangle counts once
+    and hub vertices collect in-edges instead of fanning out the pair
+    join — two equi-joins, no enumeration of all vertex triples. The
+    count is orientation-invariant, so the SQL oracle keeps the
+    simpler id-ordered lo<mid<hi replay."""
     register(spark, sf_dir, ("lineitem",))
     from pipelines_spark.operators.graph import triangle_count
 
@@ -3702,8 +3705,11 @@ QUERIES = {
     "a35_mad_outliers": a35_mad_outliers,
     "embed_pq_adc": embed_pq_adc,
     "embed_ivf_pq": embed_ivf_pq,
-    "a36_kmv_by_type": a36_kmv_by_type,
+    # a19 rotated into the driver's first-50 sample window (r5): the
+    # one registered query never driver-checked through r4; a36 got
+    # its green row in CORRECTNESS_r04.json
     "a19_stale_feeds": a19_stale_feeds,
+    "a36_kmv_by_type": a36_kmv_by_type,
     "j11_asof_enrichment": j11_asof_enrichment,
     "a13_value_percentiles": a13_value_percentiles,
     "o10_unpivot": o10_unpivot,

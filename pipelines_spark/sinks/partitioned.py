@@ -82,11 +82,13 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, fs.makeQualified(hpath)
 
 
-#: schemes whose "rename" is a non-atomic O(data) copy — the
-#: compaction swap relies on atomic directory rename, so these are
-#: rejected rather than left with a corruption window
-_NON_ATOMIC_RENAME_SCHEMES = frozenset(
-    {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos"}
+#: schemes whose directory rename IS atomic — the compaction swap
+#: relies on it, so this is an ALLOWLIST: any scheme not known-atomic
+#: (s3a, gs, wasb, swift, …) is rejected rather than left with a
+#: corruption window. Object-store "rename" is a non-atomic O(data)
+#: copy even when the connector exposes the call.
+_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"", "file", "hdfs", "viewfs", "abfs", "abfss", "o3fs", "ofs"}
 )
 
 
@@ -94,12 +96,13 @@ def _require_atomic_rename(path: str, op: str) -> None:
     from urllib.parse import urlparse
 
     scheme = urlparse(path).scheme
-    if scheme in _NON_ATOMIC_RENAME_SCHEMES:
+    if scheme not in _ATOMIC_RENAME_SCHEMES:
         raise NotImplementedError(
-            f"{op} swaps directories with atomic renames, which scheme "
-            f"{scheme!r} does not provide (rename there is a non-atomic "
-            "copy, leaving a corruption window); on an object store use "
-            "a table format with file-level transactions "
+            f"{op} swaps directories with atomic renames, and scheme "
+            f"{scheme!r} is not on the known-atomic allowlist "
+            f"({sorted(s for s in _ATOMIC_RENAME_SCHEMES if s)}); object-"
+            "store rename is a non-atomic copy, leaving a corruption "
+            "window — use a table format with file-level transactions "
             "(Delta/Iceberg rewrite) instead"
         )
 
@@ -360,16 +363,22 @@ def vacuum_partitions(
     for rel, vals, hdir in _walk_partition_dirs(fs, root, partition_cols):
         if keep(vals):
             continue
+        if dry_run:
+            removed.append(rel)
+            continue
+        # Hadoop FileSystem.delete signals failure with a False return,
+        # not an exception — a partition that survives (permissions, a
+        # concurrent writer recreating it) must not be reported vacuumed
+        if not fs.delete(hdir, True):
+            raise IOError(f"vacuum_partitions: delete failed for {rel}")
         removed.append(rel)
-        if not dry_run:
-            fs.delete(hdir, True)
-            # prune now-empty parents up to the table root —
-            # otherwise multi-level layouts accumulate empty
-            # year=… shells that every future listing re-walks
-            parent = hdir.getParent()
-            while str(parent) != str(root) and not fs.listStatus(parent):
-                fs.delete(parent, False)
-                parent = parent.getParent()
+        # prune now-empty parents up to the table root —
+        # otherwise multi-level layouts accumulate empty
+        # year=… shells that every future listing re-walks
+        parent = hdir.getParent()
+        while str(parent) != str(root) and not fs.listStatus(parent):
+            fs.delete(parent, False)
+            parent = parent.getParent()
     return sorted(removed)
 
 
@@ -435,11 +444,32 @@ def compact_partitions(
         old_dir = jvm_path(
             part_dir.getParent(), "_old_" + part_dir.getName()
         )
-        if fs.exists(old_dir):
-            fs.delete(old_dir, True)
-        fs.rename(part_dir, old_dir)
-        fs.rename(tmp_dir, part_dir)
-        fs.delete(old_dir, True)
+        # Hadoop FileSystem.rename/delete report failure via a False
+        # return, not an exception. Every step of the swap is checked:
+        # if the live→_old_ rename fails, the second rename would move
+        # the compacted tmp dir INTO the still-existing live dir
+        # (rename-into-existing-directory semantics), nesting duplicate
+        # data under the live partition — abort before touching it.
+        if fs.exists(old_dir) and not fs.delete(old_dir, True):
+            raise IOError(f"compact_partitions: stale {old_dir} not deletable")
+        if not fs.rename(part_dir, old_dir):
+            raise IOError(
+                f"compact_partitions: rename {part_dir} -> {old_dir} failed; "
+                "live partition untouched, compacted copy left in _tmp_compact"
+            )
+        if not fs.rename(tmp_dir, part_dir):
+            # roll the live data back so the partition never stays missing
+            fs.rename(old_dir, part_dir)
+            raise IOError(
+                f"compact_partitions: rename {tmp_dir} -> {part_dir} failed; "
+                "original partition restored"
+            )
+        if not fs.delete(old_dir, True):
+            raise IOError(
+                f"compact_partitions: swap succeeded but {old_dir} not "
+                "deletable — remove it manually (underscore prefix keeps it "
+                "invisible to scans)"
+            )
         rewritten[rel] = len(files)
     if fs.exists(tmp_root):
         fs.delete(tmp_root, True)

@@ -125,18 +125,27 @@ def triangle_count(
     Textbook scalable shape with the DEGREE-ORDERED orientation
     (Cohen / "MapReduce triangle enumeration" refinement): vertices
     are totally ordered by (degree, id) and every undirected edge is
-    oriented low→high under that order. Each triangle then has
-    exactly one vertex with two out-edges (its order-minimum), so
-    counting pairs of out-neighbors whose closing edge exists counts
-    each triangle once — and because a hub's order rank is HIGH, hubs
-    collect in-edges instead of fanning out the path join: the
-    candidate-pair count is bounded by Σ_v min-degree²(v) ≈ m^1.5
-    instead of Σ_v degree²(v), which is what dies on power-law graphs
-    at 100×. The count itself is orientation-invariant, so the SQL
-    oracle can keep the simpler id-ordered replay.
+    oriented low→high under that order. Each triangle x<y<z (order)
+    then has exactly one BASE edge (x,y) with z in both out-neighbor
+    sets, so ``Σ_{(a,b)∈E} |N⁺(a) ∩ N⁺(b)|`` counts each triangle
+    once. The intersection runs per EDGE over compact out-adjacency
+    arrays (one groupBy + two co-keyed joins + a map-side
+    array_intersect) — the candidate-pair relation of the naive
+    path-join formulation (Σ out-deg² rows, 41M at sf0.1 for a 1.2M
+    edge graph) is never materialized or shuffled. Degree ordering is
+    what keeps the arrays small under power-law skew: a hub's order
+    rank is HIGH, so it collects in-edges, and every out-degree is
+    bounded by ~√(2m) — the largest row the intersect ever sees is
+    O(√m) elements, not O(max-degree). The count is
+    orientation-invariant, so the SQL oracle can keep the simpler
+    id-ordered replay.
 
     Returns a 1-row frame ``(n_triangles)``.
     """
+    # The upstream edge derivation is often the expensive part (e.g.
+    # the basket pair expansion in queries.graph_triangles) and canon
+    # feeds THREE consumers (both union sides of deg + the orientation
+    # join) — materialize it once so the expansion never recomputes.
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -144,46 +153,50 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # deg (one row per vertex, two references below) likewise
     deg = (
         canon.select(F.col("a").alias("v"))
         .unionByName(canon.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
-    # orient each edge low→high under the (degree, id) total order,
-    # carrying the head's order key for the out-neighbor comparison
+    # orient each edge low→high under the (degree, id) total order.
+    # An eager localCheckpoint (not persist) materializes `oriented`
+    # once and CUTS the lineage, so both consumers below (adjacency
+    # build + edge probe) read one stored scan — with persist() alone
+    # each alias re-expands the full canon⨝deg⨝deg tree in the static
+    # plan (the round-4 shuffle-budget regression: 5 intended
+    # exchanges explained as 19–55 depending on cache state), and the
+    # CacheManager entry outlives the query.
     keyed = (
         canon.join(deg.withColumnsRenamed({"v": "a", "d": "_da"}), "a")
         .join(deg.withColumnsRenamed({"v": "b", "d": "_db"}), "b")
     )
     a_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
-    # `oriented` feeds all THREE sides of the count below. An eager
-    # localCheckpoint (not persist) materializes it once and CUTS the
-    # lineage, so the static plan shows one stored scan per alias —
-    # with persist() alone each alias re-expands the full
-    # canon⨝deg⨝deg tree in the plan (the round-4 shuffle-budget
-    # regression: 5 intended exchanges explained as 19–55 depending on
-    # cache state), and the CacheManager entry outlives the query.
     oriented = keyed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dhi"),
     ).localCheckpoint(eager=True)
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    o3 = oriented.select("lo", "hi").alias("o3")
-    # unordered out-neighbor pairs of each order-minimum vertex …
-    pairs = o1.join(o2, F.col("o1.lo") == F.col("o2.lo")).where(
-        F.struct(F.col("o1._dhi"), F.col("o1.hi"))
-        < F.struct(F.col("o2._dhi"), F.col("o2.hi"))
+    # compact out-adjacency: one array per tail vertex, ≤ √(2m)
+    # elements each thanks to the degree orientation
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("_nbrs"))
+    # per-edge closing count |N⁺(lo) ∩ N⁺(hi)|; the hi-side lookup is
+    # an inner join, so heads with no out-edges contribute nothing
+    per_edge = (
+        oriented.join(adj, "lo")
+        .withColumnRenamed("_nbrs", "_nlo")
+        .join(
+            adj.select(F.col("lo").alias("hi"), F.col("_nbrs").alias("_nhi")),
+            "hi",
+        )
+        .select(F.size(F.array_intersect("_nlo", "_nhi")).alias("_k"))
     )
-    # … closed by an oriented edge between the two heads
-    closed = pairs.join(
-        o3,
-        (F.col("o1.hi") == F.col("o3.lo")) & (F.col("o2.hi") == F.col("o3.hi")),
+    return per_edge.agg(
+        F.coalesce(F.sum("_k"), F.lit(0)).cast("long").alias("n_triangles")
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def khop_reachability(

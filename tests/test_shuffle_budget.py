@@ -73,13 +73,13 @@ BUDGETS = {
     "a25_column_profile": 2,
     # digit agg + 1-row total + broadcast-join back
     "a26_benford_digits": 3,
-    # `oriented` is an eager localCheckpoint, so the visible plan is
-    # the pair join + closing join over ONE stored scan; at test SF
-    # both joins broadcast, leaving only the final-count exchange
-    # (worst case without broadcast: 5). The checkpoint makes the
-    # probe cache-state-independent — the r4 flap (19 vs 55 depending
-    # on test order) came from persist() re-expanding lineage.
-    "graph_triangles": 1,
+    # `oriented` is an eager localCheckpoint feeding the adjacency
+    # build + the per-edge probe: adjacency agg, lo-join, hi-join,
+    # final 1-row sum — the candidate-pair relation never
+    # materializes. The checkpoint makes the probe
+    # cache-state-independent — the r4 flap (19 vs 55 depending on
+    # test order) came from persist() re-expanding lineage.
+    "graph_triangles": 5,
     # every loop invariant (edges, nodes, outdeg) is checkpointed and
     # the per-iteration ranks carry a lazy lineage cut — the returned
     # plan is a stored scan

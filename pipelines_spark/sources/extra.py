@@ -410,24 +410,27 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     always decode with the built-in pure-numpy parser
     (sources/netcdf3.py); netCDF-4 (HDF5 container, e.g. GOES
     satellite tiles) decodes with the built-in minimal HDF5 reader
-    (sources/hdf5_min.py) for flat chunked/deflate/shuffle files;
-    only the variants neither built-in handles (dense-group HDF5, v4
-    chunk indexes, CDF-5) fall back to xarray + a netCDF backend —
-    a clear error otherwise. (A bare xarray without backends raises a
-    non-ImportError from open_dataset, so magic-first dispatch also
-    keeps classic files working regardless of the xarray install
-    state.) Mirrors xarray's ``to_dataframe().reset_index()`` shape:
-    one row per coordinate combination, dim coordinate columns first.
+    (sources/hdf5_min.py) — flat files with symbol-table, compact, or
+    dense (fractal-heap) groups, chunked/deflate/shuffle data under
+    v1-B-tree, single-chunk, implicit, or fixed-array chunk indexes;
+    only the variants no built-in handles (extensible-array/v2-B-tree
+    indexes for unlimited dims, paged fixed arrays, CDF-5) fall back
+    to xarray + a netCDF backend — a clear error otherwise. (A bare
+    xarray without backends raises a non-ImportError from
+    open_dataset, so magic-first dispatch also keeps classic files
+    working regardless of the xarray install state.) Mirrors xarray's
+    ``to_dataframe().reset_index()`` shape: one row per coordinate
+    combination, dim coordinate columns first.
     """
     with open(path, "rb") as f:
         head = f.read(8)
     classic = head[:3] == b"CDF" and len(head) > 3 and head[3] in (1, 2)
     if head == b"\x89HDF\r\n\x1a\n":
         # netCDF-4 = HDF5 container: try the built-in minimal HDF5
-        # reader (sources/hdf5_min.py — flat files, symbol-table or
-        # compact-link groups, chunked+deflate+shuffle); variants it
-        # can't parse (dense groups, v4 chunk indexes) fall through to
-        # the xarray env-gate below.
+        # reader (sources/hdf5_min.py — symbol-table, compact, or
+        # dense-link groups; v1-B-tree, single-chunk, implicit, or
+        # fixed-array chunk indexes; deflate+shuffle); the remaining
+        # long tail falls through to the xarray env-gate below.
         try:
             from pipelines_spark.sources.hdf5_min import parse_hdf5
 

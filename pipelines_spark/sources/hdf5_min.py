@@ -7,14 +7,19 @@ on-disk format is publicly specified, and the subset netCDF-4 needs
 for flat raster files is parseable with struct + numpy + zlib:
 
 Reader supports: superblock v0/v1/v2/v3, object headers v1 and v2,
-old-style symbol-table groups AND compact new-style Link messages,
-header continuation blocks, dataspace v1/v2, fixed-point / IEEE-float
-/ fixed-string datatypes (either byte order), compact / contiguous /
-chunked (v1 B-tree) layouts, deflate + shuffle filters, and v1/v2/v3
-attribute messages. Dense (fractal-heap) groups, v4 chunk indexes,
-and vlen/reference attribute payloads raise a clear
-``NotImplementedError`` — callers fall back to their env-gate message
-exactly as before.
+old-style symbol-table groups, compact new-style Link messages AND
+dense (fractal-heap) group links (root direct block or one level of
+indirect block — the write-once packing every netCDF-4 producer
+emits), header continuation blocks, dataspace v1/v2, fixed-point /
+IEEE-float / fixed-string datatypes (either byte order), compact /
+contiguous / chunked layouts with v1 B-tree, single-chunk, implicit,
+and fixed-array (v4) chunk indexes, deflate + shuffle filters, and
+v1/v2/v3 attribute messages. The remaining long tail —
+extensible-array / v2-B-tree chunk indexes (libhdf5 only emits them
+for unlimited dimensions), paged fixed arrays, filtered or
+fragmented fractal heaps, vlen/reference attribute payloads — raises
+a clear ``NotImplementedError``; callers fall back to their env-gate
+message exactly as before.
 
 Writer exists to build REAL spec-compliant fixtures in an environment
 with no other HDF5 producer (same pattern as llm/jpeg.py): superblock
@@ -55,6 +60,32 @@ class _Msg:
     def __init__(self, mtype: int, body: bytes) -> None:
         self.mtype = mtype
         self.body = body
+
+
+def _defilter(raw: bytes, filters, dtype) -> bytes:
+    """Run a stored chunk backwards through the filter pipeline."""
+    for fid, vals in reversed(filters):
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:  # shuffle
+            es = vals[0] if vals else dtype.itemsize
+            raw = np.frombuffer(raw, np.uint8).reshape(es, -1).T.tobytes()
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
+def _place_chunk(out: np.ndarray, chunk: np.ndarray, coords) -> None:
+    """Copy a (possibly edge-overhanging) chunk into the output array."""
+    sl_out, sl_in = [], []
+    for d in range(out.ndim):
+        start = coords[d]
+        span = min(chunk.shape[d], out.shape[d] - start)
+        if span <= 0:
+            return
+        sl_out.append(slice(start, start + span))
+        sl_in.append(slice(0, span))
+    out[tuple(sl_out)] = chunk[tuple(sl_in)]
 
 
 def _parse_datatype(body: bytes) -> tuple[np.dtype | None, int]:
@@ -227,9 +258,7 @@ class _H5Reader:
             elif m.mtype == 0x0002:  # link info: dense storage?
                 fheap = struct.unpack_from("<Q", m.body, 2 + (8 if m.body[1] & 1 else 0))[0]
                 if fheap != _UNDEF:
-                    raise NotImplementedError(
-                        "HDF5 dense (fractal-heap) group links not supported"
-                    )
+                    links.extend(self._dense_links(fheap))
         out: dict[str, H5Dataset] = {}
         for name, oaddr in links:
             ds = self._read_dataset(name, oaddr)
@@ -238,7 +267,17 @@ class _H5Reader:
         return out
 
     def _parse_link(self, body: bytes) -> tuple[str, int] | None:
-        ver, flags = body[0], body[1]
+        link, _used = self._parse_link_sized(body)
+        return link
+
+    def _parse_link_sized(self, body: bytes):
+        """Link message body → ((name, obj_addr) | None, bytes consumed).
+
+        The consumed size makes the same parser usable for
+        sequentially packed fractal-heap objects (dense groups), where
+        link records sit back-to-back with no per-object framing.
+        Soft/external links are skipped but still sized."""
+        flags = body[1]
         pos = 2
         ltype = 0
         if flags & 0x08:
@@ -253,10 +292,93 @@ class _H5Reader:
         pos += nlen_size
         name = body[pos : pos + nlen].decode("utf-8", "replace")
         pos += nlen
-        if ltype != 0:
-            return None  # soft/external links: skip
-        (oaddr,) = struct.unpack_from("<Q", body, pos)
-        return name, oaddr
+        if ltype == 0:  # hard link: object header address
+            (oaddr,) = struct.unpack_from("<Q", body, pos)
+            return (name, oaddr), pos + 8
+        if ltype in (1, 64):  # soft/external: 2-byte payload length
+            (plen,) = struct.unpack_from("<H", body, pos)
+            return None, pos + 2 + plen
+        return None, 0
+
+    # -- dense (fractal-heap) group links ----------------------------------
+
+    def _dense_links(self, fheap_addr: int) -> list[tuple[str, int]]:
+        """Enumerate the link records of a dense group's fractal heap.
+
+        Strategy: walk every direct block (root direct, or the direct
+        rows of the root indirect block) and parse the packed link
+        messages sequentially, validating the record count against the
+        header's managed-object count. Heap objects carry no per-object
+        framing, so this relies on the write-once packing that every
+        netCDF-4/libhdf5 producer emits (objects allocated front-to-
+        back, no deletions); a fragmented heap fails the count check
+        and raises rather than misparsing. The name-index v2 B-tree is
+        deliberately not consulted — it indexes by name hash for point
+        lookup, while scans need full enumeration anyway."""
+        buf = self.buf
+        if buf[fheap_addr : fheap_addr + 4] != b"FRHP":
+            raise ValueError("bad HDF5 fractal heap header")
+        filt_len, = struct.unpack_from("<H", buf, fheap_addr + 7)
+        flags = buf[fheap_addr + 9]
+        if filt_len:
+            raise NotImplementedError("filtered fractal heap (group links)")
+        (nmanaged,) = struct.unpack_from("<Q", buf, fheap_addr + 14 + 7 * 8)
+        (table_width,) = struct.unpack_from("<H", buf, fheap_addr + 110)
+        start_size, max_direct = struct.unpack_from("<QQ", buf, fheap_addr + 112)
+        (max_heap_bits,) = struct.unpack_from("<H", buf, fheap_addr + 128)
+        (root_addr,) = struct.unpack_from("<Q", buf, fheap_addr + 132)
+        (cur_rows,) = struct.unpack_from("<H", buf, fheap_addr + 140)
+        off_size = (max_heap_bits + 7) // 8
+        # direct-block header: sig + version + heap-header addr +
+        # block offset (+ checksum when FRHP flags bit 1 is set)
+        db_hdr = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
+
+        def row_size(r: int) -> int:
+            return start_size if r < 2 else start_size << (r - 1)
+
+        dblocks: list[tuple[int, int]] = []
+        if cur_rows == 0:  # root IS a direct block
+            dblocks.append((root_addr, start_size))
+        else:
+            if buf[root_addr : root_addr + 4] != b"FHIB":
+                raise ValueError("bad HDF5 fractal heap indirect block")
+            pos = root_addr + 4 + 1 + 8 + off_size
+            for r in range(cur_rows):
+                size = row_size(r)
+                if size > max_direct:
+                    raise NotImplementedError(
+                        "fractal heap with indirect sub-blocks (heap larger "
+                        "than the direct-block doubling table)"
+                    )
+                for _c in range(table_width):
+                    (child,) = struct.unpack_from("<Q", buf, pos)
+                    pos += 8
+                    if child != _UNDEF:
+                        dblocks.append((child, size))
+
+        links: list[tuple[str, int]] = []
+        remaining = nmanaged
+        for daddr, dsize in dblocks:
+            if remaining <= 0:
+                break
+            if buf[daddr : daddr + 4] != b"FHDB":
+                raise ValueError("bad HDF5 fractal heap direct block")
+            pos, end = daddr + db_hdr, daddr + dsize
+            while remaining > 0 and pos < end and buf[pos] == 1:
+                link, used = self._parse_link_sized(buf[pos:end])
+                if used == 0:
+                    break
+                if link is not None:
+                    links.append(link)
+                remaining -= 1
+                pos += used
+        if remaining:
+            raise NotImplementedError(
+                "fragmented fractal heap: link records are not packed "
+                "front-to-back (deleted links?) — needs a full free-space-"
+                "manager walk"
+            )
+        return links
 
     def _walk_group_btree(self, addr: int, heap_addr: int) -> list[tuple[str, int]]:
         buf = self.buf
@@ -341,6 +463,8 @@ class _H5Reader:
 
     def _read_layout(self, body, dims, dtype, filters, name) -> np.ndarray:
         ver = body[0]
+        if ver == 4:
+            return self._read_layout_v4(body, dims, dtype, filters, name)
         if ver != 3:
             raise NotImplementedError(f"HDF5 layout message version {ver}")
         lclass = body[1]
@@ -358,7 +482,108 @@ class _H5Reader:
             (bt_addr,) = struct.unpack_from("<Q", body, 3)
             chunk_dims = struct.unpack_from(f"<{ndim_p1}I", body, 11)[: ndim_p1 - 1]
             return self._read_chunked(bt_addr, dims, chunk_dims, dtype, filters)
-        raise NotImplementedError(f"HDF5 layout class {lclass} (v4 index?)")
+        raise NotImplementedError(f"HDF5 layout class {lclass}")
+
+    def _read_layout_v4(self, body, dims, dtype, filters, name) -> np.ndarray:
+        """Version-4 data layout (libhdf5 ≥ 1.10 "latest" format):
+        chunked with single-chunk / implicit / fixed-array indexes.
+        Extensible-array and v2-B-tree indexes only appear for
+        datasets with unlimited dimensions — out of scope for raster
+        files, which are fixed-shape."""
+        lclass = body[1]
+        n = int(np.prod(dims)) if dims else 1
+        if lclass == 0:  # compact (same encoding as v3)
+            (size,) = struct.unpack_from("<H", body, 2)
+            return np.frombuffer(body[4 : 4 + size], dtype, n).reshape(dims)
+        if lclass == 1:  # contiguous (same encoding as v3)
+            addr, _size = struct.unpack_from("<QQ", body, 2)
+            raw = self.buf[addr : addr + n * dtype.itemsize]
+            return np.frombuffer(raw, dtype, n).reshape(dims)
+        if lclass != 2:
+            raise NotImplementedError(f"HDF5 v4 layout class {lclass}")
+        flags, rank, enc = body[2], body[3], body[4]
+        pos = 5
+        chunk_dims = tuple(
+            int.from_bytes(body[pos + i * enc : pos + (i + 1) * enc], "little")
+            for i in range(rank)
+        )
+        pos += rank * enc
+        itype = body[pos]
+        pos += 1
+        csize_unf = int(np.prod(chunk_dims)) * dtype.itemsize
+        if itype == 1:  # single chunk covering the whole dataset
+            if flags & 0x02:  # filtered single chunk
+                csize, _mask = struct.unpack_from("<QI", body, pos)
+                pos += 12
+            else:
+                csize = None
+            (addr,) = struct.unpack_from("<Q", body, pos)
+            entries = [(addr, csize)]
+        elif itype == 2:  # implicit: dense unfiltered chunk grid
+            (addr,) = struct.unpack_from("<Q", body, pos)
+            grid = [-(-dims[d] // chunk_dims[d]) for d in range(rank)]
+            entries = [
+                (addr + i * csize_unf, None)
+                for i in range(int(np.prod(grid)) if grid else 1)
+            ]
+        elif itype == 3:  # fixed array
+            pos += 1  # page bits (the header repeats them)
+            (addr,) = struct.unpack_from("<Q", body, pos)
+            entries = self._fixed_array_entries(addr)
+        else:
+            raise NotImplementedError(
+                f"HDF5 v4 chunk index type {itype} (extensible array / "
+                "v2 B-tree — unlimited-dimension datasets)"
+            )
+        return self._place_linear_chunks(entries, dims, chunk_dims, dtype, filters)
+
+    def _fixed_array_entries(self, addr: int) -> list[tuple[int, int | None]]:
+        """Fixed-array chunk index → [(chunk addr, stored size | None)]
+        in linear (row-major chunk grid) order. ``None`` size means the
+        chunk is unfiltered (client 0)."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FAHD":
+            raise ValueError("bad HDF5 fixed-array header")
+        client, entry_size, page_bits = buf[addr + 5], buf[addr + 6], buf[addr + 7]
+        (nelmts,) = struct.unpack_from("<Q", buf, addr + 8)
+        (dblk,) = struct.unpack_from("<Q", buf, addr + 16)
+        if nelmts > (1 << page_bits):
+            raise NotImplementedError("paged fixed-array chunk index")
+        if buf[dblk : dblk + 4] != b"FADB":
+            raise ValueError("bad HDF5 fixed-array data block")
+        pos = dblk + 4 + 1 + 1 + 8  # sig, version, client id, header addr
+        out: list[tuple[int, int | None]] = []
+        for _ in range(nelmts):
+            (caddr,) = struct.unpack_from("<Q", buf, pos)
+            pos += 8
+            if client == 0:
+                out.append((caddr, None))
+                continue
+            size_len = entry_size - 8 - 4
+            csize = int.from_bytes(buf[pos : pos + size_len], "little")
+            pos += size_len + 4  # stored size + filter mask
+            out.append((caddr, csize))
+        return out
+
+    def _place_linear_chunks(
+        self, entries, dims, chunk_dims, dtype, filters
+    ) -> np.ndarray:
+        """Assemble chunks listed in linear row-major grid order."""
+        buf = self.buf
+        rank = len(dims)
+        out = np.zeros(dims, dtype=dtype)
+        csize_unf = int(np.prod(chunk_dims)) * dtype.itemsize
+        grid = [-(-dims[d] // chunk_dims[d]) for d in range(rank)]
+        for idx, (caddr, csize) in zip(np.ndindex(*grid), entries):
+            if caddr in (0, _UNDEF):
+                continue  # chunk never written: stays at fill (zeros)
+            raw = buf[caddr : caddr + (csize if csize is not None else csize_unf)]
+            if csize is not None:
+                raw = _defilter(raw, filters, dtype)
+            chunk = np.frombuffer(raw, dtype, int(np.prod(chunk_dims)))
+            coords = tuple(idx[d] * chunk_dims[d] for d in range(rank))
+            _place_chunk(out, chunk.reshape(chunk_dims), coords)
+        return out
 
     def _read_chunked(self, bt_addr, dims, chunk_dims, dtype, filters) -> np.ndarray:
         buf = self.buf
@@ -381,28 +606,9 @@ class _H5Reader:
                 if level > 0:
                     walk(child)
                     continue
-                raw = buf[child : child + csize]
-                for fid, vals in reversed(filters):
-                    if fid == 1:
-                        raw = zlib.decompress(raw)
-                    elif fid == 2:  # shuffle
-                        es = vals[0] if vals else dtype.itemsize
-                        arr = np.frombuffer(raw, np.uint8)
-                        raw = arr.reshape(es, -1).T.tobytes()
-                    else:
-                        raise NotImplementedError(f"HDF5 filter id {fid}")
+                raw = _defilter(buf[child : child + csize], filters, dtype)
                 chunk = np.frombuffer(raw, dtype, int(np.prod(chunk_dims)))
-                chunk = chunk.reshape(chunk_dims)
-                sl_out, sl_in = [], []
-                for d in range(rank):
-                    start = coords[d]
-                    span = min(chunk_dims[d], dims[d] - start)
-                    if span <= 0:
-                        break
-                    sl_out.append(slice(start, start + span))
-                    sl_in.append(slice(0, span))
-                else:
-                    out[tuple(sl_out)] = chunk[tuple(sl_in)]
+                _place_chunk(out, chunk.reshape(chunk_dims), coords)
 
         walk(bt_addr)
         return out
@@ -470,11 +676,24 @@ def _object_header(msgs: list[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(msgs), 1, len(data)) + data
 
 
-def build_hdf5(datasets: dict[str, dict]) -> bytes:
+def _layout_v4_prefix(flags: int, chunks: tuple[int, ...]) -> bytes:
+    body = struct.pack("<BBBBB", 4, 2, flags, len(chunks), 8)
+    for c in chunks:
+        body += struct.pack("<Q", c)
+    return body
+
+
+def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes:
     """Build a flat HDF5 file: ``{name: {"data": ndarray,
     "attrs": {...}, "chunks": tuple | None, "deflate": level | None,
-    "shuffle": bool}}`` → bytes. Symbol-table root group, v1 object
-    headers, little-endian types."""
+    "shuffle": bool, "index": "v1"|"single"|"implicit"|"fixed"}}`` →
+    bytes. v1 object headers, little-endian types. ``index`` picks the
+    chunk index: the default v1 B-tree (layout message v3, what
+    libhdf5 1.8-compat emits) or the layout-v4 indexes of the 1.10+
+    "latest" format. ``dense_links=True`` stores the root group's
+    links densely (fractal heap + name-index v2 B-tree) instead of a
+    symbol table — the layout libhdf5 switches to beyond 8 links,
+    i.e. what a real many-variable netCDF-4 file uses."""
     out = bytearray(b"\0" * 2048)  # metadata region, fixed prelude
 
     def alloc(data: bytes, align: int = 8) -> int:
@@ -497,11 +716,11 @@ def build_hdf5(datasets: dict[str, dict]) -> bytes:
         chunks = spec.get("chunks")
         deflate = spec.get("deflate")
         shuffle = spec.get("shuffle", False)
+        index = spec.get("index", "v1")
         if chunks is None:
             addr = alloc(arr.tobytes())
             layout = struct.pack("<BBQQ", 3, 1, addr, arr.nbytes)
         else:
-            filt = b""
             filters = []
             if shuffle:
                 filters.append((2, (arr.dtype.itemsize,)))
@@ -515,11 +734,13 @@ def build_hdf5(datasets: dict[str, dict]) -> bytes:
                     if len(vals) % 2:
                         filt += b"\0" * 4
                 msgs.append(_header_msg(0x000B, filt))
-            # chunk grid, edge chunks zero-padded to full chunk size
             rank = arr.ndim
+            if index == "single":
+                chunks = arr.shape  # one chunk covers the dataset
             grid = [-(-arr.shape[d] // chunks[d]) for d in range(rank)]
-            chunk_entries = []
-            for idx in np.ndindex(*grid):
+
+            def chunk_raw(idx):
+                # edge chunks zero-padded to full chunk size
                 start = [idx[d] * chunks[d] for d in range(rank)]
                 block = np.zeros(chunks, dtype=arr.dtype)
                 sl = tuple(
@@ -538,59 +759,112 @@ def build_hdf5(datasets: dict[str, dict]) -> bytes:
                     )
                 if deflate is not None:
                     raw = zlib.compress(raw, int(deflate))
+                return start, raw
+
+            if index == "v1":
+                chunk_entries = []
+                for idx in np.ndindex(*grid):
+                    start, raw = chunk_raw(idx)
+                    chunk_entries.append((len(raw), start, alloc(raw)))
+                node = bytearray()
+                node += b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunk_entries))
+                node += struct.pack("<QQ", _UNDEF, _UNDEF)
+                for csize, start, caddr in chunk_entries:
+                    node += struct.pack("<II", csize, 0)
+                    node += struct.pack(f"<{rank}Q", *start) + struct.pack("<Q", 0)
+                    node += struct.pack("<Q", caddr)
+                # trailing key (right-edge sentinel)
+                node += struct.pack("<II", 0, 0)
+                node += struct.pack(f"<{rank}Q", *arr.shape) + struct.pack("<Q", 0)
+                bt_addr = alloc(bytes(node))
+                layout = struct.pack("<BBB", 3, 2, rank + 1) + struct.pack("<Q", bt_addr)
+                layout += struct.pack(f"<{rank}I", *chunks) + struct.pack(
+                    "<I", arr.dtype.itemsize
+                )
+            elif index == "single":
+                _, raw = chunk_raw(tuple(0 for _ in range(rank)))
                 caddr = alloc(raw)
-                chunk_entries.append((len(raw), start, caddr))
-            node = bytearray()
-            node += b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunk_entries))
-            node += struct.pack("<QQ", _UNDEF, _UNDEF)
-            for csize, start, caddr in chunk_entries:
-                node += struct.pack("<II", csize, 0)
-                node += struct.pack(f"<{rank}Q", *start) + struct.pack("<Q", 0)
-                node += struct.pack("<Q", caddr)
-            # trailing key (right-edge sentinel)
-            node += struct.pack("<II", 0, 0)
-            node += struct.pack(f"<{rank}Q", *arr.shape) + struct.pack("<Q", 0)
-            bt_addr = alloc(bytes(node))
-            layout = struct.pack("<BBB", 3, 2, rank + 1) + struct.pack("<Q", bt_addr)
-            layout += struct.pack(f"<{rank}I", *chunks) + struct.pack(
-                "<I", arr.dtype.itemsize
-            )
+                if filters:
+                    layout = (
+                        _layout_v4_prefix(0x02, chunks)
+                        + b"\x01"
+                        + struct.pack("<QI", len(raw), 0)
+                        + struct.pack("<Q", caddr)
+                    )
+                else:
+                    layout = _layout_v4_prefix(0, chunks) + b"\x01" + struct.pack("<Q", caddr)
+            elif index == "implicit":
+                if filters:
+                    raise ValueError("implicit chunk index cannot carry filters")
+                blob = b"".join(chunk_raw(idx)[1] for idx in np.ndindex(*grid))
+                base = alloc(blob)
+                layout = _layout_v4_prefix(0, chunks) + b"\x02" + struct.pack("<Q", base)
+            elif index == "fixed":
+                fa_entries = []
+                for idx in np.ndindex(*grid):
+                    _, raw = chunk_raw(idx)
+                    fa_entries.append((alloc(raw), len(raw)))
+                client = 1 if filters else 0
+                entry_size = 16 if filters else 8
+                fahd_addr = alloc(
+                    b"FAHD"
+                    + bytes([0, client, entry_size, 10])
+                    + struct.pack("<QQI", len(fa_entries), 0, 0)
+                )
+                fadb = bytearray(b"FADB" + bytes([0, client]) + struct.pack("<Q", fahd_addr))
+                for caddr, csize in fa_entries:
+                    fadb += struct.pack("<Q", caddr)
+                    if filters:
+                        fadb += struct.pack("<II", csize, 0)
+                fadb += struct.pack("<I", 0)  # checksum
+                fadb_addr = alloc(bytes(fadb))
+                struct.pack_into("<Q", out, fahd_addr + 16, fadb_addr)
+                layout = (
+                    _layout_v4_prefix(0, chunks) + b"\x03" + bytes([10]) + struct.pack("<Q", fahd_addr)
+                )
+            else:
+                raise ValueError(f"unknown chunk index {index!r}")
         msgs.append(_header_msg(0x0008, layout))
         for aname, aval in spec.get("attrs", {}).items():
             msgs.append(_header_msg(0x000C, _attr_message(aname, aval)))
         oaddr = alloc(_object_header(msgs))
         entries.append((name, oaddr))
 
-    # 2. local heap with link names
-    heap_payload = bytearray(b"\0" * 8)
-    name_offsets = {}
-    for name, _ in entries:
-        name_offsets[name] = len(heap_payload)
-        heap_payload += name.encode() + b"\0"
-        heap_payload += b"\0" * (-len(heap_payload) % 8)
-    heap_data_addr = alloc(bytes(heap_payload))
-    heap_addr = alloc(
-        b"HEAP" + bytes([0, 0, 0, 0])
-        + struct.pack("<QQQ", len(heap_payload), _UNDEF, heap_data_addr)
-    )
+    if dense_links:
+        root_addr = _write_dense_root(out, alloc, entries)
+        cache = struct.pack("<I", 0) + b"\0" * 4 + b"\0" * 16
+    else:
+        # 2. local heap with link names
+        heap_payload = bytearray(b"\0" * 8)
+        name_offsets = {}
+        for name, _ in entries:
+            name_offsets[name] = len(heap_payload)
+            heap_payload += name.encode() + b"\0"
+            heap_payload += b"\0" * (-len(heap_payload) % 8)
+        heap_data_addr = alloc(bytes(heap_payload))
+        heap_addr = alloc(
+            b"HEAP" + bytes([0, 0, 0, 0])
+            + struct.pack("<QQQ", len(heap_payload), _UNDEF, heap_data_addr)
+        )
 
-    # 3. SNOD with sorted symbol entries + group B-tree leaf
-    snod = bytearray(b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(entries)))
-    for name, oaddr in entries:
-        snod += struct.pack("<QQ", name_offsets[name], oaddr)
-        snod += struct.pack("<I", 0) + b"\0" * 4 + b"\0" * 16
-    snod_addr = alloc(bytes(snod))
-    btree = b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
-    btree += struct.pack("<QQ", _UNDEF, _UNDEF)
-    first_off = name_offsets[entries[0][0]] if entries else 0
-    last_off = name_offsets[entries[-1][0]] if entries else 0
-    btree += struct.pack("<QQQ", first_off, snod_addr, last_off)
-    bt_addr = alloc(btree)
+        # 3. SNOD with sorted symbol entries + group B-tree leaf
+        snod = bytearray(b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(entries)))
+        for name, oaddr in entries:
+            snod += struct.pack("<QQ", name_offsets[name], oaddr)
+            snod += struct.pack("<I", 0) + b"\0" * 4 + b"\0" * 16
+        snod_addr = alloc(bytes(snod))
+        btree = b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
+        btree += struct.pack("<QQ", _UNDEF, _UNDEF)
+        first_off = name_offsets[entries[0][0]] if entries else 0
+        last_off = name_offsets[entries[-1][0]] if entries else 0
+        btree += struct.pack("<QQQ", first_off, snod_addr, last_off)
+        bt_addr = alloc(btree)
 
-    # 4. root group object header (symbol table message)
-    root_addr = alloc(
-        _object_header([_header_msg(0x0011, struct.pack("<QQ", bt_addr, heap_addr))])
-    )
+        # 4. root group object header (symbol table message)
+        root_addr = alloc(
+            _object_header([_header_msg(0x0011, struct.pack("<QQ", bt_addr, heap_addr))])
+        )
+        cache = struct.pack("<I", 1) + b"\0" * 4 + struct.pack("<QQ", bt_addr, heap_addr)
 
     # 5. superblock v0 at offset 0
     sb = bytearray()
@@ -599,8 +873,99 @@ def build_hdf5(datasets: dict[str, dict]) -> bytes:
     sb += struct.pack("<HH", 4, 16)  # leaf k, internal k
     sb += struct.pack("<I", 0)  # flags
     sb += struct.pack("<QQQQ", 0, _UNDEF, len(out), _UNDEF)
-    # root symbol table entry: name offset 0, header addr, cached btree+heap
+    # root symbol table entry: name offset 0, header addr, cache
     sb += struct.pack("<QQ", 0, root_addr)
-    sb += struct.pack("<I", 1) + b"\0" * 4 + struct.pack("<QQ", bt_addr, heap_addr)
+    sb += cache
     out[: len(sb)] = sb
     return bytes(out)
+
+
+def _write_dense_root(out: bytearray, alloc, entries) -> int:
+    """Dense root group: link messages packed into fractal-heap direct
+    blocks (one block, or a root indirect block over up to two
+    doubling-table rows), a structural name-index v2 B-tree (record
+    hashes/checksums zeroed — the reader enumerates the heap, it never
+    hashes names), and a root object header carrying Link Info + Group
+    Info messages. Returns the root object header address."""
+    link_msgs = []
+    for name, oaddr in entries:
+        nb = name.encode()
+        # link message v1: flags 0 → 1-byte name length, hard link
+        link_msgs.append(bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", oaddr))
+
+    S, W = 512, 4  # starting block size / table width
+    db_hdr = 4 + 1 + 8 + 4  # sig + version + heap addr + 32-bit block offset
+    blocks: list[list[bytes]] = [[]]
+    heap_ids: list[tuple[int, int]] = []  # (heap offset, length) per link
+    fill = db_hdr
+    for lm in link_msgs:
+        if fill + len(lm) > S:
+            blocks.append([])
+            fill = db_hdr
+        heap_ids.append(((len(blocks) - 1) * S + fill, len(lm)))
+        blocks[-1].append(lm)
+        fill += len(lm)
+    if len(blocks) > 2 * W:
+        raise ValueError(
+            "dense-link fixture exceeds the two-row fractal heap this "
+            "writer emits (raise S/W for bigger fixtures)"
+        )
+
+    # FRHP address is embedded in every block — reserve, patch later
+    frhp_addr = alloc(b"\0" * 146)
+    dblock_addrs = []
+    for bi, blk in enumerate(blocks):
+        data = (
+            b"FHDB" + bytes([0]) + struct.pack("<Q", frhp_addr)
+            + struct.pack("<I", bi * S) + b"".join(blk)
+        )
+        dblock_addrs.append(alloc(data + b"\0" * (S - len(data))))
+    if len(blocks) == 1:
+        heap_root, cur_rows = dblock_addrs[0], 0
+    else:
+        nrows = -(-len(blocks) // W)
+        fhib = bytearray(
+            b"FHIB" + bytes([0]) + struct.pack("<Q", frhp_addr) + struct.pack("<I", 0)
+        )
+        for i in range(nrows * W):
+            fhib += struct.pack(
+                "<Q", dblock_addrs[i] if i < len(dblock_addrs) else _UNDEF
+            )
+        fhib += struct.pack("<I", 0)  # checksum
+        heap_root, cur_rows = alloc(bytes(fhib)), nrows
+
+    managed = S * len(blocks)
+    frhp = bytearray()
+    frhp += b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 0) + bytes([0])
+    frhp += struct.pack("<I", 4096)  # max managed object size
+    frhp += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge btree
+    frhp += struct.pack("<QQ", 0, _UNDEF)  # free space, fs manager
+    frhp += struct.pack("<QQQQ", managed, managed, managed, len(link_msgs))
+    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes + counts
+    frhp += struct.pack("<H", W) + struct.pack("<QQ", S, 4096)
+    frhp += struct.pack("<HH", 32, 1)  # max heap size (bits), starting rows
+    frhp += struct.pack("<Q", heap_root) + struct.pack("<H", cur_rows)
+    frhp += struct.pack("<I", 0)  # checksum
+    out[frhp_addr : frhp_addr + len(frhp)] = frhp
+
+    # structural name-index v2 B-tree: one leaf, records (hash, heap id)
+    btlf = bytearray(b"BTLF" + bytes([0, 5]))
+    for hoff, hlen in heap_ids:
+        btlf += struct.pack("<I", 0)  # name hash (unread)
+        btlf += bytes([0]) + struct.pack("<I", hoff) + struct.pack("<H", hlen)
+    btlf += struct.pack("<I", 0)
+    btlf_addr = alloc(bytes(btlf))
+    bthd = (
+        b"BTHD" + bytes([0, 5]) + struct.pack("<I", 512) + struct.pack("<H", 11)
+        + struct.pack("<H", 0) + bytes([100, 40]) + struct.pack("<Q", btlf_addr)
+        + struct.pack("<H", len(link_msgs)) + struct.pack("<Q", len(link_msgs))
+        + struct.pack("<I", 0)
+    )
+    bthd_addr = alloc(bthd)
+
+    li_body = bytes([0, 0]) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    return alloc(
+        _object_header(
+            [_header_msg(0x0002, li_body), _header_msg(0x000A, bytes([0, 0]))]
+        )
+    )

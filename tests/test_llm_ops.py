@@ -862,7 +862,44 @@ def test_jpeg_roundtrip_and_variants():
     assert np.array_equal(a, b)
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) encode → decode is bit-identical to the
+    sequential decode of the same image at the same quant settings —
+    every Annex G path (spectral bands, successive approximation,
+    EOB runs, buffered correction bits) on genuine bitstreams."""
+    import numpy as np
+
+    from pipelines_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape, sub, quant in (
+        ((24, 40, 3), "420", 8),   # MCU padding ≠ scan grid (Y)
+        ((33, 17, 3), "420", 4),
+        ((21, 13, 3), "444", 8),
+        ((8, 8, 3), "444", 1),
+    ):
+        yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+        base = (128 + 60 * np.sin(yy / 5) + 50 * np.cos(xx / 7))[:, :, None]
+        img = np.clip(base + rng.integers(-40, 40, size=shape), 0, 255).astype(
+            np.uint8
+        )
+        seq = decode_jpeg(encode_jpeg(img, quant=quant, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quant=quant, subsampling=sub)
+        )
+        assert np.array_equal(seq, prog), (shape, sub, quant)
+    # flat image: the all-EOB-run path
+    flat = np.full((48, 48, 3), 130, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat)), decode_jpeg(encode_jpeg_progressive(flat))
+    )
+
+
+def test_jpeg_rejects_unsupported_and_truncated():
     import numpy as np
     import pytest
 
@@ -870,11 +907,16 @@ def test_jpeg_rejects_progressive_and_truncated():
 
     img = np.full((8, 8, 3), 99, dtype=np.uint8)
     enc = bytearray(encode_jpeg(img))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must raise cleanly
     i = bytes(enc).find(b"\xff\xc0")
-    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(prog)
+    # SOF9 (arithmetic coding) must raise cleanly
+    arith = bytes(enc[:i]) + b"\xff\xc9" + bytes(enc[i + 2:])
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(arith)
+    # a sequential stream RELABELED as SOF2 is malformed progressive
+    # (Ss=0, Se=63 scan header) — rejected, not misparsed
+    fake_prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
+    with pytest.raises(ValueError):
+        decode_jpeg(fake_prog)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(enc[: len(enc) // 2]))  # truncated entropy
     with pytest.raises(ValueError):
@@ -882,12 +924,13 @@ def test_jpeg_rejects_progressive_and_truncated():
 
 
 def test_image_features_real_jpeg_decode(spark):
-    """A real baseline JPEG decodes to true dimensions and channel
-    stats through the kernel seam — and a variant the decoder rejects
-    falls back to the stub instead of failing the task."""
+    """Baseline AND progressive JPEGs decode to true dimensions and
+    channel stats through the kernel seam — and a variant the decoder
+    rejects (arithmetic coding) falls back to the stub instead of
+    failing the task."""
     import numpy as np
 
-    from pipelines_spark.llm.jpeg import encode_jpeg
+    from pipelines_spark.llm.jpeg import encode_jpeg, encode_jpeg_progressive
     from pipelines_spark.llm.multimodal import extract_image_features
 
     solid = np.zeros((10, 20, 3), dtype=np.uint8)
@@ -895,23 +938,25 @@ def test_image_features_real_jpeg_decode(spark):
     solid[:, :, 1] = 100
     solid[:, :, 2] = 50
     enc = encode_jpeg(solid, quant=1, subsampling="444")
+    prog = encode_jpeg_progressive(solid, quant=1, subsampling="444")
     i = enc.find(b"\xff\xc0")
-    progressive = enc[:i] + b"\xff\xc2" + enc[i + 2:]
+    arith = enc[:i] + b"\xff\xc9" + enc[i + 2:]
     df = spark.createDataFrame(
-        [(1, bytearray(enc)), (2, bytearray(progressive))],
+        [(1, bytearray(enc)), (2, bytearray(prog)), (3, bytearray(arith))],
         "item_id long, content binary",
     )
     rows = {r["item_id"]: r for r in extract_image_features(df).collect()}
-    good = rows[1]
-    assert (good["width"], good["height"]) == (20, 10)
-    r, g, b, gray_std = good["feature"]
-    assert abs(r - 200 / 255) < 0.01
-    assert abs(g - 100 / 255) < 0.01
-    assert abs(b - 50 / 255) < 0.01
-    assert gray_std < 0.01
-    # progressive payload: stub fallback, job never fails
-    stub = rows[2]
-    assert stub["width"] == 16 + (len(progressive) % 64)
+    for item in (1, 2):  # sequential and progressive: REAL decode
+        good = rows[item]
+        assert (good["width"], good["height"]) == (20, 10), item
+        r, g, b, gray_std = good["feature"]
+        assert abs(r - 200 / 255) < 0.01
+        assert abs(g - 100 / 255) < 0.01
+        assert abs(b - 50 / 255) < 0.01
+        assert gray_std < 0.01
+    # arithmetic-coded payload: stub fallback, job never fails
+    stub = rows[3]
+    assert stub["width"] == 16 + (len(arith) % 64)
 
 
 def test_audio_spectrogram_peak_frequency(spark):

@@ -406,7 +406,7 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     row): pivot back at the edge with operators.pivot.
 
     Dispatch is by file magic, not by what happens to be installed:
-    classic netCDF-3 files (CDF-1/2 — station series, model output)
+    classic netCDF files (CDF-1/2/5 — station series, model output)
     always decode with the built-in pure-numpy parser
     (sources/netcdf3.py); netCDF-4 (HDF5 container, e.g. GOES
     satellite tiles) decodes with the built-in minimal HDF5 reader
@@ -414,8 +414,8 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     dense (fractal-heap) groups, chunked/deflate/shuffle data under
     v1-B-tree, single-chunk, implicit, or fixed-array chunk indexes;
     only the variants no built-in handles (extensible-array/v2-B-tree
-    indexes for unlimited dims, paged fixed arrays, CDF-5) fall back
-    to xarray + a netCDF backend — a clear error otherwise. (A bare
+    indexes for unlimited dims, paged fixed arrays) fall back to
+    xarray + a netCDF backend — a clear error otherwise. (A bare
     xarray without backends raises a non-ImportError from
     open_dataset, so magic-first dispatch also keeps classic files
     working regardless of the xarray install state.) Mirrors xarray's
@@ -424,7 +424,7 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     """
     with open(path, "rb") as f:
         head = f.read(8)
-    classic = head[:3] == b"CDF" and len(head) > 3 and head[3] in (1, 2)
+    classic = head[:3] == b"CDF" and len(head) > 3 and head[3] in (1, 2, 5)
     if head == b"\x89HDF\r\n\x1a\n":
         # netCDF-4 = HDF5 container: try the built-in minimal HDF5
         # reader (sources/hdf5_min.py — symbol-table, compact, or
@@ -446,10 +446,11 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
             import xarray as xr
         except ImportError as exc:
             raise NotImplementedError(
-                "this netCDF variant (dense-group/v4-index HDF5 or "
-                "CDF-5) needs xarray + a netCDF backend; install them "
-                "in the deployment image — classic CDF-1/2 and flat "
-                "netCDF-4/HDF5 files decode with the built-in readers"
+                "this netCDF variant (extensible-array/v2-B-tree HDF5 "
+                "chunk index or paged fixed array) needs xarray + a "
+                "netCDF backend; install them in the deployment image — "
+                "classic CDF-1/2/5 and ordinary netCDF-4/HDF5 files "
+                "decode with the built-in readers"
             ) from exc
         ds = xr.open_dataset(path)
         pdf = ds[variables].to_dataframe().reset_index()

@@ -6,8 +6,11 @@ attributes, and variables, followed by fixed-size variable data and
 an optional unlimited-dimension record section. That is parseable
 with struct + numpy alone — no netCDF4/HDF5 library needed — which
 un-gates the engine's raster ingest (SURVEY S15) for classic files.
-netCDF-4 files are HDF5 containers and still require a real library;
-they are detected by magic and rejected with a clear error.
+All three classic variants parse: CDF-1, CDF-2 (64-bit offsets), and
+CDF-5 (64-bit data: NON_NEG header fields widen to 64-bit and the
+unsigned/int64 types exist). netCDF-4 files are HDF5 containers —
+they are detected by magic and routed to sources/hdf5_min.py by the
+caller.
 
 Format spec: the NetCDF Classic Format Specification (public Unidata
 documentation). Reference behavior being reproduced: xarray
@@ -23,7 +26,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 _NC_BYTE, _NC_CHAR, _NC_SHORT, _NC_INT, _NC_FLOAT, _NC_DOUBLE = 1, 2, 3, 4, 5, 6
-_NC_INT64 = 10  # CDF-5
+# CDF-5 additions (64-bit data format)
+_NC_UBYTE, _NC_USHORT, _NC_UINT, _NC_INT64, _NC_UINT64 = 7, 8, 9, 10, 11
 _DTYPES = {
     _NC_BYTE: np.dtype(">i1"),
     _NC_CHAR: np.dtype("S1"),
@@ -31,7 +35,11 @@ _DTYPES = {
     _NC_INT: np.dtype(">i4"),
     _NC_FLOAT: np.dtype(">f4"),
     _NC_DOUBLE: np.dtype(">f8"),
+    _NC_UBYTE: np.dtype(">u1"),
+    _NC_USHORT: np.dtype(">u2"),
+    _NC_UINT: np.dtype(">u4"),
     _NC_INT64: np.dtype(">i8"),
+    _NC_UINT64: np.dtype(">u8"),
 }
 _NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 10, 11, 12
 
@@ -57,9 +65,14 @@ class NcDataset:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    """``large=True`` reads the CDF-5 grammar, where every NON_NEG
+    header integer (counts, name lengths, ndims, dim ids, sizes) is
+    64-bit; tags and nc_type stay 32-bit, value padding stays 4-byte."""
+
+    def __init__(self, buf: bytes, large: bool = False):
         self.buf = buf
         self.pos = 0
+        self.large = large
 
     def take(self, n: int) -> bytes:
         out = self.buf[self.pos : self.pos + n]
@@ -72,11 +85,11 @@ class _Reader:
     def u8(self) -> int:
         return struct.unpack(">Q", self.take(8))[0]
 
-    def nonneg(self, large: bool) -> int:
-        return self.u8() if large else self.i4()
+    def nonneg(self) -> int:
+        return self.u8() if self.large else self.i4()
 
     def name(self) -> str:
-        n = self.i4()
+        n = self.nonneg()
         s = self.take(n).decode("utf-8")
         self.pos += (-n) % 4  # padding to 4-byte boundary
         return s
@@ -91,7 +104,7 @@ class _Reader:
 
     def attr_map(self) -> dict:
         tag = self.i4()
-        count = self.i4()
+        count = self.nonneg()
         if tag == 0 and count == 0:
             return {}
         if tag != _NC_ATTRIBUTE:
@@ -100,7 +113,7 @@ class _Reader:
         for _ in range(count):
             name = self.name()
             nc_type = self.i4()
-            n = self.i4()
+            n = self.nonneg()
             vals = self.values(nc_type, n)
             if isinstance(vals, np.ndarray):
                 vals = vals.tolist()
@@ -116,36 +129,32 @@ def parse_netcdf3(buf: bytes) -> NcDataset:
     stitched across the record section)."""
     if buf[:4] == b"\x89HDF":
         raise NotImplementedError(
-            "netCDF-4 (HDF5 container) needs a real netCDF library; the "
-            "built-in reader handles classic netCDF-3 (CDF-1/2) only"
+            "netCDF-4 (HDF5 container): use the built-in minimal HDF5 "
+            "reader (sources/hdf5_min.py); this parser handles classic "
+            "netCDF (CDF-1/2/5) only"
         )
     if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
         raise ValueError("not a netCDF classic file")
     version = buf[3]
-    if version == 5:
-        # CDF-5 widens every NON_NEG header field (list counts, name
-        # lengths, ndims, …) to 64-bit — a different header grammar,
-        # not just wider offsets. Refuse rather than misparse.
-        raise NotImplementedError(
-            "CDF-5 (64-bit data) header layout is not supported; "
-            "convert to CDF-1/2 or use a netCDF library"
-        )
-    large = False
-    offset64 = version == 2  # CDF-2: 64-bit data offsets
+    # CDF-5 ("64-bit data", pnetcdf): every NON_NEG header field is
+    # 64-bit and the unsigned/int64 types exist; CDF-2 only widens
+    # data offsets
+    large = version == 5
+    offset64 = version in (2, 5)
 
-    r = _Reader(buf)
+    r = _Reader(buf, large)
     r.pos = 4
     ds = NcDataset()
-    ds.numrecs = r.u8() if large else r.i4()  # STREAMING (-1) unsupported
+    ds.numrecs = r.nonneg()  # STREAMING (-1) unsupported
 
     tag = r.i4()
-    count = r.i4()
+    count = r.nonneg()
     if not (tag == 0 and count == 0):
         if tag != _NC_DIMENSION:
             raise ValueError(f"bad dimension tag {tag}")
         for _ in range(count):
             name = r.name()
-            size = r.nonneg(large)
+            size = r.nonneg()
             if size == 0:
                 ds.rec_dim = len(ds.dims)
             ds.dims.append((name, size))
@@ -153,19 +162,19 @@ def parse_netcdf3(buf: bytes) -> NcDataset:
     ds.attrs = r.attr_map()
 
     tag = r.i4()
-    count = r.i4()
+    count = r.nonneg()
     variables: list[NcVariable] = []
     if not (tag == 0 and count == 0):
         if tag != _NC_VARIABLE:
             raise ValueError(f"bad variable tag {tag}")
         for _ in range(count):
             name = r.name()
-            ndims = r.i4()
-            dim_ids = [r.nonneg(large) for _ in range(ndims)]
+            ndims = r.nonneg()
+            dim_ids = [r.nonneg() for _ in range(ndims)]
             attrs = r.attr_map()
             nc_type = r.i4()
-            vsize = r.nonneg(large)
-            begin = r.u8() if (offset64 or large) else r.i4()
+            vsize = r.nonneg()
+            begin = r.u8() if offset64 else r.i4()
             variables.append(
                 NcVariable(name, dim_ids, attrs, nc_type, vsize, begin)
             )
@@ -215,6 +224,12 @@ _NC_TYPE_OF = {
     np.dtype("i4"): _NC_INT,
     np.dtype("f4"): _NC_FLOAT,
     np.dtype("f8"): _NC_DOUBLE,
+    # CDF-5 types
+    np.dtype("u1"): _NC_UBYTE,
+    np.dtype("u2"): _NC_USHORT,
+    np.dtype("u4"): _NC_UINT,
+    np.dtype("i8"): _NC_INT64,
+    np.dtype("u8"): _NC_UINT64,
 }
 
 
@@ -227,10 +242,13 @@ def build_netcdf3(
     """Serialize a classic netCDF file (test/round-trip helper; fixed
     and record variables, no attributes). ``None`` dim size marks the
     record (unlimited) dimension. ``version`` 1 = CDF-1 (32-bit
-    offsets) or 2 = CDF-2 (64-bit offsets)."""
-    if version not in (1, 2):
-        raise ValueError("builder supports CDF-1 and CDF-2")
-    begin_fmt = ">Q" if version == 2 else ">i"
+    offsets), 2 = CDF-2 (64-bit offsets), or 5 = CDF-5 (64-bit data:
+    every NON_NEG header integer widens to 64-bit)."""
+    if version not in (1, 2, 5):
+        raise ValueError("builder supports CDF-1, CDF-2, and CDF-5")
+    large = version == 5
+    begin_fmt = ">Q" if version in (2, 5) else ">i"
+    nn_fmt = ">q" if large else ">i"  # NON_NEG header integers
     dim_index = {name: i for i, (name, _) in enumerate(dims)}
     rec_dim = next((i for i, (_, s) in enumerate(dims) if s is None), None)
 
@@ -239,7 +257,7 @@ def build_netcdf3(
 
     def name_bytes(s: str) -> bytes:
         raw = s.encode("utf-8")
-        return struct.pack(">i", len(raw)) + pad4(raw)
+        return struct.pack(nn_fmt, len(raw)) + pad4(raw)
 
     numrecs = 0
     metas = []  # (name, dim_ids, nc_type, vsize, arr, is_rec)
@@ -256,18 +274,18 @@ def build_netcdf3(
         metas.append((name, dim_ids, nc_type, vsize, arr.astype(dt), is_rec))
 
     def header(begins: list[int]) -> bytes:
-        out = [b"CDF" + bytes([version]), struct.pack(">i", numrecs)]
-        out.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
+        out = [b"CDF" + bytes([version]), struct.pack(nn_fmt, numrecs)]
+        out.append(struct.pack(">i", _NC_DIMENSION) + struct.pack(nn_fmt, len(dims)))
         for name, size in dims:
-            out.append(name_bytes(name) + struct.pack(">i", size or 0))
-        out.append(struct.pack(">ii", 0, 0))  # no global attrs
-        out.append(struct.pack(">ii", _NC_VARIABLE, len(metas)))
+            out.append(name_bytes(name) + struct.pack(nn_fmt, size or 0))
+        out.append(struct.pack(">i", 0) + struct.pack(nn_fmt, 0))  # no global attrs
+        out.append(struct.pack(">i", _NC_VARIABLE) + struct.pack(nn_fmt, len(metas)))
         for (name, dim_ids, nc_type, vsize, _arr, _r), begin in zip(metas, begins):
             out.append(name_bytes(name))
-            out.append(struct.pack(">i", len(dim_ids)))
-            out.extend(struct.pack(">i", d) for d in dim_ids)
-            out.append(struct.pack(">ii", 0, 0))  # no var attrs
-            out.append(struct.pack(">ii", nc_type, vsize))
+            out.append(struct.pack(nn_fmt, len(dim_ids)))
+            out.extend(struct.pack(nn_fmt, d) for d in dim_ids)
+            out.append(struct.pack(">i", 0) + struct.pack(nn_fmt, 0))  # no var attrs
+            out.append(struct.pack(">i", nc_type) + struct.pack(nn_fmt, vsize))
             out.append(struct.pack(begin_fmt, begin))
         return b"".join(out)
 

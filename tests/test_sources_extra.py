@@ -346,6 +346,58 @@ def test_netcdf3_cdf2_and_malformed_inputs():
         parse_netcdf3(buf[:20])
 
 
+def test_netcdf3_cdf5_roundtrip_and_long(spark, tmp_path):
+    """CDF-5 (64-bit data): every NON_NEG header field widens to
+    64-bit and the unsigned/int64 types exist — round-trips through
+    the same parser, including a record variable and the new types,
+    and reads to long format through the standard path."""
+    import numpy as np
+
+    from pipelines_spark.sources.netcdf3 import build_netcdf3, parse_netcdf3
+
+    lat = np.array([-23.0, -22.9, -22.8], dtype="f8")
+    lon = np.array([-43.4, -43.2], dtype="f8")
+    counts = np.arange(6, dtype="u4").reshape(3, 2) * 100000
+    big = (np.arange(6, dtype="i8").reshape(3, 2)) * 10_000_000_000
+    rain = np.arange(8, dtype="u2").reshape(4, 2)
+    buf = build_netcdf3(
+        dims=[("time", None), ("lat", 3), ("lon", 2)],
+        variables=[
+            ("lat", ["lat"], lat),
+            ("lon", ["lon"], lon),
+            ("counts", ["lat", "lon"], counts),
+            ("big", ["lat", "lon"], big),
+            ("rain", ["time", "lon"], rain),
+        ],
+        version=5,
+    )
+    assert buf[3] == 5
+    ds = parse_netcdf3(buf)
+    assert ds.numrecs == 4 and ds.rec_dim == 0
+    assert np.array_equal(ds.variables["counts"].data, counts)
+    assert np.array_equal(ds.variables["big"].data, big)
+    assert np.array_equal(ds.variables["rain"].data, rain)
+
+    path = tmp_path / "grid_cdf5.nc"
+    path.write_bytes(
+        build_netcdf3(
+            dims=[("lat", 3), ("lon", 2)],
+            variables=[
+                ("lat", ["lat"], lat),
+                ("lon", ["lon"], lon),
+                ("big", ["lat", "lon"], big),
+            ],
+            version=5,
+        )
+    )
+    df = read_netcdf_long(spark, str(path), ["big"])
+    assert df.columns == ["lat", "lon", "big"]
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 6
+    assert rows[0] == (-23.0, -43.4, 0)
+    assert rows[-1] == (-22.8, -43.2, 50_000_000_000)
+
+
 def test_read_netcdf_long_format(spark, tmp_path):
     """read_netcdf_long on a real classic .nc file: long format with
     coordinate-variable values, one row per (lat, lon)."""

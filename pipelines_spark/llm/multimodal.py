@@ -8,10 +8,11 @@ partition sizing) is real, and the common still/audio formats decode
 for REAL with stdlib+numpy codecs (llm/codecs.py, llm/jpeg.py):
 24-bit BMP, 8-bit PNG (all scanline filters), baseline AND
 progressive JPEG (any subsampling, restart markers, spectral
-selection + successive approximation), 16-bit PCM WAV. Formats
-needing native libs (MP4/video, arithmetic-coded JPEG …) fall back
-to the clearly-marked deterministic stub — swap it for PIL/libav in
-production; the Spark surface does not change.
+selection + successive approximation), 16-bit PCM WAV, and
+MJPEG-in-AVI video (llm/avi.py — per-frame JPEG decode + container
+timing). Formats needing native libs (H.264/MP4, arithmetic-coded
+JPEG …) fall back to the clearly-marked deterministic stub — swap it
+for PIL/libav in production; the Spark surface does not change.
 
 Scale notes: binary payloads dominate partition size — the reader
 caps ``maxPartitionBytes`` thinking in payload bytes, and
@@ -290,9 +291,10 @@ def sample_frames(
     every_n: int = 10,
 ) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
-    sampled frame index. Frame *decode* is the same stub; the
-    exploded (item, frame_no) shape and downstream partitioning are
-    the real contract."""
+    sampled frame index (the exploded (item, frame_no) shape and
+    downstream partitioning contract; byte-derived frame count for
+    non-container payloads). For real per-frame DECODE of MJPEG/AVI
+    video use :func:`extract_video_frames`."""
     n_frames = (F.length(F.col(content_col)) % 100 + 1).alias("n_frames")
     frames = df.select(F.col(id_col), F.col(content_col), n_frames).select(
         F.col(id_col),
@@ -301,6 +303,96 @@ def sample_frames(
         ).alias("frame_no"),
     )
     return frames
+
+
+#: Schema of the decoded-video-frame feature output.
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("ts_ms", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_video_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    content_col: str = "content",
+    every_n: int = 10,
+) -> DataFrame:
+    """REAL frame sampling + decode for MJPEG-in-AVI payloads
+    (llm/avi.py + llm/jpeg.py — baseline and progressive frames):
+    every ``every_n``-th frame decodes to its true dimensions, a
+    container-timing timestamp, and the same channel-statistics
+    feature as :func:`extract_image_features`. Payloads that are not
+    AVI (or whose codec needs native libs — H.264/MP4) fall back to
+    the deterministic stub rows with NULL timing, so one undecodable
+    payload in a 100 TB corpus never fails the task. Arrow-batched
+    ``mapInPandas``; frames stream per batch, bounding executor
+    memory by batch payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FRAMES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                item = row[id_col]
+                try:
+                    from pipelines_spark.llm.avi import parse_avi
+                    from pipelines_spark.llm.jpeg import decode_jpeg
+
+                    vid = parse_avi(payload)
+                    for frame_no in range(0, len(vid.frames), every_n):
+                        try:
+                            px = decode_jpeg(vid.frames[frame_no]).astype("float64")
+                            h, w, _ = px.shape
+                            gray = px.mean(axis=2)
+                            feature = [
+                                float(px[:, :, 0].mean() / 255.0),
+                                float(px[:, :, 1].mean() / 255.0),
+                                float(px[:, :, 2].mean() / 255.0),
+                                float(gray.std() / 255.0),
+                            ]
+                        except Exception:  # one bad frame ≠ bad video
+                            w = h = None
+                            feature = None
+                        rows.append(
+                            {
+                                "item_id": item,
+                                "frame_no": frame_no,
+                                "ts_ms": frame_no * vid.usec_per_frame / 1000.0,
+                                "width": w,
+                                "height": h,
+                                "feature": feature,
+                            }
+                        )
+                except Exception:
+                    # non-AVI / native-codec payloads: stub fallback,
+                    # same deterministic shape as sample_frames
+                    n_frames = len(payload) % 100 + 1
+                    for frame_no in range(0, n_frames, every_n):
+                        w, h, feature = _decode_stub(payload)
+                        rows.append(
+                            {
+                                "item_id": item,
+                                "frame_no": frame_no,
+                                "ts_ms": None,
+                                "width": w,
+                                "height": h,
+                                "feature": feature,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(F.col(id_col).alias("item_id"), content_col).mapInPandas(
+        run, VIDEO_FRAMES_SCHEMA
+    )
 
 
 #: Schema of the windowed-audio feature output.

@@ -266,6 +266,51 @@ def test_sample_frames_shape(spark):
     assert got == [0, 10, 20]
 
 
+def test_avi_mjpeg_roundtrip_and_video_frames(spark):
+    """MJPEG-in-AVI: container round-trip (build_avi → parse_avi),
+    then extract_video_frames decodes every sampled frame for REAL —
+    true dimensions, container timing, channel features — with a mix
+    of baseline and progressive JPEG frames; a non-AVI payload falls
+    back to the stub rows with NULL timing."""
+    import numpy as np
+
+    from pipelines_spark.llm.avi import build_avi, parse_avi
+    from pipelines_spark.llm.jpeg import encode_jpeg, encode_jpeg_progressive
+    from pipelines_spark.llm.multimodal import extract_video_frames
+
+    w, h = 24, 16
+    frames = []
+    for i in range(7):
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = 30 * i  # red ramps per frame
+        img[:, :, 1] = 100
+        enc = encode_jpeg_progressive if i % 2 else encode_jpeg
+        frames.append(enc(img, quant=1, subsampling="444"))
+    avi = build_avi(frames, width=w, height=h, fps=5.0)
+
+    vid = parse_avi(avi)
+    assert (vid.width, vid.height) == (w, h)
+    assert len(vid.frames) == 7
+    assert vid.frames[3] == frames[3]
+    assert abs(vid.fps - 5.0) < 1e-6
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a video" * 3))],
+        "item_id long, content binary",
+    )
+    rows = [tuple(r) for r in extract_video_frames(df, every_n=3).collect()]
+    real = sorted(r for r in rows if r[0] == 1)
+    assert [r[1] for r in real] == [0, 3, 6]  # sampled frame_nos
+    for frame_no, r in zip([0, 3, 6], real):
+        _id, _no, ts_ms, fw, fh, feature = r
+        assert (fw, fh) == (w, h)
+        assert abs(ts_ms - frame_no * 200.0) < 1e-6  # 5 fps → 200 ms
+        assert abs(feature[0] - (30 * frame_no) / 255.0) < 0.02
+        assert abs(feature[1] - 100 / 255.0) < 0.02
+    stub = [r for r in rows if r[0] == 2]
+    assert stub and all(r[2] is None for r in stub)  # NULL timing
+
+
 def test_connected_components_matches_union_find(spark):
     # labeled graph: {1,2,3,9} chained, {5,6} pair, {7,8} pair
     pairs = spark.createDataFrame(

@@ -72,15 +72,89 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB array → PNG bytes (8-bit truecolor,
-    filter 0 rows, single IDAT)."""
+    filter 0 rows, single IDAT; ``interlace=True`` writes the Adam7
+    pass sequence — fixture path for the interlaced reader)."""
     import zlib
 
     h, w, _ = pixels.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # IHDR: w, h, depth, color, compression, filter, INTERLACE
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue  # empty pass contributes no scanlines
+            parts.extend(
+                b"\x00" + sub[y].astype(np.uint8).tobytes()
+                for y in range(sub.shape[0])
+            )
+        raw = b"".join(parts)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, *, depth: int = 8
+) -> bytes:
+    """(h, w) index array + (n, 3) palette → paletted PNG (color type
+    3) at bit depth 1/2/4/8, filter 0 rows — fixture path for the
+    palette + sub-byte readers."""
+    import zlib
+
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    plte = palette.astype(np.uint8).tobytes()
+    rows = []
+    per_byte = 8 // depth
+    for y in range(h):
+        line = indices[y].astype(np.uint8)
+        if depth == 8:
+            packed = line.tobytes()
+        else:
+            pad = (-w) % per_byte
+            padded = np.pad(line, (0, pad))
+            groups = padded.reshape(-1, per_byte)
+            vals = np.zeros(groups.shape[0], dtype=np.uint8)
+            for i in range(per_byte):  # MSB-first packing
+                vals = (vals << depth) | groups[:, i]
+            packed = vals.tobytes()
+        rows.append(b"\x00" + packed)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray16(gray: np.ndarray) -> bytes:
+    """(h, w) uint16 array → 16-bit grayscale PNG (color type 0),
+    filter 0 rows — fixture path for the 16-bit reader."""
+    import zlib
+
+    h, w = gray.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
     raw = b"".join(
-        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+        b"\x00" + gray[y].astype(">u2").tobytes() for y in range(h)
     )
     return (
         _PNG_SIG
@@ -90,50 +164,17 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, 3) uint8 RGB array.
-
-    Supports the dominant web/still-image shape: 8-bit depth,
-    grayscale / truecolor / truecolor+alpha (color types 0/2/6),
-    non-interlaced, all five scanline filters. Palette, 16-bit, and
-    Adam7 variants raise — callers fall back to their stub, matching
-    the BMP contract (a bad payload must never fail the task).
-    """
-    import zlib
-
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("malformed PNG (missing IHDR/IDAT)")
-    w, h, depth, ctype_v, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_v)
-    if depth != 8 or channels is None or interlace != 0 or w == 0 or h == 0:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth}, color={ctype_v}, "
-            f"interlace={interlace}, {w}x{h})"
-        )
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+def _png_defilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Reverse the scanline filters of one (sub-)image: ``h`` rows of
+    ``stride`` bytes each, ``bpp`` filter-delta bytes per pixel.
+    Returns the (h, stride) byte array and the input bytes consumed."""
+    if len(raw) - off < h * (stride + 1):
         raise ValueError("truncated PNG data")
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        ftype = raw[off + y * (stride + 1)]
         line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
+            raw, np.uint8, stride, off + y * (stride + 1) + 1
         ).astype(np.int64)
         prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
         if ftype == 0:
@@ -165,7 +206,99 @@ def decode_png(payload: bytes) -> np.ndarray:
                     raise ValueError(f"bad PNG filter {ftype}")
                 cur[x] = rec & 0xFF
         out[y] = cur.astype(np.uint8)
-    px = out.reshape(h, w, channels)
+    return out, h * (stride + 1)
+
+
+def _png_samples(lines: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """Defiltered byte rows → (h, w, channels) uint8 samples. 16-bit
+    samples keep their high byte; sub-byte depths unpack MSB-first
+    (values NOT yet palette-mapped or grayscale-rescaled)."""
+    h = lines.shape[0]
+    if depth == 8:
+        return lines[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        wide = lines[:, : w * channels * 2].reshape(h, w * channels, 2)
+        return wide[:, :, 0].reshape(h, w, channels)  # big-endian high byte
+    # depths 1/2/4: single-channel only (gray or palette indices)
+    per_byte = 8 // depth
+    vals = np.zeros((h, lines.shape[1] * per_byte), dtype=np.uint8)
+    mask = (1 << depth) - 1
+    for i in range(per_byte):  # MSB-first
+        vals[:, i::per_byte] = (lines >> (8 - depth * (i + 1))) & mask
+    return vals[:, :w].reshape(h, w, 1)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB array.
+
+    Supports every core-spec still shape: bit depths 1/2/4/8/16,
+    grayscale / truecolor / palette / +alpha (color types 0/2/3/4/6),
+    non-interlaced AND Adam7 interlaced, all five scanline filters.
+    16-bit samples reduce to their high byte; alpha drops (matching
+    the 8-bit truecolor contract). Malformed payloads raise — callers
+    fall back to their stub (a bad payload must never fail the task).
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype_v, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_v)
+    ok_depth = depth in (8, 16) or (depth in (1, 2, 4) and ctype_v in (0, 3))
+    if channels is None or not ok_depth or interlace > 1 or w == 0 or h == 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype_v}, "
+            f"interlace={interlace}, {w}x{h})"
+        )
+    if ctype_v == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, channels * depth // 8)
+
+    def stride_of(width: int) -> int:
+        return -(-width * channels * depth // 8)
+
+    if interlace == 0:
+        lines, _used = _png_defilter(raw, 0, h, stride_of(w), bpp)
+        samples = _png_samples(lines, w, channels, depth)
+    else:  # Adam7: seven independently filtered sub-images
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            lines, used = _png_defilter(raw, off, ph, stride_of(pw), bpp)
+            off += used
+            samples[y0::dy, x0::dx] = _png_samples(lines, pw, channels, depth)
+
+    if ctype_v == 3:  # palette lookup
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    if ctype_v == 0 and depth in (1, 2, 4):  # rescale sub-byte gray
+        samples = (
+            samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)
+    px = samples
     if channels == 1:
         px = np.repeat(px, 3, axis=2)
     elif channels == 2:  # gray+alpha → replicate gray

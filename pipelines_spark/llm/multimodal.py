@@ -63,8 +63,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     payloads (llm/codecs.py, llm/jpeg.py): true dimensions and a
     channel-statistics feature [mean R, mean G, mean B, grayscale
     std] in [0, 1]. Other formats — and variants the codecs don't
-    handle (compressed BMP, palette/16-bit/Adam7 PNG,
-    arithmetic-coded JPEG, truncated bytes) — fall back to the
+    handle (compressed BMP, arithmetic-coded JPEG, truncated
+    bytes) — fall back to the
     stub: one bad payload in
     a 100 TB corpus must never fail the task. The codecs import stays
     inside the try for the same reason — a broken executor deploy

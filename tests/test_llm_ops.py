@@ -818,6 +818,60 @@ def test_png_codec_roundtrip_and_filters():
         decode_png(p0)
 
 
+def test_png_variants_palette_16bit_adam7():
+    """The core-spec PNG long tail decodes for real: Adam7 interlace,
+    palette color at depths 1/2/4/8, 16-bit grayscale (high byte),
+    and sub-byte grayscale."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+        encode_png_gray16,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (23, 37, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, interlace=True)), img)
+    tiny = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)  # partial passes
+    assert np.array_equal(decode_png(encode_png(tiny, interlace=True)), tiny)
+    one = rng.integers(0, 256, (1, 1, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(one, interlace=True)), one)
+
+    for depth, n in ((8, 200), (4, 16), (2, 4), (1, 2)):
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (19, 29), dtype=np.uint8)
+        dec = decode_png(encode_png_palette(idx, pal, depth=depth))
+        assert np.array_equal(dec, pal[idx]), f"palette depth {depth}"
+
+    g16 = rng.integers(0, 65536, (11, 13)).astype(np.uint16)
+    dec = decode_png(encode_png_gray16(g16))
+    assert np.array_equal(dec[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    # 1-bit grayscale rescales 0/1 → 0/255
+    bits = rng.integers(0, 2, (8, 11), dtype=np.uint8)
+    packed_rows = bytearray()
+    for y in range(8):
+        padded = np.pad(bits[y], (0, (-11) % 8))
+        vals = np.zeros(padded.size // 8, dtype=np.uint8)
+        for i in range(8):
+            vals = (vals << 1) | padded.reshape(-1, 8)[:, i]
+        packed_rows += b"\x00" + vals.tobytes()
+    p1 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", st.pack(">IIBBBBB", 11, 8, 1, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(packed_rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(p1)[:, :, 0], bits * 255)
+
+
 def test_image_features_real_png_decode(spark):
     """A real PNG decodes to true dimensions/stats through the same
     mapInPandas kernel as BMP, and resize re-encodes as PNG."""

@@ -85,10 +85,15 @@ def bpe_train(
     TakeOrdered argmax — the only driver state is the running merge
     list. The words frame is persisted per iteration (and the
     previous one released) so iteration k never replays folds 1..k-1.
-    Stops early if no adjacency occurs at least twice (merging
-    singletons would just memorize hapax words)."""
+    Materialization piggybacks on the NEXT iteration's argmax job —
+    the parent cache is released only after that job has filled the
+    child's — so the loop runs ONE job per merge instead of two (and
+    never materializes the final, unused fold). Stops early if no
+    adjacency occurs at least twice (merging singletons would just
+    memorize hapax words)."""
     wf = word_frequencies(docs, id_col=id_col, text_col=text_col)
     words = wf.select(_char_symbols(F.col("word")).alias("syms"), "freq").persist()
+    prev: DataFrame | None = None
     merges: list[dict] = []
     try:
         for rank in range(1, n_merges + 1):
@@ -115,6 +120,11 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # this collect just filled `words`' cache (computed from
+            # the still-cached parent) — the parent can go now
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             row = best[0]
@@ -130,10 +140,10 @@ def bpe_train(
                 apply_merge(F.col("syms"), row["l"], row["r"]).alias("syms"),
                 "freq",
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            words.unpersist()
-            words = nxt
+            prev, words = words, nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         words.unpersist()
     return merges
 

@@ -712,9 +712,13 @@ def semantic_dedup(
         cos = _round_half_up(unit @ cent_unit.T, round_digits)
         return pd.Series(np.argmax(cos == cos.max(axis=1, keepdims=True), axis=1))
 
+    # eager lineage cut: `assigned` feeds BOTH sides of the pair join,
+    # and without it each side re-runs the corpus scan + Arrow
+    # assignment UDF (the same multiply-referenced-staging pattern as
+    # triangle_count's `oriented`); the checkpointed blocks free on GC
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("_cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
     )

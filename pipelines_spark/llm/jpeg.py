@@ -754,11 +754,19 @@ class _ScanWriter(_BitWriter):
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, *, quant: int = 8, subsampling: str = "420"
+    pixels: np.ndarray,
+    *,
+    quant: int = 8,
+    subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → progressive (SOF2) JPEG bytes, refined to
     full precision (decodes bit-identically to the sequential encoding
-    at the same quant/subsampling)."""
+    at the same quant/subsampling). ``restart_interval`` > 0 emits DRI
+    + RSTn markers every that-many MCUs/blocks in EVERY scan (the
+    restart unit is the MCU for interleaved DC scans and the block for
+    single-component AC scans, per T.81), resetting DC predictors and
+    EOB-run state at each boundary."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h_img, w_img, comps, qtab = _component_coefficients(pixels, quant, subsampling)
@@ -777,6 +785,8 @@ def encode_jpeg_progressive(
         for th in (0, 1):
             out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
             out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     def sos(scan_comps, ss, se, ah, al, body: bytes) -> None:
         out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps), len(scan_comps)))
@@ -786,13 +796,23 @@ def encode_jpeg_progressive(
         out.extend(body)
 
     # --- scan 1: DC first, interleaved, Al=1 ---------------------------
+    parts: list[bytes] = []
     w = _BitWriter()
     preds = {cid: 0 for cid, _s, _zz in comps}
     sub = comps[0][1]
     mcuy = comps[1][2].shape[0]  # chroma block grid == MCU grid
     mcux = comps[1][2].shape[1]
+    rst = count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and count and count % restart_interval == 0:
+                w.flush()
+                parts.append(bytes(w.out))
+                parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                w = _BitWriter()
+                preds = {cid: 0 for cid, _s, _zz in comps}
+            count += 1
             for cid, s, zz in comps:
                 for by in range(s):
                     for bx in range(s):
@@ -805,7 +825,8 @@ def encode_jpeg_progressive(
                         if cat:
                             w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
     w.flush()
-    sos([1, 2, 3], 0, 0, 0, 1, bytes(w.out))
+    parts.append(bytes(w.out))
+    sos([1, 2, 3], 0, 0, 0, 1, b"".join(parts))
 
     # --- AC first scans, Al=1 (Y split into two spectral bands) --------
     # Non-interleaved scans cover ceil(component_size/8) data units
@@ -821,8 +842,18 @@ def encode_jpeg_progressive(
         bh, bw = scan_grid(cs)
         for ss, se in bands:
             w = _ScanWriter(ac_codes)
+            parts = []
+            rst = count = 0
             for by in range(bh):
                 for bx in range(bw):
+                    if restart_interval and count and count % restart_interval == 0:
+                        w.emit_eobrun()
+                        w.flush()
+                        parts.append(bytes(w.out))
+                        parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                        rst += 1
+                        w = _ScanWriter(ac_codes)
+                    count += 1
                     blk = zz[by, bx]
                     run = 0
                     for k in range(ss, se + 1):
@@ -845,25 +876,46 @@ def encode_jpeg_progressive(
                     w.end_block(run)
             w.emit_eobrun()
             w.flush()
-            sos([cid], ss, se, 0, 1, bytes(w.out))
+            parts.append(bytes(w.out))
+            sos([cid], ss, se, 0, 1, b"".join(parts))
 
     # --- DC refinement, interleaved, Ah=1 Al=0 -------------------------
     w = _BitWriter()
+    parts = []
+    rst = count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and count and count % restart_interval == 0:
+                w.flush()
+                parts.append(bytes(w.out))
+                parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                w = _BitWriter()
+            count += 1
             for cid, s, zz in comps:
                 for by in range(s):
                     for bx in range(s):
                         w.write(int(zz[my * s + by, mx * s + bx, 0]) & 1, 1)
     w.flush()
-    sos([1, 2, 3], 0, 0, 1, 0, bytes(w.out))
+    parts.append(bytes(w.out))
+    sos([1, 2, 3], 0, 0, 1, 0, b"".join(parts))
 
     # --- AC refinement scans, Ah=1 Al=0 --------------------------------
     for cid, cs, zz in comps:
         bh, bw = scan_grid(cs)
         w = _ScanWriter(ac_codes)
+        parts = []
+        rst = count = 0
         for by in range(bh):
             for bx in range(bw):
+                if restart_interval and count and count % restart_interval == 0:
+                    w.emit_eobrun()
+                    w.flush()
+                    parts.append(bytes(w.out))
+                    parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                    rst += 1
+                    w = _ScanWriter(ac_codes)
+                count += 1
                 blk = zz[by, bx]
                 absb = [abs(int(blk[k])) for k in range(64)]
                 # last NEWLY nonzero coefficient in the band
@@ -896,7 +948,8 @@ def encode_jpeg_progressive(
                 w.end_block(run)
         w.emit_eobrun()
         w.flush()
-        sos([cid], 1, 63, 1, 0, bytes(w.out))
+        parts.append(bytes(w.out))
+        sos([cid], 1, 63, 1, 0, b"".join(parts))
 
     out += b"\xff\xd9"
     return bytes(out)

@@ -996,6 +996,22 @@ def test_jpeg_progressive_roundtrip():
     assert np.array_equal(
         decode_jpeg(encode_jpeg(flat)), decode_jpeg(encode_jpeg_progressive(flat))
     )
+    # restart markers in every scan: DC predictors and EOB runs reset
+    # per interval, still bit-identical to the sequential decode
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.clip(
+        (128 + 60 * np.sin(yy / 5) + 50 * np.cos(xx / 7))[:, :, None]
+        + rng.integers(-40, 40, size=(24, 40, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quant=8, subsampling="420")),
+        decode_jpeg(
+            encode_jpeg_progressive(
+                img, quant=8, subsampling="420", restart_interval=2
+            )
+        ),
+    )
 
 
 def test_jpeg_rejects_unsupported_and_truncated():

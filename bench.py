@@ -66,6 +66,21 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_all_cached(spark) -> None:
+    """Free CacheManager entries and persisted / localCheckpointed RDD
+    blocks BETWEEN queries. A ~100-query bench session otherwise
+    accumulates every operator's staging blocks (released only on
+    driver GC of the proxy objects), and the resulting executor memory
+    pressure inflates late-suite timings by 2-5x — a long-lived batch
+    session would call release_staging per operator; the bench replays
+    that hygiene wholesale. Called after each query's timing loop, so
+    within-query reuse (best-of-2) is untouched."""
+    spark.catalog.clearCache()
+    # py4j exposes the java.util.Map dict-like
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(False)
+
+
 def bench_dump_pipeline(spark, sf_dir: str, out_dir: str) -> None:
     """Dump-equivalent: lineitem scan → normalize → partition-derive →
     partitioned write (SURVEY §3.1 collapsed into one Spark job)."""
@@ -221,6 +236,7 @@ def bench_scale_probe(
                 _materialize(QUERIES[name](spark, str(out_dir)))
                 best = min(best, time.perf_counter() - t0)
             probe[name] = round(best, 3)
+            _release_all_cached(spark)
             if timings.get(name):
                 ratios[name] = round(best / timings[name], 2)
         return {"n_copies": n, "queries": probe, "ratio_vs_base": ratios}
@@ -249,6 +265,7 @@ def main() -> None:
             _materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        _release_all_cached(spark)
 
     best = float("inf")
     for _ in range(2):
@@ -269,6 +286,7 @@ def main() -> None:
             _materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         extended[name] = round(best, 3)
+        _release_all_cached(spark)
 
     total = round(sum(timings.values()), 3)
     result = {

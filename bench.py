@@ -186,6 +186,12 @@ SCALE_PROBE_QUERIES = [
     # is O(tokens) + a count>1 aggregation — no pairwise stage
     "text_ngram_entropy",
     "text_dup_spans",
+    # round-5 graph rewrites with explicit scale claims: triangles'
+    # per-edge adjacency intersection bounds work at m^1.5 via the
+    # degree orientation (no pair materialization); pagerank's
+    # iterations read checkpointed loop invariants
+    "graph_triangles",
+    "graph_pagerank",
 ]
 
 

@@ -147,6 +147,50 @@ BUDGETS = {
     # word-frequency agg + token regroup (encode folds are map-only;
     # training actions run before the returned plan)
     "text_bpe_top_tokens": 2,
+    # --- r5 additions: the rest of the expensive/structural set ----
+    # training actions run before the returned plan; visible plan =
+    # broadcast probe + cell equi-join + one top-k window exchange
+    "embed_ivf_kmeans": 1,
+    # single Expand pass — CUBE never re-scans per grouping set
+    "a14_cube_revenue": 1,
+    # bucketed candidate join (one stored corpus key) + top-k window
+    "embed_srp_multiprobe": 1,
+    # codebook broadcast; train collects precede the plan
+    "embed_pq_adc": 3,
+    # two sub-corpus KMV sketches + set-algebra spine: every exchange
+    # moves <= k x partitions candidate rows, never the key sets
+    "a34_kmv_set_ops": 12,
+    # grouped KMV candidates + per-group estimate + tiny group join
+    "a36_kmv_by_type": 5,
+    # band-bucket candidate join + verify join on the cached staging
+    "dedup_minhash_lsh": 2,
+    # posting-list pair agg; sizes broadcast back
+    "dedup_ngram_jaccard": 1,
+    # probe set broadcast — corpus shuffles only for the doc agg
+    "text_decontamination": 3,
+    # change-detection window + validity interval window
+    "scd2_order_history": 2,
+    # ALL dims broadcast over the 4-table tree; one agg exchange
+    "q7_nation_volume": 1,
+    "q9_product_profit": 1,
+    # per-block pair join + exact verify (sizes ride the rows)
+    "j13_fuzzy_name_match": 2,
+    # as-of union-window + tolerance filter: one exchange per side
+    "j16_asof_tolerance": 2,
+    # stack() unpivot is projection; agg + final exchange
+    "o10_unpivot": 2,
+    # all six rank flavors share ONE partitioning exchange
+    "w7_rank_gauntlet": 1,
+    # salted partial agg + final de-salt agg
+    "a15_salted_event_totals": 2,
+    # one Expand pass for the explicit sets
+    "a17_grouping_sets_revenue": 1,
+    # term stats + doc norms + score agg; query terms broadcast
+    "text_bm25_search": 3,
+    # md5-hash shard assignment is map-only; one pack agg
+    "sample_token_shards": 1,
+    # line-frequency agg + mark join + per-doc regroup + rollup
+    "text_boilerplate_stats": 4,
 }
 
 

@@ -316,21 +316,212 @@ def image_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     return None
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: codes packed LSB-first, code width grows with
+    the dictionary up to 12 bits, CLEAR resets, END stops."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq = b""
+    for idx in indices.astype(np.uint8).tobytes():
+        cand = seq + bytes([idx])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        # width covers codes UP TO next_code (decoder grows its table
+        # one entry behind the encoder)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code == 4096:  # table full: reset
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = bytes([idx])
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace pass order: (start row, step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (h, w, 3) uint8 RGB of the FIRST frame (the
+    still-image contract; animation frames after the first are
+    skipped). Handles 87a/89a, global/local color tables, LZW with
+    resets, and interlaced frames. Transparency renders as the
+    palette color (no alpha in the RGB contract)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF image data")
+            grid = np.array(idx[: w * h], dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                de = np.zeros_like(grid)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    nrows = len(range(start, h, step))
+                    de[start::step] = grid[src : src + nrows]
+                    src += nrows
+                grid = de
+            if int(grid.max(initial=0)) >= ct.shape[0]:
+                raise ValueError("GIF palette index out of range")
+            return np.ascontiguousarray(ct[grid])
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF carries no image frame")
+
+
+def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB with ≤ 256 distinct colors → GIF89a bytes
+    (adaptive palette, real LZW; fixture path — arbitrary-color
+    inputs need a quantizer and raise)."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors (quantize first)")
+    bits = max(1, int(palette.shape[0] - 1).bit_length())
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+    grid = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        grid = np.concatenate(
+            [grid[start::step] for start, step in _GIF_INTERLACE]
+        )
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(mcs)
+    data = _gif_lzw_encode(grid.reshape(-1), mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image_rgb(payload: bytes) -> np.ndarray:
     """Magic-dispatched decode of any supported still-image format →
     (h, w, 3) uint8 RGB. Raises on formats needing PIL (and on JPEG
-    variants the baseline decoder rejects — progressive/arithmetic —
-    so kernel callers still stub-fallback per contract)."""
+    variants the decoder rejects — arithmetic coding — so kernel
+    callers still stub-fallback per contract)."""
     fmt = image_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     if fmt == "jpeg":
         from pipelines_spark.llm.jpeg import decode_jpeg
 
@@ -344,6 +535,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(pixels)
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "gif":
+        return encode_gif(pixels)
     if fmt == "jpeg":
         from pipelines_spark.llm.jpeg import encode_jpeg
 

@@ -6,7 +6,7 @@ feature extraction run as Arrow-batched pandas functions over
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
 partition sizing) is real, and the common still/audio formats decode
 for REAL with stdlib+numpy codecs (llm/codecs.py, llm/jpeg.py):
-24-bit BMP, 8-bit PNG (all scanline filters), baseline AND
+24-bit BMP, full core-spec PNG, GIF, baseline AND
 progressive JPEG (any subsampling, restart markers, spectral
 selection + successive approximation), 16-bit PCM WAV, and
 MJPEG-in-AVI video (llm/avi.py — per-frame JPEG decode + container

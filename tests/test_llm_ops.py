@@ -872,6 +872,50 @@ def test_png_variants_palette_16bit_adam7():
     assert np.array_equal(decode_png(p1)[:, :, 0], bits * 255)
 
 
+def test_gif_codec_roundtrip(spark):
+    """GIF (LZW, palette, interlace, 89a extensions) decodes for
+    real — plain and interlaced round-trips, LZW table-reset streams,
+    extension skipping, >256-color encode refusal — and flows through
+    the image-features kernel like every other still format."""
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import decode_gif, encode_gif, image_format
+    from pipelines_spark.llm.multimodal import extract_image_features
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(37, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 37, size=(25, 33))]
+    for interlace in (False, True):
+        buf = encode_gif(img, interlace=interlace)
+        assert image_format(buf) == "gif"
+        assert np.array_equal(decode_gif(buf), img), interlace
+
+    # big frame forces LZW dictionary resets (> 4096 codes)
+    big_pal = rng.integers(0, 256, size=(250, 3)).astype(np.uint8)
+    big = big_pal[rng.integers(0, 250, size=(120, 200))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+
+    # 89a graphic-control extension between GCT and image: skipped
+    buf = encode_gif(img)
+    gct_len = (2 << (buf[10] & 7)) * 3
+    spliced = buf[: 13 + gct_len] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + buf[13 + gct_len :]
+    assert np.array_equal(decode_gif(spliced), img)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, size=(40, 40, 3)).astype(np.uint8))
+
+    solid = np.zeros((10, 20, 3), dtype=np.uint8)
+    solid[:, :] = (200, 100, 50)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(solid)))], "item_id long, content binary"
+    )
+    row = extract_image_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (20, 10)
+    assert abs(row["feature"][0] - 200 / 255) < 0.01
+
+
 def test_image_features_real_png_decode(spark):
     """A real PNG decodes to true dimensions/stats through the same
     mapInPandas kernel as BMP, and resize re-encodes as PNG."""

@@ -211,6 +211,11 @@ def _shuffles(df) -> int:
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(no_aqe, sf_medium, name):
+    # explain from a CLEAR cache: persist-based queries otherwise pick
+    # up InMemoryRelation substitutions from whatever earlier tests
+    # happened to materialize (CacheManager matches canonicalized
+    # plans), and the pin flaps with test order — the r4 incident
+    no_aqe.catalog.clearCache()
     df = QUERIES[name](no_aqe, sf_medium)
     n = _shuffles(df)
     assert n <= BUDGETS[name], (

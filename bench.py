@@ -164,6 +164,10 @@ EXTENDED = [
     "embed_pq_adc",
     "embed_ivf_pq",
     "a36_kmv_by_type",
+    # r6: the capped (100 TB posture) dedup configurations, benched
+    # under their own keys so the exact-mode headline stays comparable
+    "dedup_ngram_capped",
+    "dedup_containment_capped",
 ]
 
 
@@ -192,6 +196,14 @@ SCALE_PROBE_QUERIES = [
     # iterations read checkpointed loop invariants
     "graph_triangles",
     "graph_pagerank",
+    # round-6: the two most expensive extended entries without a probe
+    # (r5 verdict) — containment's candidate volume is capped-quadratic
+    # in hot-shingle df; BPE's per-merge cost is vocab-bounded, with
+    # only the word table growing with the corpus
+    "dedup_containment",
+    "text_bpe_top_tokens",
+    # and the capped posture, whose entire point is bounded growth
+    "dedup_ngram_capped",
 ]
 
 

@@ -66,6 +66,57 @@ jaccards AS (
 
 _EXACT_JACCARD_SQL = f"WITH {_SHINGLES_CTE} SELECT id_a, id_b, jaccard FROM jaccards"
 
+# Capped variant (queries._DEDUP_CAP = 4): shingles with document
+# frequency > 4 are dropped BEFORE pairing, and per-doc sizes are
+# recomputed over the surviving universe — exact replay of the
+# ``max_shingle_freq`` branch in llm.dedup (intersection AND
+# denominators both count surviving shingles only; docs losing every
+# shingle drop out of sizes, so they can't pair, same as Spark's
+# inner join on the recomputed sizes).
+_CAPPED_SHINGLES_CTE = """
+words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles0 AS (
+    SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
+    FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+sdf AS (SELECT sh, count(*) AS d FROM shingles0 GROUP BY sh),
+shingles AS (
+    SELECT s.doc_id, s.sh FROM shingles0 s JOIN sdf USING (sh) WHERE d <= 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pair_inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+"""
+
+_CAPPED_JACCARD_SQL = f"""
+    WITH {_CAPPED_SHINGLES_CTE}
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+"""
+
+_CAPPED_CONTAINMENT_SQL = f"""
+    WITH {_CAPPED_SHINGLES_CTE}
+    SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
+                THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
+                THEN id_b ELSE id_a END AS container_id,
+           round(inter / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+    FROM pair_inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.8
+"""
+
 
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Exact replay of llm/bpe.py training: per iteration, a weighted
@@ -690,6 +741,10 @@ ORACLES: dict[str, str] = {
     # equals the exact-Jaccard pair set.
     "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
     "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
+    # the 100 TB posture: posting-list cap at df>4, exact scoring over
+    # the surviving shingle universe
+    "dedup_ngram_capped": _CAPPED_JACCARD_SQL,
+    "dedup_containment_capped": _CAPPED_CONTAINMENT_SQL,
     "dedup_simhash": f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

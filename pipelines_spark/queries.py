@@ -3224,6 +3224,44 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("contained_id", "container_id")
 
 
+#: posting-list cap for the *_capped dedup queries: shingles in more
+#: than this many documents are dropped before pairing. 4 triggers at
+#: every test SF (sf0.001 max df=7, sf0.01 max df=7) so the driver
+#: exercises the hot-shingle branch, not the uncapped fallthrough.
+_DEDUP_CAP = 4
+
+
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped n-gram Jaccard pairs — the 100 TB posture of
+    ``ngram_jaccard_pairs``: shingles with document frequency >
+    ``_DEDUP_CAP`` are dropped from the inverted index (candidate
+    volume is quadratic in per-shingle df, so the cap bounds the
+    self-join), then pairs score the EXACT Jaccard over the surviving
+    shingle universe — deterministic, hence DuckDB-replayable.
+    Reference parity: the exact mode's docstring contract
+    (llm/dedup.py::ngram_jaccard_pairs)."""
+    register(spark, sf_dir, ("documents",))
+    return ngram_jaccard_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text",
+        shingle_words=3, threshold=0.5, max_shingle_freq=_DEDUP_CAP,
+    )
+
+
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped containment pairs — the 100 TB posture of
+    ``containment_pairs``: same ``_DEDUP_CAP`` posting-list cap as
+    ``dedup_ngram_capped``; containment (|A∩B| / min(|A|,|B|)) scores
+    exactly over the surviving shingle universe, numerator and
+    denominators alike (llm/dedup.py::containment_pairs)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.dedup import containment_pairs
+
+    return containment_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text",
+        threshold=0.8, max_shingle_freq=_DEDUP_CAP,
+    ).orderBy("contained_id", "container_id")
+
+
 def sample_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture rebalancing (llm/sampling.py::mixture_rebalance):
     deterministic down-sampling so kept counts track per-source target
@@ -3656,6 +3694,9 @@ def text_bpe_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # r6 additions lead: never driver-sampled, need a CORRECTNESS row
+    "dedup_ngram_capped": dedup_ngram_capped,
+    "dedup_containment_capped": dedup_containment_capped,
     "q12_priority_shipping": q12_priority_shipping,
     "a18_heavy_hitter_users": a18_heavy_hitter_users,
     "dedup_semantic": dedup_semantic,

@@ -166,6 +166,11 @@ BUDGETS = {
     "dedup_minhash_lsh": 2,
     # posting-list pair agg; sizes broadcast back
     "dedup_ngram_jaccard": 1,
+    # capped mode adds the surviving-sizes agg + static size joins
+    # (AQE broadcasts the tiny sizes frames at runtime)
+    "dedup_ngram_capped": 3,
+    # + the orderBy range exchange
+    "dedup_containment_capped": 4,
     # probe set broadcast — corpus shuffles only for the doc agg
     "text_decontamination": 3,
     # change-detection window + validity interval window

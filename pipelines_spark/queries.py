@@ -3694,157 +3694,158 @@ def text_bpe_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    # r6 additions lead: never driver-sampled, need a CORRECTNESS row
-    "dedup_ngram_capped": dedup_ngram_capped,
-    "dedup_containment_capped": dedup_containment_capped,
-    "q12_priority_shipping": q12_priority_shipping,
-    "a18_heavy_hitter_users": a18_heavy_hitter_users,
-    "dedup_semantic": dedup_semantic,
-    "o12_variant_props": o12_variant_props,
-    "w8_resample_interpolate": w8_resample_interpolate,
-    "a20_cohort_retention": a20_cohort_retention,
-    "w9_activity_islands": w9_activity_islands,
-    "j13_fuzzy_name_match": j13_fuzzy_name_match,
-    "a21_kmv_distinct": a21_kmv_distinct,
-    "a22_funnel_conversion": a22_funnel_conversion,
-    "w10_time_weighted_avg": w10_time_weighted_avg,
-    "j14_max_concurrent_orders": j14_max_concurrent_orders,
-    "w11_last_touch_attribution": w11_last_touch_attribution,
-    "a23_value_outliers": a23_value_outliers,
-    "j15_part_cooccurrence": j15_part_cooccurrence,
-    "w12_cumulative_new_users": w12_cumulative_new_users,
-    "j16_asof_tolerance": j16_asof_tolerance,
-    "a24_mode_per_group": a24_mode_per_group,
-    "o13_token_positions": o13_token_positions,
-    "j17_lateral_topk": j17_lateral_topk,
-    "graph_pagerank": graph_pagerank,
-    "graph_triangles": graph_triangles,
-    "a25_column_profile": a25_column_profile,
-    "a26_benford_digits": a26_benford_digits,
-    "graph_khop_reach": graph_khop_reach,
-    "t3_sliding_window": t3_sliding_window,
-    "a27_seasonal_anomaly": a27_seasonal_anomaly,
-    "o14_snapshot_diff": o14_snapshot_diff,
-    "graph_hierarchy_rollup": graph_hierarchy_rollup,
-    "sample_weighted_topk": sample_weighted_topk,
-    "text_tfidf_pairs": text_tfidf_pairs,
-    "a28_cms_frequencies": a28_cms_frequencies,
-    "text_ngram_entropy": text_ngram_entropy,
-    "text_dup_spans": text_dup_spans,
-    "dedup_containment": dedup_containment,
-    "sample_mixture_rates": sample_mixture_rates,
-    "a29_hll_distinct": a29_hll_distinct,
-    "text_bpe_merges": text_bpe_merges,
-    "text_bpe_top_tokens": text_bpe_top_tokens,
-    "a30_hll_by_type": a30_hll_by_type,
-    "a31_sampled_percentiles": a31_sampled_percentiles,
-    "a32_psi_drift": a32_psi_drift,
-    "w13_ses_forecast": w13_ses_forecast,
-    "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
-    "a34_kmv_set_ops": a34_kmv_set_ops,
-    "embed_srp_multiprobe": embed_srp_multiprobe,
-    "a35_mad_outliers": a35_mad_outliers,
-    "embed_pq_adc": embed_pq_adc,
-    "embed_ivf_pq": embed_ivf_pq,
-    # a19 rotated into the driver's first-50 sample window (r5): the
-    # one registered query never driver-checked through r4; a36 got
-    # its green row in CORRECTNESS_r04.json
-    "a19_stale_feeds": a19_stale_feeds,
-    "a36_kmv_by_type": a36_kmv_by_type,
-    "j11_asof_enrichment": j11_asof_enrichment,
-    "a13_value_percentiles": a13_value_percentiles,
-    "o10_unpivot": o10_unpivot,
-    "j8_geo_stations": j8_geo_stations,
-    "j8b_best_overlap": j8b_best_overlap,
-    "q2_min_per_group_subquery": q2_min_per_group_subquery,
-    "o11_intersect_custkeys": o11_intersect_custkeys,
-    "sample_split_counts": sample_split_counts,
-    "text_top_terms": text_top_terms,
-    "w6_sessionize": w6_sessionize,
-    "embed_ivf_ann": embed_ivf_ann,
-    "dedup_clusters": dedup_clusters,
-    "q7_nation_volume": q7_nation_volume,
-    "q8_market_share": q8_market_share,
-    "q10_returned_items": q10_returned_items,
-    "text_pii_redaction": text_pii_redaction,
-    "text_repetition_stats": text_repetition_stats,
-    "text_decontamination": text_decontamination,
-    "dedup_canonical_selection": dedup_canonical_selection,
-    "text_lang_mismatch": text_lang_mismatch,
-    "sample_token_shards": sample_token_shards,
-    "q9_product_profit": q9_product_profit,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_bracket_predicates": q19_bracket_predicates,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "text_boilerplate_stats": text_boilerplate_stats,
-    "q20_nested_in_chain": q20_nested_in_chain,
-    "q11_important_suppliers": q11_important_suppliers,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_part_supplier_counts": q16_part_supplier_counts,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "w7_rank_gauntlet": w7_rank_gauntlet,
-    "a14_cube_revenue": a14_cube_revenue,
-    "embed_ivf_kmeans": embed_ivf_kmeans,
-    "text_bm25_search": text_bm25_search,
-    "sample_stratified_counts": sample_stratified_counts,
-    "text_chunk_windows": text_chunk_windows,
-    "scd2_order_history": scd2_order_history,
-    "a15_salted_event_totals": a15_salted_event_totals,
-    "j12_asof_forward": j12_asof_forward,
-    "a16_value_histogram": a16_value_histogram,
-    "a17_grouping_sets_revenue": a17_grouping_sets_revenue,
-    "embed_quantized_knn": embed_quantized_knn,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "revenue_by_month": revenue_by_month,
-    "top_customers_by_revenue": top_customers_by_revenue,
+    # Driver samples the FIRST 50 keys each round. Rotation policy:
+    # oldest-driver-checked queries lead. Round 7 head = the 47-query
+    # cohort whose latest driver row was r1/r2, plus 3 r3 fillers, so
+    # no query's driver row is older than r3 after this round.
+    "a11_colwise_max": a11_colwise_max,
+    "a12_rollup_revenue": a12_rollup_revenue,
+    "a1_relation_check": a1_relation_check,
+    "a2_group_any_flag": a2_group_any_flag,
+    "a3_latest_event_per_user": a3_latest_event_per_user,
+    "a4_nested_content": a4_nested_content,
+    "a4b_grouped_content": a4b_grouped_content,
+    "a6_distinct_segments": a6_distinct_segments,
+    "a7_hourly_event_counts": a7_hourly_event_counts,
+    "dedup_embed_cosine": dedup_embed_cosine,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "embed_knn_topk": embed_knn_topk,
+    "embed_srp_ann": embed_srp_ann,
     "f1_filter_expressions": f1_filter_expressions,
     "f2_null_filter": f2_null_filter,
     "f3_capture_window": f3_capture_window,
+    "f6_pruned_incremental_scan": f6_pruned_incremental_scan,
+    "j10_composite_update_detection": j10_composite_update_detection,
     "j1_orders_enriched": j1_orders_enriched,
     "j2_full_outer_nation_flows": j2_full_outer_nation_flows,
     "j3_customers_without_orders": j3_customers_without_orders,
     "j5_capture_gaps": j5_capture_gaps,
     "j7_shipdate_range_join": j7_shipdate_range_join,
     "j9_idw_interpolation": j9_idw_interpolation,
-    "a1_relation_check": a1_relation_check,
-    "a3_latest_event_per_user": a3_latest_event_per_user,
-    "a4_nested_content": a4_nested_content,
-    "a4b_grouped_content": a4b_grouped_content,
-    "a6_distinct_segments": a6_distinct_segments,
-    "a7_hourly_event_counts": a7_hourly_event_counts,
-    "a11_colwise_max": a11_colwise_max,
-    "w4_rolling_hourly_sum": w4_rolling_hourly_sum,
+    "k4_partition_derivation": k4_partition_derivation,
+    "o1_multikey_sort": o1_multikey_sort,
     "o5_union_priorities": o5_union_priorities,
     "o6_pivot_event_types": o6_pivot_event_types,
     "o7_json_props_extract": o7_json_props_extract,
-    "scalar_gauntlet": scalar_gauntlet,
+    "o9_except_nations": o9_except_nations,
     "p2_rename_projection": p2_rename_projection,
-    "j10_composite_update_detection": j10_composite_update_detection,
-    "a2_group_any_flag": a2_group_any_flag,
-    "o1_multikey_sort": o1_multikey_sort,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "revenue_by_month": revenue_by_month,
+    "scalar_gauntlet": scalar_gauntlet,
     "t1_tumbling_5min": t1_tumbling_5min,
     "t2_incremental_window": t2_incremental_window,
-    "k4_partition_derivation": k4_partition_derivation,
-    "f6_pruned_incremental_scan": f6_pruned_incremental_scan,
-    "dedup_exact": dedup_exact,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
-    "dedup_embed_cosine": dedup_embed_cosine,
+    "text_fingerprints": text_fingerprints,
     "text_langid_counts": text_langid_counts,
     "text_quality_by_source": text_quality_by_source,
     "text_token_stats": text_token_stats,
-    "text_fingerprints": text_fingerprints,
-    "embed_knn_topk": embed_knn_topk,
-    "embed_srp_ann": embed_srp_ann,
-    "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "a12_rollup_revenue": a12_rollup_revenue,
-    "o9_except_nations": o9_except_nations,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "w4_rolling_hourly_sum": w4_rolling_hourly_sum,
     "w5_lag_event_gap": w5_lag_event_gap,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "w6_sessionize": w6_sessionize,
+    # --- below this line: checked r3+ (oldest first) ---
+    "a13_value_percentiles": a13_value_percentiles,
+    "a14_cube_revenue": a14_cube_revenue,
+    "a15_salted_event_totals": a15_salted_event_totals,
+    "a16_value_histogram": a16_value_histogram,
+    "a17_grouping_sets_revenue": a17_grouping_sets_revenue,
+    "dedup_canonical_selection": dedup_canonical_selection,
+    "dedup_clusters": dedup_clusters,
+    "embed_ivf_ann": embed_ivf_ann,
+    "embed_ivf_kmeans": embed_ivf_kmeans,
+    "embed_quantized_knn": embed_quantized_knn,
+    "j11_asof_enrichment": j11_asof_enrichment,
+    "j12_asof_forward": j12_asof_forward,
+    "j8_geo_stations": j8_geo_stations,
+    "j8b_best_overlap": j8b_best_overlap,
+    "o10_unpivot": o10_unpivot,
+    "o11_intersect_custkeys": o11_intersect_custkeys,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_suppliers": q11_important_suppliers,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_bracket_predicates": q19_bracket_predicates,
+    "q20_nested_in_chain": q20_nested_in_chain,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q2_min_per_group_subquery": q2_min_per_group_subquery,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "sample_split_counts": sample_split_counts,
+    "sample_stratified_counts": sample_stratified_counts,
+    "sample_token_shards": sample_token_shards,
+    "scd2_order_history": scd2_order_history,
+    "text_bm25_search": text_bm25_search,
+    "text_boilerplate_stats": text_boilerplate_stats,
+    "text_chunk_windows": text_chunk_windows,
+    "text_decontamination": text_decontamination,
+    "text_lang_mismatch": text_lang_mismatch,
+    "text_pii_redaction": text_pii_redaction,
+    "text_repetition_stats": text_repetition_stats,
+    "text_top_terms": text_top_terms,
+    "w7_rank_gauntlet": w7_rank_gauntlet,
+    "a36_kmv_by_type": a36_kmv_by_type,
+    "a19_stale_feeds": a19_stale_feeds,
+    "embed_ivf_pq": embed_ivf_pq,
+    "a18_heavy_hitter_users": a18_heavy_hitter_users,
+    "a20_cohort_retention": a20_cohort_retention,
+    "a21_kmv_distinct": a21_kmv_distinct,
+    "a22_funnel_conversion": a22_funnel_conversion,
+    "a23_value_outliers": a23_value_outliers,
+    "a24_mode_per_group": a24_mode_per_group,
+    "a25_column_profile": a25_column_profile,
+    "a26_benford_digits": a26_benford_digits,
+    "a27_seasonal_anomaly": a27_seasonal_anomaly,
+    "a28_cms_frequencies": a28_cms_frequencies,
+    "a29_hll_distinct": a29_hll_distinct,
+    "a30_hll_by_type": a30_hll_by_type,
+    "a31_sampled_percentiles": a31_sampled_percentiles,
+    "a32_psi_drift": a32_psi_drift,
+    "a33_hll_rolling_distinct": a33_hll_rolling_distinct,
+    "a34_kmv_set_ops": a34_kmv_set_ops,
+    "a35_mad_outliers": a35_mad_outliers,
+    "dedup_containment": dedup_containment,
+    "dedup_containment_capped": dedup_containment_capped,
+    "dedup_ngram_capped": dedup_ngram_capped,
+    "dedup_semantic": dedup_semantic,
+    "embed_pq_adc": embed_pq_adc,
+    "embed_srp_multiprobe": embed_srp_multiprobe,
+    "graph_hierarchy_rollup": graph_hierarchy_rollup,
+    "graph_khop_reach": graph_khop_reach,
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
+    "j13_fuzzy_name_match": j13_fuzzy_name_match,
+    "j14_max_concurrent_orders": j14_max_concurrent_orders,
+    "j15_part_cooccurrence": j15_part_cooccurrence,
+    "j16_asof_tolerance": j16_asof_tolerance,
+    "j17_lateral_topk": j17_lateral_topk,
+    "o12_variant_props": o12_variant_props,
+    "o13_token_positions": o13_token_positions,
+    "o14_snapshot_diff": o14_snapshot_diff,
+    "q12_priority_shipping": q12_priority_shipping,
+    "sample_mixture_rates": sample_mixture_rates,
+    "sample_weighted_topk": sample_weighted_topk,
+    "t3_sliding_window": t3_sliding_window,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_top_tokens": text_bpe_top_tokens,
+    "text_dup_spans": text_dup_spans,
+    "text_ngram_entropy": text_ngram_entropy,
+    "text_tfidf_pairs": text_tfidf_pairs,
+    "w10_time_weighted_avg": w10_time_weighted_avg,
+    "w11_last_touch_attribution": w11_last_touch_attribution,
+    "w12_cumulative_new_users": w12_cumulative_new_users,
+    "w13_ses_forecast": w13_ses_forecast,
+    "w8_resample_interpolate": w8_resample_interpolate,
+    "w9_activity_islands": w9_activity_islands,
 }

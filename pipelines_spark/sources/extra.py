@@ -409,18 +409,19 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     classic netCDF files (CDF-1/2/5 — station series, model output)
     always decode with the built-in pure-numpy parser
     (sources/netcdf3.py); netCDF-4 (HDF5 container, e.g. GOES
-    satellite tiles) decodes with the built-in minimal HDF5 reader
-    (sources/hdf5_min.py) — flat files with symbol-table, compact, or
-    dense (fractal-heap) groups, chunked/deflate/shuffle data under
-    v1-B-tree, single-chunk, implicit, or fixed-array chunk indexes;
-    only the variants no built-in handles (extensible-array/v2-B-tree
-    indexes for unlimited dims, paged fixed arrays) fall back to
-    xarray + a netCDF backend — a clear error otherwise. (A bare
-    xarray without backends raises a non-ImportError from
-    open_dataset, so magic-first dispatch also keeps classic files
-    working regardless of the xarray install state.) Mirrors xarray's
-    ``to_dataframe().reset_index()`` shape: one row per coordinate
-    combination, dim coordinate columns first.
+    satellite tiles, appendable time-series) decodes with the
+    built-in minimal HDF5 reader (sources/hdf5_min.py) — flat files
+    with symbol-table, compact, or dense (fractal-heap) groups,
+    chunked/deflate/shuffle data under v1-B-tree, single-chunk,
+    implicit, fixed-array (plain or paged), extensible-array
+    (unlimited time dimension), or v2-B-tree chunk indexes; only the
+    residual long tail (filtered fractal heaps, vlen payloads, exotic
+    datatypes) falls back to xarray + a netCDF backend — a clear
+    error otherwise. (A bare xarray without backends raises a
+    non-ImportError from open_dataset, so magic-first dispatch also
+    keeps classic files working regardless of the xarray install
+    state.) Mirrors xarray's ``to_dataframe().reset_index()`` shape:
+    one row per coordinate combination, dim coordinate columns first.
     """
     with open(path, "rb") as f:
         head = f.read(8)
@@ -428,9 +429,9 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     if head == b"\x89HDF\r\n\x1a\n":
         # netCDF-4 = HDF5 container: try the built-in minimal HDF5
         # reader (sources/hdf5_min.py — symbol-table, compact, or
-        # dense-link groups; v1-B-tree, single-chunk, implicit, or
-        # fixed-array chunk indexes; deflate+shuffle); the remaining
-        # long tail falls through to the xarray env-gate below.
+        # dense-link groups; every v1/v4 chunk index incl.
+        # extensible-array for unlimited dims; deflate+shuffle); the
+        # remaining long tail falls through to the xarray env-gate.
         try:
             from pipelines_spark.sources.hdf5_min import parse_hdf5
 
@@ -446,10 +447,12 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
             import xarray as xr
         except ImportError as exc:
             raise NotImplementedError(
-                "this netCDF variant (extensible-array/v2-B-tree HDF5 "
-                "chunk index or paged fixed array) needs xarray + a "
-                "netCDF backend; install them in the deployment image — "
-                "classic CDF-1/2/5 and ordinary netCDF-4/HDF5 files "
+                "this netCDF variant (filtered fractal heap, vlen "
+                "payloads, or another HDF5 long-tail feature) needs "
+                "xarray + a netCDF backend; install them in the "
+                "deployment image — classic CDF-1/2/5 and ordinary "
+                "netCDF-4/HDF5 files (incl. unlimited-dim extensible-"
+                "array/v2-B-tree/paged-fixed-array chunk indexes) "
                 "decode with the built-in readers"
             ) from exc
         ds = xr.open_dataset(path)

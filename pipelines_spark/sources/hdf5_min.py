@@ -10,21 +10,24 @@ Reader supports: superblock v0/v1/v2/v3, object headers v1 and v2,
 old-style symbol-table groups, compact new-style Link messages AND
 dense (fractal-heap) group links (root direct block or one level of
 indirect block — the write-once packing every netCDF-4 producer
-emits), header continuation blocks, dataspace v1/v2, fixed-point /
-IEEE-float / fixed-string datatypes (either byte order), compact /
-contiguous / chunked layouts with v1 B-tree, single-chunk, implicit,
-and fixed-array (v4) chunk indexes, deflate + shuffle filters, and
-v1/v2/v3 attribute messages. The remaining long tail —
-extensible-array / v2-B-tree chunk indexes (libhdf5 only emits them
-for unlimited dimensions), paged fixed arrays, filtered or
-fragmented fractal heaps, vlen/reference attribute payloads — raises
-a clear ``NotImplementedError``; callers fall back to their env-gate
-message exactly as before.
+emits), header continuation blocks, dataspace v1/v2 (incl. maxdims /
+H5S_UNLIMITED), fixed-point / IEEE-float / fixed-string datatypes
+(either byte order), compact / contiguous / chunked layouts with v1
+B-tree, single-chunk, implicit, fixed-array (plain AND paged),
+extensible-array (incl. super blocks and paged data blocks — the
+index libhdf5 emits for one unlimited dimension, i.e. every
+appendable time-series netCDF-4), and v2-B-tree (≥2 unlimited dims)
+chunk indexes, deflate + shuffle filters, and v1/v2/v3 attribute
+messages. The remaining long tail — filtered or fragmented fractal
+heaps, vlen/reference attribute payloads — raises a clear
+``NotImplementedError``; callers fall back to their env-gate message
+exactly as before.
 
 Writer exists to build REAL spec-compliant fixtures in an environment
 with no other HDF5 producer (same pattern as llm/jpeg.py): superblock
 v0, symbol-table root group, v1 object headers, contiguous or
-chunked+deflate(+shuffle) datasets, string/numeric attributes. Read
+chunked+deflate(+shuffle) datasets under every reader-supported chunk
+index, unlimited-dim dataspaces, string/numeric attributes. Read
 (write(x)) therefore exercises every reader path on genuine bytes.
 
 Spec: the public "HDF5 File Format Specification" (Version 2.0).
@@ -105,16 +108,30 @@ def _parse_datatype(body: bytes) -> tuple[np.dtype | None, int]:
     return None, size
 
 
-def _parse_dataspace(body: bytes) -> list[int]:
+def _parse_dataspace_max(body: bytes) -> tuple[list[int], list[int] | None]:
+    """Dataspace message → (dims, maxdims | None). maxdims entries of
+    ``_UNDEF`` mean H5S_UNLIMITED (appendable record dimensions)."""
     ver = body[0]
     rank = body[1]
+    flags = body[2]
     if ver == 1:
         off = 8
-        return [struct.unpack_from("<Q", body, off + 8 * i)[0] for i in range(rank)]
-    if ver == 2:
+    elif ver == 2:
         off = 4
-        return [struct.unpack_from("<Q", body, off + 8 * i)[0] for i in range(rank)]
-    raise NotImplementedError(f"HDF5 dataspace version {ver}")
+    else:
+        raise NotImplementedError(f"HDF5 dataspace version {ver}")
+    dims = [struct.unpack_from("<Q", body, off + 8 * i)[0] for i in range(rank)]
+    maxdims = None
+    if flags & 0x01:
+        moff = off + 8 * rank
+        maxdims = [
+            struct.unpack_from("<Q", body, moff + 8 * i)[0] for i in range(rank)
+        ]
+    return dims, maxdims
+
+
+def _parse_dataspace(body: bytes) -> list[int]:
+    return _parse_dataspace_max(body)[0]
 
 
 def _parse_attribute(body: bytes):
@@ -420,11 +437,12 @@ class _H5Reader:
     def _read_dataset(self, name: str, addr: int) -> H5Dataset | None:
         msgs = self.messages(addr)
         dtype = dims = layout = None
+        maxdims: list[int] | None = None
         filters: list[tuple[int, tuple]] = []
         attrs: dict = {}
         for m in msgs:
             if m.mtype == 0x0001:
-                dims = _parse_dataspace(m.body)
+                dims, maxdims = _parse_dataspace_max(m.body)
             elif m.mtype == 0x0003:
                 dtype, _ = _parse_datatype(m.body)
             elif m.mtype == 0x0008:
@@ -441,7 +459,9 @@ class _H5Reader:
             return None
         if dtype is None:
             raise NotImplementedError(f"dataset {name!r}: unsupported HDF5 datatype")
-        data = self._read_layout(layout, dims, dtype, filters, name)
+        unlim = [i for i, mx in enumerate(maxdims or []) if mx == _UNDEF]
+        unlim_dim = unlim[0] if unlim else 0
+        data = self._read_layout(layout, dims, dtype, filters, name, unlim_dim)
         return H5Dataset(name, data, attrs)
 
     def _parse_filters(self, body: bytes) -> list[tuple[int, tuple]]:
@@ -461,10 +481,10 @@ class _H5Reader:
             out.append((fid, vals))
         return out
 
-    def _read_layout(self, body, dims, dtype, filters, name) -> np.ndarray:
+    def _read_layout(self, body, dims, dtype, filters, name, unlim_dim=0) -> np.ndarray:
         ver = body[0]
         if ver == 4:
-            return self._read_layout_v4(body, dims, dtype, filters, name)
+            return self._read_layout_v4(body, dims, dtype, filters, name, unlim_dim)
         if ver != 3:
             raise NotImplementedError(f"HDF5 layout message version {ver}")
         lclass = body[1]
@@ -484,12 +504,15 @@ class _H5Reader:
             return self._read_chunked(bt_addr, dims, chunk_dims, dtype, filters)
         raise NotImplementedError(f"HDF5 layout class {lclass}")
 
-    def _read_layout_v4(self, body, dims, dtype, filters, name) -> np.ndarray:
+    def _read_layout_v4(self, body, dims, dtype, filters, name, unlim_dim=0) -> np.ndarray:
         """Version-4 data layout (libhdf5 ≥ 1.10 "latest" format):
-        chunked with single-chunk / implicit / fixed-array indexes.
-        Extensible-array and v2-B-tree indexes only appear for
-        datasets with unlimited dimensions — out of scope for raster
-        files, which are fixed-shape."""
+        chunked with single-chunk / implicit / fixed-array (plain or
+        paged) / extensible-array / v2-B-tree indexes. libhdf5 picks
+        the index from the dataspace: fixed shape → single/implicit/
+        fixed array; one unlimited dimension (the appendable record
+        shape of time-series netCDF-4 — the reference's satellite
+        consumer appends along time) → extensible array; ≥2 unlimited
+        dimensions → v2 B-tree."""
         lclass = body[1]
         n = int(np.prod(dims)) if dims else 1
         if lclass == 0:  # compact (same encoding as v3)
@@ -530,53 +553,274 @@ class _H5Reader:
             pos += 1  # page bits (the header repeats them)
             (addr,) = struct.unpack_from("<Q", body, pos)
             entries = self._fixed_array_entries(addr)
+        elif itype == 4:  # extensible array (one unlimited dimension)
+            # creation params (max bits, index elmts, min ptrs, min
+            # elmts, page bits) — the EAHD header repeats them all
+            pos += 5
+            (addr,) = struct.unpack_from("<Q", body, pos)
+            grid = [-(-dims[d] // chunk_dims[d]) for d in range(rank)]
+            entries = self._earray_entries(addr, int(np.prod(grid)) if grid else 1)
+        elif itype == 5:  # v2 B-tree (≥2 unlimited dimensions)
+            pos += 6  # node size (4) + split % + merge %
+            (addr,) = struct.unpack_from("<Q", body, pos)
+            return self._place_bt2_chunks(addr, dims, chunk_dims, dtype, filters)
         else:
-            raise NotImplementedError(
-                f"HDF5 v4 chunk index type {itype} (extensible array / "
-                "v2 B-tree — unlimited-dimension datasets)"
-            )
-        return self._place_linear_chunks(entries, dims, chunk_dims, dtype, filters)
+            raise NotImplementedError(f"HDF5 v4 chunk index type {itype}")
+        return self._place_linear_chunks(
+            entries, dims, chunk_dims, dtype, filters, unlim_dim
+        )
+
+    @staticmethod
+    def _decode_index_elmts(buf, pos, n, client, entry_size):
+        """Decode ``n`` chunk-index elements at ``pos`` → [(addr,
+        stored size | None)]. Shared by fixed-array and extensible-
+        array blocks/pages: client 0 elements are bare chunk
+        addresses (unfiltered chunks, size = raw chunk size); client
+        1 adds the stored (filtered) size and a 4-byte filter mask."""
+        out: list[tuple[int, int | None]] = []
+        size_len = entry_size - 8 - 4
+        for _ in range(n):
+            (caddr,) = struct.unpack_from("<Q", buf, pos)
+            pos += 8
+            if client == 0:
+                out.append((caddr, None))
+                continue
+            csize = int.from_bytes(buf[pos : pos + size_len], "little")
+            pos += size_len + 4  # stored size + filter mask
+            out.append((caddr, csize))
+        return out
 
     def _fixed_array_entries(self, addr: int) -> list[tuple[int, int | None]]:
         """Fixed-array chunk index → [(chunk addr, stored size | None)]
         in linear (row-major chunk grid) order. ``None`` size means the
-        chunk is unfiltered (client 0)."""
+        chunk is unfiltered (client 0). Handles both the plain data
+        block (elements inline) and the paged layout libhdf5 switches
+        to beyond 2^page_bits elements: header + page bitmap +
+        checksum, then fixed-stride pages of (elements, checksum)."""
         buf = self.buf
         if buf[addr : addr + 4] != b"FAHD":
             raise ValueError("bad HDF5 fixed-array header")
         client, entry_size, page_bits = buf[addr + 5], buf[addr + 6], buf[addr + 7]
         (nelmts,) = struct.unpack_from("<Q", buf, addr + 8)
         (dblk,) = struct.unpack_from("<Q", buf, addr + 16)
-        if nelmts > (1 << page_bits):
-            raise NotImplementedError("paged fixed-array chunk index")
         if buf[dblk : dblk + 4] != b"FADB":
             raise ValueError("bad HDF5 fixed-array data block")
         pos = dblk + 4 + 1 + 1 + 8  # sig, version, client id, header addr
+        page_nelmts = 1 << page_bits
+        if nelmts <= page_nelmts:
+            return self._decode_index_elmts(buf, pos, nelmts, client, entry_size)
+        npages = -(-nelmts // page_nelmts)
+        pos += (npages + 7) // 8  # page-init bitmap
+        pos += 4  # data-block header checksum precedes the pages
+        page_stride = page_nelmts * entry_size + 4  # + page checksum
         out: list[tuple[int, int | None]] = []
-        for _ in range(nelmts):
+        for p in range(npages):
+            pe = min(page_nelmts, nelmts - p * page_nelmts)
+            out.extend(
+                self._decode_index_elmts(
+                    buf, pos + p * page_stride, pe, client, entry_size
+                )
+            )
+        return out
+
+    # -- extensible array (one unlimited dimension) --------------------------
+
+    def _earray_entries(self, addr: int, nchunks: int) -> list[tuple[int, int | None]]:
+        """Extensible-array chunk index → [(chunk addr, size | None)]
+        for the first ``nchunks`` linear element slots. Element space,
+        per the public spec (III.A.2) / H5EA sizing rules: the first
+        ``idx_blk_elmts`` elements live inline in the index block;
+        beyond that, super block u (u = 0, 1, …) holds 2^(u//2) data
+        blocks of 2^((u+1)//2) × data_blk_min_elmts elements each. The
+        data blocks of the first 2·log2(sup_blk_min_data_ptrs) super
+        blocks are addressed directly from the index block; later
+        super blocks get their own EASB block. Data blocks larger than
+        2^max_dblk_page_nelmts_bits elements are paged."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"EAHD":
+            raise ValueError("bad HDF5 extensible-array header")
+        client = buf[addr + 5]
+        elmt_size = buf[addr + 6]
+        max_nelmts_bits = buf[addr + 7]
+        idx_blk_elmts = buf[addr + 8]
+        data_blk_min_elmts = buf[addr + 9]
+        sup_blk_min_data_ptrs = buf[addr + 10]
+        max_dblk_page_nelmts_bits = buf[addr + 11]
+        (iblk,) = struct.unpack_from("<Q", buf, addr + 60)
+        arr_off_size = (max_nelmts_bits + 7) // 8
+        page_nelmts = 1 << max_dblk_page_nelmts_bits
+        nsblks_total = 1 + (
+            max_nelmts_bits - (data_blk_min_elmts.bit_length() - 1)
+        )
+        iblk_nsblks = 2 * (sup_blk_min_data_ptrs.bit_length() - 1)
+        ndblk_addrs = 2 * (sup_blk_min_data_ptrs - 1)
+        nsblk_addrs = nsblks_total - iblk_nsblks
+        sblk_ndblks = [1 << (u // 2) for u in range(nsblks_total)]
+        sblk_dblk_nelmts = [
+            (1 << ((u + 1) // 2)) * data_blk_min_elmts for u in range(nsblks_total)
+        ]
+
+        def dblock(a: int, nelmts: int) -> list[tuple[int, int | None]]:
+            if a in (0, _UNDEF):
+                return [(_UNDEF, None)] * nelmts
+            if buf[a : a + 4] != b"EADB":
+                raise ValueError("bad HDF5 extensible-array data block")
+            pos = a + 4 + 1 + 1 + 8 + arr_off_size  # sig/ver/client/hdr/off
+            if nelmts <= page_nelmts:
+                return self._decode_index_elmts(buf, pos, nelmts, client, elmt_size)
+            pos += 4  # paged: header checksum precedes the pages
+            page_stride = page_nelmts * elmt_size + 4
+            out: list[tuple[int, int | None]] = []
+            for p in range(nelmts // page_nelmts):  # always an exact multiple
+                out.extend(
+                    self._decode_index_elmts(
+                        buf, pos + p * page_stride, page_nelmts, client, elmt_size
+                    )
+                )
+            return out
+
+        if buf[iblk : iblk + 4] != b"EAIB":
+            raise ValueError("bad HDF5 extensible-array index block")
+        pos = iblk + 4 + 1 + 1 + 8
+        entries = self._decode_index_elmts(buf, pos, idx_blk_elmts, client, elmt_size)
+        pos += idx_blk_elmts * elmt_size
+        dblk_addrs = list(struct.unpack_from(f"<{ndblk_addrs}Q", buf, pos))
+        pos += 8 * ndblk_addrs
+        sblk_addrs = list(struct.unpack_from(f"<{nsblk_addrs}Q", buf, pos))
+
+        di = 0
+        for u in range(iblk_nsblks):
+            for _ in range(sblk_ndblks[u]):
+                if len(entries) >= nchunks:
+                    return entries[:nchunks]
+                entries.extend(dblock(dblk_addrs[di], sblk_dblk_nelmts[u]))
+                di += 1
+        for u in range(iblk_nsblks, nsblks_total):
+            if len(entries) >= nchunks:
+                break
+            sa = sblk_addrs[u - iblk_nsblks]
+            dn, nd = sblk_dblk_nelmts[u], sblk_ndblks[u]
+            if sa in (0, _UNDEF):
+                entries.extend([(_UNDEF, None)] * (dn * nd))
+                continue
+            if buf[sa : sa + 4] != b"EASB":
+                raise ValueError("bad HDF5 extensible-array super block")
+            spos = sa + 4 + 1 + 1 + 8 + arr_off_size
+            if dn > page_nelmts:  # page-init bitmap for the whole super block
+                spos += (nd * (dn // page_nelmts) + 7) // 8
+            for i in range(nd):
+                (da,) = struct.unpack_from("<Q", buf, spos + 8 * i)
+                entries.extend(dblock(da, dn))
+        return entries[:nchunks]
+
+    # -- v2 B-tree (two or more unlimited dimensions) -------------------------
+
+    def _place_bt2_chunks(self, addr, dims, chunk_dims, dtype, filters) -> np.ndarray:
+        """Assemble chunks indexed by a v2 B-tree. Records carry the
+        scaled (grid) chunk coordinates explicitly, so placement
+        needs no linearization convention."""
+        buf = self.buf
+        rank = len(dims)
+        if buf[addr : addr + 4] != b"BTHD":
+            raise ValueError("bad HDF5 v2 B-tree header")
+        btype = buf[addr + 5]
+        (node_size,) = struct.unpack_from("<I", buf, addr + 6)
+        (rrec_size,) = struct.unpack_from("<H", buf, addr + 10)
+        (depth,) = struct.unpack_from("<H", buf, addr + 12)
+        (root_addr,) = struct.unpack_from("<Q", buf, addr + 16)
+        (root_nrec,) = struct.unpack_from("<H", buf, addr + 24)
+        if btype not in (10, 11):  # (un)filtered dataset-chunk records
+            raise NotImplementedError(f"HDF5 v2 B-tree record type {btype}")
+        filtered = btype == 11
+        size_len = rrec_size - 8 - 4 - 8 * rank if filtered else 0
+
+        # node-capacity math (H5B2 sizing): pointer fields in internal
+        # nodes are sized to the max record counts their subtrees allow
+        enc = lambda n: ((n.bit_length() - 1) // 8) + 1 if n else 1  # noqa: E731
+        leaf_max = (node_size - 10) // rrec_size
+        max_nrec_size = enc(leaf_max)
+        cum_max, cum_max_size = leaf_max, [0]
+        for _ in range(depth):
+            ptr = 8 + max_nrec_size + cum_max_size[-1]
+            imax = (node_size - (10 + ptr)) // (rrec_size + ptr)
+            cum_max = (imax + 1) * cum_max + imax
+            cum_max_size.append(enc(cum_max))
+
+        out = np.zeros(dims, dtype=dtype)
+        csize_unf = int(np.prod(chunk_dims)) * dtype.itemsize
+
+        def place_record(pos: int) -> None:
             (caddr,) = struct.unpack_from("<Q", buf, pos)
             pos += 8
-            if client == 0:
-                out.append((caddr, None))
-                continue
-            size_len = entry_size - 8 - 4
-            csize = int.from_bytes(buf[pos : pos + size_len], "little")
-            pos += size_len + 4  # stored size + filter mask
-            out.append((caddr, csize))
+            if filtered:
+                csize = int.from_bytes(buf[pos : pos + size_len], "little")
+                pos += size_len + 4  # stored size + filter mask
+            else:
+                csize = None
+            scaled = struct.unpack_from(f"<{rank}Q", buf, pos)
+            if caddr in (0, _UNDEF):
+                return
+            raw = buf[caddr : caddr + (csize if csize is not None else csize_unf)]
+            if csize is not None:
+                raw = _defilter(raw, filters, dtype)
+            chunk = np.frombuffer(raw, dtype, int(np.prod(chunk_dims)))
+            coords = tuple(scaled[d] * chunk_dims[d] for d in range(rank))
+            _place_chunk(out, chunk.reshape(chunk_dims), coords)
+
+        def walk(node: int, nrec: int, level: int) -> None:
+            sig = buf[node : node + 4]
+            pos = node + 6  # sig + version + type
+            if level == 0:
+                if sig != b"BTLF":
+                    raise ValueError("bad HDF5 v2 B-tree leaf")
+                for _ in range(nrec):
+                    place_record(pos)
+                    pos += rrec_size
+                return
+            if sig != b"BTIN":
+                raise ValueError("bad HDF5 v2 B-tree internal node")
+            for _ in range(nrec):
+                place_record(pos)
+                pos += rrec_size
+            ptr_nrec_off = 8
+            ptr_size = 8 + max_nrec_size + (cum_max_size[level - 1] if level > 1 else 0)
+            for _ in range(nrec + 1):
+                (child,) = struct.unpack_from("<Q", buf, pos)
+                cn = int.from_bytes(
+                    buf[pos + ptr_nrec_off : pos + ptr_nrec_off + max_nrec_size],
+                    "little",
+                )
+                walk(child, cn, level - 1)
+                pos += ptr_size
+
+        if root_addr not in (0, _UNDEF):
+            walk(root_addr, root_nrec, depth)
         return out
 
     def _place_linear_chunks(
-        self, entries, dims, chunk_dims, dtype, filters
+        self, entries, dims, chunk_dims, dtype, filters, unlim_dim=0
     ) -> np.ndarray:
-        """Assemble chunks listed in linear row-major grid order."""
+        """Assemble chunks listed in linear row-major grid order. When
+        the unlimited dimension is not dimension 0, the extensible
+        array linearizes over *swizzled* coordinates (the unlimited
+        dim rotated to the front — H5VM_swizzle_coords) so appends
+        stay address-stable; mirror that here."""
         buf = self.buf
         rank = len(dims)
         out = np.zeros(dims, dtype=dtype)
         csize_unf = int(np.prod(chunk_dims)) * dtype.itemsize
         grid = [-(-dims[d] // chunk_dims[d]) for d in range(rank)]
-        for idx, (caddr, csize) in zip(np.ndindex(*grid), entries):
+        if unlim_dim > 0:
+            perm = [unlim_dim] + [d for d in range(rank) if d != unlim_dim]
+            iter_grid = [grid[d] for d in perm]
+            unswizzle = lambda idx: tuple(idx[perm.index(d)] for d in range(rank))  # noqa: E731
+        else:
+            iter_grid = grid
+            unswizzle = lambda idx: tuple(idx)  # noqa: E731
+        for sw_idx, (caddr, csize) in zip(np.ndindex(*iter_grid), entries):
             if caddr in (0, _UNDEF):
                 continue  # chunk never written: stays at fill (zeros)
+            idx = unswizzle(sw_idx)
             raw = buf[caddr : caddr + (csize if csize is not None else csize_unf)]
             if csize is not None:
                 raw = _defilter(raw, filters, dtype)
@@ -642,10 +886,17 @@ def _dt_message(dtype: np.dtype) -> bytes:
     raise ValueError(f"unsupported dtype {dt}")
 
 
-def _ds_message(shape: tuple[int, ...]) -> bytes:
-    body = bytes([1, len(shape), 0]) + b"\0" * 5
+def _ds_message(shape: tuple[int, ...], maxshape=None) -> bytes:
+    """Dataspace message v1. ``maxshape`` entries of ``None`` encode
+    H5S_UNLIMITED — the appendable record dimensions that make
+    libhdf5 pick an extensible-array / v2-B-tree chunk index."""
+    flags = 1 if maxshape is not None else 0
+    body = bytes([1, len(shape), flags]) + b"\0" * 5
     for d in shape:
         body += struct.pack("<Q", d)
+    if maxshape is not None:
+        for m in maxshape:
+            body += struct.pack("<Q", _UNDEF if m is None else m)
     return body
 
 
@@ -683,17 +934,208 @@ def _layout_v4_prefix(flags: int, chunks: tuple[int, ...]) -> bytes:
     return body
 
 
+def _write_earray(out, alloc, entries, params, filtered) -> int:
+    """Emit a spec-faithful extensible-array chunk index (EAHD + EAIB
+    + EADB/EASB blocks, paged data blocks included) for ``entries`` =
+    [(chunk addr, stored size | None)] in linear element order.
+    Returns the EAHD address. Checksums are written as zero (the
+    reader does not verify them, same as every other fixture block)."""
+    max_bits, iblk_e, sup_min, dblk_min, page_bits = params
+    client = 1 if filtered else 0
+    elmt_size = 16 if filtered else 8  # addr + 4-byte size + 4-byte mask
+    arr_off = (max_bits + 7) // 8
+    page = 1 << page_bits
+    nsblks_total = 1 + (max_bits - (dblk_min.bit_length() - 1))
+    iblk_nsblks = 2 * (sup_min.bit_length() - 1)
+    ndblk_addrs = 2 * (sup_min - 1)
+    nsblk_addrs = nsblks_total - iblk_nsblks
+    sblk_nd = [1 << (u // 2) for u in range(nsblks_total)]
+    sblk_dn = [(1 << ((u + 1) // 2)) * dblk_min for u in range(nsblks_total)]
+    stats = {"ndblks": 0, "dblk_bytes": 0, "nsblks": 0, "sblk_bytes": 0}
+
+    def enc_elmt(e: tuple[int, int | None]) -> bytes:
+        caddr, csize = e
+        if not filtered:
+            return struct.pack("<Q", caddr)
+        return struct.pack("<QII", caddr, csize if csize is not None else 0, 0)
+
+    unset = (_UNDEF, None)
+
+    def take(base: int, n: int):
+        return [entries[i] if i < len(entries) else unset for i in range(base, base + n)]
+
+    hdr_addr = alloc(b"\0" * 72)  # EAHD reserved; patched below
+
+    def write_dblock(elms, block_off: int) -> int:
+        if all(e[0] == _UNDEF for e in elms):
+            return _UNDEF
+        body = bytearray(b"EADB" + bytes([0, client]))
+        body += struct.pack("<Q", hdr_addr)
+        body += block_off.to_bytes(arr_off, "little")
+        if len(elms) <= page:
+            for e in elms:
+                body += enc_elmt(e)
+            body += struct.pack("<I", 0)  # checksum
+        else:  # paged: header checksum, then full pages (exact multiple)
+            body += struct.pack("<I", 0)
+            for p in range(len(elms) // page):
+                for e in elms[p * page : (p + 1) * page]:
+                    body += enc_elmt(e)
+                body += struct.pack("<I", 0)  # page checksum
+        stats["ndblks"] += 1
+        stats["dblk_bytes"] += len(body)
+        return alloc(bytes(body))
+
+    base = iblk_e
+    dblk_addrs = []
+    for u in range(iblk_nsblks):
+        for _ in range(sblk_nd[u]):
+            a = write_dblock(take(base, sblk_dn[u]), base) if base < len(entries) else _UNDEF
+            dblk_addrs.append(a)
+            base += sblk_dn[u]
+    assert len(dblk_addrs) == ndblk_addrs
+    sblk_addrs = []
+    for u in range(iblk_nsblks, nsblks_total):
+        dn, nd = sblk_dn[u], sblk_nd[u]
+        if base >= len(entries):
+            sblk_addrs.append(_UNDEF)
+            base += dn * nd
+            continue
+        das = []
+        off = base
+        for _ in range(nd):
+            das.append(write_dblock(take(off, dn), off) if off < len(entries) else _UNDEF)
+            off += dn
+        sb = bytearray(b"EASB" + bytes([0, client]))
+        sb += struct.pack("<Q", hdr_addr)
+        sb += base.to_bytes(arr_off, "little")
+        if dn > page:  # page-init bitmap for all data blocks in the sblock
+            npg = dn // page
+            bits = bytearray((nd * npg + 7) // 8)
+            for i, a in enumerate(das):
+                if a != _UNDEF:
+                    for p in range(npg):
+                        b = i * npg + p
+                        bits[b // 8] |= 1 << (b % 8)
+            sb += bytes(bits)
+        for a in das:
+            sb += struct.pack("<Q", a)
+        sb += struct.pack("<I", 0)
+        stats["nsblks"] += 1
+        stats["sblk_bytes"] += len(sb)
+        sblk_addrs.append(alloc(bytes(sb)))
+        base += dn * nd
+
+    iblk = bytearray(b"EAIB" + bytes([0, client]))
+    iblk += struct.pack("<Q", hdr_addr)
+    for e in take(0, iblk_e):
+        iblk += enc_elmt(e)
+    for a in dblk_addrs:
+        iblk += struct.pack("<Q", a)
+    for a in sblk_addrs[:nsblk_addrs]:
+        iblk += struct.pack("<Q", a)
+    iblk += struct.pack("<I", 0)
+    iblk_addr = alloc(bytes(iblk))
+
+    hdr = bytearray(
+        b"EAHD"
+        + bytes([0, client, elmt_size, max_bits, iblk_e, dblk_min, sup_min, page_bits])
+    )
+    hdr += struct.pack(
+        "<QQQQQQ",
+        stats["nsblks"],
+        stats["sblk_bytes"],
+        stats["ndblks"],
+        stats["dblk_bytes"],
+        len(entries),
+        len(entries),
+    )
+    hdr += struct.pack("<QI", iblk_addr, 0)
+    out[hdr_addr : hdr_addr + len(hdr)] = hdr
+    return hdr_addr
+
+
+def _write_bt2(alloc, records, rank, node_size, filtered) -> int:
+    """Emit a v2-B-tree chunk index (BTHD + BTLF leaves, one BTIN root
+    when the records overflow a leaf) for ``records`` = [(scaled grid
+    coords, chunk addr, stored size | None)] in lexicographic scaled
+    order (the tree's sort order). Returns the BTHD address."""
+    size_len = 4
+    rrec = 8 + (size_len + 4 if filtered else 0) + 8 * rank
+    btype = 11 if filtered else 10
+
+    def enc_rec(r) -> bytes:
+        scaled, caddr, csize = r
+        b = struct.pack("<Q", caddr)
+        if filtered:
+            b += (csize or 0).to_bytes(size_len, "little") + struct.pack("<I", 0)
+        return b + struct.pack(f"<{rank}Q", *scaled)
+
+    leaf_max = (node_size - 10) // rrec
+    max_nrec_size = ((leaf_max.bit_length() - 1) // 8) + 1 if leaf_max else 1
+
+    def write_leaf(recs) -> int:
+        b = bytearray(b"BTLF" + bytes([0, btype]))
+        for r in recs:
+            b += enc_rec(r)
+        b += struct.pack("<I", 0)
+        return alloc(bytes(b))
+
+    if len(records) <= leaf_max:
+        root, depth, root_nrec = write_leaf(records), 0, len(records)
+    else:
+        # depth 1: L leaves separated by L-1 records promoted to the root
+        n = len(records)
+        nleaves = -(-(n + 1) // (leaf_max + 1))
+        in_leaves = n - (nleaves - 1)
+        base_sz, extra = divmod(in_leaves, nleaves)
+        groups, seps, i = [], [], 0
+        for li in range(nleaves):
+            sz = base_sz + (1 if li < extra else 0)
+            groups.append(records[i : i + sz])
+            i += sz
+            if li < nleaves - 1:
+                seps.append(records[i])
+                i += 1
+        b = bytearray(b"BTIN" + bytes([0, btype]))
+        for s in seps:
+            b += enc_rec(s)
+        for g in groups:
+            b += struct.pack("<Q", write_leaf(g))
+            b += len(g).to_bytes(max_nrec_size, "little")
+            # depth-1 root: child cumulative-count field absent
+        b += struct.pack("<I", 0)
+        root, depth, root_nrec = alloc(bytes(b)), 1, len(seps)
+    hdr = (
+        b"BTHD"
+        + bytes([0, btype])
+        + struct.pack("<IHH", node_size, rrec, depth)
+        + bytes([100, 40])  # split / merge percent (libhdf5 defaults)
+        + struct.pack("<QHQI", root, root_nrec, len(records), 0)
+    )
+    return alloc(hdr)
+
+
 def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes:
     """Build a flat HDF5 file: ``{name: {"data": ndarray,
     "attrs": {...}, "chunks": tuple | None, "deflate": level | None,
-    "shuffle": bool, "index": "v1"|"single"|"implicit"|"fixed"}}`` →
-    bytes. v1 object headers, little-endian types. ``index`` picks the
-    chunk index: the default v1 B-tree (layout message v3, what
-    libhdf5 1.8-compat emits) or the layout-v4 indexes of the 1.10+
-    "latest" format. ``dense_links=True`` stores the root group's
-    links densely (fractal heap + name-index v2 B-tree) instead of a
-    symbol table — the layout libhdf5 switches to beyond 8 links,
-    i.e. what a real many-variable netCDF-4 file uses."""
+    "shuffle": bool,
+    "index": "v1"|"single"|"implicit"|"fixed"|"earray"|"bt2",
+    "maxshape": tuple | None}}`` → bytes. v1 object headers,
+    little-endian types. ``index`` picks the chunk index: the default
+    v1 B-tree (layout message v3, what libhdf5 1.8-compat emits) or
+    the layout-v4 indexes of the 1.10+ "latest" format —
+    ``"earray"``/``"bt2"`` are what libhdf5 emits for one / several
+    unlimited dimensions (mark them with ``None`` in ``maxshape``).
+    Knobs for small fixtures that still hit the deep structures:
+    ``"earray_params"`` (max bits, index-block elmts, super-block min
+    ptrs, data-block min elmts, page bits; default the libhdf5
+    defaults ``(32, 4, 4, 16, 10)``), ``"bt2_node_size"`` (default
+    2048), ``"fixed_page_bits"`` (default 10; shrink to force the
+    paged fixed-array layout). ``dense_links=True`` stores the root
+    group's links densely (fractal heap + name-index v2 B-tree)
+    instead of a symbol table — the layout libhdf5 switches to beyond
+    8 links, i.e. what a real many-variable netCDF-4 file uses."""
     out = bytearray(b"\0" * 2048)  # metadata region, fixed prelude
 
     def alloc(data: bytes, align: int = 8) -> int:
@@ -710,7 +1152,7 @@ def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes
         arr = np.ascontiguousarray(spec["data"])
         arr = arr.astype(arr.dtype.newbyteorder("<")) if arr.dtype.byteorder == ">" else arr
         msgs = [
-            _header_msg(0x0001, _ds_message(arr.shape)),
+            _header_msg(0x0001, _ds_message(arr.shape, spec.get("maxshape"))),
             _header_msg(0x0003, _dt_message(arr.dtype)),
         ]
         chunks = spec.get("chunks")
@@ -806,21 +1248,83 @@ def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes
                     fa_entries.append((alloc(raw), len(raw)))
                 client = 1 if filters else 0
                 entry_size = 16 if filters else 8
+                page_bits = spec.get("fixed_page_bits", 10)
+                page = 1 << page_bits
                 fahd_addr = alloc(
                     b"FAHD"
-                    + bytes([0, client, entry_size, 10])
+                    + bytes([0, client, entry_size, page_bits])
                     + struct.pack("<QQI", len(fa_entries), 0, 0)
                 )
-                fadb = bytearray(b"FADB" + bytes([0, client]) + struct.pack("<Q", fahd_addr))
-                for caddr, csize in fa_entries:
-                    fadb += struct.pack("<Q", caddr)
+
+                def fa_enc(caddr, csize):
+                    b = struct.pack("<Q", caddr)
                     if filters:
-                        fadb += struct.pack("<II", csize, 0)
-                fadb += struct.pack("<I", 0)  # checksum
+                        b += struct.pack("<II", csize, 0)
+                    return b
+
+                fadb = bytearray(b"FADB" + bytes([0, client]) + struct.pack("<Q", fahd_addr))
+                n = len(fa_entries)
+                if n <= page:
+                    for caddr, csize in fa_entries:
+                        fadb += fa_enc(caddr, csize)
+                    fadb += struct.pack("<I", 0)  # checksum
+                else:  # paged layout: bitmap + header checksum, then pages
+                    npages = -(-n // page)
+                    bits = bytearray((npages + 7) // 8)
+                    for p in range(npages):
+                        bits[p // 8] |= 1 << (p % 8)
+                    fadb += bytes(bits)
+                    fadb += struct.pack("<I", 0)  # data-block header checksum
+                    for p in range(npages):
+                        for caddr, csize in fa_entries[p * page : (p + 1) * page]:
+                            fadb += fa_enc(caddr, csize)
+                        fadb += struct.pack("<I", 0)  # page checksum
                 fadb_addr = alloc(bytes(fadb))
                 struct.pack_into("<Q", out, fahd_addr + 16, fadb_addr)
                 layout = (
-                    _layout_v4_prefix(0, chunks) + b"\x03" + bytes([10]) + struct.pack("<Q", fahd_addr)
+                    _layout_v4_prefix(0, chunks)
+                    + b"\x03"
+                    + bytes([page_bits])
+                    + struct.pack("<Q", fahd_addr)
+                )
+            elif index == "earray":
+                params = spec.get("earray_params", (32, 4, 4, 16, 10))
+                ms = spec.get("maxshape") or ()
+                unl = [i for i, m in enumerate(ms) if m is None]
+                unlim_dim = unl[0] if unl else 0
+                if unlim_dim > 0:  # H5VM_swizzle_coords linearization
+                    perm = [unlim_dim] + [d for d in range(rank) if d != unlim_dim]
+                    idx_iter = (
+                        tuple(sw[perm.index(d)] for d in range(rank))
+                        for sw in np.ndindex(*[grid[d] for d in perm])
+                    )
+                else:
+                    idx_iter = np.ndindex(*grid)
+                ea_entries = []
+                for idx in idx_iter:
+                    _, raw = chunk_raw(idx)
+                    ea_entries.append((alloc(raw), len(raw) if filters else None))
+                ea_addr = _write_earray(out, alloc, ea_entries, params, bool(filters))
+                max_bits, iblk_e, sup_min, dblk_min, page_bits = params
+                layout = (
+                    _layout_v4_prefix(0, chunks)
+                    + b"\x04"
+                    + bytes([max_bits, iblk_e, sup_min, dblk_min, page_bits])
+                    + struct.pack("<Q", ea_addr)
+                )
+            elif index == "bt2":
+                node_size = spec.get("bt2_node_size", 2048)
+                recs = []
+                for idx in np.ndindex(*grid):  # lexicographic = tree order
+                    _, raw = chunk_raw(idx)
+                    recs.append((idx, alloc(raw), len(raw) if filters else None))
+                bt_addr = _write_bt2(alloc, recs, rank, node_size, bool(filters))
+                layout = (
+                    _layout_v4_prefix(0, chunks)
+                    + b"\x05"
+                    + struct.pack("<I", node_size)
+                    + bytes([100, 40])
+                    + struct.pack("<Q", bt_addr)
                 )
             else:
                 raise ValueError(f"unknown chunk index {index!r}")

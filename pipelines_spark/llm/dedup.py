@@ -599,6 +599,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    staging: str = "local",
 ) -> DataFrame:
     """Connected components over a near-dup pair list:
     (node, component_id) where component_id = min node id reachable.
@@ -610,7 +611,9 @@ def connected_components(
     adversarial long chains — unlike plain min-label propagation,
     whose round count is the graph *diameter*. Per-round shuffles are
     the (shrinking) edge list itself; lineage is truncated each round
-    with localCheckpoint so the plan does not grow with iterations.
+    (the ``staging`` knob picks executor-local vs reliable
+    checkpoints — plans/staging.py) so the plan does not grow with
+    iterations.
     Convergence is detected by an order-independent checksum of the
     edge set (count + xor of per-edge hashes) — one tiny agg action
     per round, no exceptAll.
@@ -618,13 +621,16 @@ def connected_components(
     Only nodes that appear in ``pairs`` are labeled (singletons carry
     no dedup information).
     """
-    edges = (
+    from pipelines_spark.plans.staging import stage
+
+    edges = stage(
         pairs.select(
             F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v")
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
+        staging=staging,
     )
 
     def checksum(e: DataFrame) -> tuple:
@@ -646,7 +652,7 @@ def connected_components(
         .distinct()
     )
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = stage(_small_star(_large_star(edges)), eager=False, staging=staging)
         cur = checksum(edges)
         if cur == prev:  # stars: every non-root points at its component min
             break
@@ -666,6 +672,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     dim: int = 64,
     round_digits: int = 4,
+    staging: str = "local",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pruning (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -689,7 +696,9 @@ def semantic_dedup(
     Arrow; the pair join shuffles each vector ONCE on its cell id. At
     100 TB pick ``n_clusters`` so n/k vectors fit a task (the paper
     runs k in the tens of thousands for web-scale corpora) — cluster
-    size bounds the per-task pair fan-out.
+    size bounds the per-task pair fan-out. ``staging="checkpoint"``
+    makes the assignment staging survive executor loss
+    (plans/staging.py).
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -716,9 +725,14 @@ def semantic_dedup(
     # and without it each side re-runs the corpus scan + Arrow
     # assignment UDF (the same multiply-referenced-staging pattern as
     # triangle_count's `oriented`); the checkpointed blocks free on GC
-    assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
-    ).localCheckpoint(eager=True)
+    from pipelines_spark.plans.staging import stage
+
+    assigned = stage(
+        corpus.select(
+            F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
+        ),
+        staging=staging,
+    )
     a = assigned.select(
         F.col("_cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
     )

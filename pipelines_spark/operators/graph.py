@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipelines_spark.plans.staging import stage
+
 SCALE = 1_000_000_000_000_000  # 1e15 fixed-point rank numerators
 
 
@@ -38,6 +40,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 2,
     damping_pct: int = 85,
+    staging: str = "local",
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -59,28 +62,26 @@ def pagerank(
     # alias rather than re-expanding the lineage, and (c) the backing
     # blocks are freed by the ContextCleaner as soon as the caller
     # drops the result frame — no CacheManager entry to leak until
-    # session end (the round-4 staging-leak pattern). At 100 TB swap
-    # localCheckpoint for a reliable checkpoint / temp table, same as
-    # the LSH staging note in llm/dedup.py.
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # session end (the round-4 staging-leak pattern). At 100 TB pass
+    # staging="checkpoint" for a reliable checkpoint that survives
+    # executor loss (plans/staging.py documents the trade).
+    e = stage(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct(),
+        staging=staging,
     )
-    nodes = (
+    nodes = stage(
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        staging=staging,
     )
     n_nodes = nodes.count()  # cheap action over the checkpointed blocks
     base = SCALE // n_nodes
     teleport = (100 - damping_pct) * base // 100
 
-    outdeg = (
-        e.groupBy("_s")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-        .localCheckpoint(eager=True)
+    outdeg = stage(
+        e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")),
+        staging=staging,
     )
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
     for _ in range(iterations):
@@ -109,7 +110,7 @@ def pagerank(
         # lazy lineage cut so the plan tree stays O(1) per iteration
         # (mirrors ancestor_closure's discipline below); harmless at
         # iterations=2, load-bearing when callers raise the bound
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = stage(ranks, eager=False, staging=staging)
     return ranks
 
 
@@ -118,6 +119,7 @@ def triangle_count(
     *,
     src: str = "src",
     dst: str = "dst",
+    staging: str = "local",
 ) -> DataFrame:
     """Global triangle count of an undirected graph given as an edge
     list (either or both directions; self-loops ignored).
@@ -146,22 +148,22 @@ def triangle_count(
     # the basket pair expansion in queries.graph_triangles) and canon
     # feeds THREE consumers (both union sides of deg + the orientation
     # join) — materialize it once so the expansion never recomputes.
-    canon = (
+    canon = stage(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        staging=staging,
     )
     # deg (one row per vertex, two references below) likewise
-    deg = (
+    deg = stage(
         canon.select(F.col("a").alias("v"))
         .unionByName(canon.select(F.col("b").alias("v")))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .agg(F.count(F.lit(1)).alias("d")),
+        staging=staging,
     )
     # orient each edge low→high under the (degree, id) total order.
     # An eager localCheckpoint (not persist) materializes `oriented`
@@ -176,10 +178,13 @@ def triangle_count(
         .join(deg.withColumnsRenamed({"v": "b", "d": "_db"}), "b")
     )
     a_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
-    oriented = keyed.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    ).localCheckpoint(eager=True)
+    oriented = stage(
+        keyed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        ),
+        staging=staging,
+    )
     # compact out-adjacency: one array per tail vertex, ≤ √(2m)
     # elements each thanks to the degree orientation
     adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("_nbrs"))
@@ -207,6 +212,7 @@ def khop_reachability(
     dst: str = "dst",
     node_col: str = "node",
     max_hops: int = 2,
+    staging: str = "local",
 ) -> DataFrame:
     """Minimum hop distance from a source node set, bounded by
     ``max_hops`` (BFS unrolled a fixed number of levels).
@@ -225,10 +231,9 @@ def khop_reachability(
     # it once so each level joins against stored partitions instead of
     # re-expanding the distinct in the plan (same discipline as
     # pagerank above)
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = stage(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct(),
+        staging=staging,
     )
     reached = sources.select(
         F.col(node_col).alias("node"), F.lit(0).alias("min_hops")
@@ -241,10 +246,10 @@ def khop_reachability(
             .distinct()
             .join(reached, "node", "left_anti")
             .select("node", F.lit(hop).alias("min_hops"))
-            # lazy lineage cut: nxt feeds BOTH the reached union and the
-            # next frontier, so without it the plan tree doubles per hop
-            .localCheckpoint(eager=False)
         )
+        # lazy lineage cut: nxt feeds BOTH the reached union and the
+        # next frontier, so without it the plan tree doubles per hop
+        nxt = stage(nxt, eager=False, staging=staging)
         reached = reached.unionByName(nxt)
         frontier = nxt
     return reached
@@ -256,6 +261,7 @@ def ancestor_closure(
     node: str = "node",
     parent: str = "parent",
     max_depth: int = 16,
+    staging: str = "local",
 ) -> DataFrame:
     """Transitive (node, ancestor) closure of a parent-pointer forest
     — the hierarchy primitive behind org-chart rollups and
@@ -293,7 +299,7 @@ def ancestor_closure(
         # lazy lineage cut: each round references closure twice, so
         # without a checkpoint the plan tree TRIPLES per round — the
         # same trap connected_components dodges (llm/dedup.py:533)
-        closure = (
-            closure.unionByName(doubled).distinct().localCheckpoint(eager=False)
+        closure = stage(
+            closure.unionByName(doubled).distinct(), eager=False, staging=staging
         )
     return closure

@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger("pipelines_spark.llm.dedup")
 
+#: default posting-list cap for the capped dedup configurations:
+#: shingles in more than this many documents are dropped before
+#: pairing (max_shingle_freq). Defined ONCE here and imported by both
+#: queries.py (Spark side) and oracles.py (DuckDB replay SQL) so the
+#: two engines can never silently disagree on the cap.
+DEDUP_CAP = 4
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of a single-space-tokenized text.
 

@@ -66,14 +66,18 @@ jaccards AS (
 
 _EXACT_JACCARD_SQL = f"WITH {_SHINGLES_CTE} SELECT id_a, id_b, jaccard FROM jaccards"
 
-# Capped variant (queries._DEDUP_CAP = 4): shingles with document
-# frequency > 4 are dropped BEFORE pairing, and per-doc sizes are
-# recomputed over the surviving universe — exact replay of the
-# ``max_shingle_freq`` branch in llm.dedup (intersection AND
-# denominators both count surviving shingles only; docs losing every
-# shingle drop out of sizes, so they can't pair, same as Spark's
-# inner join on the recomputed sizes).
-_CAPPED_SHINGLES_CTE = """
+# Capped variant: shingles with document frequency > DEDUP_CAP are
+# dropped BEFORE pairing, and per-doc sizes are recomputed over the
+# surviving universe — exact replay of the ``max_shingle_freq``
+# branch in llm.dedup (intersection AND denominators both count
+# surviving shingles only; docs losing every shingle drop out of
+# sizes, so they can't pair, same as Spark's inner join on the
+# recomputed sizes). The cap is interpolated from the SAME constant
+# the Spark queries use (llm/dedup.py::DEDUP_CAP), so changing it
+# can't desynchronize the two engines.
+from pipelines_spark.llm.dedup import DEDUP_CAP as _DEDUP_CAP  # noqa: E402
+
+_CAPPED_SHINGLES_CTE = f"""
 words AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -84,7 +88,7 @@ shingles0 AS (
 ),
 sdf AS (SELECT sh, count(*) AS d FROM shingles0 GROUP BY sh),
 shingles AS (
-    SELECT s.doc_id, s.sh FROM shingles0 s JOIN sdf USING (sh) WHERE d <= 4
+    SELECT s.doc_id, s.sh FROM shingles0 s JOIN sdf USING (sh) WHERE d <= {_DEDUP_CAP}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 pair_inter AS (

@@ -3224,11 +3224,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("contained_id", "container_id")
 
 
-#: posting-list cap for the *_capped dedup queries: shingles in more
-#: than this many documents are dropped before pairing. 4 triggers at
-#: every test SF (sf0.001 max df=7, sf0.01 max df=7) so the driver
+#: posting-list cap for the *_capped dedup queries — defined once in
+#: llm/dedup.py (DEDUP_CAP) and shared with the oracle SQL builder in
+#: oracles.py so Spark and DuckDB can never desynchronize. 4 triggers
+#: at every test SF (sf0.001 max df=7, sf0.01 max df=7) so the driver
 #: exercises the hot-shingle branch, not the uncapped fallthrough.
-_DEDUP_CAP = 4
+from pipelines_spark.llm.dedup import DEDUP_CAP as _DEDUP_CAP  # noqa: E402
 
 
 def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1523,3 +1523,47 @@ def test_containment_posting_list_cap(spark, caplog):
     assert any("hot shingle" in m for m in caplog.messages), caplog.messages
     assert not any(a < 200 and b < 200 for (a, b) in got)
     assert got.get((1000, 1001)) == 1.0
+
+
+def test_dhash_near_dup_clusters_across_codecs(spark):
+    """VERDICT r6 item 6: cross-codec composition. The same picture
+    encoded five ways — baseline JPEG, progressive JPEG, GIF, PNG,
+    BMP — plus two genuinely different images lands in image_dhash →
+    dhash_near_dup_pairs → connected_components as ONE five-codec
+    component, with the unrelated images unpaired: the r5 decoders
+    compose with the near-dup operator end-to-end, not just decode in
+    isolation."""
+    import numpy as np
+
+    from pipelines_spark.llm.codecs import encode_bmp, encode_gif, encode_png
+    from pipelines_spark.llm.dedup import connected_components
+    from pipelines_spark.llm.jpeg import encode_jpeg, encode_jpeg_progressive
+    from pipelines_spark.llm.multimodal import dhash_near_dup_pairs, image_dhash
+
+    h, w = 32, 40
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    g = ((xx * 255) // (w - 1)).astype(np.uint8)
+    g[yy > xx] = 255 - g[yy > xx]  # diagonal feature
+    base = np.stack([g, g, g], axis=-1)  # grayscale-ish: GIF-safe palette
+    checker = np.stack([(((xx // 4 + yy // 4) % 2) * 255).astype(np.uint8)] * 3, -1)
+    vgrad = np.stack([((yy * 255) // (h - 1)).astype(np.uint8)] * 3, -1)
+
+    payloads = [
+        (1, encode_jpeg(base, quant=1, subsampling="444")),
+        (2, encode_jpeg_progressive(base, quant=1, subsampling="444")),
+        (3, encode_gif(base)),
+        (4, encode_png(base)),
+        (5, encode_bmp(base)),
+        (6, encode_png(checker)),
+        (7, encode_gif(vgrad)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], "item_id long, content binary"
+    )
+    pairs = dhash_near_dup_pairs(image_dhash(df), max_hamming=6)
+    comps = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs, a_col="id_a", b_col="id_b").collect()
+    }
+    assert {k for k in comps} == {1, 2, 3, 4, 5}  # unrelated never pair
+    assert {comps[i] for i in (1, 2, 3, 4, 5)} == {1}  # one component

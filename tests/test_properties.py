@@ -356,3 +356,58 @@ def test_duplicate_spans_matches_bruteforce(spark, docs):
         for r in duplicate_spans(df, window_words=3).collect()
     }
     assert got == _dup_spans_ref(texts, 3)
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_hdf5_chunk_index_roundtrip_property(data):
+    """Property: write(x) → read == x for random shapes, chunk grids,
+    dtypes, filters, and EVERY chunk index the minimal HDF5 reader
+    supports — v1 B-tree, single-chunk, implicit, fixed array (plain
+    and paged), extensible array (default and deep cparams, any
+    unlimited dim), v2 B-tree (leaf root and depth-1). Edge chunks,
+    1-element dims, and rank 1–3 are all fair game."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    rank = data.draw(st.integers(1, 3), label="rank")
+    shape = tuple(
+        data.draw(st.integers(1, 13), label=f"dim{d}") for d in range(rank)
+    )
+    chunks = tuple(
+        data.draw(st.integers(1, shape[d] + 2), label=f"chunk{d}")
+        for d in range(rank)
+    )
+    dtype = data.draw(st.sampled_from(["<i2", "<i4", "<f8"]), label="dtype")
+    index = data.draw(
+        st.sampled_from(["v1", "single", "implicit", "fixed", "earray", "bt2"]),
+        label="index",
+    )
+    filtered = data.draw(st.booleans(), label="filtered") and index != "implicit"
+
+    rng = np.random.default_rng(
+        data.draw(st.integers(0, 2**31 - 1), label="seed")
+    )
+    arr = rng.integers(-1000, 1000, size=shape).astype(dtype)
+    spec = {"data": arr, "chunks": chunks, "index": index}
+    if filtered:
+        spec["deflate"] = 4
+        spec["shuffle"] = True
+    if index == "earray":
+        unlim = data.draw(st.integers(0, rank - 1), label="unlim_dim")
+        spec["maxshape"] = tuple(
+            None if d == unlim else shape[d] for d in range(rank)
+        )
+        if data.draw(st.booleans(), label="deep_params"):
+            spec["earray_params"] = (32, 2, 2, 2, 2)  # sblocks + paging
+    elif index == "bt2":
+        spec["maxshape"] = tuple(None for _ in range(rank))
+        spec["bt2_node_size"] = data.draw(
+            st.sampled_from([2048, 160]), label="node_size"
+        )
+    elif index == "fixed" and data.draw(st.booleans(), label="paged"):
+        spec["fixed_page_bits"] = 2
+
+    ds = parse_hdf5(build_hdf5({"v": spec}))
+    assert np.array_equal(ds["v"].data, arr)

@@ -168,6 +168,10 @@ EXTENDED = [
     "embed_pq_adc",
     "embed_ivf_pq",
     "a36_kmv_by_type",
+    # r7 additions
+    "j18_interval_overlap",
+    "a37_weighted_median",
+    "a38_gini_concentration",
     # r6: the capped (100 TB posture) containment configuration; its
     # ngram twin was promoted into HEADLINE in r7 (the headline should
     # reflect the at-scale posture), so it is no longer timed here

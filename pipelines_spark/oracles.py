@@ -3178,4 +3178,60 @@ ORACLES: dict[str, str] = {
             FROM events WHERE user_id IS NOT NULL GROUP BY 1
         ) x USING (event_type)
     """,
+    # r7: interval-overlap join — the oracle replays the QUADRATIC
+    # per-user formulation directly; Spark's day-bucketed candidate
+    # decomposition must be lossless against it
+    "j18_interval_overlap": """
+        WITH iv AS (
+            SELECT event_id, user_id, ts AS s,
+                   ts + to_minutes(CAST(floor(value) AS BIGINT)) AS e
+            FROM events
+        )
+        SELECT a.user_id AS user_id, count(*) AS n_overlapping_pairs
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+        WHERE a.s <= b.e AND b.s <= a.e
+        GROUP BY 1
+        ORDER BY n_overlapping_pairs DESC, user_id ASC
+        LIMIT 10
+    """,
+    "a37_weighted_median": """
+        WITH cum AS (
+            SELECT l_returnflag, l_extendedprice,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                       PARTITION BY l_returnflag ORDER BY l_extendedprice
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                       PARTITION BY l_returnflag) AS tw
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median_price
+        FROM cum
+        WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "a38_gini_concentration": """
+        WITH rev AS (
+            SELECT c_nationkey, o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_custkey
+        ),
+        ranked AS (
+            SELECT c_nationkey, x,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY x, o_custkey) AS i
+            FROM rev
+        )
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(round(
+                   CAST(2 * SUM(i * x) AS DOUBLE) / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+                   - (COUNT(*) + 1.0) / COUNT(*), 6) AS DOUBLE) AS gini
+        FROM ranked
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
 }

@@ -3694,6 +3694,122 @@ def text_bpe_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def j18_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap self-join — the join shape J7's
+    point-in-range join does NOT cover (meeting/visit overlap counts,
+    co-presence detection). Each event carries a synthesized validity
+    interval [ts, ts + floor(value) minutes]; pairs of the same user
+    whose intervals overlap (inclusive) are counted per user.
+
+    Scale shape: TEMPORAL BUCKETING, the standard interval-join
+    decomposition — each interval explodes to the calendar days it
+    touches (bounded: values are minutes, so <= 2 buckets/row), the
+    pair join keys on (user_id, day) so candidates are co-bucketed
+    rather than quadratic per user, a DISTINCT collapses pairs seen
+    in both buckets, and the exact overlap predicate verifies. At
+    100 TB the bucket width tunes candidate volume exactly like the
+    LSH band width; the oracle replays the quadratic formulation
+    directly, proving the decomposition lossless."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH iv AS (
+            SELECT event_id, user_id, ts AS s,
+                   timestampadd(MINUTE, CAST(floor(value) AS INT), ts) AS e
+            FROM events
+        ),
+        bucketed AS (
+            SELECT event_id, user_id, s, e,
+                   explode(sequence(date_trunc('DAY', s), date_trunc('DAY', e),
+                                    interval 1 day)) AS bucket
+            FROM iv
+        ),
+        cand AS (
+            SELECT DISTINCT a.user_id AS user_id,
+                   a.event_id AS ea, b.event_id AS eb,
+                   a.s AS sa, a.e AS ea_end, b.s AS sb, b.e AS eb_end
+            FROM bucketed a JOIN bucketed b
+              ON a.user_id = b.user_id AND a.bucket = b.bucket
+             AND a.event_id < b.event_id
+        )
+        SELECT user_id, count(*) AS n_overlapping_pairs
+        FROM cand
+        WHERE sa <= eb_end AND sb <= ea_end
+        GROUP BY user_id
+        ORDER BY n_overlapping_pairs DESC, user_id ASC
+        LIMIT 10
+        """
+    )
+
+
+def a37_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted l_extendedprice per return
+    flag): smallest value whose cumulative weight reaches half the
+    total — the robust-stats aggregate percentile() cannot express.
+    Exact DECIMAL weights and a RANGE cumulative frame (all rows with
+    value <= current, so ties accumulate together) keep the boundary
+    comparison 2*cw >= tw integer-exact and engine-independent; the
+    selected value itself is passed through untouched."""
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        WITH cum AS (
+            SELECT l_returnflag, l_extendedprice,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                       PARTITION BY l_returnflag ORDER BY l_extendedprice
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                       PARTITION BY l_returnflag) AS tw
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median_price
+        FROM cum
+        WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+def a38_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each
+    nation — the inequality/concentration profile of a sales base
+    (and, in a training-data pipeline, of per-source token
+    contributions). Rank formulation G = 2*SUM(i*x_i)/(n*SUM(x)) -
+    (n+1)/n over x sorted ascending: revenue sums are exact DECIMAL,
+    the rank product stays DECIMAL, and the only float operations are
+    two final divisions — deterministic across engines. Shape: one
+    agg + one per-nation window + one agg, all keyed on nation."""
+    register(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT c_nationkey, o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_custkey
+        ),
+        ranked AS (
+            SELECT c_nationkey, x,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY x, o_custkey) AS i
+            FROM rev
+        )
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(round(
+                   CAST(2 * SUM(i * x) AS DOUBLE) / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+                   - (COUNT(*) + 1.0) / COUNT(*), 6) AS DOUBLE) AS gini
+        FROM ranked
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
+
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -3849,4 +3965,9 @@ QUERIES = {
     "w13_ses_forecast": w13_ses_forecast,
     "w8_resample_interpolate": w8_resample_interpolate,
     "w9_activity_islands": w9_activity_islands,
+    # r7 additions: appended so the rotated driver sample window stays
+    # exactly the oldest-checked cohort; local parity covers them now
+    "j18_interval_overlap": j18_interval_overlap,
+    "a37_weighted_median": a37_weighted_median,
+    "a38_gini_concentration": a38_gini_concentration,
 }

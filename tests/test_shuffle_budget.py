@@ -196,6 +196,15 @@ BUDGETS = {
     "sample_token_shards": 1,
     # line-frequency agg + mark join + per-doc regroup + rollup
     "text_boilerplate_stats": 4,
+    # r7: day-bucketed interval-overlap join — one exchange per join
+    # side on (user_id, day); pair-DISTINCT + per-user count are
+    # partial aggs on the same clustering, TakeOrdered absorbs top-10
+    "j18_interval_overlap": 2,
+    # returnflag window (cumulative + total share one exchange) + agg
+    "a37_weighted_median": 2,
+    # revenue agg -> per-nation rank window -> gini agg (orders joins
+    # customer broadcast; final ORDER BY folds into the small result)
+    "a38_gini_concentration": 3,
 }
 
 

@@ -1056,10 +1056,13 @@ def _write_earray(out, alloc, entries, params, filtered) -> int:
 
 
 def _write_bt2(alloc, records, rank, node_size, filtered) -> int:
-    """Emit a v2-B-tree chunk index (BTHD + BTLF leaves, one BTIN root
-    when the records overflow a leaf) for ``records`` = [(scaled grid
-    coords, chunk addr, stored size | None)] in lexicographic scaled
-    order (the tree's sort order). Returns the BTHD address."""
+    """Emit a v2-B-tree chunk index (BTHD + BTLF leaves + BTIN
+    internal levels, built bottom-up to whatever depth the node size
+    forces) for ``records`` = [(scaled grid coords, chunk addr,
+    stored size | None)] in lexicographic scaled order (the tree's
+    sort order). Internal child pointers carry the per-level sized
+    count fields the reader recomputes (node count always; subtree
+    cumulative count from depth 2 up). Returns the BTHD address."""
     size_len = 4
     rrec = 8 + (size_len + 4 if filtered else 0) + 8 * rank
     btype = 11 if filtered else 10
@@ -1071,8 +1074,9 @@ def _write_bt2(alloc, records, rank, node_size, filtered) -> int:
             b += (csize or 0).to_bytes(size_len, "little") + struct.pack("<I", 0)
         return b + struct.pack(f"<{rank}Q", *scaled)
 
+    enc = lambda v: ((v.bit_length() - 1) // 8) + 1 if v else 1  # noqa: E731
     leaf_max = (node_size - 10) // rrec
-    max_nrec_size = ((leaf_max.bit_length() - 1) // 8) + 1 if leaf_max else 1
+    max_nrec_size = enc(leaf_max)
 
     def write_leaf(recs) -> int:
         b = bytearray(b"BTLF" + bytes([0, btype]))
@@ -1081,31 +1085,72 @@ def _write_bt2(alloc, records, rank, node_size, filtered) -> int:
         b += struct.pack("<I", 0)
         return alloc(bytes(b))
 
+    def split(items, max_per_group):
+        """Chunk ``items`` into ≤max_per_group groups separated by
+        single promoted items: [g0] s0 [g1] s1 … (B-tree split)."""
+        n = len(items)
+        ngroups = -(-(n + 1) // (max_per_group + 1))
+        in_groups = n - (ngroups - 1)
+        base_sz, extra = divmod(in_groups, ngroups)
+        groups, seps, i = [], [], 0
+        for gi in range(ngroups):
+            sz = base_sz + (1 if gi < extra else 0)
+            groups.append(items[i : i + sz])
+            i += sz
+            if gi < ngroups - 1:
+                seps.append(items[i])
+                i += 1
+        return groups, seps
+
     if len(records) <= leaf_max:
         root, depth, root_nrec = write_leaf(records), 0, len(records)
     else:
-        # depth 1: L leaves separated by L-1 records promoted to the root
-        n = len(records)
-        nleaves = -(-(n + 1) // (leaf_max + 1))
-        in_leaves = n - (nleaves - 1)
-        base_sz, extra = divmod(in_leaves, nleaves)
-        groups, seps, i = [], [], 0
-        for li in range(nleaves):
-            sz = base_sz + (1 if li < extra else 0)
-            groups.append(records[i : i + sz])
-            i += sz
-            if li < nleaves - 1:
-                seps.append(records[i])
-                i += 1
-        b = bytearray(b"BTIN" + bytes([0, btype]))
-        for s in seps:
-            b += enc_rec(s)
-        for g in groups:
-            b += struct.pack("<Q", write_leaf(g))
-            b += len(g).to_bytes(max_nrec_size, "little")
-            # depth-1 root: child cumulative-count field absent
-        b += struct.pack("<I", 0)
-        root, depth, root_nrec = alloc(bytes(b)), 1, len(seps)
+        groups, seps = split(records, leaf_max)
+        # nodes: (addr, records in node, records in whole subtree)
+        nodes = [(write_leaf(g), len(g), len(g)) for g in groups]
+        cum_max, cum_max_size = leaf_max, [0]
+        level = 1
+        while True:
+            ptr_size = 8 + max_nrec_size + cum_max_size[level - 1]
+            imax = (node_size - (10 + ptr_size)) // (rrec + ptr_size)
+            cum_max = (imax + 1) * cum_max + imax
+            cum_max_size.append(enc(cum_max))
+
+            def write_internal(in_seps, children) -> tuple[int, int, int]:
+                b = bytearray(b"BTIN" + bytes([0, btype]))
+                for sr in in_seps:
+                    b += enc_rec(sr)
+                total = len(in_seps)
+                for caddr, cnrec, ctot in children:
+                    b += struct.pack("<Q", caddr)
+                    b += cnrec.to_bytes(max_nrec_size, "little")
+                    if level > 1:  # subtree cumulative count field
+                        b += ctot.to_bytes(cum_max_size[level - 1], "little")
+                    total += ctot
+                b += struct.pack("<I", 0)
+                return alloc(bytes(b)), len(in_seps), total
+
+            if len(seps) <= imax:  # everything fits one root at this level
+                root, root_nrec, _ = write_internal(seps, nodes)
+                depth = level
+                break
+            # group children into internal nodes of ≤ imax+1 children;
+            # the separator between adjacent groups promotes one level
+            # up (seps[i] separates nodes[i] and nodes[i+1])
+            n_children = len(nodes)
+            ngroups = -(-n_children // (imax + 1))
+            base_k, extra_k = divmod(n_children, ngroups)
+            new_nodes, promoted, ci = [], [], 0
+            for gi in range(ngroups):
+                k = base_k + (1 if gi < extra_k else 0)
+                new_nodes.append(
+                    write_internal(seps[ci : ci + k - 1], nodes[ci : ci + k])
+                )
+                if gi < ngroups - 1:
+                    promoted.append(seps[ci + k - 1])
+                ci += k
+            nodes, seps = new_nodes, promoted
+            level += 1
     hdr = (
         b"BTHD"
         + bytes([0, btype])

@@ -815,3 +815,69 @@ def test_netcdf4_unlimited_time_series_to_long(spark, tmp_path):
     assert got[(time[0], station[0])] == temp[0, 0]
     assert got[(time[-1], station[-1])] == temp[-1, -1]
     assert got[(time[17], station[2])] == temp[17, 2]
+
+
+def test_hdf5_min_deep_bt2_chunk_index():
+    """v2 B-trees deeper than one internal level: tiny node sizes
+    force depth ≥ 2, exercising the per-level pointer sizing (the
+    subtree cumulative-count field appears only from depth 2 up) in
+    both writer and reader, ranks 2 and 3, ± filters."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    rng = np.random.default_rng(13)
+    cases = [
+        ((21, 18), (2, 4), 96, {}),
+        ((30, 30), (2, 2), 96, {}),  # 225 records
+        ((21, 18), (2, 4), 96, {"deflate": 5, "shuffle": True}),
+        ((13, 13, 13), (3, 3, 3), 120, {}),
+    ]
+    for shape, chunks, node, filt in cases:
+        base = rng.integers(0, 1000, size=shape).astype("<i2")
+        spec = {"data": base, "chunks": chunks, "index": "bt2",
+                "maxshape": tuple(None for _ in shape),
+                "bt2_node_size": node, **filt}
+        ds = parse_hdf5(build_hdf5({"v": spec}))
+        assert np.array_equal(ds["v"].data, base), (shape, node, filt)
+
+
+def test_netcdf4_dense_links_unlimited_series_to_long(spark, tmp_path):
+    """Composition: a REALISTIC appendable netCDF-4 station file —
+    dense (fractal-heap) root links from a crowd of metadata
+    variables AND an unlimited time dimension with extensible-array
+    chunk indexes — decodes through read_netcdf_long in one go."""
+    import numpy as np
+
+    from pipelines_spark.sources.extra import read_netcdf_long
+    from pipelines_spark.sources.hdf5_min import build_hdf5
+
+    rng = np.random.default_rng(21)
+    nt, ns = 40, 3
+    time = np.arange(nt, dtype="<f8") * 3600.0
+    station = np.arange(ns, dtype="<f8")
+    rain = rng.gamma(1.2, 3.0, size=(nt, ns)).astype("<f8")
+    specs = {
+        "time": {"data": time, "chunks": (16,), "maxshape": (None,),
+                 "index": "earray",
+                 "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "time"}},
+        "station": {"data": station,
+                    "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "station"}},
+        "rain": {"data": rain, "chunks": (16, ns), "maxshape": (None, ns),
+                 "index": "earray", "deflate": 6, "shuffle": True,
+                 "attrs": {"units": "mm"}},
+    }
+    # metadata crowd to push the root group into dense links
+    for name in ("lat", "lon", "elevation", "wmo_id", "qc_flag",
+                 "sensor_height", "install_date", "firmware", "owner"):
+        specs[name] = {"data": np.array([1.0], dtype="<f8")}
+    p = tmp_path / "station_series.nc"
+    p.write_bytes(build_hdf5(specs, dense_links=True))
+
+    df = read_netcdf_long(spark, str(p), ["rain"])
+    assert df.columns == ["time", "station", "rain"]
+    rows = df.collect()
+    assert len(rows) == nt * ns
+    got = {(r["time"], r["station"]): r["rain"] for r in rows}
+    assert got[(time[0], station[0])] == rain[0, 0]
+    assert got[(time[-1], station[-1])] == rain[-1, -1]

@@ -248,3 +248,95 @@ def blocked_fuzzy_pairs(
             "edit_dist",
         )
     )
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    *,
+    id_col: str,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "DAY",
+    max_bucket_group: int | None = None,
+) -> DataFrame:
+    """Interval x interval overlap self-join — the shape range_join's
+    point-in-interval probe cannot express (co-presence detection,
+    meeting overlap, concurrent-session pairing).
+
+    TEMPORAL BUCKETING decomposition: each [start, end] interval
+    explodes to the ``bucket``-grain calendar units it touches, the
+    pair join keys on (key, bucket) so candidates are co-bucketed
+    rather than quadratic per key, a DISTINCT collapses pairs that
+    co-occur in several buckets, and the exact inclusive overlap
+    predicate (a.start <= b.end AND b.start <= a.end) verifies. The
+    bucket grain tunes candidate volume exactly like an LSH band
+    width: pick it near the typical interval length so intervals
+    touch O(1) buckets while unrelated rows rarely share one.
+
+    ``max_bucket_group`` is the standard hot-bucket cap (same posture
+    as llm/dedup.py::minhash LSH ``max_bucket_size`` and
+    llm/multimodal.py::dhash ``max_block_group``): (key, bucket)
+    groups larger than the cap are dropped with a logged count, so a
+    pathological key cannot go quadratic; recall degrades gracefully
+    through the pair's other buckets.
+
+    Returns ``(key, id_a, id_b)`` with ``id_a < id_b`` (each
+    unordered overlapping pair once).
+    """
+    iv = df.select(
+        F.col(key_col).alias("_key"),
+        F.col(id_col).alias("_id"),
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+    ).where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+    bucketed = iv.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col("_s")),
+                F.date_trunc(bucket, F.col("_e")),
+                F.expr(f"interval 1 {bucket}"),
+            )
+        ),
+    )
+    if max_bucket_group is not None:
+        import logging
+
+        counts = bucketed.groupBy("_key", "_bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        n_hot = counts.filter(F.col("_n") > max_bucket_group).count()
+        if n_hot:
+            logging.getLogger("pipelines_spark.operators.joins").warning(
+                "interval_overlap_join: dropping %d hot (key, bucket) groups "
+                "(> %d rows); pairs confined to those buckets are lost",
+                n_hot, max_bucket_group,
+            )
+        bucketed = (
+            bucketed.join(counts, ["_key", "_bucket"])
+            .filter(F.col("_n") <= max_bucket_group)
+            .drop("_n")
+        )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._key").alias("key"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("_sa"),
+            F.col("a._e").alias("_ea"),
+            F.col("b._s").alias("_sb"),
+            F.col("b._e").alias("_eb"),
+        )
+        .dropDuplicates(["key", "id_a", "id_b"])
+    )
+    return cand.where(
+        (F.col("_sa") <= F.col("_eb")) & (F.col("_sb") <= F.col("_ea"))
+    ).select("key", "id_a", "id_b")

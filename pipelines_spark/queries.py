@@ -3712,34 +3712,20 @@ def j18_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH band width; the oracle replays the quadratic formulation
     directly, proving the decomposition lossless."""
     register(spark, sf_dir, ("events",))
-    return spark.sql(
-        """
-        WITH iv AS (
-            SELECT event_id, user_id, ts AS s,
-                   timestampadd(MINUTE, CAST(floor(value) AS INT), ts) AS e
-            FROM events
-        ),
-        bucketed AS (
-            SELECT event_id, user_id, s, e,
-                   explode(sequence(date_trunc('DAY', s), date_trunc('DAY', e),
-                                    interval 1 day)) AS bucket
-            FROM iv
-        ),
-        cand AS (
-            SELECT DISTINCT a.user_id AS user_id,
-                   a.event_id AS ea, b.event_id AS eb,
-                   a.s AS sa, a.e AS ea_end, b.s AS sb, b.e AS eb_end
-            FROM bucketed a JOIN bucketed b
-              ON a.user_id = b.user_id AND a.bucket = b.bucket
-             AND a.event_id < b.event_id
-        )
-        SELECT user_id, count(*) AS n_overlapping_pairs
-        FROM cand
-        WHERE sa <= eb_end AND sb <= ea_end
-        GROUP BY user_id
-        ORDER BY n_overlapping_pairs DESC, user_id ASC
-        LIMIT 10
-        """
+    from pipelines_spark.operators.joins import interval_overlap_join
+
+    iv = spark.table("events").select(
+        "event_id", "user_id", F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, CAST(floor(value) AS INT), ts)").alias("e"),
+    )
+    pairs = interval_overlap_join(
+        iv, id_col="event_id", key_col="user_id", start_col="s", end_col="e"
+    )
+    return (
+        pairs.groupBy(F.col("key").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+        .orderBy(F.col("n_overlapping_pairs").desc(), F.col("user_id").asc())
+        .limit(10)
     )
 
 

@@ -279,3 +279,55 @@ def test_asof_join_tolerance_bounds_the_gap(spark):
         for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
     }
     assert out2 == {"near": 9.0, "far": 9.0, "none": None}
+
+
+def test_interval_overlap_join_semantics_and_cap(spark):
+    """interval_overlap_join: inclusive overlap within a key, each
+    unordered pair once even when it co-occurs in several day
+    buckets; cross-key rows never pair; the hot-bucket cap drops
+    pathological (key, bucket) groups with graceful recall loss."""
+    from pipelines_spark.operators.joins import interval_overlap_join
+
+    rows = [
+        # key u1: a-b overlap (same day), b-c touch at the boundary
+        # (inclusive => pair), a-c disjoint
+        ("u1", 1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        ("u1", 2, "2024-01-01 10:30:00", "2024-01-01 12:00:00"),
+        ("u1", 3, "2024-01-01 12:00:00", "2024-01-01 13:00:00"),
+        # key u1: d spans midnight and overlaps e on day 2 — the pair
+        # appears in exactly one result row despite double bucketing
+        ("u1", 4, "2024-01-02 23:00:00", "2024-01-03 01:00:00"),
+        ("u1", 5, "2024-01-03 00:30:00", "2024-01-03 02:00:00"),
+        # key u2: same times as u1's a/b but a different key
+        ("u2", 6, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, id long, s string, e string"
+    ).selectExpr("key", "id", "CAST(s AS TIMESTAMP) s", "CAST(e AS TIMESTAMP) e")
+    got = sorted(
+        map(
+            tuple,
+            interval_overlap_join(
+                df, id_col="id", key_col="key", start_col="s", end_col="e"
+            ).collect(),
+        )
+    )
+    assert got == [("u1", 1, 2), ("u1", 2, 3), ("u1", 4, 5)]
+
+    # cap: u1 has 4 intervals on day 1 (ids 1,2,3 + a fourth) — cap 3
+    # drops the whole (u1, day1) bucket; the midnight pair survives
+    # because its day-2/day-3 buckets stay under the cap
+    rows_hot = rows + [("u1", 7, "2024-01-01 09:00:00", "2024-01-01 09:30:00")]
+    df_hot = spark.createDataFrame(
+        rows_hot, "key string, id long, s string, e string"
+    ).selectExpr("key", "id", "CAST(s AS TIMESTAMP) s", "CAST(e AS TIMESTAMP) e")
+    capped = sorted(
+        map(
+            tuple,
+            interval_overlap_join(
+                df_hot, id_col="id", key_col="key", start_col="s",
+                end_col="e", max_bucket_group=3,
+            ).collect(),
+        )
+    )
+    assert capped == [("u1", 4, 5)]

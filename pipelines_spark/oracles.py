@@ -3234,4 +3234,96 @@ ORACLES: dict[str, str] = {
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
+    # Funnel replayed as a chain of min(ts) CTEs — the greedy-earliest
+    # fold on the Spark side advances to the EARLIEST qualifying
+    # next-step event and never resets, which is exactly "min(ts)
+    # strictly after the previous step's match, within the window".
+    "funnel_windowed_conversion": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ), agg AS (
+            SELECT (SELECT count(*) FROM s1) AS u1,
+                   (SELECT count(*) FROM s2) AS u2,
+                   (SELECT count(*) FROM s3) AS u3
+        )
+        SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+               CAST(u1 AS BIGINT) AS users,
+               CAST(1.0 AS DOUBLE) AS conv_from_prev FROM agg
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'click', CAST(u2 AS BIGINT),
+               CAST(round(u2 * 1.0 / nullif(u1, 0), 6) AS DOUBLE) FROM agg
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), 'purchase', CAST(u3 AS BIGINT),
+               CAST(round(u3 * 1.0 / nullif(u2, 0), 6) AS DOUBLE) FROM agg
+    """,
+    # Same exact-sufficient-statistics formulation as the Spark side:
+    # exact bigint/DECIMAL sums, one cast to DOUBLE each, identical
+    # closed-form arithmetic.
+    "trend_by_event_type": """
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(18,6)) AS y
+            FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type,
+               n,
+               CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                    AS DOUBLE) AS slope_per_day,
+               CAST(round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4)
+                    AS DOUBLE) AS intercept,
+               CAST(round((n * sxy - sx * sy)
+                          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                    AS DOUBLE) AS r
+        FROM s
+        ORDER BY event_type
+    """,
+    # Per-column aggregates, one branch per column (the oracle may
+    # re-scan; the Spark side is a single aggregate + explode).
+    "profile_documents": """
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+               count(doc_id) AS n_non_null, count(DISTINCT doc_id) AS n_distinct,
+               CAST(min(doc_id) AS VARCHAR) AS min_value,
+               CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        UNION ALL
+        SELECT 'text', count(*), count(text), count(DISTINCT text),
+               CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+               CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(source), count(DISTINCT source),
+               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents
+    """,
 }

@@ -3796,6 +3796,91 @@ def a38_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def funnel_windowed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with a 7-DAY PER-TRANSITION
+    WINDOW — the windowed semantics ``a22_funnel_conversion`` (its
+    unbounded chained-window sibling) cannot express. Uses the
+    reusable N-step operator (operators/funnel.py). Matching is
+    greedy-earliest, so the DuckDB oracle replays it as a chain of
+    min(ts) CTEs — a third independent formulation alongside a22's
+    chained windows, proving the single-shuffle sorted-array fold
+    equivalent to the min-ts-join reading.
+
+    Scale shape: one per-user shuffle + one map-side-partial global
+    aggregate; the fold runs in the JVM via the ``aggregate``
+    higher-order function with O(1) state per user."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.funnel import funnel_summary
+
+    return funnel_summary(
+        spark.table("events"),
+        ["view", "click", "purchase"],
+        step_window="7 DAY",
+    )
+
+
+def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (slope per
+    day, intercept, Pearson r) — the drift-direction profile a feed
+    monitor wants (is this sensor's reading creeping up?).
+
+    Engine-determinism posture: regr_slope/corr aggregates sum doubles
+    in partition order, so their low decimals are not stable across
+    engines or partitionings. Instead the five sufficient statistics
+    are accumulated EXACTLY (bigint for x, DECIMAL for y — addition is
+    order-independent), each exact sum is cast to DOUBLE once, and the
+    closed-form slope/intercept/r arithmetic is the identical IEEE
+    sequence in both engines. One shuffle (partial+final agg)."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(18,6)) AS y
+            FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type,
+               n,
+               CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                    AS DOUBLE) AS slope_per_day,
+               CAST(round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4)
+                    AS DOUBLE) AS intercept,
+               CAST(round((n * sxy - sx * sy)
+                          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                    AS DOUBLE) AS r
+        FROM s
+        ORDER BY event_type
+        """
+    )
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents corpus (operators/profile.py):
+    per column — rows, non-nulls, exact distincts, min/max as strings.
+    The pre-load feed inspection the reference does ad hoc in pandas,
+    as one Spark aggregate; exact COUNT(DISTINCT) here (driver-checked
+    against per-column SQL aggregates), approx_count_distinct is the
+    documented 100 TB switch."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        spark.table("documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -3852,6 +3937,11 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "w6_sessionize": w6_sessionize,
     # --- below this line: checked r3+ (oldest first) ---
+    # Never driver-checked (added r7, after the head was frozen):
+    # front of the NEXT rotation.
+    "funnel_windowed_conversion": funnel_windowed_conversion,
+    "trend_by_event_type": trend_by_event_type,
+    "profile_documents": profile_documents,
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,
     "a15_salted_event_totals": a15_salted_event_totals,

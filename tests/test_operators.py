@@ -331,3 +331,85 @@ def test_interval_overlap_join_semantics_and_cap(spark):
         )
     )
     assert capped == [("u1", 4, 5)]
+
+
+def test_funnel_depth_semantics(spark):
+    from pipelines_spark.operators.funnel import funnel_depth
+
+    ts = datetime
+    rows = [
+        # u1: clean view -> click -> purchase progression
+        (1, ts(2024, 1, 1, 0, 0), "view"),
+        (1, ts(2024, 1, 2, 0, 0), "click"),
+        (1, ts(2024, 1, 3, 0, 0), "purchase"),
+        # u2: click BEFORE any view must not count; no click after the
+        # view -> depth stays 1
+        (2, ts(2024, 1, 1, 0, 0), "click"),
+        (2, ts(2024, 1, 2, 0, 0), "view"),
+        # u3: click at the SAME timestamp as the first view (strict >)
+        (3, ts(2024, 1, 1, 0, 0), "view"),
+        (3, ts(2024, 1, 1, 0, 0), "click"),
+        # u4: click outside the 7-day window; greedy state never
+        # resets, so the later in-window purchase is unreachable
+        (4, ts(2024, 1, 1, 0, 0), "view"),
+        (4, ts(2024, 1, 9, 0, 0), "click"),
+        (4, ts(2024, 1, 10, 0, 0), "purchase"),
+        # u5: greedy takes the EARLIEST view; a later view does not
+        # refresh the window
+        (5, ts(2024, 1, 1, 0, 0), "view"),
+        (5, ts(2024, 1, 5, 0, 0), "view"),
+        (5, ts(2024, 1, 9, 0, 0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel_depth(
+        df, ["view", "click", "purchase"], step_window="7 DAY"
+    )
+    depths = {r["user_id"]: r["depth"] for r in out.collect()}
+    assert depths == {1: 3, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    # unbounded window: u4 converts fully
+    out2 = funnel_depth(df, ["view", "click", "purchase"])
+    depths2 = {r["user_id"]: r["depth"] for r in out2.collect()}
+    assert depths2[4] == 3
+
+
+def test_funnel_summary_counts_and_rates(spark):
+    from pipelines_spark.operators.funnel import funnel_summary
+
+    ts = datetime
+    rows = [
+        (1, ts(2024, 1, 1), "view"),
+        (1, ts(2024, 1, 2), "click"),
+        (2, ts(2024, 1, 1), "view"),
+        (3, ts(2024, 1, 1), "other"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step_name"]: r for r in funnel_summary(df, ["view", "click"]).collect()}
+    assert out["view"]["users"] == 2 and out["view"]["conv_from_prev"] == 1.0
+    assert out["click"]["users"] == 1 and out["click"]["conv_from_prev"] == 0.5
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from pipelines_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "a")], "id long, name string"
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_non_null"] == 4 and prof["id"]["n_distinct"] == 3
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "3"
+    assert prof["name"]["n_non_null"] == 3 and prof["name"]["n_distinct"] == 2
+    assert prof["name"]["min_value"] == "a" and prof["name"]["max_value"] == "b"
+
+    # approx mode: same shape, HLL distincts exact at this cardinality
+    aprof = {
+        r["col_name"]: r
+        for r in profile_columns(df, exact=False, rsd=0.01).collect()
+    }
+    assert aprof["id"]["n_distinct"] == 3
+
+    # approx mode must not plan an Expand (the exact multi-distinct
+    # rewrite); that is the whole point of the 100 TB switch
+    plan = profile_columns(df, exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan

@@ -205,6 +205,16 @@ BUDGETS = {
     # revenue agg -> per-nation rank window -> gini agg (orders joins
     # customer broadcast; final ORDER BY folds into the small result)
     "a38_gini_concentration": 3,
+    # r7: per-user pack agg + single-partition global rollup; the
+    # step fold and the wide->long explode are map-side
+    "funnel_windowed_conversion": 2,
+    # one sufficient-statistics agg + the 5-row ORDER BY range
+    # exchange; slope/intercept/r arithmetic is projection
+    "trend_by_event_type": 2,
+    # exact mode: one Expand-backed multi-distinct agg (partial +
+    # final = 2 exchanges); approx mode drops the Expand (pinned in
+    # test_operators.py::test_profile_columns_exact_and_approx)
+    "profile_documents": 2,
 }
 
 

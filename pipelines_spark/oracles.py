@@ -3302,6 +3302,28 @@ ORACLES: dict[str, str] = {
         FROM s
         ORDER BY event_type
     """,
+    # Identical formulation both engines: lead() sequence pairs,
+    # exact-bigint counts, one final double division.
+    "w12_event_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type,
+               next_type AS to_type,
+               count(*) AS n,
+               CAST(round(
+                   CAST(count(*) AS DOUBLE)
+                   / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                          AS DOUBLE), 6) AS DOUBLE) AS p
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY from_type, to_type
+    """,
     # Per-column aggregates, one branch per column (the oracle may
     # re-scan; the Spark side is a single aggregate + explode).
     "profile_documents": """

@@ -3865,6 +3865,45 @@ def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type, to_type) adjacent pair in a user's time-ordered
+    sequence, the transition count and row-normalized probability —
+    the "what do users do next" profile (and, for a feed monitor, the
+    structure drift baseline next to ``drift.py``'s value drift).
+
+    Shape: ONE real shuffle (the per-user sequence window keyed on
+    user_id; lead() is a linear scan within it). The pair aggregate is
+    partial map-side, and the row-normalizing window + final sort
+    operate on the |types|² ≤ tiny transition matrix. Determinism:
+    (ts, event_id) orders ties totally, and p is a ratio of two exact
+    bigints — one double division, identically rounded in both
+    engines."""
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type,
+               next_type AS to_type,
+               count(*) AS n,
+               CAST(round(
+                   CAST(count(*) AS DOUBLE)
+                   / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                          AS DOUBLE), 6) AS DOUBLE) AS p
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY from_type, to_type
+        """
+    )
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the documents corpus (operators/profile.py):
     per column — rows, non-nulls, exact distincts, min/max as strings.
@@ -3942,6 +3981,7 @@ QUERIES = {
     "funnel_windowed_conversion": funnel_windowed_conversion,
     "trend_by_event_type": trend_by_event_type,
     "profile_documents": profile_documents,
+    "w12_event_transitions": w12_event_transitions,
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,
     "a15_salted_event_totals": a15_salted_event_totals,

@@ -411,3 +411,65 @@ def test_hdf5_chunk_index_roundtrip_property(data):
 
     ds = parse_hdf5(build_hdf5({"v": spec}))
     assert np.array_equal(ds["v"].data, arr)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 120),
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sampled_from([None, 30]),
+)
+@settings(max_examples=15, deadline=None)
+def test_funnel_depth_matches_greedy_reference(spark, rows, window_min):
+    """funnel_depth ≡ an independent pure-Python greedy scan over
+    random (user, minute, type) event logs, with and without a
+    per-transition window — including same-timestamp ties, repeated
+    steps, and out-of-order arrival."""
+    from datetime import datetime, timedelta
+
+    from pipelines_spark.operators.funnel import funnel_depth
+
+    steps = ["view", "click", "purchase"]
+    base = datetime(2024, 1, 1)
+    data = [
+        (u, base + timedelta(minutes=m), ty) for (u, m, ty) in rows
+    ]
+
+    def ref_depths():
+        out = {}
+        per_user = {}
+        for u, ts, ty in data:
+            if ty in steps:
+                per_user.setdefault(u, []).append((ts, ty))
+        for u, evs in per_user.items():
+            evs.sort()  # (ts, type): same tie order as array_sort(struct)
+            step, t = 0, None
+            for ts, ty in evs:
+                if step >= len(steps) or ty != steps[step]:
+                    continue
+                if step > 0:
+                    if ts <= t:
+                        continue
+                    if window_min is not None and ts > t + timedelta(
+                        minutes=window_min
+                    ):
+                        continue
+                step, t = step + 1, ts
+            out[u] = step
+        return out
+
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string"
+    )
+    win = None if window_min is None else f"{window_min} MINUTE"
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depth(df, steps, step_window=win).collect()
+    }
+    assert got == ref_depths()

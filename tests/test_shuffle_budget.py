@@ -215,6 +215,10 @@ BUDGETS = {
     # final = 2 exchanges); approx mode drops the Expand (pinned in
     # test_operators.py::test_profile_columns_exact_and_approx)
     "profile_documents": 2,
+    # one real (user_id sequence window) exchange; pair agg reshuffle
+    # + row-normalize window + ORDER BY all move the <= |types|^2
+    # transition matrix, not event rows
+    "w12_event_transitions": 4,
 }
 
 

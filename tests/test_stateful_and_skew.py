@@ -67,3 +67,69 @@ def test_salted_join_matches_plain(spark, sf_medium):
         .count()
     )
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel ≡ batch funnel_depth under per-key ordered
+    arrival across batches (in-batch disorder allowed — each batch is
+    sorted before folding); intermediate update-mode rows mark each
+    depth advance."""
+    import time
+
+    from pipelines_spark.operators.funnel import funnel_depth
+    from pipelines_spark.streaming.funnel_stream import streaming_funnel_depth
+
+    src = str(tmp_path / "src")
+    schema = "user_id long, ts timestamp, event_type string"
+    batch1 = [
+        # deliberately out of order within the batch
+        (1, datetime(2024, 1, 1, 10, 10), "click"),
+        (1, datetime(2024, 1, 1, 10, 0), "view"),
+        (2, datetime(2024, 1, 1, 10, 0), "view"),
+        (3, datetime(2024, 1, 1, 9, 0), "click"),  # click before any view
+        (3, datetime(2024, 1, 1, 9, 30), "view"),
+        (4, datetime(2024, 1, 1, 8, 0), "other"),  # never enters
+    ]
+    batch2 = [
+        (1, datetime(2024, 1, 1, 10, 20), "purchase"),
+        (2, datetime(2024, 1, 1, 11, 0), "click"),  # 60 min > 30-min window
+        (3, datetime(2024, 1, 1, 9, 45), "click"),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes so maxFilesPerTrigger=1 replays in order
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    steps = ["view", "click", "purchase"]
+    out = streaming_funnel_depth(stream, steps, step_window_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_state").collect()
+
+    # final state = max depth per user
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["depth"])
+
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depth(batch_df, steps, step_window="30 MINUTE").collect()
+        if r["depth"] > 0  # streaming emits only users that advanced
+    }
+    assert final == expected
+    assert expected == {1: 3, 2: 1, 3: 2}
+
+    # u1 advanced in both micro-batches -> two update rows
+    assert sorted(r["depth"] for r in rows if r["user_id"] == 1) == [2, 3]

@@ -63,6 +63,9 @@ HEADLINE = [
     "text_pii_redaction",
     "text_repetition_stats",
     "text_decontamination",
+    # r7: windowed funnel — the new sequence-analytics flagship (one
+    # per-user shuffle + JVM HOF fold)
+    "funnel_windowed_conversion",
 ]
 
 
@@ -216,6 +219,9 @@ SCALE_PROBE_QUERIES = [
     # advice)
     "dedup_ngram_capped",
     "dedup_containment_capped",
+    # r7: the funnel fold's claim is strict linearity (one pack agg,
+    # O(1) fold state per user) — back it with a measured ratio
+    "funnel_windowed_conversion",
 ]
 
 

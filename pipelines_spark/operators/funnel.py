@@ -40,8 +40,11 @@ def funnel_depth(
     step_window: str | None = None,
 ) -> DataFrame:
     """Per-user funnel depth: how many of ``steps`` the user completed
-    in order. Returns (user_col, depth int) with one row per user that
-    has at least one event of a step type.
+    in order. Returns (user_col, depth int, entered_at, reached_at)
+    with one row per user that has at least one event of a step type;
+    ``entered_at`` is the step-1 match time, ``reached_at`` the latest
+    step's match time (both NULL at depth 0) — their difference is
+    the user's conversion latency.
 
     ``step_window`` is a SQL interval literal body (e.g. ``"7 DAY"``)
     bounding the gap between CONSECUTIVE step matches; ``None`` means
@@ -74,16 +77,24 @@ def funnel_depth(
                         e[ts_col] <= acc["t"] + F.expr(f"INTERVAL {step_window}")
                     )
             branch = F.struct(
-                F.lit(i + 1).cast("int").alias("step"), e[ts_col].alias("t")
+                F.lit(i + 1).cast("int").alias("step"),
+                e[ts_col].alias("t"),
+                (e[ts_col] if i == 0 else acc["t0"]).alias("t0"),
             )
             expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
         return expr.otherwise(acc)
 
     init = F.struct(
-        F.lit(0).cast("int").alias("step"), F.lit(None).cast(ts_type).alias("t")
+        F.lit(0).cast("int").alias("step"),
+        F.lit(None).cast(ts_type).alias("t"),
+        F.lit(None).cast(ts_type).alias("t0"),
     )
+    state = F.aggregate("_evs", init, _advance)
     return packed.select(
-        user_col, F.aggregate("_evs", init, _advance)["step"].alias("depth")
+        user_col,
+        state["step"].alias("depth"),
+        state["t0"].alias("entered_at"),
+        state["t"].alias("reached_at"),
     )
 
 

@@ -3302,6 +3302,38 @@ ORACLES: dict[str, str] = {
         FROM s
         ORDER BY event_type
     """,
+    # min-ts-chain funnel replay (as funnel_windowed_conversion), then
+    # exact-bigint microsecond durations; quantile_cont pairs with
+    # Spark's percentile (same linear interpolation).
+    "funnel_time_to_convert": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ), durations AS (
+            SELECT epoch_us(s3.t) - epoch_us(s1.t) AS us
+            FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+        )
+        SELECT count(*) AS n_converted,
+               CAST(round((CAST(sum(us) AS DOUBLE) / count(*)) / 3.6e9, 4)
+                    AS DOUBLE) AS avg_hours,
+               CAST(round(quantile_cont(us, 0.5) / 3.6e9, 4)
+                    AS DOUBLE) AS p50_hours,
+               CAST(round(quantile_cont(us, 0.95) / 3.6e9, 4)
+                    AS DOUBLE) AS p95_hours
+        FROM durations
+    """,
     # Identical formulation both engines: lead() sequence pairs,
     # exact-bigint counts, one final double division.
     "w12_event_transitions": """

@@ -3865,6 +3865,34 @@ def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution of the windowed funnel: among
+    users who completed view → click → purchase (7-day per-transition
+    windows), hours from funnel entry (first view) to completion —
+    count, mean, p50, p95. Uses funnel_depth's entered_at/reached_at
+    timestamps; exact-bigint microsecond durations keep the mean
+    order-independent, and percentile/quantile_cont share the linear
+    interpolation definition (same pairing as a13)."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.funnel import funnel_depth
+
+    d = funnel_depth(
+        spark.table("events"),
+        ["view", "click", "purchase"],
+        step_window="7 DAY",
+    )
+    conv = d.where(F.col("depth") == 3).select(
+        (_epoch_us("reached_at") - _epoch_us("entered_at")).alias("us")
+    )
+    hours = lambda c: F.round(c / F.lit(3.6e9), 4).cast("double")  # noqa: E731
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        hours(F.sum("us").cast("double") / F.count(F.lit(1))).alias("avg_hours"),
+        hours(F.expr("percentile(us, 0.5)")).alias("p50_hours"),
+        hours(F.expr("percentile(us, 0.95)")).alias("p95_hours"),
+    )
+
+
 def w12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream: for
     each (from_type, to_type) adjacent pair in a user's time-ordered
@@ -3982,6 +4010,7 @@ QUERIES = {
     "trend_by_event_type": trend_by_event_type,
     "profile_documents": profile_documents,
     "w12_event_transitions": w12_event_transitions,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,
     "a15_salted_event_totals": a15_salted_event_totals,

@@ -219,6 +219,8 @@ BUDGETS = {
     # + row-normalize window + ORDER BY all move the <= |types|^2
     # transition matrix, not event rows
     "w12_event_transitions": 4,
+    # same shape as funnel_windowed_conversion: pack agg + global agg
+    "funnel_time_to_convert": 2,
 }
 
 

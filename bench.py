@@ -179,6 +179,8 @@ EXTENDED = [
     # ngram twin was promoted into HEADLINE in r7 (the headline should
     # reflect the at-scale posture), so it is no longer timed here
     "dedup_containment_capped",
+    # r7: LPA communities over the customer<->supplier trade graph
+    "graph_communities",
 ]
 
 
@@ -233,6 +235,12 @@ SCALE30_QUERIES = [
     "a3_latest_event_per_user",
     "dedup_minhash_lsh",
     "embed_ivf_ann",
+    # r7: the capped postures' whole claim is bounded growth — the 10x
+    # ratios (1.60x / 1.46x) need a one-order-deeper confirmation that
+    # the hot-shingle cap keeps holding where the uncapped twins went
+    # 7-10x at 10x data
+    "dedup_ngram_capped",
+    "dedup_containment_capped",
 ]
 
 
@@ -356,7 +364,7 @@ def main() -> None:
             # (48 s cold vs 3.4 s steady-state at x30; the cold-to-cold
             # ratio is linear in the data multiple).
             result["scale30x"] = bench_scale_probe(
-                spark, sf_dir, timings, n=30,
+                spark, sf_dir, {**timings, **extended}, n=30,
                 query_names=SCALE30_QUERIES, runs=2,
             )
     # Full detail (extended timings, scale probes) goes to a file;

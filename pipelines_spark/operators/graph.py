@@ -303,3 +303,80 @@ def ancestor_closure(
             closure.unionByName(doubled).distinct(), eager=False, staging=staging
         )
     return closure
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    staging: str = "local",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) with fully deterministic tie-breaks —
+    the community primitive the family still lacked (pagerank ranks
+    nodes, connected components merges everything reachable; LPA
+    finds densely-linked groups WITHIN a component).
+
+    Every node starts labeled with its own id; each round, every node
+    adopts the label most frequent among its neighbors, ties broken
+    by smallest label (order by count DESC, label ASC — a total order
+    because label is unique per (node, label) group). Synchronous
+    updates + deterministic ties mean the round-``iterations`` state
+    is a pure function of the edge set, so a DuckDB oracle replays
+    the identical rounds as unrolled CTEs and matches exactly.
+    (Async/randomized LPA converges faster but is seed-dependent —
+    useless under an exact-replay correctness gate. On bipartite
+    graphs sync LPA can oscillate between the two sides; a bounded
+    iteration count makes that a defined, replayable state rather
+    than a liveness bug.)
+
+    Scale shape: each round is ONE join (labels ⋈ edges on the label
+    side) + one (node, label) count aggregate + one per-node argmax
+    window — all keyed on node ids, so the edge table partitions once
+    and every round reuses the layout; per-round shuffle volume is
+    O(|E|) with map-side combine on the (node, label) count. State
+    between rounds is one (node, label) row per node — never a
+    frontier explosion. Loop invariants are staged once
+    (``staging="checkpoint"`` for executor-loss durability at scale,
+    plans/staging.py); per-round label frames get a lazy lineage cut
+    so the plan tree stays O(1) per round.
+
+    Returns ``(node, label)`` — nodes sharing a label after the final
+    round are one community.
+    """
+    from pyspark.sql import Window
+
+    e = stage(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct(),
+        staging=staging,
+    )
+    nodes = stage(
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct(),
+        staging=staging,
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        freq = (
+            labels.join(e, labels["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        best = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        # every node in the universe has degree >= 1 (the universe IS
+        # the edge endpoints), so the left join never misses; coalesce
+        # guards caller-supplied isolated nodes if the invariant ever
+        # relaxes
+        labels = nodes.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("_new"), F.col("node")).alias("label")
+        )
+        labels = stage(labels, eager=False, staging=staging)
+    return labels

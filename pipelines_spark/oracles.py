@@ -2524,6 +2524,48 @@ ORACLES: dict[str, str] = {
            OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
     """,
+    # sync label propagation, 2 rounds unrolled: each round counts
+    # neighbor labels and takes the per-node argmax with the identical
+    # deterministic tie-break (count DESC, label ASC) the Spark
+    # operator uses — exact replay, same discipline as pagerank
+    "graph_communities": """
+        WITH e AS (
+            SELECT DISTINCT concat('c', o_custkey) AS s,
+                            concat('s', l_suppkey) AS d
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT s AS _s, d AS _d FROM e
+            UNION ALL
+            SELECT d AS _s, s AS _d FROM e
+        ), lab0 AS (
+            SELECT DISTINCT _s AS node, _s AS label FROM bi
+        ), f1 AS (
+            SELECT b._d AS node, l.label, count(*) AS c
+            FROM bi b JOIN lab0 l ON b._s = l.node
+            GROUP BY 1, 2
+        ), lab1 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM f1) WHERE rn = 1
+        ), f2 AS (
+            SELECT b._d AS node, l.label, count(*) AS c
+            FROM bi b JOIN lab1 l ON b._s = l.node
+            GROUP BY 1, 2
+        ), lab2 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM f2) WHERE rn = 1
+        )
+        SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM lab2
+        GROUP BY label
+        ORDER BY n_members DESC, community ASC
+        LIMIT 15
+    """,
     # recursive CTE walks the same parent chain the pointer-doubling
     # closure materializes; self pairs unioned in for subtree-inclusive
     # semantics

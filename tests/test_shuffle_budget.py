@@ -221,6 +221,10 @@ BUDGETS = {
     "w12_event_transitions": 4,
     # same shape as funnel_windowed_conversion: pack agg + global agg
     "funnel_time_to_convert": 2,
+    # r7: LPA loop frames are lineage-cut (staged per round); the
+    # static plan shows only the final community-count aggregate —
+    # TakeOrdered absorbs the top-15
+    "graph_communities": 1,
 }
 
 

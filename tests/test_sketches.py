@@ -184,6 +184,66 @@ def test_khop_reachability_path_graph(spark):
     assert got == {"a": 0, "b": 1, "c": 2}
 
 
+def _lpa_reference(edges, iterations):
+    """Pure-Python replay of synchronous label propagation with the
+    operator's exact tie-break (count DESC, label ASC). Labels flow
+    src -> dst, matching the join on labels.node == edges._s."""
+    from collections import defaultdict
+
+    uniq = sorted(set(edges))
+    nodes = sorted({n for e in uniq for n in e})
+    in_nbrs = defaultdict(list)
+    for s, d in uniq:
+        in_nbrs[d].append(s)
+    labels = {n: n for n in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for n in nodes:
+            cnt = defaultdict(int)
+            for s in in_nbrs[n]:
+                cnt[labels[s]] += 1
+            nxt[n] = min(cnt, key=lambda l: (-cnt[l], l)) if cnt else n
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles bridged by one edge: after 3 sync rounds the
+    triangles settle into two distinct communities, and the result
+    equals the pure-Python replay of the recurrence exactly (the
+    determinism the DuckDB oracle relies on). Duplicate edges must
+    not bias the neighbor-label counts."""
+    from pipelines_spark.operators.graph import label_propagation
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    edges = und + [(d, s) for s, d in und] + [("a", "b"), ("c", "x")]  # dups
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    assert got == _lpa_reference(edges, 3)
+    # the bridge does not merge the triangles
+    left = {got[n] for n in "abc"}
+    right = {got[n] for n in "xyz"}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_checkpoint_staging_matches_local(spark, tmp_path):
+    """staging="checkpoint" (reliable checkpoints, the 100 TB
+    durability posture) returns the identical labeling as the default
+    localCheckpoint mode."""
+    from pipelines_spark.operators.graph import label_propagation
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    edges = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    loc = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    chk = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3, staging="checkpoint").collect()
+    }
+    assert chk == loc
+
+
 def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
     """CMS guarantee: estimate >= exact frequency for EVERY key, and
     with far fewer keys than buckets (no forced collisions across all

@@ -181,6 +181,8 @@ EXTENDED = [
     "dedup_containment_capped",
     # r7: LPA communities over the customer<->supplier trade graph
     "graph_communities",
+    # r7: IVF-cell kNN edge list over the whole embeddings corpus
+    "embed_knn_graph",
 ]
 
 

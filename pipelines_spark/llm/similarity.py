@@ -21,6 +21,10 @@
   probe their ``nprobe`` nearest centroid cells and run exact cosine
   top-k against only those cells' members. At 100 TB the corpus is
   partitioned by centroid id once and probed by equi-join forever.
+- ``knn_graph``: the graph-construction twin of ``ivf_topk`` — the
+  whole corpus's top-k edge list via one co-partitioned self-join on
+  the cell id (both sides corpus-scale, so nothing broadcasts);
+  per-cell pair volume is n²/C, optionally capped per cell.
 """
 
 from __future__ import annotations
@@ -845,6 +849,119 @@ def ivf_kmeans_topk(
     )
 
 
+def _hash_centroid_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic hash-sampled centroid set: the ``n_centroids``
+    corpus vectors ranked first by ``md5(cast(id as string))`` (id as
+    tiebreak) — a uniform pseudo-random but reproducible and
+    oracle-checkable sample standing in for trained k-means. The
+    selection is a TakeOrdered (per-partition top-k + driver merge,
+    never a full sort or collect), so it is O(n_centroids · dim)
+    driver state regardless of corpus size. Returns (ids asc,
+    unit-normalized matrix in the same order)."""
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(
+            F.col(id_col), F.col(vec_col)
+        )
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+    cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    return cent_ids, cent_unit
+
+
+def knn_graph(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    round_digits: int = 4,
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """Approximate kNN GRAPH: every corpus vector's top-``k``
+    neighbors among the vectors sharing its IVF cell —
+    ``(src_id, dst_id, cosine, rank)``. The graph-construction twin
+    of :func:`ivf_topk`: that answers "neighbors of these queries",
+    this materializes the edge list for the whole corpus — the
+    backbone primitive for embedding clustering, SemDeDup-style
+    pruning, and graph-based label spreading over a corpus.
+
+    Both sides of the candidate join are corpus-scale, so unlike the
+    query-path ANN there is no side that is broadcast-safe BY
+    CONSTRUCTION: the join is declared as a plain equi-join on the
+    cell id and Catalyst picks the strategy from statistics — a
+    co-partitioned sort-merge/shuffle-hash join at corpus scale, a
+    legitimate broadcast at test scale where the corpus fits. The
+    assignment pass before it is map-only and Arrow-batched (one
+    numpy matmul per batch against the O(n_centroids · dim)
+    broadcast centroid matrix). Per-cell work is quadratic in the CELL size, not the
+    corpus: with C cells the expected pair volume is n²/C, the
+    semantic_dedup posture. For skewed/untrained centroids,
+    ``max_cell_rows`` caps the NEIGHBOR side per cell by the same
+    deterministic (md5(id), id) ranking used everywhere else
+    (hot-bucket-cap discipline: every src still gets ranked
+    neighbors, drawn from a bounded, replayable subset), so the
+    worst cell costs O(cell · max_cell_rows) instead of O(cell²).
+
+    Determinism: hash-sampled centroids, rounded-cosine stable
+    assignment, and (cosine DESC, dst_id ASC) ranking make the edge
+    list a pure function of the corpus — a DuckDB oracle replays it
+    exactly.
+    """
+    cent_ids, cent_unit = _hash_centroid_matrix(corpus, id_col, vec_col, n_centroids)
+
+    @pandas_udf("bigint")
+    def nearest_cell(vec: pd.Series) -> pd.Series:
+        mat = np.array(vec.to_list(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = _round_half_up(unit @ cent_unit.T, round_digits)
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+        return pd.Series(cent_ids[idx])
+
+    assigned = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        nearest_cell(F.col(vec_col)).alias("_cell"),
+    )
+    nbrs = assigned
+    if max_cell_rows is not None:
+        wcap = Window.partitionBy("_cell").orderBy(
+            F.md5(F.col("_id").cast("string")), F.col("_id")
+        )
+        nbrs = (
+            assigned.withColumn("_cr", F.row_number().over(wcap))
+            .filter(F.col("_cr") <= max_cell_rows)
+            .drop("_cr")
+        )
+    a = assigned.select(
+        F.col("_id").alias("src_id"), F.col("_v").alias("_av"), "_cell"
+    )
+    b = nbrs.select(F.col("_id").alias("dst_id"), F.col("_v").alias("_bv"), "_cell")
+    scored = (
+        a.join(b, "_cell")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("_av"), F.col("_bv")), round_digits),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("dst_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -878,18 +995,7 @@ def ivf_topk(
     top-k window on query_id. Candidate scoring stays JVM-side
     (zip_with/aggregate), identical to the oracle's arithmetic.
     """
-    cent_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(
-            F.col(id_col), F.col(vec_col)
-        )
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
-    cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
-    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_ids, cent_unit = _hash_centroid_matrix(corpus, id_col, vec_col, n_centroids)
 
     def _nearest_cells(vec_series: pd.Series, n: int) -> pd.Series:
         mat = np.array(vec_series.to_list(), dtype=np.float64)

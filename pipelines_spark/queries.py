@@ -3989,6 +3989,26 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH over the whole embeddings corpus
+    (llm/similarity.py::knn_graph): each vector's top-3 neighbors
+    among the vectors sharing its IVF cell — the edge-list primitive
+    embedding clustering and SemDeDup-style pruning build on. Unlike
+    the query-path ANN entries (query side broadcast), BOTH join
+    sides are corpus-scale: one map-only Arrow-batched cell
+    assignment, one equi-join on cell id (statistics pick SMJ at
+    corpus scale, broadcast at test scale; expected pair volume
+    n²/C), one per-src top-k window. Deterministic
+    end-to-end (hash-sampled centroids, rounded cosines, dst-asc
+    ties), so the DuckDB oracle replays the same cells and edges
+    exactly."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import knn_graph
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return knn_graph(emb, k=3, n_centroids=16)
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -4157,4 +4177,5 @@ QUERIES = {
     "a37_weighted_median": a37_weighted_median,
     "a38_gini_concentration": a38_gini_concentration,
     "graph_communities": graph_communities,
+    "embed_knn_graph": embed_knn_graph,
 }

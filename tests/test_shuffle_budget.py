@@ -225,6 +225,11 @@ BUDGETS = {
     # static plan shows only the final community-count aggregate —
     # TakeOrdered absorbs the top-15
     "graph_communities": 1,
+    # r7: cell assignment is map-only; at sf0.01 statistics broadcast
+    # one join side, so the static plan's one exchange is the per-src
+    # top-k window (at corpus scale the join adds its own two —
+    # that's the designed posture, not a regression this pin guards)
+    "embed_knn_graph": 1,
 }
 
 

@@ -183,6 +183,8 @@ EXTENDED = [
     "graph_communities",
     # r7: IVF-cell kNN edge list over the whole embeddings corpus
     "embed_knn_graph",
+    # r7: RefinedWeb-style per-source quality cap
+    "sample_source_cap",
 ]
 
 

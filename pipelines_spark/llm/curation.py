@@ -31,7 +31,11 @@ from pipelines_spark.llm.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
 )
-from pipelines_spark.llm.sampling import assign_split, pack_token_shards
+from pipelines_spark.llm.sampling import (
+    assign_split,
+    cap_per_source,
+    pack_token_shards,
+)
 from pipelines_spark.llm.text import language_id, quality_score, token_count
 
 
@@ -54,6 +58,12 @@ class CurationConfig:
     #: fraction (llm/text.py::duplicate_spans) exceeds this.
     #: None disables.
     max_dup_frac: float | None = None
+    #: RefinedWeb-style per-source cap: keep at most this many docs
+    #: per ``source_col`` (highest quality first, id-asc ties), so no
+    #: head domain dominates the token budget or the dedup stages'
+    #: hot keys. None disables.
+    max_per_source: int | None = None
+    source_col: str = "source"
     extra: dict = field(default_factory=dict)
 
 
@@ -107,6 +117,22 @@ def curate_corpus(
     gated = persist(gated)
     if collect_stats:
         counts.append(("quality_lang_gate", gated.count()))
+
+    # 1b. optional per-source cap (one window shuffle on the source
+    # key, WindowGroupLimit-bounded) — before the dedup stages so
+    # their shuffles see the already-shrunk, head-domain-free corpus
+    if cfg.max_per_source is not None:
+        gated = persist(
+            cap_per_source(
+                gated,
+                source_col=cfg.source_col,
+                id_col=id_c,
+                order_col="quality",
+                n_max=cfg.max_per_source,
+            )
+        )
+        if collect_stats:
+            counts.append(("source_cap", gated.count()))
 
     # 2. exact dedup: keep the min-id doc of each identical-text group
     canon = exact_dedup(gated, [text_c], id_c).select(

@@ -250,3 +250,37 @@ def weighted_sample(
         .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    order_col: str = "quality",
+    n_max: int = 1000,
+) -> DataFrame:
+    """Per-source document cap (the RefinedWeb/CCNet "no domain
+    dominates" discipline): keep at most ``n_max`` rows per
+    ``source_col``, preferring the highest ``order_col`` (quality
+    score), ties broken by ``id_col`` ascending so the kept set is a
+    pure function of the data — reproducible across engines and
+    partitionings, like every sampling decision in this module.
+
+    Web crawls are Zipf-distributed over domains; without a cap the
+    head domains dominate the token budget and the dedup stages'
+    hot keys. Cost: ONE window shuffle on the source key, and Spark
+    rewrites the ``row_number <= n_max`` filter into
+    WindowGroupLimit, so each map partition forwards at most
+    ``n_max`` candidates per source instead of the full group — the
+    cap gets CHEAPER relative to a plain sort as sources get hotter,
+    which is exactly when it matters.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_src_rank", F.row_number().over(w))
+        .filter(F.col("_src_rank") <= n_max)
+        .drop("_src_rank")
+    )

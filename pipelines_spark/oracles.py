@@ -2524,6 +2524,32 @@ ORACLES: dict[str, str] = {
            OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
     """,
+    # per-source cap: same quality expression as
+    # text_quality_by_source, per-source top-40 by (quality DESC,
+    # doc_id ASC), exact DECIMAL mean over the kept set
+    "sample_source_cap": f"""
+        WITH q AS (
+            SELECT doc_id, source, {_QUALITY_EXPR} AS quality FROM documents
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY quality DESC, doc_id ASC) AS rk
+            FROM q
+        ), kept AS (
+            SELECT * FROM ranked WHERE rk <= 40
+        ), tot AS (
+            SELECT source, count(*) AS n_total FROM q GROUP BY source
+        )
+        SELECT k.source, t.n_total,
+               count(*) AS n_kept,
+               t.n_total - count(*) AS n_dropped,
+               round(CAST(sum(CAST(k.quality AS DECIMAL(14,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_kept_quality,
+               min(k.quality) AS quality_cutoff
+        FROM kept k JOIN tot t USING (source)
+        GROUP BY k.source, t.n_total
+        ORDER BY k.source
+    """,
     # IVF-cell kNN graph: same hash-sampled centroid set and rounded
     # nearest-cell assignment as embed_ivf_ann, then an exact-cosine
     # self-join within each cell and a per-src top-3 with the

@@ -4009,6 +4009,52 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, k=3, n_centroids=16)
 
 
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (llm/sampling.py::cap_per_source, the
+    RefinedWeb "no domain dominates" discipline, also a
+    curate_corpus stage via max_per_source): keep the 40
+    highest-quality docs per source (quality DESC, doc_id ASC ties —
+    a pure function of the data), report per source the total/kept/
+    dropped counts, the mean kept quality (exact DECIMAL sum, so
+    order-independent), and the quality cutoff (min kept). One
+    window shuffle on source (WindowGroupLimit bounds each map
+    partition to 40 candidates per source); the per-source totals
+    aggregate broadcasts back."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import cap_per_source
+    from pipelines_spark.llm.text import quality_score
+
+    docs = spark.table("documents").select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    kept = cap_per_source(
+        docs, source_col="source", id_col="doc_id", order_col="quality", n_max=40
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(14,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_kept_quality"),
+            F.min("quality").alias("quality_cutoff"),
+        )
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+            "avg_kept_quality",
+            "quality_cutoff",
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -4178,4 +4224,5 @@ QUERIES = {
     "a38_gini_concentration": a38_gini_concentration,
     "graph_communities": graph_communities,
     "embed_knn_graph": embed_knn_graph,
+    "sample_source_cap": sample_source_cap,
 }

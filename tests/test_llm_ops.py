@@ -724,6 +724,51 @@ def test_curate_corpus_end_to_end(spark, sf_medium):
     }
 
 
+def test_cap_per_source_keeps_best_and_is_deterministic(spark):
+    """Per-source cap keeps exactly n_max rows per over-cap source
+    (the highest-order ones, id-asc ties) and all rows of under-cap
+    sources; result is partitioning-independent."""
+    from pipelines_spark.llm.sampling import cap_per_source
+
+    rows = [(i, "big", float(i % 7)) for i in range(50)] + [
+        (100 + i, "small", 1.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    kept = cap_per_source(df, n_max=10).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append((r["quality"], r["doc_id"]))
+    assert len(by_src["big"]) == 10 and len(by_src["small"]) == 3
+    # the kept 'big' rows are the top-10 by (quality desc, id asc)
+    expect = sorted(
+        ((float(i % 7), i) for i in range(50)), key=lambda t: (-t[0], t[1])
+    )[:10]
+    assert sorted(by_src["big"], key=lambda t: (-t[0], t[1])) == expect
+    again = cap_per_source(df.repartition(7), n_max=10).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+
+def test_curate_corpus_source_cap_stage(spark, sf_medium):
+    """max_per_source adds a source_cap funnel stage that bounds every
+    source to the cap and feeds the downstream stages the shrunk
+    corpus."""
+    from pipelines_spark.llm.curation import CurationConfig, curate_corpus
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    curated, stats = curate_corpus(
+        docs,
+        CurationConfig(
+            min_quality=0.0, min_tokens=1, shard_tokens=5000, max_per_source=20
+        ),
+    )
+    funnel = {r["stage"]: r["n_docs"] for r in stats.collect()}
+    assert funnel["quality_lang_gate"] >= funnel["source_cap"] >= funnel["exact_dedup"]
+    n_sources = docs.select("source").distinct().count()
+    assert funnel["source_cap"] <= 20 * n_sources
+    per_src = curated.groupBy("source").count().collect()
+    assert all(r["count"] <= 20 for r in per_src)
+
+
 def test_pack_token_shards_budget_and_stability(spark):
     """Greedy packing: within a bucket each shard's token sum stays
     under budget + one max doc (first-fit property), assignment is

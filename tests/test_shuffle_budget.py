@@ -230,6 +230,10 @@ BUDGETS = {
     # top-k window (at corpus scale the join adds its own two —
     # that's the designed posture, not a regression this pin guards)
     "embed_knn_graph": 1,
+    # r7: source window (WindowGroupLimit-bounded, verified in plan)
+    # + totals agg + final ORDER BY over the tiny per-source rows;
+    # the kept-side agg reuses the window's source clustering
+    "sample_source_cap": 3,
 }
 
 

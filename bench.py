@@ -185,6 +185,10 @@ EXTENDED = [
     "embed_knn_graph",
     # r7: RefinedWeb-style per-source quality cap
     "sample_source_cap",
+    # r7: Bloom-prefiltered semi-join (semi-join reduction pattern)
+    "j19_bloom_semi_reduction",
+    # r7: CUSUM drift detection via the prefix-min window identity
+    "a39_cusum_changepoints",
 ]
 
 

@@ -402,3 +402,95 @@ def hll_distinct(df: DataFrame, value_col: str, *, b: int = 8) -> DataFrame:
         .cast("long")
         .alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: semi-join reduction
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(key: Column, j: int, m_bits: int) -> Column:
+    """Bit position of hash ``j`` for ``key``: first 60 bits (15 hex
+    chars — fits a signed long) of ``md5('bloom{j}|' + key)`` modulo
+    ``m_bits``. Same cross-engine md5 convention as the rest of the
+    sketch family."""
+    h = F.md5(F.concat(F.lit(f"bloom{j}|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+
+
+def bloom_bitmap(
+    df: DataFrame, key_col: str, *, m_bits: int = 1 << 20, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a slot-indexed
+    bitmap TABLE: ``(slot, word)`` with ``word`` the bitwise-OR of
+    the 64 bits in that slot — at most ``m_bits / 64`` rows total,
+    REGARDLESS of how many keys went in. That fixed size is the whole
+    point: a 2^20-bit filter is 16 Ki rows (~128 KiB) whether it
+    summarizes ten thousand keys or ten billion, so it broadcasts
+    where the key set itself never could.
+
+    Plan shape: explode k positions per key (map-side), partial
+    ``bit_or`` per slot in each partition, one ≤ m/64-per-partition
+    shuffle to merge — O(m) state everywhere, never O(keys). The
+    md5-derived positions make the bitmap a pure function of the key
+    set (engine- and partitioning-independent), like every sketch in
+    this module.
+    """
+    key = F.col(key_col)
+    exploded = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(key, j, m_bits) for j in range(k)])
+        ).alias("_pos")
+    )
+    return (
+        exploded.select(
+            F.floor(F.col("_pos") / 64).cast("long").alias("slot"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("slot")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Keep the probe rows whose ``key_col`` MIGHT be in the set the
+    ``bitmap`` summarizes (no false negatives; false-positive rate
+    ≈ (1 - e^(-k·n/m))^k). The semi-join-reduction pattern: at scale
+    an exact semi-join shuffles the full probe table on the key; this
+    prunes the probe MAP-SIDE first — k broadcast equi-joins against
+    the ≤ m/64-row bitmap (one ReusedExchange, zero probe shuffles) —
+    so only surviving candidates reach the exact join's shuffle.
+    Always follow with the exact join: the Bloom is a performance
+    structure, not an answer.
+    """
+    key = F.col(key_col)
+    out = probe
+    for j in range(k):
+        pos = _bloom_pos(key, j, m_bits)
+        bm = bitmap.select(
+            F.col("slot").alias(f"_s{j}"), F.col("word").alias(f"_w{j}")
+        )
+        out = (
+            out.withColumn(f"_pos{j}", pos)
+            .withColumn(f"_slot{j}", F.floor(F.col(f"_pos{j}") / 64).cast("long"))
+            .withColumn(
+                f"_mask{j}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_pos{j} % 64 AS INT))"),
+            )
+            .drop(f"_pos{j}")
+            .join(F.broadcast(bm), F.col(f"_slot{j}") == F.col(f"_s{j}"))
+            .filter(
+                F.col(f"_w{j}").bitwiseAND(F.col(f"_mask{j}"))
+                == F.col(f"_mask{j}")
+            )
+            .drop(f"_slot{j}", f"_mask{j}", f"_s{j}", f"_w{j}")
+        )
+    return out

@@ -2524,6 +2524,58 @@ ORACLES: dict[str, str] = {
            OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
     """,
+    # CUSUM via the same prefix identity the operator uses
+    # (s_i = p_i - min(0, running-min p)); DECIMAL-exact daily sums,
+    # deviations, and prefixes keep both engines bit-identical
+    "a39_cusum_changepoints": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(value AS DECIMAL(18,6))) AS y
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), tgt AS (
+            SELECT event_type,
+                   CAST(round(CAST(sum(y) AS DOUBLE) / count(*), 6)
+                        AS DECIMAL(18,6)) AS target
+            FROM daily GROUP BY 1
+        ), pre AS (
+            SELECT d.event_type, d.day, t.target,
+                   sum(d.y - t.target) OVER w AS p
+            FROM daily d JOIN tgt t USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), s AS (
+            SELECT event_type, target, day,
+                   p - least(min(p) OVER w, 0)       AS s_up,
+                   (-p) - least(min(-p) OVER w, 0)   AS s_dn
+            FROM pre
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type,
+               count(*) AS n_days,
+               CAST(sum(CASE WHEN s_up > target / 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alerts_up,
+               CAST(sum(CASE WHEN s_dn > target / 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alerts_down,
+               round(CAST(max(s_up) AS DOUBLE), 4) AS max_cusum_up,
+               round(CAST(max(s_dn) AS DOUBLE), 4) AS max_cusum_down
+        FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    # the Bloom prefilter is a pure pruning structure — the exact
+    # semi-join after it removes every false positive, so the oracle
+    # is the PLAIN semi-join aggregate
+    "j19_bloom_semi_reduction": """
+        SELECT l_returnflag AS returnflag,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+        ORDER BY returnflag
+    """,
     # per-source cap: same quality expression as
     # text_quality_by_source, per-source top-40 by (quality DESC,
     # doc_id ASC), exact DECIMAL mean over the kept set

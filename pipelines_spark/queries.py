@@ -4055,6 +4055,116 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j19_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (operators/sketches.py::
+    bloom_bitmap / bloom_prefilter): revenue of lineitems belonging
+    to URGENT orders. The bitmap is ≤ m/64 (slot, word) rows — fixed
+    size no matter how many urgent orders exist — so it broadcasts
+    where the key set itself never could; it prunes lineitem
+    MAP-SIDE before the exact semi-join. That is the classic
+    distributed semi-join reduction: at 100 TB the exact join's
+    shuffle moves only Bloom survivors (true matches + the small
+    false-positive rate) instead of the whole probe table. False
+    positives are removed by the exact semi-join that follows, so
+    the result is EXACTLY the plain semi-join — which is what the
+    oracle runs."""
+    register(spark, sf_dir, ("lineitem", "orders"))
+    from pipelines_spark.operators.sketches import bloom_bitmap, bloom_prefilter
+
+    urgent = (
+        spark.table("orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bm = bloom_bitmap(urgent, "o_orderkey", m_bits=1 << 17, k=3)
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pre = bloom_prefilter(li, "l_orderkey", bm, m_bits=1 << 17, k=3)
+    exact = pre.join(
+        urgent.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "semi"
+    )
+    return (
+        exact.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+def a39_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over daily value totals per event type —
+    the sequential recursion s_i = max(0, s_{i-1} + d_i) rewritten
+    with the prefix identity s_i = p_i − min(0, min_{j≤i} p_j)
+    (p = running sum of deviations), so the whole detector is TWO
+    window passes (running sum + running min) over one per-key
+    ordering — no iterative loop, no fold, O(1) per row, one shuffle
+    on the key. Both directions run in the same window (upward: d =
+    y − target; downward: d = target − y). All state is DECIMAL-exact
+    (daily sums, deviations, prefixes), so the alert counts and maxima
+    are partitioning- and engine-exact; target = per-type mean daily
+    total, alert threshold h = target / 2 (deterministic, no
+    stddev float-order hazard)."""
+    register(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
+    )
+    target = daily.groupBy("event_type").agg(
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("target")
+    )
+    j = daily.join(F.broadcast(target), "event_type")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d_up = (F.col("y") - F.col("target")).cast("decimal(18,6)")
+    p_up = F.sum(d_up).over(run)
+    s_up = p_up - F.least(F.min(p_up).over(run), F.lit(0).cast("decimal(18,6)"))
+    # downward deviations are the negation; its prefix is -p_up
+    p_dn = -p_up
+    s_dn = p_dn - F.least(F.min(p_dn).over(run), F.lit(0).cast("decimal(18,6)"))
+    scored = j.select(
+        "event_type",
+        (F.col("target") / 2).alias("h"),
+        s_up.alias("s_up"),
+        s_dn.alias("s_dn"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("s_up") > F.col("h"), 1).otherwise(0)).alias(
+                "n_alerts_up"
+            ),
+            F.sum(F.when(F.col("s_dn") > F.col("h"), 1).otherwise(0)).alias(
+                "n_alerts_down"
+            ),
+            F.round(F.max("s_up").cast("double"), 4).alias("max_cusum_up"),
+            F.round(F.max("s_dn").cast("double"), 4).alias("max_cusum_down"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -4225,4 +4335,6 @@ QUERIES = {
     "graph_communities": graph_communities,
     "embed_knn_graph": embed_knn_graph,
     "sample_source_cap": sample_source_cap,
+    "j19_bloom_semi_reduction": j19_bloom_semi_reduction,
+    "a39_cusum_changepoints": a39_cusum_changepoints,
 }

@@ -234,6 +234,13 @@ BUDGETS = {
     # + totals agg + final ORDER BY over the tiny per-source rows;
     # the kept-side agg reuses the window's source clustering
     "sample_source_cap": 3,
+    # r7: bloom slot-agg (≤ m/64 rows) + revenue agg + tiny ORDER BY;
+    # the k probe joins and the exact semi-join broadcast
+    "j19_bloom_semi_reduction": 3,
+    # r7: daily agg + per-type target agg + event_type window + final
+    # agg + tiny ORDER BY — the CUSUM recursion itself is two window
+    # passes inside the one event_type ordering, zero extra exchanges
+    "a39_cusum_changepoints": 5,
 }
 
 

@@ -244,6 +244,44 @@ def test_label_propagation_checkpoint_staging_matches_local(spark, tmp_path):
     assert chk == loc
 
 
+def test_bloom_prefilter_no_false_negatives_and_fpr_sane(spark):
+    """Every true member passes the prefilter (the Bloom guarantee),
+    and with m >> n the disjoint-probe pass rate (false positives) is
+    small. Deterministic: same bitmap and pass set under any
+    partitioning."""
+    from pipelines_spark.operators.sketches import bloom_bitmap, bloom_prefilter
+
+    members = spark.range(0, 500).withColumnRenamed("id", "k")
+    bm = bloom_bitmap(members, "k", m_bits=1 << 14, k=3)
+    # bitmap is slot-bounded: at most m/64 rows no matter the key count
+    assert bm.count() <= (1 << 14) // 64
+    # members all pass
+    passed = bloom_prefilter(members, "k", bm, m_bits=1 << 14, k=3)
+    assert passed.count() == 500
+    # disjoint probes mostly rejected (n/m = 500/16384 -> FPR ~ 0.06%)
+    outsiders = spark.range(10_000, 12_000).withColumnRenamed("id", "k")
+    fp = bloom_prefilter(outsiders, "k", bm, m_bits=1 << 14, k=3).count()
+    assert fp < 100, fp
+    # partitioning-independent
+    bm2 = bloom_bitmap(members.repartition(13), "k", m_bits=1 << 14, k=3)
+    assert sorted(map(tuple, bm.collect())) == sorted(map(tuple, bm2.collect()))
+
+
+def test_bloom_semi_reduction_equals_exact_semi_join(spark):
+    """Prefilter + exact semi-join returns exactly the plain
+    semi-join rows — the Bloom only prunes, never changes the
+    answer."""
+    from pipelines_spark.operators.sketches import bloom_bitmap, bloom_prefilter
+
+    probe = spark.range(0, 3000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 3000, 7).withColumnRenamed("id", "k")  # every 7th
+    bm = bloom_bitmap(keys, "k", m_bits=1 << 12, k=3)
+    pre = bloom_prefilter(probe, "k", bm, m_bits=1 << 12, k=3)
+    got = sorted(r["k"] for r in pre.join(keys, "k", "semi").collect())
+    want = sorted(r["k"] for r in probe.join(keys, "k", "semi").collect())
+    assert got == want
+
+
 def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
     """CMS guarantee: estimate >= exact frequency for EVERY key, and
     with far fewer keys than buckets (no forced collisions across all

@@ -189,6 +189,8 @@ EXTENDED = [
     "j19_bloom_semi_reduction",
     # r7: CUSUM drift detection via the prefix-min window identity
     "a39_cusum_changepoints",
+    # r7: Theil-Sen robust trend (pairwise-slope median on the daily agg)
+    "trend_theilsen_by_type",
 ]
 
 

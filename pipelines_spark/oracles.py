@@ -2524,6 +2524,37 @@ ORACLES: dict[str, str] = {
            OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
     """,
+    # Theil-Sen: pairwise slopes over the daily series, exact
+    # interpolated median (quantile_cont ≡ Spark percentile),
+    # intercept = median residual at that slope
+    "trend_theilsen_by_type": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), seq AS (
+            SELECT event_type, y,
+                   date_diff('day',
+                             min(day) OVER (PARTITION BY event_type),
+                             day) AS x
+            FROM daily
+        ), slopes AS (
+            SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+            FROM seq a JOIN seq b
+              ON a.event_type = b.event_type AND a.x < b.x
+        ), sl AS (
+            SELECT event_type, quantile_cont(slope, 0.5) AS slope
+            FROM slopes GROUP BY 1
+        ), resid AS (
+            SELECT s.event_type, sl.slope, s.y - sl.slope * s.x AS r
+            FROM seq s JOIN sl USING (event_type)
+        )
+        SELECT event_type,
+               count(*) AS n_days,
+               round(max(slope), 6) AS theil_slope,
+               round(quantile_cont(r, 0.5), 4) AS theil_intercept
+        FROM resid GROUP BY event_type ORDER BY event_type
+    """,
     # CUSUM via the same prefix identity the operator uses
     # (s_i = p_i - min(0, running-min p)); DECIMAL-exact daily sums,
     # deviations, and prefixes keep both engines bit-identical

@@ -4165,6 +4165,64 @@ def a39_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trend_theilsen_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: median of all pairwise
+    slopes over the DAILY AGGREGATED series — the robust twin of
+    ``trend_by_event_type``'s least-squares fit (outlier days bend
+    OLS; the pairwise-slope median has a 29% breakdown point). The
+    pair explosion is quadratic in DAYS PER TYPE, not in events: the
+    daily aggregate shrinks the corpus to |types|·|days| rows FIRST,
+    so the self-join is bounded by the calendar (~67k pairs per
+    type-year) regardless of corpus size. Slopes are identical IEEE
+    divisions in both engines; median = exact interpolated
+    percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    a13 convention); intercept = median residual at that slope."""
+    register(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y")
+        )
+    )
+    seq = daily.withColumn(
+        "x",
+        F.datediff(
+            F.col("day"), F.min("day").over(Window.partitionBy("event_type"))
+        ),
+    ).select("event_type", "x", "y")
+    a = seq.alias("a")
+    b = seq.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "slope"
+        ),
+    )
+    sl = slopes.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope")
+    )
+    resid = seq.join(F.broadcast(sl), "event_type").select(
+        "event_type",
+        "slope",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.max("slope"), 6).alias("theil_slope"),
+            F.round(F.percentile("r", F.lit(0.5)), 4).alias("theil_intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -4337,4 +4395,5 @@ QUERIES = {
     "sample_source_cap": sample_source_cap,
     "j19_bloom_semi_reduction": j19_bloom_semi_reduction,
     "a39_cusum_changepoints": a39_cusum_changepoints,
+    "trend_theilsen_by_type": trend_theilsen_by_type,
 }

@@ -241,6 +241,11 @@ BUDGETS = {
     # agg + tiny ORDER BY — the CUSUM recursion itself is two window
     # passes inside the one event_type ordering, zero extra exchanges
     "a39_cusum_changepoints": 5,
+    # r7: daily agg + event_type window + pair self-join reusing the
+    # type clustering + slope-median agg (broadcast back) + residual
+    # agg + tiny ORDER BY — the pair explosion runs on the
+    # |types|x|days| aggregate, never the event table
+    "trend_theilsen_by_type": 5,
 }
 
 

@@ -234,6 +234,14 @@ SCALE_PROBE_QUERIES = [
     # r7: the funnel fold's claim is strict linearity (one pack agg,
     # O(1) fold state per user) — back it with a measured ratio
     "funnel_windowed_conversion",
+    # r7: LPA is one O(|E|) join+agg+window per round over staged
+    # invariants — the ratio should track the edge growth, like
+    # pagerank. (embed_knn_graph is deliberately NOT probed: at a
+    # FIXED n_centroids its per-cell pair volume is quadratic by
+    # construction — the scale knob is n_centroids ∝ corpus, which a
+    # fixed-config replay can't exercise; same reason dedup_semantic
+    # isn't probed.)
+    "graph_communities",
 ]
 
 

@@ -191,6 +191,8 @@ EXTENDED = [
     "a39_cusum_changepoints",
     # r7: Theil-Sen robust trend (pairwise-slope median on the daily agg)
     "trend_theilsen_by_type",
+    # r7: Newman modularity of the LPA communities (shared staged edges)
+    "graph_modularity",
 ]
 
 

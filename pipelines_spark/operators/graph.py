@@ -380,3 +380,73 @@ def label_propagation(
         )
         labels = stage(labels, eager=False, staging=staging)
     return labels
+
+
+def community_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-community Newman modularity contributions for a labeling
+    (e.g. :func:`label_propagation` output) over a DIRECTED-BOTH-WAYS
+    edge list (each undirected edge present in both directions, the
+    same convention label_propagation consumes).
+
+    With m_bi = |bi-directional edges| = 2m, community c's
+    contribution is  L_c(bi)/m_bi − (d_c/m_bi)²  where L_c(bi)
+    counts bi-edges with BOTH endpoints in c (= 2·undirected internal
+    edges) and d_c is the degree sum (out-edges in bi). Summing
+    contributions gives Newman's Q ∈ [−1/2, 1). Every term is an
+    exact integer count until the final division, so the result is
+    partitioning- and engine-exact.
+
+    Scale shape: two equi-joins keyed on node id attach labels to
+    edge endpoints (the same clustering LPA itself used), then one
+    per-community count aggregate and one 1-row total broadcast back
+    — O(|E|) shuffle, state O(|communities|).
+
+    Returns (community, n_members, internal_edges, degree_sum,
+    modularity_contrib).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    ls = labels.select(F.col("node").alias("_s"), F.col("label").alias("_sl"))
+    ld = labels.select(F.col("node").alias("_d"), F.col("label").alias("_dl"))
+    tagged = e.join(ls, "_s").join(ld, "_d")
+    per_c = (
+        tagged.groupBy(F.col("_sl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("degree_sum"),
+            F.sum(
+                F.when(F.col("_sl") == F.col("_dl"), 1).otherwise(0)
+            ).alias("_internal_bi"),
+        )
+    )
+    m_bi = e.agg(F.count(F.lit(1)).alias("_m_bi"))
+    members = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        per_c.join(F.broadcast(m_bi))
+        .join(members, "community")
+        .select(
+            "community",
+            "n_members",
+            (F.col("_internal_bi") / 2).cast("long").alias("internal_edges"),
+            "degree_sum",
+            # + 0.0 collapses IEEE -0.0 to +0.0 (a contribution that
+            # rounds to zero must hash identically in every engine)
+            (
+                F.round(
+                    F.col("_internal_bi").cast("double") / F.col("_m_bi")
+                    - F.pow(
+                        F.col("degree_sum").cast("double") / F.col("_m_bi"),
+                        F.lit(2),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("modularity_contrib"),
+        )
+    )

@@ -289,6 +289,43 @@ _COS_DOT = (
 _COS_NC = "sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 _COS_NQ = "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+#: shared 2-round sync-LPA replay over the customer<->supplier trade
+#: graph (operators/graph.py::label_propagation semantics: neighbor-
+#: label argmax, ties count DESC then label ASC) — used by both
+#: graph_communities and graph_modularity so the two oracles cannot
+#: drift apart
+_LPA_TRADE_CTE = """e AS (
+            SELECT DISTINCT concat('c', o_custkey) AS s,
+                            concat('s', l_suppkey) AS d
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT s AS _s, d AS _d FROM e
+            UNION ALL
+            SELECT d AS _s, s AS _d FROM e
+        ), lab0 AS (
+            SELECT DISTINCT _s AS node, _s AS label FROM bi
+        ), f1 AS (
+            SELECT b._d AS node, l.label, count(*) AS c
+            FROM bi b JOIN lab0 l ON b._s = l.node
+            GROUP BY 1, 2
+        ), lab1 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM f1) WHERE rn = 1
+        ), f2 AS (
+            SELECT b._d AS node, l.label, count(*) AS c
+            FROM bi b JOIN lab1 l ON b._s = l.node
+            GROUP BY 1, 2
+        ), lab2 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM f2) WHERE rn = 1
+        )"""
+
 
 def _kmeans_iter(prev: str, i: int, dim: int = 64) -> str:
     """One Lloyd iteration as chained CTEs: assign every vector to its
@@ -2675,42 +2712,42 @@ ORACLES: dict[str, str] = {
     # neighbor labels and takes the per-node argmax with the identical
     # deterministic tie-break (count DESC, label ASC) the Spark
     # operator uses — exact replay, same discipline as pagerank
-    "graph_communities": """
-        WITH e AS (
-            SELECT DISTINCT concat('c', o_custkey) AS s,
-                            concat('s', l_suppkey) AS d
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ), bi AS (
-            SELECT s AS _s, d AS _d FROM e
-            UNION ALL
-            SELECT d AS _s, s AS _d FROM e
-        ), lab0 AS (
-            SELECT DISTINCT _s AS node, _s AS label FROM bi
-        ), f1 AS (
-            SELECT b._d AS node, l.label, count(*) AS c
-            FROM bi b JOIN lab0 l ON b._s = l.node
-            GROUP BY 1, 2
-        ), lab1 AS (
-            SELECT node, label FROM (
-                SELECT node, label,
-                       row_number() OVER (PARTITION BY node
-                                          ORDER BY c DESC, label ASC) AS rn
-                FROM f1) WHERE rn = 1
-        ), f2 AS (
-            SELECT b._d AS node, l.label, count(*) AS c
-            FROM bi b JOIN lab1 l ON b._s = l.node
-            GROUP BY 1, 2
-        ), lab2 AS (
-            SELECT node, label FROM (
-                SELECT node, label,
-                       row_number() OVER (PARTITION BY node
-                                          ORDER BY c DESC, label ASC) AS rn
-                FROM f2) WHERE rn = 1
-        )
+    "graph_communities": f"""
+        WITH {_LPA_TRADE_CTE}
         SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
         FROM lab2
         GROUP BY label
         ORDER BY n_members DESC, community ASC
+        LIMIT 15
+    """,
+    # Newman modularity of the SAME 2-round LPA labeling (shared CTE
+    # chain): exact integer counts (bi-edges inside each community,
+    # degree sums, total bi-edges) until the one final division
+    "graph_modularity": f"""
+        WITH {_LPA_TRADE_CTE},
+        deg AS (
+            SELECT l.label AS community,
+                   count(*) AS degree_sum,
+                   sum(CASE WHEN l.label = r.label THEN 1 ELSE 0 END)
+                       AS internal_bi
+            FROM bi b
+            JOIN lab2 l ON b._s = l.node
+            JOIN lab2 r ON b._d = r.node
+            GROUP BY 1
+        ), mem AS (
+            SELECT label AS community, count(*) AS n_members
+            FROM lab2 GROUP BY 1
+        ), mm AS (
+            SELECT count(*) AS m_bi FROM bi
+        )
+        SELECT d.community, m.n_members,
+               CAST(d.internal_bi // 2 AS BIGINT) AS internal_edges,
+               d.degree_sum,
+               round(CAST(d.internal_bi AS DOUBLE) / mm.m_bi
+                     - power(CAST(d.degree_sum AS DOUBLE) / mm.m_bi, 2),
+                     6) + 0.0 AS modularity_contrib
+        FROM deg d JOIN mem m USING (community) CROSS JOIN mm
+        ORDER BY m.n_members DESC, d.community ASC
         LIMIT 15
     """,
     # recursive CTE walks the same parent chain the pointer-doubling

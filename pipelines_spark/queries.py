@@ -4223,6 +4223,49 @@ def trend_theilsen_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contributions of the LPA communities on the
+    customer↔supplier trade graph (operators/graph.py::
+    community_modularity composed with label_propagation) — the
+    quality metric for `graph_communities`' labeling: positive
+    contribution = denser inside than a degree-preserving random
+    graph. Every term is an exact integer count (bi-edges inside the
+    community, degree sums, total edges) until the one final
+    division, so both engines agree exactly. Two node-keyed label
+    joins + one per-community agg + a 1-row total broadcast; the
+    bi-directional edge list is staged ONCE and shared by the LPA
+    loop and the modularity pass (without it the join/distinct
+    lineage recomputes on both sides)."""
+    register(spark, sf_dir, ("lineitem", "orders"))
+    from pipelines_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+    from pipelines_spark.plans.staging import stage
+
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = stage(
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = label_propagation(bi, iterations=2)
+    return (
+        community_modularity(bi, labels)
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(15)
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -4396,4 +4439,5 @@ QUERIES = {
     "j19_bloom_semi_reduction": j19_bloom_semi_reduction,
     "a39_cusum_changepoints": a39_cusum_changepoints,
     "trend_theilsen_by_type": trend_theilsen_by_type,
+    "graph_modularity": graph_modularity,
 }

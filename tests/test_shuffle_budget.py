@@ -246,6 +246,11 @@ BUDGETS = {
     # agg + tiny ORDER BY — the pair explosion runs on the
     # |types|x|days| aggregate, never the event table
     "trend_theilsen_by_type": 5,
+    # r7: staged bi edge list shared by LPA + modularity; remaining
+    # exchanges are the operator's defensive distinct, the two
+    # node-keyed label joins, the per-community/member aggs, and the
+    # tiny ORDER BY — all O(|E|) or O(|communities|)
+    "graph_modularity": 7,
 }
 
 

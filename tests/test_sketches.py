@@ -244,6 +244,34 @@ def test_label_propagation_checkpoint_staging_matches_local(spark, tmp_path):
     assert chk == loc
 
 
+def test_community_modularity_hand_model(spark):
+    """Two disjoint triangles with their component labeling: each
+    community contributes 6/12 − (6/12)² = 0.25, total Q = 0.5. The
+    degenerate one-community labeling contributes exactly 0 (internal
+    = total, degree share = 1)."""
+    from pipelines_spark.operators.graph import community_modularity
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")]
+    bi = und + [(d, s) for s, d in und]
+    edges = spark.createDataFrame(bi, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(n, "a") for n in "abc"] + [(n, "x") for n in "xyz"], ["node", "label"]
+    )
+    got = {
+        r["community"]: (
+            r["n_members"],
+            r["internal_edges"],
+            r["degree_sum"],
+            r["modularity_contrib"],
+        )
+        for r in community_modularity(edges, labels).collect()
+    }
+    assert got == {"a": (3, 3, 6, 0.25), "x": (3, 3, 6, 0.25)}
+    one = spark.createDataFrame([(n, "all") for n in "abcxyz"], ["node", "label"])
+    row = community_modularity(edges, one).collect()[0]
+    assert row["modularity_contrib"] == 0.0 and row["internal_edges"] == 6
+
+
 def test_bloom_prefilter_no_false_negatives_and_fpr_sane(spark):
     """Every true member passes the prefilter (the Bloom guarantee),
     and with m >> n the disjoint-probe pass rate (false positives) is

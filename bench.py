@@ -86,6 +86,16 @@ def _release_all_cached(spark) -> None:
     # py4j exposes the java.util.Map dict-like
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         jrdd.unpersist(False)
+    # localCheckpoint blocks whose frames already went out of scope
+    # are freed by the ContextCleaner only after BOTH sides GC (the
+    # py4j proxy must drop the JVM ref, then the weak-ref queue must
+    # drain). Without the nudge, ~85 staged queries of blocks pile up
+    # in executor storage and the late-suite 10x graph probes read
+    # 3-4x slow (r7: pagerank 57s polluted vs 14s isolated).
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 def bench_dump_pipeline(spark, sf_dir: str, out_dir: str) -> None:

@@ -75,3 +75,71 @@ def track_latest_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    capacity: int = 16,
+) -> DataFrame:
+    """Streaming Misra–Gries frequent-items sketch per group — the
+    in-stream twin of ``operators/frequency.heavy_hitters``. Each
+    group's GroupState holds at most ``capacity`` (value, count)
+    counters; every micro-batch folds its per-value counts in and
+    decrements by the minimum surplus until the summary fits (the
+    batch-merge form of item-at-a-time MG — identical guarantee).
+    Emits the group's CURRENT summary ``(group, value, mg_count)``
+    whenever the group sees data; downstream takes the latest batch.
+
+    Guarantees (the MG contract, preserved under ANY micro-batch
+    split because counter addition is commutative and the decrement
+    step depends only on the counter multiset): every value with
+    true frequency > n/capacity is in the summary (no false
+    negatives), and each mg_count underestimates the true count by
+    at most the total decrement. With ≤ capacity distinct values per
+    group the decrement never fires and counts are EXACT regardless
+    of batching.
+
+    State is O(capacity) per group — never the distinct-value set —
+    partitioned by group across executors like every sketch in the
+    family.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, cnts = state.get
+            counters = {v: int(c) for v, c in zip(vals, cnts)}
+        else:
+            counters = {}
+        saw = False
+        for pdf in pdfs:
+            if len(pdf):
+                saw = True
+            for value, cnt in (
+                pdf[value_col].astype(str).value_counts(dropna=False).items()
+            ):
+                counters[value] = counters.get(value, 0) + int(cnt)
+            while len(counters) > capacity:
+                drop = min(counters.values())
+                counters = {v: c - drop for v, c in counters.items() if c > drop}
+        if saw:
+            state.update((list(counters.keys()), list(counters.values())))
+            yield pd.DataFrame(
+                {
+                    "group": [str(key[0])] * len(counters),
+                    "value": list(counters.keys()),
+                    "mg_count": list(counters.values()),
+                }
+            )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType="group string, value string, mg_count bigint",
+        stateStructType="values array<string>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -133,3 +133,60 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
 
     # u1 advanced in both micro-batches -> two update rows
     assert sorted(r["depth"] for r in rows if r["user_id"] == 1) == [2, 3]
+
+
+def test_streaming_heavy_hitters_matches_batch_guarantee(spark, tmp_path):
+    """Streaming MG sketch: with <= capacity distinct values per
+    group the counts are EXACT under any micro-batch split (no
+    decrement ever fires); above capacity, every true heavy hitter
+    still appears in the final summary (the MG no-false-negative
+    contract), matching the batch operator's candidates."""
+    import time
+
+    from pipelines_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "src")
+    schema = "g string, v string"
+    # group A: 3 distinct values (< capacity=4) -> exact counts
+    a1 = [("A", "x")] * 5 + [("A", "y")] * 2
+    a2 = [("A", "x")] * 3 + [("A", "z")] * 1
+    # group B: 9 distinct with one dominant value -> survives MG
+    b1 = [("B", "hot")] * 20 + [("B", f"c{i}") for i in range(4)]
+    b2 = [("B", "hot")] * 20 + [("B", f"d{i}") for i in range(5)]
+    spark.createDataFrame(a1 + b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(a2 + b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_heavy_hitters(stream, group_col="g", value_col="v", capacity=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM mg_state").collect()
+
+    # group A never decrements -> per-(group,value) counts are
+    # monotone and the max IS the final exact count
+    a_final = {}
+    for r in rows:
+        if r["group"] == "A":
+            a_final[r["value"]] = max(a_final.get(r["value"], 0), r["mg_count"])
+    assert a_final == {"x": 8, "y": 2, "z": 1}
+
+    # group B: 'hot' is 40 of 49 rows (> n/capacity) -> must be in
+    # the final (second-batch) summary with a count no higher than
+    # the truth (MG only undercounts)
+    b_vals = {r["value"]: r["mg_count"] for r in rows if r["group"] == "B"}
+    assert "hot" in b_vals and b_vals["hot"] <= 40
+    # summary never exceeds capacity per emission
+    from collections import Counter
+
+    per_batch = Counter(r["group"] for r in rows)
+    assert per_batch["B"] <= 2 * 4  # two emissions, <= capacity each

@@ -203,6 +203,8 @@ EXTENDED = [
     "trend_theilsen_by_type",
     # r7: Newman modularity of the LPA communities (shared staged edges)
     "graph_modularity",
+    # r7: equi-depth histogram (broadcast decile boundaries, no ntile)
+    "a40_equidepth_histogram",
 ]
 
 

@@ -2561,6 +2561,26 @@ ORACLES: dict[str, str] = {
            OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
     """,
+    # equi-depth histogram: the same exact interpolated decile
+    # boundaries (quantile_cont ≡ percentile), bucket = count of
+    # boundaries <= value
+    "a40_equidepth_histogram": """
+        WITH b AS (
+            SELECT quantile_cont(value,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+            FROM events WHERE value IS NOT NULL
+        ), x AS (
+            SELECT e.value,
+                   CAST(len(list_filter(b.bnds, t -> t <= e.value))
+                        AS INTEGER) AS bucket
+            FROM events e CROSS JOIN b
+            WHERE e.value IS NOT NULL
+        )
+        SELECT bucket, count(*) AS n_rows,
+               round(min(value), 4) AS lo,
+               round(max(value), 4) AS hi
+        FROM x GROUP BY bucket ORDER BY bucket
+    """,
     # Theil-Sen: pairwise slopes over the daily series, exact
     # interpolated median (quantile_cont ≡ Spark percentile),
     # intercept = median residual at that slope

@@ -4266,6 +4266,45 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a40_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of event values — the
+    scalable replacement for a global ``ntile``: ntile's single
+    unpartitioned window would funnel 100 TB through one reducer;
+    here the 9 decile boundaries come from ONE exact-percentile
+    aggregate (partial+final, ordinary agg parallelism), broadcast
+    back, and every row buckets MAP-SIDE by counting boundaries ≤
+    value with a JVM array filter. Complements a16's equal-WIDTH
+    histogram. Boundaries are exact interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``), so the bucket edges —
+    and every tie comparison against them — are engine-identical."""
+    register(spark, sf_dir, ("events",))
+    ev = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+    )
+    bnds = ev.agg(
+        F.percentile(
+            "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("bnds")
+    )
+    x = ev.crossJoin(F.broadcast(bnds)).select(
+        "value",
+        F.size(
+            F.filter(F.col("bnds"), lambda t: t <= F.col("value"))
+        ).alias("bucket"),
+    )
+    return (
+        x.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -4440,4 +4479,5 @@ QUERIES = {
     "a39_cusum_changepoints": a39_cusum_changepoints,
     "trend_theilsen_by_type": trend_theilsen_by_type,
     "graph_modularity": graph_modularity,
+    "a40_equidepth_histogram": a40_equidepth_histogram,
 }

@@ -473,3 +473,26 @@ def test_funnel_depth_matches_greedy_reference(spark, rows, window_min):
         for r in funnel_depth(df, steps, step_window=win).collect()
     }
     assert got == ref_depths()
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_prefix_identity_matches_recursion(deviations):
+    """The identity a39_cusum_changepoints is built on:
+    s_i = max(0, s_{i-1} + d_i)  ==  p_i - min(0, min_{j<=i} p_j)
+    for ANY deviation sequence (integer grid stands in for the
+    query's DECIMAL-exact deviations)."""
+    # naive sequential recursion
+    s, naive = 0, []
+    for d in deviations:
+        s = max(0, s + d)
+        naive.append(s)
+    # windowed rewrite: running prefix sum minus clamped running min
+    p, pmin, rewritten = 0, 0, []
+    for d in deviations:
+        p += d
+        pmin = min(pmin, p)
+        rewritten.append(p - min(pmin, 0))
+    assert rewritten == naive

@@ -251,6 +251,10 @@ BUDGETS = {
     # node-keyed label joins, the per-community/member aggs, and the
     # tiny ORDER BY — all O(|E|) or O(|communities|)
     "graph_modularity": 7,
+    # r7: the percentile agg's partial+final pair + bucket agg; the
+    # boundaries broadcast back and bucketing is a map-side array
+    # filter — the global-ntile single-reducer funnel never exists
+    "a40_equidepth_histogram": 3,
 }
 
 

@@ -234,9 +234,11 @@ BUDGETS = {
     # + totals agg + final ORDER BY over the tiny per-source rows;
     # the kept-side agg reuses the window's source clustering
     "sample_source_cap": 3,
-    # r7: bloom slot-agg (≤ m/64 rows) + revenue agg + tiny ORDER BY;
-    # the k probe joins and the exact semi-join broadcast
-    "j19_bloom_semi_reduction": 3,
+    # r7: literal-mode probe is a pure codegen filter (the bitmap
+    # build+collect happens at query-build time, outside this plan);
+    # remaining exchanges: revenue agg + tiny ORDER BY; the exact
+    # semi-join broadcasts
+    "j19_bloom_semi_reduction": 2,
     # r7: daily agg + per-type target agg + event_type window + final
     # agg + tiny ORDER BY — the CUSUM recursion itself is two window
     # passes inside the one event_type ordering, zero extra exchanges

@@ -308,6 +308,16 @@ def test_bloom_semi_reduction_equals_exact_semi_join(spark):
     got = sorted(r["k"] for r in pre.join(keys, "k", "semi").collect())
     want = sorted(r["k"] for r in probe.join(keys, "k", "semi").collect())
     assert got == want
+    # both probe modes pass the identical row set (literal embeds the
+    # collected bitmap; join probes it as a broadcast table)
+    lit_rows = sorted(r["k"] for r in pre.collect())
+    join_rows = sorted(
+        r["k"]
+        for r in bloom_prefilter(
+            probe, "k", bm, m_bits=1 << 12, k=3, mode="join"
+        ).collect()
+    )
+    assert lit_rows == join_rows
 
 
 def test_cms_never_undercounts_and_is_tight_when_sparse(spark):

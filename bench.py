@@ -205,6 +205,8 @@ EXTENDED = [
     "graph_modularity",
     # r7: equi-depth histogram (broadcast decile boundaries, no ntile)
     "a40_equidepth_histogram",
+    # r7: kNN graph's capped (at-scale) configuration
+    "embed_knn_graph_capped",
 ]
 
 

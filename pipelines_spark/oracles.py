@@ -2728,6 +2728,50 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rn <= 3
     """,
+    # capped kNN graph: same cells, but the NEIGHBOR side of each
+    # cell keeps only the 20 rows ranked first by (md5(id), id) —
+    # the exact replay of knn_graph's max_cell_rows cap
+    "embed_knn_graph_capped": f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
+        ), ranked AS (
+            SELECT q.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) DESC,
+                                c.centroid_id ASC) AS cr
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings) q
+            CROSS JOIN cent c
+        ), cell AS (
+            SELECT vec_id, centroid_id FROM ranked WHERE cr = 1
+        ), capped AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY centroid_id
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+                FROM cell) WHERE rk <= 20
+        ), scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM cell a
+            JOIN capped b ON a.centroid_id = b.centroid_id
+            JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+                 ON q.vec_id = a.vec_id
+            JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+                 ON c.vec_id = b.vec_id
+            WHERE a.vec_id <> b.vec_id
+        )
+        SELECT src_id, dst_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src_id ORDER BY cosine DESC, dst_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
     # sync label propagation, 2 rounds unrolled: each round counts
     # neighbor labels and takes the per-node argmax with the identical
     # deterministic tie-break (count DESC, label ASC) the Spark

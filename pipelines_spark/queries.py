@@ -4305,6 +4305,21 @@ def a40_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph's AT-SCALE configuration: ``max_cell_rows`` caps
+    the neighbor side of every IVF cell by the deterministic
+    (md5(id), id) ranking, bounding a skewed cell at O(cell · cap)
+    instead of O(cell²) — the same hard-checked-capped-mode
+    discipline as dedup_ngram_capped/dedup_containment_capped (the
+    config you'd run at 100 TB needs its own driver row, not just a
+    unit test). The oracle replays the cap exactly."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import knn_graph
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return knn_graph(emb, k=3, n_centroids=16, max_cell_rows=20)
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead. Round 7 head = the 47-query
@@ -4480,4 +4495,5 @@ QUERIES = {
     "trend_theilsen_by_type": trend_theilsen_by_type,
     "graph_modularity": graph_modularity,
     "a40_equidepth_histogram": a40_equidepth_histogram,
+    "embed_knn_graph_capped": embed_knn_graph_capped,
 }

@@ -257,6 +257,9 @@ BUDGETS = {
     # boundaries broadcast back and bucketing is a map-side array
     # filter — the global-ntile single-reducer funnel never exists
     "a40_equidepth_histogram": 3,
+    # r7: knn_graph plan + the per-cell neighbor-cap window's _cell
+    # exchange (the top-k window is the other)
+    "embed_knn_graph_capped": 2,
 }
 
 

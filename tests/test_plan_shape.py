@@ -80,6 +80,7 @@ def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
         "dedup_semantic",
         "embed_ivf_pq",  # same numpy-matmul cell assignment as ivf_ann
         "embed_knn_graph",  # same numpy-matmul cell assignment (knn_graph)
+        "embed_knn_graph_capped",
     }
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, sf_medium))

@@ -258,6 +258,11 @@ SCALE_PROBE_QUERIES = [
     # fixed-config replay can't exercise; same reason dedup_semantic
     # isn't probed.)
     "graph_communities",
+    # r7: the CAPPED kNN graph, by contrast, IS probe-worthy at a
+    # fixed config: the per-cell neighbor cap bounds pair volume at
+    # O(n · cap), so growth should track the corpus linearly — the
+    # same claim-backing the capped dedup probes make
+    "embed_knn_graph_capped",
 ]
 
 

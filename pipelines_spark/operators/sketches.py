@@ -439,9 +439,10 @@ def bloom_bitmap(
     Plan shape: explode k positions per key (map-side), partial
     ``bit_or`` per slot in each partition, one ≤ m/64-per-partition
     shuffle to merge — O(m) state everywhere, never O(keys). The
-    md5-derived positions make the bitmap a pure function of the key
-    set (engine- and partitioning-independent), like every sketch in
-    this module.
+    seeded-xxhash64 positions (see ``_bloom_pos`` for why this sketch
+    deliberately leaves the module's cross-engine md5 convention) are
+    still a pure function of the key set — partitioning-independent
+    within Spark, which is all a pruning-only structure needs.
     """
     key = F.col(key_col)
     exploded = df.select(

@@ -4235,7 +4235,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins + one per-community agg + a 1-row total broadcast; the
     bi-directional edge list is staged ONCE and shared by the LPA
     loop and the modularity pass (without it the join/distinct
-    lineage recomputes on both sides)."""
+    lineage recomputes on both sides).
+
+    NOTE for real pipelines: this registered query re-derives the
+    labeling so it is self-contained for the benchmark; if you have
+    already computed `graph_communities`' labels, call
+    ``community_modularity(bi_edges, labels)`` directly on the
+    persisted labeling instead of re-running LPA."""
     register(spark, sf_dir, ("lineitem", "orders"))
     from pipelines_spark.operators.graph import (
         community_modularity,
@@ -4322,67 +4328,30 @@ def embed_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
-    # oldest-driver-checked queries lead. Round 7 head = the 47-query
-    # cohort whose latest driver row was r1/r2, plus 3 r3 fillers, so
-    # no query's driver row is older than r3 after this round.
-    "a11_colwise_max": a11_colwise_max,
-    "a12_rollup_revenue": a12_rollup_revenue,
-    "a1_relation_check": a1_relation_check,
-    "a2_group_any_flag": a2_group_any_flag,
-    "a3_latest_event_per_user": a3_latest_event_per_user,
-    "a4_nested_content": a4_nested_content,
-    "a4b_grouped_content": a4b_grouped_content,
-    "a6_distinct_segments": a6_distinct_segments,
-    "a7_hourly_event_counts": a7_hourly_event_counts,
-    "dedup_embed_cosine": dedup_embed_cosine,
-    "dedup_exact": dedup_exact,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
-    "embed_knn_topk": embed_knn_topk,
-    "embed_srp_ann": embed_srp_ann,
-    "f1_filter_expressions": f1_filter_expressions,
-    "f2_null_filter": f2_null_filter,
-    "f3_capture_window": f3_capture_window,
-    "f6_pruned_incremental_scan": f6_pruned_incremental_scan,
-    "j10_composite_update_detection": j10_composite_update_detection,
-    "j1_orders_enriched": j1_orders_enriched,
-    "j2_full_outer_nation_flows": j2_full_outer_nation_flows,
-    "j3_customers_without_orders": j3_customers_without_orders,
-    "j5_capture_gaps": j5_capture_gaps,
-    "j7_shipdate_range_join": j7_shipdate_range_join,
-    "j9_idw_interpolation": j9_idw_interpolation,
-    "k4_partition_derivation": k4_partition_derivation,
-    "o1_multikey_sort": o1_multikey_sort,
-    "o5_union_priorities": o5_union_priorities,
-    "o6_pivot_event_types": o6_pivot_event_types,
-    "o7_json_props_extract": o7_json_props_extract,
-    "o9_except_nations": o9_except_nations,
-    "p2_rename_projection": p2_rename_projection,
-    "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "revenue_by_month": revenue_by_month,
-    "scalar_gauntlet": scalar_gauntlet,
-    "t1_tumbling_5min": t1_tumbling_5min,
-    "t2_incremental_window": t2_incremental_window,
-    "text_fingerprints": text_fingerprints,
-    "text_langid_counts": text_langid_counts,
-    "text_quality_by_source": text_quality_by_source,
-    "text_token_stats": text_token_stats,
-    "top_customers_by_revenue": top_customers_by_revenue,
-    "w4_rolling_hourly_sum": w4_rolling_hourly_sum,
-    "w5_lag_event_gap": w5_lag_event_gap,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "w6_sessionize": w6_sessionize,
-    # --- below this line: checked r3+ (oldest first) ---
-    # Never driver-checked (added r7, after the head was frozen):
-    # front of the NEXT rotation.
+    # oldest-driver-checked queries lead; never-driver-checked queries
+    # outrank everything. Round 8 head = the 17 round-7 additions that
+    # have never had a driver row, round-8 additions as they land, then
+    # the r3-checked cohort (oldest first) filling the window to 50.
+    # --- never driver-checked (r7 additions) ---
     "funnel_windowed_conversion": funnel_windowed_conversion,
     "trend_by_event_type": trend_by_event_type,
     "profile_documents": profile_documents,
     "w12_event_transitions": w12_event_transitions,
     "funnel_time_to_convert": funnel_time_to_convert,
+    "j18_interval_overlap": j18_interval_overlap,
+    "a37_weighted_median": a37_weighted_median,
+    "a38_gini_concentration": a38_gini_concentration,
+    "graph_communities": graph_communities,
+    "embed_knn_graph": embed_knn_graph,
+    "sample_source_cap": sample_source_cap,
+    "j19_bloom_semi_reduction": j19_bloom_semi_reduction,
+    "a39_cusum_changepoints": a39_cusum_changepoints,
+    "trend_theilsen_by_type": trend_theilsen_by_type,
+    "graph_modularity": graph_modularity,
+    "a40_equidepth_histogram": a40_equidepth_histogram,
+    "embed_knn_graph_capped": embed_knn_graph_capped,
+    # --- round-8 additions (never driver-checked) land here ---
+    # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,
     "a15_salted_event_totals": a15_salted_event_totals,
@@ -4432,6 +4401,7 @@ QUERIES = {
     "a36_kmv_by_type": a36_kmv_by_type,
     "a19_stale_feeds": a19_stale_feeds,
     "embed_ivf_pq": embed_ivf_pq,
+    # --- last driver-checked r5/r6 ---
     "a18_heavy_hitter_users": a18_heavy_hitter_users,
     "a20_cohort_retention": a20_cohort_retention,
     "a21_kmv_distinct": a21_kmv_distinct,
@@ -4482,18 +4452,55 @@ QUERIES = {
     "w13_ses_forecast": w13_ses_forecast,
     "w8_resample_interpolate": w8_resample_interpolate,
     "w9_activity_islands": w9_activity_islands,
-    # r7 additions: appended so the rotated driver sample window stays
-    # exactly the oldest-checked cohort; local parity covers them now
-    "j18_interval_overlap": j18_interval_overlap,
-    "a37_weighted_median": a37_weighted_median,
-    "a38_gini_concentration": a38_gini_concentration,
-    "graph_communities": graph_communities,
-    "embed_knn_graph": embed_knn_graph,
-    "sample_source_cap": sample_source_cap,
-    "j19_bloom_semi_reduction": j19_bloom_semi_reduction,
-    "a39_cusum_changepoints": a39_cusum_changepoints,
-    "trend_theilsen_by_type": trend_theilsen_by_type,
-    "graph_modularity": graph_modularity,
-    "a40_equidepth_histogram": a40_equidepth_histogram,
-    "embed_knn_graph_capped": embed_knn_graph_capped,
+    # --- driver-checked r7 (the freshest cohort; back of the line) ---
+    "a11_colwise_max": a11_colwise_max,
+    "a12_rollup_revenue": a12_rollup_revenue,
+    "a1_relation_check": a1_relation_check,
+    "a2_group_any_flag": a2_group_any_flag,
+    "a3_latest_event_per_user": a3_latest_event_per_user,
+    "a4_nested_content": a4_nested_content,
+    "a4b_grouped_content": a4b_grouped_content,
+    "a6_distinct_segments": a6_distinct_segments,
+    "a7_hourly_event_counts": a7_hourly_event_counts,
+    "dedup_embed_cosine": dedup_embed_cosine,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "embed_knn_topk": embed_knn_topk,
+    "embed_srp_ann": embed_srp_ann,
+    "f1_filter_expressions": f1_filter_expressions,
+    "f2_null_filter": f2_null_filter,
+    "f3_capture_window": f3_capture_window,
+    "f6_pruned_incremental_scan": f6_pruned_incremental_scan,
+    "j10_composite_update_detection": j10_composite_update_detection,
+    "j1_orders_enriched": j1_orders_enriched,
+    "j2_full_outer_nation_flows": j2_full_outer_nation_flows,
+    "j3_customers_without_orders": j3_customers_without_orders,
+    "j5_capture_gaps": j5_capture_gaps,
+    "j7_shipdate_range_join": j7_shipdate_range_join,
+    "j9_idw_interpolation": j9_idw_interpolation,
+    "k4_partition_derivation": k4_partition_derivation,
+    "o1_multikey_sort": o1_multikey_sort,
+    "o5_union_priorities": o5_union_priorities,
+    "o6_pivot_event_types": o6_pivot_event_types,
+    "o7_json_props_extract": o7_json_props_extract,
+    "o9_except_nations": o9_except_nations,
+    "p2_rename_projection": p2_rename_projection,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "revenue_by_month": revenue_by_month,
+    "scalar_gauntlet": scalar_gauntlet,
+    "t1_tumbling_5min": t1_tumbling_5min,
+    "t2_incremental_window": t2_incremental_window,
+    "text_fingerprints": text_fingerprints,
+    "text_langid_counts": text_langid_counts,
+    "text_quality_by_source": text_quality_by_source,
+    "text_token_stats": text_token_stats,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "w4_rolling_hourly_sum": w4_rolling_hourly_sum,
+    "w5_lag_event_gap": w5_lag_event_gap,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "w6_sessionize": w6_sessionize,
 }

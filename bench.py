@@ -66,6 +66,10 @@ HEADLINE = [
     # r7: windowed funnel — the new sequence-analytics flagship (one
     # per-user shuffle + JVM HOF fold)
     "funnel_windowed_conversion",
+    # r8: the composed curate_corpus chain (gates → source cap → exact
+    # dedup → LSH canonical → split/shard) — the LLM-pipeline flagship
+    # the way dump_pipeline is the reference flagship
+    "curation_pipeline",
 ]
 
 

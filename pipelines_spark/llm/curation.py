@@ -39,6 +39,21 @@ from pipelines_spark.llm.sampling import (
 from pipelines_spark.llm.text import language_id, quality_score, token_count
 
 
+#: The registered-query configuration of the composed pipeline
+#: (queries.curation_pipeline / curation_funnel_stats). Interpolated
+#: into BOTH engines — the Spark CurationConfig and the DuckDB oracle
+#: CTE chain (oracles._CURATION_CTE) — so tuning it can never
+#: desynchronize the two (the DEDUP_CAP discipline, llm/dedup.py:47).
+BENCH_CONFIG: dict = {
+    "min_quality": 0.3,
+    "min_tokens": 5,
+    "near_dup_threshold": 0.5,
+    "shard_tokens": 2_000,
+    "shard_buckets": 8,
+    "max_per_source": 20,
+}
+
+
 @dataclass
 class CurationConfig:
     id_col: str = "doc_id"

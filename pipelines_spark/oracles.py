@@ -356,6 +356,88 @@ def _kmeans_iter(prev: str, i: int, dim: int = 64) -> str:
         )"""
 
 
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: the full curate_corpus stage chain as
+# one CTE cascade, each stage replayed on the PREVIOUS stage's
+# survivors. Config interpolated from the same constant the Spark
+# query uses (llm/curation.py::BENCH_CONFIG), so tuning it cannot
+# desynchronize the engines.
+# ---------------------------------------------------------------------------
+from pipelines_spark.llm.curation import BENCH_CONFIG as _CURCFG  # noqa: E402
+
+
+def _md5_bucket(expr: str, m: int) -> str:
+    """md5-hex → int bucket in [0, m), mirroring sampling.hash_bucket."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5(CAST({expr} AS VARCHAR)), 1, 8), ''), "
+        "c -> CAST(strpos('123456789abcdef', c) AS BIGINT))), "
+        f"(a, x) -> a * 16 + x) % {m}"
+    )
+
+
+_CURATION_CTE = f"""scored AS (
+    SELECT doc_id, text, source,
+           {_QUALITY_EXPR} AS quality,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split(text, ' ')) END AS n_tokens,
+           {_LANG_SCORES}
+    FROM documents
+),
+gated AS (
+    SELECT doc_id, text, source, quality, n_tokens, {_LANG_PICK} AS detected_lang
+    FROM scored
+    WHERE quality >= {_CURCFG["min_quality"]} AND n_tokens >= {_CURCFG["min_tokens"]}
+),
+capped AS (
+    SELECT doc_id, text, source, quality, n_tokens, detected_lang FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+        FROM gated
+    ) WHERE rk <= {_CURCFG["max_per_source"]}
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM capped GROUP BY text),
+kept AS (SELECT c.* FROM capped c JOIN canon USING (doc_id)),
+cwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+cshingles AS (
+    SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
+    FROM cwords, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+csizes AS (SELECT doc_id, count(*) AS n FROM cshingles GROUP BY doc_id),
+cpairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM cshingles a JOIN cshingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cjacc AS (
+    SELECT id_a, id_b FROM cpairs
+    JOIN csizes sa ON id_a = sa.doc_id
+    JOIN csizes sb ON id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {_CURCFG["near_dup_threshold"]}
+),
+cedges AS (
+    SELECT id_a AS a, id_b AS b FROM cjacc
+    UNION SELECT id_b, id_a FROM cjacc
+),
+creach(a, b) AS (
+    SELECT a, b FROM cedges
+    UNION SELECT r.a, e.b FROM creach r JOIN cedges e ON r.b = e.a
+),
+clabels AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM creach GROUP BY a),
+clabeled AS (
+    SELECT k.*, CAST(COALESCE(l.component_id, k.doc_id) AS BIGINT) AS component_id
+    FROM kept k LEFT JOIN clabels l USING (doc_id)
+),
+curated AS (
+    SELECT doc_id, quality, detected_lang, n_tokens, component_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY component_id ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM clabeled
+    ) WHERE rn = 1
+)"""
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -777,6 +859,39 @@ ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         FROM documents GROUP BY text
+    """,
+    # The composed curate_corpus chain: gates → source cap → exact
+    # dedup → LSH near-dup canonical → split + shard packing, every
+    # stage replayed on the previous stage's survivors.
+    "curation_pipeline": f"""
+        WITH RECURSIVE {_CURATION_CTE},
+        assigned AS (
+            SELECT *,
+                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   {_md5_bucket("doc_id", _CURCFG["shard_buckets"])} AS bucket
+            FROM curated
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens, component_id, split,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY bucket
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {float(_CURCFG["shard_tokens"])}) AS BIGINT) AS shard_no
+        FROM assigned ORDER BY doc_id
+    """,
+    "curation_funnel_stats": f"""
+        WITH RECURSIVE {_CURATION_CTE}
+        SELECT stage, n_docs FROM (
+            SELECT 'input' AS stage, count(*) AS n_docs FROM documents
+            UNION ALL SELECT 'quality_lang_gate', count(*) FROM gated
+            UNION ALL SELECT 'source_cap', count(*) FROM capped
+            UNION ALL SELECT 'exact_dedup', count(*) FROM kept
+            UNION ALL SELECT 'near_dup_canonical', count(*) FROM curated
+        ) ORDER BY stage
     """,
     # LSH candidates are exactly verified, so the observable result
     # equals the exact-Jaccard pair set.

@@ -4326,6 +4326,67 @@ def embed_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, k=3, n_centroids=16, max_cell_rows=20)
 
 
+from pipelines_spark.llm.curation import BENCH_CONFIG as _CURATION_CONFIG
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-corpus flagship: the END-TO-END
+    ``llm/curation.py::curate_corpus`` chain a real pretraining-data
+    run executes, as one driver-checkable query — map-only
+    quality/lang/length gates, the RefinedWeb per-source cap, exact
+    dedup, MinHash-LSH near-dup clustering with best-quality
+    canonical selection, deterministic split assignment, and greedy
+    token-shard packing. Every stage has its own oracle-checked query
+    (text_quality_by_source, sample_source_cap, dedup_exact,
+    dedup_minhash_lsh, dedup_clusters, sample_split_counts,
+    sample_token_shards); this one proves the COMPOSITION — each
+    stage replayed on the previous stage's survivors, not on the raw
+    corpus. Returns one row per kept document with its full
+    provenance (quality, detected language, token count, near-dup
+    component, split, shard). Reference analog: the composed
+    capture→pretreat→load flows
+    (/root/reference/pipelines/rj_smtr/flows.py:46-194), which are
+    the reference's actual product; here the product is the curated
+    corpus. Lazy end to end (collect_stats=False): no persists, no
+    driver-side counts — the whole chain is one Catalyst plan."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.curation import CurationConfig, curate_corpus
+
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    curated, _ = curate_corpus(
+        docs, CurationConfig(**_CURATION_CONFIG), collect_stats=False
+    )
+    return curated.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "quality",
+        "detected_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("component_id").cast("long").alias("component_id"),
+        "split",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("shard_no").cast("long").alias("shard_no"),
+    ).orderBy("doc_id")
+
+
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel counts of the SAME composed curation chain
+    (config shared via ``_CURATION_CONFIG`` so the two registered
+    views of the pipeline can never diverge): how many documents
+    survive each gate — the reference's critical-subset logging
+    discipline (pipelines/rj_smtr/utils.py:436-465) applied to corpus
+    hygiene. The stats path exercises ``collect_stats=True``:
+    per-stage persists + bounded driver-side counts (5 actions, one
+    scalar each), released before return."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.curation import CurationConfig, curate_corpus
+
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    _, stats = curate_corpus(
+        docs, CurationConfig(**_CURATION_CONFIG), collect_stats=True
+    )
+    return stats.orderBy("stage")
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -4351,6 +4412,8 @@ QUERIES = {
     "a40_equidepth_histogram": a40_equidepth_histogram,
     "embed_knn_graph_capped": embed_knn_graph_capped,
     # --- round-8 additions (never driver-checked) land here ---
+    "curation_pipeline": curation_pipeline,
+    "curation_funnel_stats": curation_funnel_stats,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

@@ -135,6 +135,88 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert sorted(r["depth"] for r in rows if r["user_id"] == 1) == [2, 3]
 
 
+def test_watermarked_funnel_out_of_order_matches_batch(spark, tmp_path):
+    """Out-of-order arrival with an event-time watermark: the final
+    emitted (depth, reached_at) per user equals batch funnel_depth
+    over the watermark-ADMITTED events. Covers (a) a cross-batch LATE
+    event that RAISES a depth (u1's click arrives one batch after a
+    younger click), (b) a late event that LOWERS a previously emitted
+    speculative depth (u4's earlier view makes the greedy entry expire
+    the step window — the update-mode correction case), and (c) an
+    event beyond the lateness bound being dropped (u1's purchase)."""
+    import time
+
+    from pipelines_spark.operators.funnel import funnel_depth
+    from pipelines_spark.streaming.funnel_stream import watermarked_funnel_depth
+
+    src = str(tmp_path / "src")
+    schema = "user_id long, ts timestamp, event_type string"
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10, 0), "view"),
+        (1, datetime(2024, 1, 1, 10, 40), "click"),  # outside 30-min window
+        (2, datetime(2024, 1, 1, 10, 0), "view"),
+        (4, datetime(2024, 1, 1, 10, 35), "view"),
+        (4, datetime(2024, 1, 1, 10, 50), "click"),  # in window of 10:35 view
+    ]
+    batch2 = [
+        # late (vs batch1's 10:50 max) but inside the 1 h bound:
+        (1, datetime(2024, 1, 1, 10, 20), "click"),  # raises u1 to depth 2
+        (4, datetime(2024, 1, 1, 10, 5), "view"),    # lowers u4 to depth 1
+        (2, datetime(2024, 1, 1, 10, 10), "click"),
+        (3, datetime(2024, 1, 1, 12, 30), "view"),   # advances the watermark
+    ]
+    batch3 = [
+        # watermark is now 11:30 (12:30 - 1 h): dropped as too late
+        (1, datetime(2024, 1, 1, 10, 30), "purchase"),
+        (3, datetime(2024, 1, 1, 12, 40), "click"),
+    ]
+    for b in (batch1, batch2, batch3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes so maxFilesPerTrigger=1 replays in order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    steps = ["view", "click", "purchase"]
+    out = watermarked_funnel_depth(
+        stream, steps, lateness="1 hour", step_window_minutes=30
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wm_funnel").collect()
+
+    # last emission per user (emit_seq orders update-mode corrections)
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["emit_seq"] > final[r["user_id"]]["emit_seq"]:
+            final[r["user_id"]] = r
+
+    admitted = batch1 + batch2 + [batch3[1]]  # u1's purchase was too late
+    expected = {
+        r["user_id"]: (r["depth"], r["reached_at"])
+        for r in funnel_depth(
+            spark.createDataFrame(admitted, schema), steps, step_window="30 MINUTE"
+        ).collect()
+        if r["depth"] > 0
+    }
+    got = {u: (r["depth"], r["reached_at"]) for u, r in final.items()}
+    assert got == expected
+    assert expected[1] == (2, datetime(2024, 1, 1, 10, 20))
+    assert expected[4] == (1, datetime(2024, 1, 1, 10, 5))
+    # the correction really happened: u4 was first emitted at depth 2
+    u4_seq = sorted((r["emit_seq"], r["depth"]) for r in rows if r["user_id"] == 4)
+    assert u4_seq == [(1, 2), (2, 1)]
+
+
 def test_streaming_heavy_hitters_matches_batch_guarantee(spark, tmp_path):
     """Streaming MG sketch: with <= capacity distinct values per
     group the counts are EXACT under any micro-batch split (no

@@ -211,6 +211,12 @@ EXTENDED = [
     "a40_equidepth_histogram",
     # r7: kNN graph's capped (at-scale) configuration
     "embed_knn_graph_capped",
+    # r8: the stats view of the composed curation chain (the
+    # collect_stats=True path: per-stage persists + bounded counts)
+    "curation_funnel_stats",
+    # r8: incremental batch-vs-store dedup (the production ingestion
+    # shape: batch×store band-key equi-join, never store×store)
+    "dedup_incremental_batch",
 ]
 
 

@@ -270,6 +270,162 @@ def minhash_near_dup_pairs(
     return _attach_staging(verified, (shingled, banded_cached))
 
 
+def minhash_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The persistable MinHash band-signature store: one
+    ``(id_col, band_no, band_key)`` row per document per band —
+    ``bands`` rows per doc, regardless of document size. This is the
+    fingerprint table an INCREMENTAL ingestion pipeline keeps between
+    batches (advance it with :func:`persist_fingerprints`); probing
+    it is one equi-join on ``(band_no, band_key)``
+    (:func:`incremental_dedup_batch`), never a store×store pass.
+
+    All banding parameters must match between store builds and batch
+    probes — same contract as the corpus-wide operator, enforced by
+    construction when both sides call this one function.
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    sigs = _minhash_signatures(shingled, id_col, F.col("_shingles"), num_hashes)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_key_cols(num_hashes, bands))).alias(
+            "band_no", "band_key"
+        ),
+    )
+
+
+def persist_fingerprints(fps: DataFrame, path: str, batch_id: str) -> None:
+    """Advance the fingerprint store idempotently: the batch's rows
+    land in a ``_batch_id`` partition with per-partition replace, so
+    re-running an ingestion batch (the reference's idempotent-load
+    discipline, sinks/partitioned.py provenance) overwrites its own
+    fingerprints instead of duplicating them."""
+    from pipelines_spark.sinks.partitioned import write_partitioned
+
+    write_partitioned(
+        fps.withColumn("_batch_id", F.lit(batch_id)),
+        path,
+        ["_batch_id"],
+        mode="overwrite_partitions",
+    )
+
+
+def incremental_dedup_batch(
+    batch: DataFrame,
+    store_fps: DataFrame,
+    store_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup decisions for ONE new ingestion batch against an
+    existing corpus — the production shape corpus-wide dedup can't
+    give you: the corpus is never re-paired; the batch probes the
+    persisted band-signature store with one ``(band_no, band_key)``
+    equi-join (batch×store, never store×store), and candidates are
+    exactly verified against only the candidate docs' texts (a
+    semi-join pushdown into ``store_docs``, bounded by candidate
+    volume, not corpus size).
+
+    Semantics — chosen so incremental ≡ one-shot EXACTLY (property
+    test in tests/test_llm_ops.py): a batch doc is a duplicate iff it
+    near-dups (Jaccard ≥ ``threshold``) any previously SEEN doc —
+    any store doc, or any batch doc with a smaller id. The decision
+    depends only on the pair set, never on other docs' keep/drop
+    status, so it is order-free within the batch, embarrassingly
+    parallel, and running batches B1;B2 incrementally equals running
+    B1∪B2 in one shot (with ids increasing across batches). The
+    store therefore advances with ALL seen fingerprints, kept or
+    dropped — a dropped doc's fingerprint still blocks its future
+    twins.
+
+    Returns one row per batch doc: ``(id_col, is_dup, dup_of,
+    n_dup_sources)`` with ``dup_of`` the smallest matching
+    predecessor id (NULL when kept) — the provenance a curation audit
+    needs.
+
+    Reference spec: the anti-join incremental-sync registry
+    (pipelines/utils_rj_cor via sources/ftp.py provenance) applies
+    the same seen-before discipline to files; here it is applied to
+    near-duplicate content.
+    """
+    batch_fps = minhash_fingerprints(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    # candidate pairs: batch → store (equi-join on the band key) ∪
+    # batch → smaller-id batch doc (within-batch self-join)
+    new_side = batch_fps.withColumnsRenamed({id_col: "_new_id"})
+    cand_store = new_side.join(
+        store_fps.withColumnsRenamed({id_col: "_prev_id"}),
+        ["band_no", "band_key"],
+    )
+    cand_batch = new_side.join(
+        batch_fps.withColumnsRenamed({id_col: "_prev_id"}),
+        ["band_no", "band_key"],
+    ).filter(F.col("_prev_id") < F.col("_new_id"))
+    cands = (
+        cand_store.select("_new_id", "_prev_id")
+        .unionByName(cand_batch.select("_new_id", "_prev_id"))
+        .dropDuplicates(["_new_id", "_prev_id"])
+    )
+
+    # exact verification: shingle sets recomputed for CANDIDATE docs
+    # only (the join against cands prunes both scans)
+    all_docs = store_docs.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    sets = all_docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_sh")
+    )
+    verified = (
+        cands.join(
+            sets.withColumnsRenamed({id_col: "_new_id", "_sh": "_sn"}), "_new_id"
+        )
+        .join(
+            sets.withColumnsRenamed({id_col: "_prev_id", "_sh": "_sp"}), "_prev_id"
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sn", "_sp")))
+        .filter(
+            F.col("_inter")
+            / (F.size("_sn") + F.size("_sp") - F.col("_inter")).cast("double")
+            >= threshold
+        )
+        .groupBy("_new_id")
+        .agg(
+            F.min("_prev_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_dup_sources"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(verified.withColumnsRenamed({"_new_id": id_col}), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_dup_sources", F.lit(0)).alias("n_dup_sources"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

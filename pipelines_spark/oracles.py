@@ -893,6 +893,40 @@ ORACLES: dict[str, str] = {
             UNION ALL SELECT 'near_dup_canonical', count(*) FROM curated
         ) ORDER BY stage
     """,
+    # Incremental batch dedup: dup iff exact-Jaccard ≥ 0.5 against any
+    # SEEN predecessor (store doc, or smaller-id batch doc) — the LSH
+    # probe is exactly verified, so the observable result is the
+    # predecessor-pair relation.
+    "dedup_incremental_batch": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        pair_inter AS (
+            SELECT n.doc_id AS new_id, p.doc_id AS prev_id, count(*) AS inter
+            FROM shingles n JOIN shingles p ON n.sh = p.sh AND p.doc_id < n.doc_id
+            WHERE n.doc_id >= 250
+            GROUP BY 1, 2
+        ),
+        dups AS (
+            SELECT new_id, min(prev_id) AS dup_of, count(*) AS n_dup_sources
+            FROM pair_inter
+            JOIN sizes sn ON new_id = sn.doc_id
+            JOIN sizes sp ON prev_id = sp.doc_id
+            WHERE inter * 1.0 / (sn.n + sp.n - inter) >= 0.5
+            GROUP BY new_id
+        )
+        SELECT d.doc_id, (u.dup_of IS NOT NULL) AS is_dup,
+               CAST(u.dup_of AS BIGINT) AS dup_of,
+               CAST(COALESCE(u.n_dup_sources, 0) AS BIGINT) AS n_dup_sources
+        FROM documents d LEFT JOIN dups u ON d.doc_id = u.new_id
+        WHERE d.doc_id >= 250 ORDER BY doc_id
+    """,
     # LSH candidates are exactly verified, so the observable result
     # equals the exact-Jaccard pair set.
     "dedup_minhash_lsh": _EXACT_JACCARD_SQL,

@@ -4368,6 +4368,37 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup — the production ingestion
+    shape: docs 0-249 are the EXISTING corpus whose MinHash band
+    signatures are persisted as a fingerprint store
+    (llm/dedup.py::minhash_fingerprints); docs 250+ are the NEW batch,
+    deduped by probing store buckets with ONE (band_no, band_key)
+    equi-join — batch×store, never store×store — plus the within-batch
+    smaller-id self-join, then exact Jaccard verification over
+    candidate docs only. A batch doc is a duplicate iff it matches any
+    previously SEEN doc (store or smaller-id batchmate), which makes
+    two-batch incremental ≡ one-shot on the union by construction
+    (property-tested in tests/test_llm_ops.py). Returns per-doc
+    decisions with provenance: (doc_id, is_dup, dup_of = smallest
+    matching predecessor, n_dup_sources)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_fingerprints,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    store_fps = minhash_fingerprints(store_docs, id_col="doc_id", text_col="text")
+    return (
+        incremental_dedup_batch(batch, store_fps, store_docs)
+        .withColumn("n_dup_sources", F.col("n_dup_sources").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage funnel counts of the SAME composed curation chain
     (config shared via ``_CURATION_CONFIG`` so the two registered
@@ -4414,6 +4445,7 @@ QUERIES = {
     # --- round-8 additions (never driver-checked) land here ---
     "curation_pipeline": curation_pipeline,
     "curation_funnel_stats": curation_funnel_stats,
+    "dedup_incremental_batch": dedup_incremental_batch,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

@@ -98,6 +98,66 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark, caplog):
     assert (1000, 1001) in got
 
 
+def test_incremental_dedup_two_batches_equals_oneshot(spark, sf_small):
+    """The incremental contract: splitting the corpus into two
+    ingestion batches (store advanced with ALL of batch 1's
+    fingerprints, batch 2 probing them) yields EXACTLY the decisions
+    of one-shot processing of the union with an empty store — for
+    every doc, same is_dup, same dup_of provenance."""
+    from pipelines_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    empty = docs.filter(F.lit(False))
+    empty_fps = minhash_fingerprints(empty, id_col="doc_id", text_col="text")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+
+    d1 = incremental_dedup_batch(b1, empty_fps, empty)
+    fps1 = minhash_fingerprints(b1, id_col="doc_id", text_col="text")
+    d2 = incremental_dedup_batch(b2, fps1, b1)
+    oneshot = incremental_dedup_batch(docs, empty_fps, empty)
+
+    incremental = {tuple(r) for r in d1.collect()} | {
+        tuple(r) for r in d2.collect()
+    }
+    expected = {tuple(r) for r in oneshot.collect()}
+    assert incremental == expected
+    # the corpus actually contains cross-batch duplicates, or the
+    # equivalence would be vacuous
+    assert any(
+        r["is_dup"] and r["dup_of"] < 250 for r in d2.collect()
+    ), "expected at least one batch-2 doc duplicating a store doc"
+
+
+def test_persist_fingerprints_idempotent_rerun(spark, tmp_path):
+    """Re-running an ingestion batch replaces its own fingerprint
+    partition instead of duplicating rows (the idempotent-load
+    discipline applied to the dedup store)."""
+    from pipelines_spark.llm.dedup import (
+        minhash_fingerprints,
+        persist_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different sentence about spark and parquet files")],
+        "doc_id long, text string",
+    )
+    fps = minhash_fingerprints(docs, id_col="doc_id", text_col="text")
+    store = str(tmp_path / "fps")
+    persist_fingerprints(fps, store, "2024-01-01")
+    n1 = spark.read.parquet(store).count()
+    persist_fingerprints(fps, store, "2024-01-01")  # re-run same batch
+    assert spark.read.parquet(store).count() == n1
+    persist_fingerprints(fps, store, "2024-01-02")  # next batch appends
+    assert spark.read.parquet(store).count() == 2 * n1
+
+
 def test_minhash_default_cap_leaves_normal_corpus_unchanged(spark, sf_medium):
     """The default cap must not change results on a realistic corpus
     (no bucket approaches 1000 members at sf0.01)."""

@@ -217,6 +217,9 @@ EXTENDED = [
     # r8: incremental batch-vs-store dedup (the production ingestion
     # shape: batch×store band-key equi-join, never store×store)
     "dedup_incremental_batch",
+    # r8: the no-Expand profiler posture with oracle-replayable md5-HLL
+    # estimates (a25/profile_documents keep the exact-Expand price)
+    "profile_documents_approx",
 ]
 
 

@@ -3797,6 +3797,82 @@ ORACLES: dict[str, str] = {
     """,
     # Per-column aggregates, one branch per column (the oracle may
     # re-scan; the Spark side is a single aggregate + explode).
+    # the approx profiler: same base stats, distinct estimates from
+    # the repo's md5-HLL registers (b=8), replayed register-exact —
+    # same fold as a29/a30.
+    "profile_documents_approx": """
+        WITH melted AS (
+            SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+            UNION ALL SELECT 'text', text FROM documents
+            UNION ALL SELECT 'lang', lang FROM documents
+            UNION ALL SELECT 'source', source FROM documents
+            UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        ),
+        hashed AS (
+            SELECT col_name,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('hll|' || value), 1, 14), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) AS h
+            FROM melted WHERE value IS NOT NULL
+        ),
+        regs AS (
+            SELECT col_name,
+                   CAST(h // 281474976710656 AS BIGINT) AS bucket,
+                   max(CASE WHEN h % 281474976710656 = 0 THEN 49
+                            ELSE 49 - length(bin(h % 281474976710656))
+                       END) AS m_j
+            FROM hashed GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT col_name, count(*) AS n_used,
+                   CAST(sum(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT) AS denom_used
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT col_name,
+                   CAST(round(
+                       CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0
+                                 / (denom_used + (256 - n_used)
+                                    * (CAST(1 AS BIGINT) << 49)) <= 2.5 * 256
+                                 AND 256 - n_used > 0
+                            THEN 256.0 * ln(256.0 / (256 - n_used))
+                            ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                 * 562949953421312.0
+                                 / (denom_used + (256 - n_used)
+                                    * (CAST(1 AS BIGINT) << 49))
+                       END, 0) AS BIGINT) AS est_distinct
+            FROM agg
+        ),
+        base AS (
+            SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                   count(doc_id) AS n_non_null,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(text),
+                   CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(lang),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(source),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+        )
+        SELECT b.col_name, b.n_rows, b.n_non_null, e.est_distinct,
+               b.min_value, b.max_value
+        FROM base b LEFT JOIN est e USING (col_name)
+        ORDER BY col_name
+    """,
     "profile_documents": """
         SELECT 'doc_id' AS col_name, count(*) AS n_rows,
                count(doc_id) AS n_non_null, count(DISTINCT doc_id) AS n_distinct,

@@ -3948,6 +3948,25 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiler's 100 TB posture, made EXACT-REPLAY driver-checkable:
+    distinct counts from the repo's own cross-engine md5 HLL registers
+    (operators/profile.py::profile_columns_hll composed over
+    operators/sketches.py::hll_distinct_by) instead of
+    approx_count_distinct — every register is a pure function of the
+    value set, so the DuckDB oracle reproduces the ESTIMATES
+    bit-for-bit, not just row counts. No COUNT DISTINCT Expand
+    anywhere; register state is columns × 2^b per partition (the
+    no-Expand plan is pinned in tests/test_operators.py)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.operators.profile import profile_columns_hll
+
+    return profile_columns_hll(
+        spark.table("documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).orderBy("col_name")
+
+
 def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities of the customer↔supplier trade
     graph (operators/graph.py::label_propagation): densely-linked
@@ -4446,6 +4465,7 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     "curation_funnel_stats": curation_funnel_stats,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "profile_documents_approx": profile_documents_approx,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

@@ -413,3 +413,28 @@ def test_profile_columns_exact_and_approx(spark):
     # rewrite); that is the whole point of the 100 TB switch
     plan = profile_columns(df, exact=False)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_profile_columns_hll_matches_exact_at_low_cardinality(spark):
+    """The md5-HLL profiler: same base stats as the exact profiler,
+    register-based distinct estimates exact at tiny cardinality (the
+    linear-counting branch), and no Expand in the plan."""
+    from pipelines_spark.operators.profile import (
+        profile_columns,
+        profile_columns_hll,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "a")], "id long, name string"
+    )
+    exact = {r["col_name"]: r for r in profile_columns(df).collect()}
+    prof = {r["col_name"]: r for r in profile_columns_hll(df).collect()}
+    for c in ("id", "name"):
+        assert prof[c]["n_rows"] == exact[c]["n_rows"]
+        assert prof[c]["n_non_null"] == exact[c]["n_non_null"]
+        assert prof[c]["min_value"] == exact[c]["min_value"]
+        assert prof[c]["max_value"] == exact[c]["max_value"]
+        assert prof[c]["est_distinct"] == exact[c]["n_distinct"]
+
+    plan = profile_columns_hll(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan

@@ -17,9 +17,10 @@ B-tree, single-chunk, implicit, fixed-array (plain AND paged),
 extensible-array (incl. super blocks and paged data blocks — the
 index libhdf5 emits for one unlimited dimension, i.e. every
 appendable time-series netCDF-4), and v2-B-tree (≥2 unlimited dims)
-chunk indexes, deflate + shuffle filters, and v1/v2/v3 attribute
-messages. The remaining long tail — filtered or fragmented fractal
-heaps, vlen/reference attribute payloads — raises a clear
+chunk indexes, deflate + shuffle filters (on chunks AND on fractal
+heap direct blocks — I/O-filtered dense groups decode built-in), and
+v1/v2/v3 attribute messages. The remaining long tail — fragmented
+fractal heaps, vlen/reference attribute payloads — raises a clear
 ``NotImplementedError``; callers fall back to their env-gate message
 exactly as before.
 
@@ -337,14 +338,25 @@ class _H5Reader:
             raise ValueError("bad HDF5 fractal heap header")
         filt_len, = struct.unpack_from("<H", buf, fheap_addr + 7)
         flags = buf[fheap_addr + 9]
-        if filt_len:
-            raise NotImplementedError("filtered fractal heap (group links)")
         (nmanaged,) = struct.unpack_from("<Q", buf, fheap_addr + 14 + 7 * 8)
         (table_width,) = struct.unpack_from("<H", buf, fheap_addr + 110)
         start_size, max_direct = struct.unpack_from("<QQ", buf, fheap_addr + 112)
         (max_heap_bits,) = struct.unpack_from("<H", buf, fheap_addr + 128)
         (root_addr,) = struct.unpack_from("<Q", buf, fheap_addr + 132)
         (cur_rows,) = struct.unpack_from("<H", buf, fheap_addr + 140)
+        # I/O-filtered heap: direct blocks are stored through the
+        # filter pipeline (whole block, FHDB header included). The
+        # optional header tail carries [filtered root size (8) +
+        # filter mask (4), only when the ROOT is a direct block]
+        # followed by the filter pipeline message.
+        filters: list[tuple[int, tuple]] | None = None
+        filt_root_size = 0
+        if filt_len:
+            fpos = fheap_addr + 142
+            if cur_rows == 0:
+                (filt_root_size,) = struct.unpack_from("<Q", buf, fpos)
+                fpos += 12  # + 4-byte filter mask (unused: no fletcher here)
+            filters = self._parse_filters(buf[fpos : fpos + filt_len])
         off_size = (max_heap_bits + 7) // 8
         # direct-block header: sig + version + heap-header addr +
         # block offset (+ checksum when FRHP flags bit 1 is set)
@@ -353,9 +365,13 @@ class _H5Reader:
         def row_size(r: int) -> int:
             return start_size if r < 2 else start_size << (r - 1)
 
-        dblocks: list[tuple[int, int]] = []
+        # (addr, logical size, stored size) per direct block; stored ==
+        # logical for unfiltered heaps
+        dblocks: list[tuple[int, int, int]] = []
         if cur_rows == 0:  # root IS a direct block
-            dblocks.append((root_addr, start_size))
+            dblocks.append(
+                (root_addr, start_size, filt_root_size or start_size)
+            )
         else:
             if buf[root_addr : root_addr + 4] != b"FHIB":
                 raise ValueError("bad HDF5 fractal heap indirect block")
@@ -370,19 +386,28 @@ class _H5Reader:
                 for _c in range(table_width):
                     (child,) = struct.unpack_from("<Q", buf, pos)
                     pos += 8
+                    stored = size
+                    if filters is not None:
+                        # filtered heaps append (stored size, mask) to
+                        # every child direct-block entry
+                        (stored,) = struct.unpack_from("<Q", buf, pos)
+                        pos += 12
                     if child != _UNDEF:
-                        dblocks.append((child, size))
+                        dblocks.append((child, size, stored))
 
         links: list[tuple[str, int]] = []
         remaining = nmanaged
-        for daddr, dsize in dblocks:
+        for daddr, dsize, stored in dblocks:
             if remaining <= 0:
                 break
-            if buf[daddr : daddr + 4] != b"FHDB":
+            data = bytes(buf[daddr : daddr + stored])
+            if filters is not None:
+                data = _defilter(data, filters, np.dtype("u1"))
+            if data[:4] != b"FHDB":
                 raise ValueError("bad HDF5 fractal heap direct block")
-            pos, end = daddr + db_hdr, daddr + dsize
-            while remaining > 0 and pos < end and buf[pos] == 1:
-                link, used = self._parse_link_sized(buf[pos:end])
+            pos, end = db_hdr, min(dsize, len(data))
+            while remaining > 0 and pos < end and data[pos] == 1:
+                link, used = self._parse_link_sized(data[pos:end])
                 if used == 0:
                     break
                 if link is not None:
@@ -1161,7 +1186,12 @@ def _write_bt2(alloc, records, rank, node_size, filtered) -> int:
     return alloc(hdr)
 
 
-def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes:
+def build_hdf5(
+    datasets: dict[str, dict],
+    *,
+    dense_links: bool = False,
+    dense_filtered: bool = False,
+) -> bytes:
     """Build a flat HDF5 file: ``{name: {"data": ndarray,
     "attrs": {...}, "chunks": tuple | None, "deflate": level | None,
     "shuffle": bool,
@@ -1180,7 +1210,10 @@ def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes
     paged fixed-array layout). ``dense_links=True`` stores the root
     group's links densely (fractal heap + name-index v2 B-tree)
     instead of a symbol table — the layout libhdf5 switches to beyond
-    8 links, i.e. what a real many-variable netCDF-4 file uses."""
+    8 links, i.e. what a real many-variable netCDF-4 file uses;
+    ``dense_filtered=True`` additionally runs the heap's direct
+    blocks through the deflate I/O filter (H5Pset_link_phase_change +
+    filtered-group layout)."""
     out = bytearray(b"\0" * 2048)  # metadata region, fixed prelude
 
     def alloc(data: bytes, align: int = 8) -> int:
@@ -1380,7 +1413,7 @@ def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes
         entries.append((name, oaddr))
 
     if dense_links:
-        root_addr = _write_dense_root(out, alloc, entries)
+        root_addr = _write_dense_root(out, alloc, entries, filtered=dense_filtered)
         cache = struct.pack("<I", 0) + b"\0" * 4 + b"\0" * 16
     else:
         # 2. local heap with link names
@@ -1429,13 +1462,18 @@ def build_hdf5(datasets: dict[str, dict], *, dense_links: bool = False) -> bytes
     return bytes(out)
 
 
-def _write_dense_root(out: bytearray, alloc, entries) -> int:
+def _write_dense_root(out: bytearray, alloc, entries, *, filtered: bool = False) -> int:
     """Dense root group: link messages packed into fractal-heap direct
     blocks (one block, or a root indirect block over up to two
     doubling-table rows), a structural name-index v2 B-tree (record
     hashes/checksums zeroed — the reader enumerates the heap, it never
     hashes names), and a root object header carrying Link Info + Group
-    Info messages. Returns the root object header address."""
+    Info messages. ``filtered=True`` deflate-compresses every direct
+    block (whole block, FHDB header included) and emits the
+    I/O-filtered heap layout: pipeline message + [filtered root size
+    + mask] in the FRHP tail, (addr, stored size, mask) child entries
+    in the root indirect block. Returns the root object header
+    address."""
     link_msgs = []
     for name, oaddr in entries:
         nb = name.encode()
@@ -1460,15 +1498,28 @@ def _write_dense_root(out: bytearray, alloc, entries) -> int:
             "writer emits (raise S/W for bigger fixtures)"
         )
 
-    # FRHP address is embedded in every block — reserve, patch later
-    frhp_addr = alloc(b"\0" * 146)
+    # deflate pipeline message (v2): one filter, id 1, 1 client value
+    filt_body = (
+        bytes([2, 1]) + struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", 6)
+        if filtered
+        else b""
+    )
+
+    # FRHP address is embedded in every block — reserve (worst-case
+    # tail: filtered-root size + mask + pipeline message), patch later
+    frhp_addr = alloc(b"\0" * (146 + (12 + len(filt_body) if filtered else 0)))
     dblock_addrs = []
+    stored_sizes = []
     for bi, blk in enumerate(blocks):
         data = (
             b"FHDB" + bytes([0]) + struct.pack("<Q", frhp_addr)
             + struct.pack("<I", bi * S) + b"".join(blk)
         )
-        dblock_addrs.append(alloc(data + b"\0" * (S - len(data))))
+        data += b"\0" * (S - len(data))
+        if filtered:
+            data = zlib.compress(data, 6)
+        stored_sizes.append(len(data))
+        dblock_addrs.append(alloc(data))
     if len(blocks) == 1:
         heap_root, cur_rows = dblock_addrs[0], 0
     else:
@@ -1480,12 +1531,17 @@ def _write_dense_root(out: bytearray, alloc, entries) -> int:
             fhib += struct.pack(
                 "<Q", dblock_addrs[i] if i < len(dblock_addrs) else _UNDEF
             )
+            if filtered:
+                # filtered heaps: child entries carry (stored size, mask)
+                fhib += struct.pack(
+                    "<QI", stored_sizes[i] if i < len(stored_sizes) else 0, 0
+                )
         fhib += struct.pack("<I", 0)  # checksum
         heap_root, cur_rows = alloc(bytes(fhib)), nrows
 
     managed = S * len(blocks)
     frhp = bytearray()
-    frhp += b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 0) + bytes([0])
+    frhp += b"FRHP" + bytes([0]) + struct.pack("<HH", 7, len(filt_body)) + bytes([0])
     frhp += struct.pack("<I", 4096)  # max managed object size
     frhp += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge btree
     frhp += struct.pack("<QQ", 0, _UNDEF)  # free space, fs manager
@@ -1494,6 +1550,10 @@ def _write_dense_root(out: bytearray, alloc, entries) -> int:
     frhp += struct.pack("<H", W) + struct.pack("<QQ", S, 4096)
     frhp += struct.pack("<HH", 32, 1)  # max heap size (bits), starting rows
     frhp += struct.pack("<Q", heap_root) + struct.pack("<H", cur_rows)
+    if filtered:
+        if cur_rows == 0:  # root direct block: filtered size + mask
+            frhp += struct.pack("<QI", stored_sizes[0], 0)
+        frhp += filt_body
     frhp += struct.pack("<I", 0)  # checksum
     out[frhp_addr : frhp_addr + len(frhp)] = frhp
 

@@ -617,6 +617,38 @@ def test_hdf5_min_dense_group_links():
     assert ds["long_variable_name_039"].attrs["idx"] == 39
 
 
+def test_hdf5_min_filtered_dense_group_links():
+    """I/O-FILTERED fractal heaps (deflate-compressed direct blocks) —
+    the last structural dense-group gate from the r7 verdict: both the
+    filtered ROOT-direct-block layout (filtered size + mask in the
+    FRHP tail) and the root-indirect layout whose child entries carry
+    (addr, stored size, mask) triples, decoded through the same
+    filter pipeline as chunks."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    # single direct block → filtered-root header-tail path
+    small = {f"var{i:02d}": {"data": np.arange(10, dtype="<f4") + i} for i in range(4)}
+    raw = build_hdf5(small, dense_links=True, dense_filtered=True)
+    assert len(raw) < len(build_hdf5(small, dense_links=True))  # really compressed
+    ds = parse_hdf5(raw)
+    assert sorted(ds) == sorted(small)
+    assert np.allclose(ds["var02"].data, np.arange(10) + 2)
+
+    # many links → root indirect block with (addr, size, mask) entries
+    big = {
+        f"long_variable_name_{i:03d}": {
+            "data": np.full(5, i, dtype="<i4"),
+            "attrs": {"idx": i},
+        }
+        for i in range(40)
+    }
+    ds = parse_hdf5(build_hdf5(big, dense_links=True, dense_filtered=True))
+    assert sorted(ds) == sorted(big)
+    assert ds["long_variable_name_039"].attrs["idx"] == 39
+
+
 def test_netcdf4_goes_abi_shaped_fixture_to_long(spark, tmp_path):
     """VERDICT r4 item 4 (S15): a bit-faithful synthetic netCDF-4
     fixture shaped like a GOES-16 ABI L2 tile — dense root group

@@ -220,6 +220,10 @@ EXTENDED = [
     # r8: the no-Expand profiler posture with oracle-replayable md5-HLL
     # estimates (a25/profile_documents keep the exact-Expand price)
     "profile_documents_approx",
+    # r8: PPJoin prefix filtering — the lossless sub-quadratic
+    # candidate engine (vs LSH's probabilistic recall and the full
+    # inverted index's hot-shingle quadratics)
+    "dedup_prefix_jaccard",
 ]
 
 

@@ -270,6 +270,101 @@ def minhash_near_dup_pairs(
     return _attach_staging(verified, (shingled, banded_cached))
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
+    Xiao et al., WWW'08 / Chaudhuri et al., ICDE'06) — the third
+    candidate-generation strategy in the dedup family, and the only
+    LOSSLESS sub-quadratic one:
+
+    - MinHash-LSH (minhash_near_dup_pairs): probabilistic recall,
+      bounded candidates;
+    - full inverted index (ngram_jaccard_pairs): exact, quadratic in
+      every shingle's document frequency;
+    - prefix filter (this): exact AND prunes by construction.
+
+    The filter: order every document's shingle set by GLOBAL document
+    frequency ascending (rarest first, ties by shingle string); for
+    Jaccard ≥ t two sets must overlap in at least one of each other's
+    first ⌊(1−t)·|x|⌋+1 shingles, so only that PREFIX is indexed.
+    Hot boilerplate shingles — precisely the ones that blow up the
+    full inverted index — sort to the BACK of every prefix and drop
+    out of candidate generation entirely, with zero recall loss
+    (the pigeonhole guarantee, not a heuristic cap). A length filter
+    (t·|x| ≤ |y|) prunes size-incompatible pairs inside the join.
+    Candidates are exactly verified, so output ≡ the exact operator.
+
+    Plan shape: one document-frequency aggregate, one per-document
+    window (bounded by document size) to rank shingles, a prefix-index
+    self-join whose volume is quadratic only in RARE-shingle document
+    frequency, and an array-intersect verification join. Same scale
+    posture as LSH with recall 1.0 bought by the extra df-ranking
+    pass.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b — same contract as
+    ngram_jaccard_pairs; equality is asserted in tests/test_llm_ops.py.
+    """
+    from pyspark.sql import Window
+
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    sets = shingled.select(F.col(id_col), "_shingles", F.size("_shingles").alias("_n"))
+    inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    freq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_sh").asc())
+    prefix = (
+        inv.join(freq, "_sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sets.select(id_col, "_n"), id_col)
+        .filter(
+            F.col("_rk")
+            <= F.floor((1.0 - threshold) * F.col("_n")).cast("int") + 1
+        )
+        .select(id_col, "_sh", "_n")
+    )
+
+    cands = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "_sh")
+        .filter(
+            (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            # length filter: Jaccard ≥ t ⇒ t·|x| ≤ |y| ≤ |x|/t
+            & (F.col("l._n") * threshold <= F.col("r._n"))
+            & (F.col("r._n") * threshold <= F.col("l._n"))
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    pair_sets = sets.select(F.col(id_col), "_shingles")
+    return (
+        cands.join(
+            pair_sets.withColumnsRenamed({id_col: "id_a", "_shingles": "_sa"}), "id_a"
+        )
+        .join(
+            pair_sets.withColumnsRenamed({id_col: "id_b", "_shingles": "_sb"}), "id_b"
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.size("_sa") + F.size("_sb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_fingerprints(
     df: DataFrame,
     *,

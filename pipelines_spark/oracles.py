@@ -931,6 +931,10 @@ ORACLES: dict[str, str] = {
     # equals the exact-Jaccard pair set.
     "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
     "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
+    # prefix filtering is LOSSLESS (pigeonhole guarantee) + exact
+    # verify ⇒ the same exact-Jaccard pair set as the other two
+    # candidate engines
+    "dedup_prefix_jaccard": _EXACT_JACCARD_SQL,
     # the 100 TB posture: posting-list cap at df>4, exact scoring over
     # the surviving shingle universe
     "dedup_ngram_capped": _CAPPED_JACCARD_SQL,

@@ -3948,6 +3948,24 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via PREFIX FILTERING
+    (llm/dedup.py::prefix_filter_jaccard_pairs, the PPJoin family) —
+    the lossless sub-quadratic candidate strategy: index only each
+    doc's ⌊(1−t)·n⌋+1 globally-RAREST shingles (hot boilerplate
+    shingles drop out of candidate generation by the pigeonhole
+    guarantee, not a recall-losing cap), length-filter inside the
+    join, verify exactly. Same oracle as dedup_minhash_lsh /
+    dedup_ngram_jaccard: three different candidate engines, one exact
+    answer."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The profiler's 100 TB posture, made EXACT-REPLAY driver-checkable:
     distinct counts from the repo's own cross-engine md5 HLL registers
@@ -4466,6 +4484,7 @@ QUERIES = {
     "curation_funnel_stats": curation_funnel_stats,
     "dedup_incremental_batch": dedup_incremental_batch,
     "profile_documents_approx": profile_documents_approx,
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

@@ -98,6 +98,52 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark, caplog):
     assert (1000, 1001) in got
 
 
+def test_prefix_filter_equals_full_inverted_index(spark, sf_medium):
+    """Prefix filtering is lossless: identical pair set to the full
+    inverted index on the real corpus, while indexing strictly fewer
+    postings (the ⌊(1−t)n⌋+1 prefix)."""
+    from pipelines_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    exact = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    prefix = {
+        tuple(r)
+        for r in prefix_filter_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    assert prefix == exact
+    assert len(exact) > 0  # not vacuous
+
+
+def test_prefix_filter_skips_boilerplate_hot_shingle(spark):
+    """A shingle shared by EVERY doc (boilerplate) must not generate
+    candidates by itself: two docs whose only overlap is the hot
+    shingle stay unpaired, while a genuine near-dup pair survives."""
+    from pipelines_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    boiler = "click here to subscribe"
+    a = boiler + " alpha beta gamma delta epsilon zeta"
+    b = boiler + " one two three four five six"
+    c = a + " eta"  # near-dup of a
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    assert (1, 3) in pairs
+    assert (1, 2) not in pairs and (2, 3) not in pairs
+
+
 def test_incremental_dedup_two_batches_equals_oneshot(spark, sf_small):
     """The incremental contract: splitting the corpus into two
     ingestion batches (store advanced with ALL of batch 1's

@@ -3051,6 +3051,51 @@ ORACLES: dict[str, str] = {
     """,
     # exact CMS replay: same salted md5 fold per sketch row, same
     # depth/width, min-over-rows estimate left-joined with 0-default
+    # CMS inner-product join-size estimate: both sketches replayed
+    # with the a28 salted-md5 fold, est = min over rows of Σ cntA·cntB
+    "a41_cms_join_size": """
+        WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        ua AS (
+            SELECT i.i AS row_idx,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('cms' || CAST(i.i AS VARCHAR) || '|'
+                               || CAST(user_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) % 1024 AS bucket
+            FROM events CROSS JOIN rows_i i
+            WHERE user_id IS NOT NULL
+        ),
+        ca AS (SELECT row_idx, bucket, count(*) AS cnt FROM ua GROUP BY 1, 2),
+        ub AS (
+            SELECT i.i AS row_idx,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           string_split(substr(md5('cms' || CAST(i.i AS VARCHAR) || '|'
+                               || CAST(o_custkey AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x) % 1024 AS bucket
+            FROM orders CROSS JOIN rows_i i
+            WHERE o_custkey IS NOT NULL
+        ),
+        cb AS (SELECT row_idx, bucket, count(*) AS cnt FROM ub GROUP BY 1, 2),
+        prod AS (
+            SELECT a.row_idx, sum(a.cnt * b.cnt) AS ip
+            FROM ca a JOIN cb b USING (row_idx, bucket) GROUP BY 1
+        ),
+        est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM prod),
+        exact AS (
+            SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size
+            FROM (SELECT user_id AS k, count(*) AS na FROM events
+                  WHERE user_id IS NOT NULL GROUP BY 1) a
+            JOIN (SELECT o_custkey AS k, count(*) AS nb FROM orders
+                  WHERE o_custkey IS NOT NULL GROUP BY 1) b USING (k)
+        )
+        SELECT est_join_size, exact_join_size,
+               round((est_join_size - exact_join_size)
+                     / CAST(exact_join_size AS DOUBLE), 4) AS rel_err
+        FROM est, exact
+    """,
     "a28_cms_frequencies": """
         WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
         upd AS (

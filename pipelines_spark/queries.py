@@ -3948,6 +3948,46 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a41_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-priced join planning: estimate |events ⋈ orders ON
+    user_id = o_custkey| from two count-min sketches of the key
+    columns (operators/sketches.py::cms_join_size — the CMS
+    inner-product estimator, AMS lineage) and report it against the
+    exact join cardinality (Σ_k n_events(k)·n_orders(k), computed
+    from the two per-key count aggregates, never the join itself).
+    The 100 TB posture: each sketch is one bounded-state pass
+    (depth × width shuffle keys), the inner product joins two
+    ≤ 4096-row tables — the cost of pricing the join is independent
+    of both inputs' sizes. The estimate can only overcount; rel_err
+    quantifies the collision surplus at this width."""
+    register(spark, sf_dir, ("events", "orders"))
+    from pipelines_spark.operators.sketches import cms_join_size, cms_table
+
+    ev = spark.table("events")
+    o = spark.table("orders")
+    est = cms_join_size(
+        cms_table(ev, "user_id"), cms_table(o, "o_custkey")
+    )
+    na = ev.filter(F.col("user_id").isNotNull()).groupBy(
+        F.col("user_id").alias("k")
+    ).agg(F.count(F.lit(1)).alias("_na"))
+    nb = o.filter(F.col("o_custkey").isNotNull()).groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("_nb"))
+    exact = na.join(nb, "k").agg(
+        F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("exact_join_size")
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            (F.col("est_join_size") - F.col("exact_join_size"))
+            / F.col("exact_join_size").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs via PREFIX FILTERING
     (llm/dedup.py::prefix_filter_jaccard_pairs, the PPJoin family) —
@@ -4485,6 +4525,7 @@ QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "profile_documents_approx": profile_documents_approx,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
+    "a41_cms_join_size": a41_cms_join_size,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

@@ -356,6 +356,26 @@ def test_cms_overcount_bounded_under_forced_collisions(spark):
     assert all(v <= 100 for v in est.values())
 
 
+def test_cms_join_size_never_undercounts_and_tight_when_sparse(spark):
+    """Inner-product estimator: exact join size Σ_k fA(k)·fB(k) is a
+    lower bound (collision terms are non-negative); at default width
+    with a handful of keys there are no collisions and the estimate
+    is EXACT."""
+    from pipelines_spark.operators.sketches import cms_join_size, cms_table
+
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2 + [("w",)], ["k"])
+    b = spark.createDataFrame([("x",)] * 3 + [("y",)] * 5 + [("z",)], ["k"])
+    exact = 4 * 3 + 2 * 5  # w and z don't match
+    est = cms_join_size(cms_table(a, "k"), cms_table(b, "k")).collect()[0]
+    assert est["est_join_size"] == exact
+
+    # forced collisions (width 2): still never an undercount
+    est2 = cms_join_size(
+        cms_table(a, "k", depth=3, width=2), cms_table(b, "k", depth=3, width=2)
+    ).collect()[0]
+    assert est2["est_join_size"] >= exact
+
+
 def test_cms_mergeable(spark):
     """Summing two sketches per (row_idx, bucket) equals the sketch of
     the concatenated input — the mergeability contract."""

@@ -224,6 +224,11 @@ EXTENDED = [
     # candidate engine (vs LSH's probabilistic recall and the full
     # inverted index's hot-shingle quadratics)
     "dedup_prefix_jaccard",
+    # r8: CMS inner-product join-size estimate (planner discipline:
+    # price a join from two bounded sketches before its shuffle)
+    "a41_cms_join_size",
+    # r8: PMI collocations (phrase mining for tokenizer/vocab passes)
+    "text_pmi_collocations",
 ]
 
 

@@ -3096,6 +3096,30 @@ ORACLES: dict[str, str] = {
                      / CAST(exact_join_size AS DOUBLE), 4) AS rel_err
         FROM est, exact
     """,
+    # PMI collocations: exact bigram/unigram counts, identical
+    # arithmetic expression tree in both engines before the round
+    "text_pmi_collocations": """
+        WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT unnest(w) AS t FROM words),
+        ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+        utot AS (SELECT count(*) AS na FROM uni),
+        bg AS (
+            SELECT w[i] AS w1, w[i + 1] AS w2
+            FROM words, UNNEST(range(1, len(w))) AS x(i)
+            WHERE len(w) >= 2
+        ),
+        bcnt AS (SELECT w1, w2, count(*) AS n_pairs FROM bg GROUP BY 1, 2),
+        btot AS (SELECT count(*) AS n FROM bg)
+        SELECT w1, w2, n_pairs,
+               round(log2((CAST(n_pairs AS DOUBLE) * na * na)
+                          / (CAST(n AS DOUBLE) * ca.c * cb.c)), 4) AS pmi
+        FROM bcnt
+        JOIN ucnt ca ON bcnt.w1 = ca.t
+        JOIN ucnt cb ON bcnt.w2 = cb.t
+        CROSS JOIN utot CROSS JOIN btot
+        WHERE n_pairs >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
     "a28_cms_frequencies": """
         WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
         upd AS (

@@ -3948,6 +3948,59 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks, CL
+    1990) over corpus whitespace bigrams — the phrase-mining pass a
+    tokenizer/vocab pipeline runs before merging multi-word units:
+    PMI(a,b) = log2(P(ab) / (P(a)·P(b))) from EXACT bigram/unigram
+    counts, min bigram count 5, top 30 by (pmi DESC, bigram ASC).
+    Plan: one bigram explode+count, one unigram explode+count, two
+    key-equi joins + two 1-row total broadcasts — all
+    partial-aggregated, no window, no cross pair stage (the bigram
+    relation is adjacency-bounded, |tokens| rows, unlike the
+    quadratic co-occurrence shapes)."""
+    register(spark, sf_dir, ("documents",))
+    words = spark.table("documents").select(
+        F.split("text", " ").alias("w")
+    )
+    uni = words.select(F.explode("w").alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    utot = uni.agg(F.count(F.lit(1)).alias("na"))
+    bg = words.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    btot = bg.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        bcnt.filter(F.col("n_pairs") >= 5)
+        .join(ucnt.withColumnsRenamed({"t": "w1", "c": "_ca"}), "w1")
+        .join(ucnt.withColumnsRenamed({"t": "w2", "c": "_cb"}), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "n_pairs",
+            F.round(
+                F.log2(
+                    (F.col("n_pairs").cast("double") * F.col("na") * F.col("na"))
+                    / (F.col("n").cast("double") * F.col("_ca") * F.col("_cb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(30)
+
+
 def a41_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-priced join planning: estimate |events ⋈ orders ON
     user_id = o_custkey| from two count-min sketches of the key
@@ -4526,6 +4579,7 @@ QUERIES = {
     "profile_documents_approx": profile_documents_approx,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "a41_cms_join_size": a41_cms_join_size,
+    "text_pmi_collocations": text_pmi_collocations,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

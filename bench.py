@@ -229,6 +229,8 @@ EXTENDED = [
     "a41_cms_join_size",
     # r8: PMI collocations (phrase mining for tokenizer/vocab passes)
     "text_pmi_collocations",
+    # r8: RRF hybrid retrieval (BM25 leg + dense cosine leg fused)
+    "search_hybrid_rrf",
 ]
 
 

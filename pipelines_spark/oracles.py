@@ -1979,6 +1979,69 @@ ORACLES: dict[str, str] = {
     """,
     # Mirrors llm/search.bm25_topk: Lucene-variant idf, k1=1.2 b=0.75,
     # per-term contribution rounded to 6 then summed as DECIMAL.
+    # RRF fusion of the BM25 leg (text_bm25_search CTEs at k=20) and
+    # the dense leg (embed_knn_topk cosine for query 0 at k=20)
+    "search_hybrid_rrf": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tok_ne AS (
+            SELECT * FROM tok WHERE term <> ''
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tok_ne GROUP BY doc_id
+        ), totals AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok_ne WHERE term IN ('hash', 'join', 'window')
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), contrib AS (
+            SELECT t.doc_id,
+                   CAST(round(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                   6) AS DECIMAL(18,6)) AS c
+            FROM tf t
+            JOIN df USING (term)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN totals
+        ), lex AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS r_lex
+            FROM (
+                SELECT doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
+                FROM contrib GROUP BY doc_id
+                ORDER BY score DESC, doc_id ASC
+                LIMIT 20
+            )
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), dscored AS (
+            SELECT c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM c CROSS JOIN q
+            WHERE c.neighbor_id <> q.query_id
+        ), dense AS (
+            SELECT neighbor_id AS doc_id, CAST(rn AS BIGINT) AS r_dense
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM dscored
+            ) WHERE rn <= 20
+        )
+        SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense,
+               round(COALESCE(1.0 / (60 + r_lex), 0)
+                     + COALESCE(1.0 / (60 + r_dense), 0), 6) AS rrf_score
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
     "text_bm25_search": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term

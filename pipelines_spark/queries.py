@@ -3948,6 +3948,46 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09 — the standard fusion in production RAG stacks): the
+    lexical leg is BM25 top-20 for a literal query (llm/search.py),
+    the dense leg is exact-cosine top-20 for a probe embedding
+    (llm/similarity.py::brute_force_topk — swap in the IVF/SRP probes
+    at scale without touching the fusion), and documents are fused by
+    RRF(d) = Σ_legs 1/(60 + rank_leg(d)), absent-from-a-leg
+    contributing 0. Both legs are independent rankings the engine
+    already oracle-checks; this query proves the COMPOSITION — one
+    full-outer join of two k-row lists, a map-side score, top-10.
+    The doc_id↔vec_id alignment in the test corpus stands in for a
+    real store's document-embedding foreign key."""
+    register(spark, sf_dir, ("documents", "embeddings"))
+    from pipelines_spark.llm.search import bm25_topk
+    from pipelines_spark.llm.similarity import brute_force_topk
+
+    lex = bm25_topk(
+        spark.table("documents"), ("hash", "join", "window"), k=20
+    ).select("doc_id", F.col("rank").cast("long").alias("r_lex"))
+    emb = spark.table("embeddings")
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("r_dense"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise-mutual-information collocations (Church & Hanks, CL
     1990) over corpus whitespace bigrams — the phrase-mining pass a
@@ -4580,6 +4620,7 @@ QUERIES = {
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "a41_cms_join_size": a41_cms_join_size,
     "text_pmi_collocations": text_pmi_collocations,
+    "search_hybrid_rrf": search_hybrid_rrf,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

@@ -231,6 +231,8 @@ EXTENDED = [
     "text_pmi_collocations",
     # r8: RRF hybrid retrieval (BM25 leg + dense cosine leg fused)
     "search_hybrid_rrf",
+    # r8: Matryoshka truncation recall audit (prices a dims/D index cut)
+    "embed_truncated_recall",
 ]
 
 

@@ -1039,3 +1039,59 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def truncated_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 16,
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension search against full-dimension
+    search — the measurement behind Matryoshka-style embedding
+    deployments (Kusupati et al., NeurIPS'22): store/search only the
+    first ``dims`` components, and quantify what that costs on YOUR
+    corpus before committing the index to it. At 100 TB the truncated
+    index is dims/D of the scan bytes and the same plan shape, so
+    this one number prices the trade.
+
+    Per query: top-k under first-``dims`` cosine vs top-k under full
+    cosine (both exact, rounded-then-ranked with the engine's
+    (cosine DESC, id ASC) determinism), reporting the overlap count
+    and recall@k = overlap/k. Returns (query_id, n_overlap, recall).
+    """
+    full = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    trunc_corpus = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    trunc_queries = queries.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    trunc = brute_force_topk(
+        trunc_corpus, trunc_queries, id_col=id_col, vec_col=vec_col, k=k,
+        round_digits=round_digits,
+    ).select("query_id", F.col("neighbor_id").alias("_tn"))
+    overlap = (
+        full.join(
+            trunc,
+            (full["query_id"] == trunc["query_id"])
+            & (full["neighbor_id"] == trunc["_tn"]),
+        )
+        .groupBy(full["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = full.select("query_id").distinct()
+    return base.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4
+        ).alias("recall"),
+    )

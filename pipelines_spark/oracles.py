@@ -1007,6 +1007,53 @@ ORACLES: dict[str, str] = {
                    i -> md5(substr(text, i, 8)))) AS fingerprint
         FROM documents
     """,
+    # Matryoshka truncation audit: full-dim and first-16-dim exact
+    # rankings replayed, recall = |top5 ∩ top5_trunc| / 5
+    "embed_truncated_recall": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), fscored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM c CROSS JOIN q
+            WHERE c.neighbor_id <> q.query_id
+        ), full5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM fscored
+            ) WHERE rn <= 5
+        ), tq AS (
+            SELECT vec_id AS query_id, embedding[1:16] AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), tc AS (
+            SELECT vec_id AS neighbor_id, embedding[1:16] AS cv FROM embeddings
+        ), tscored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM tc c CROSS JOIN tq q
+            WHERE c.neighbor_id <> q.query_id
+        ), trunc5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM tscored
+            ) WHERE rn <= 5
+        ), ov AS (
+            SELECT f.query_id, count(*) AS n_overlap
+            FROM full5 f JOIN trunc5 t
+              ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+            GROUP BY 1
+        )
+        SELECT b.query_id,
+               CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+               round(COALESCE(n_overlap, 0) / 5.0, 4) AS recall
+        FROM (SELECT DISTINCT query_id FROM full5) b
+        LEFT JOIN ov USING (query_id)
+        ORDER BY query_id
+    """,
     "embed_knn_topk": f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10

@@ -3948,6 +3948,22 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit
+    (llm/similarity.py::truncated_recall): per query, recall@5 of
+    first-16-dims cosine search against full-64-dims search — the
+    number that prices a dims/D index-size cut on this corpus before
+    committing to it. Both rankings exact and deterministically
+    tie-broken, so the oracle replays them and the recall exactly."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import truncated_recall
+
+    emb = spark.table("embeddings")
+    return truncated_recall(
+        emb, emb.filter(F.col("vec_id") < 10), dims=16, k=5
+    ).orderBy("query_id")
+
+
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
     SIGIR'09 — the standard fusion in production RAG stacks): the
@@ -4621,6 +4637,7 @@ QUERIES = {
     "a41_cms_join_size": a41_cms_join_size,
     "text_pmi_collocations": text_pmi_collocations,
     "search_hybrid_rrf": search_hybrid_rrf,
+    "embed_truncated_recall": embed_truncated_recall,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

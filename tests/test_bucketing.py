@@ -58,3 +58,50 @@ def test_cobucketed_join_has_no_exchange(spark, bucketed):
 def test_bucketed_aggregation_has_no_exchange(spark, bucketed):
     agg = spark.table("lineitem_b").groupBy("o_orderkey").agg(F.sum("l_quantity"))
     assert "Exchange" not in _plan_text(agg)
+
+
+def test_fingerprint_store_bucketed_probe_skips_store_shuffle(spark, sf_small):
+    """The incremental-dedup fingerprint store persisted BUCKETED on
+    band_key: probing it with a new batch shuffles only the (small)
+    batch side — the store's bucket layout satisfies the join, so the
+    100 TB store is never re-shuffled per ingestion batch. Decisions
+    must equal the plain unbucketed probe."""
+    from pipelines_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store_docs = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    fps = minhash_fingerprints(store_docs, id_col="doc_id", text_col="text")
+    # bucketed on BOTH probe-join keys: a single-key bucket layout
+    # does not satisfy Spark's all-cluster-keys co-partition rule
+    write_bucketed_table(
+        fps, "fps_store_b", ["band_no", "band_key"], num_buckets=8
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        store = spark.table("fps_store_b")
+        out = incremental_dedup_batch(batch, store, store_docs)
+        # the store scan must feed its SortMergeJoin with NO Exchange
+        # in between (only Sort/Project/Filter) — the bucket layout
+        # already satisfies the join's distribution
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        scan_idx = [i for i, ln in enumerate(lines) if "fps_store_b" in ln]
+        assert scan_idx, plan
+        above = "\n".join(lines[max(0, scan_idx[0] - 3) : scan_idx[0]])
+        assert "Exchange" not in above, above
+        assert "Sort [band_no" in above  # SMJ-ready straight off the scan
+        got = {tuple(r) for r in out.collect()}
+        want = {
+            tuple(r)
+            for r in incremental_dedup_batch(batch, fps, store_docs).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS fps_store_b")

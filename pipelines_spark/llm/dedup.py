@@ -385,6 +385,13 @@ def minhash_fingerprints(
     All banding parameters must match between store builds and batch
     probes — same contract as the corpus-wide operator, enforced by
     construction when both sides call this one function.
+
+    At scale, persist the store BUCKETED on the probe-join keys
+    (``write_bucketed_table(fps, name, ["band_no", "band_key"])``):
+    the probe then shuffles only the batch side — the store's bucket
+    layout satisfies the join's distribution, so the 100 TB store is
+    never re-shuffled per ingestion batch (plan pinned in
+    tests/test_bucketing.py).
     """
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")

@@ -3230,6 +3230,20 @@ ORACLES: dict[str, str] = {
         WHERE n_pairs >= 5
         ORDER BY pmi DESC, w1, w2 LIMIT 30
     """,
+    "o15_multiset_ops": """
+        SELECT 'except_all' AS op, l_returnflag, count(*) AS n_rows FROM (
+            SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1997
+            EXCEPT ALL
+            SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1998
+        ) GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'intersect_all', l_returnflag, count(*) FROM (
+            SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1997
+            INTERSECT ALL
+            SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1998
+        ) GROUP BY l_returnflag
+        ORDER BY op, l_returnflag
+    """,
     "a28_cms_frequencies": """
         WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
         upd AS (

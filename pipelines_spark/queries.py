@@ -3948,6 +3948,36 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o15_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — the bag-semantics siblings of
+    o5/o9/o11's DISTINCT set ops: ``exceptAll`` keeps surplus
+    duplicate counts (1997's excess shipments per ship mode over
+    1998's, occurrence for occurrence) and ``intersectAll`` keeps
+    matched duplicate counts (min of the two years' multiplicities).
+    Both are one-pass hash aggregations in Spark (count per value on
+    each side, arithmetic on the counts) — no row-pairing join. Both
+    results tagged into one frame."""
+    register(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem")
+    y97 = li.filter(F.year("l_shipdate") == 1997).select("l_returnflag")
+    y98 = li.filter(F.year("l_shipdate") == 1998).select("l_returnflag")
+    exc = (
+        y97.exceptAll(y98)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        y97.intersectAll(y98)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return exc.unionByName(inter).select("op", "l_returnflag", "n_rows").orderBy(
+        "op", "l_returnflag"
+    )
+
+
 def embed_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation recall audit
     (llm/similarity.py::truncated_recall): per query, recall@5 of
@@ -4638,6 +4668,7 @@ QUERIES = {
     "text_pmi_collocations": text_pmi_collocations,
     "search_hybrid_rrf": search_hybrid_rrf,
     "embed_truncated_recall": embed_truncated_recall,
+    "o15_multiset_ops": o15_multiset_ops,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

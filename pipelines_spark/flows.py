@@ -395,3 +395,84 @@ def run_dump_flow_transactional(
         return {"published": False, "stage_id": stage_id, "failed_checks": failed}
     version = publish_snapshot(spark, table_path, stage_id, clock=clock)
     return {"published": True, "version": version, "failed_checks": []}
+
+
+def run_curation_flow_transactional(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    table_path: str,
+    config=None,
+    checks: list | None = None,
+    min_docs: int = 1,
+    clock=None,
+) -> dict:
+    """The LLM-corpus counterpart of ``run_dump_flow_transactional``:
+    curate → stage the curated corpus invisibly → audit the WOULD-BE
+    table → publish atomically, or keep the stage for triage.
+
+    Composition of the two flagships: ``llm/curation.py::
+    curate_corpus`` produces the corpus + per-stage funnel stats;
+    the snapshot write-audit-publish path (sinks/snapshots.py)
+    guarantees a training run can never read a half-curated or
+    audit-failed corpus — the same "bad data caught while INVISIBLE"
+    contract the reference's quality checks aim at, upgraded from
+    log-and-alert to cannot-be-observed. Built-in audit: the curated
+    corpus must keep at least ``min_docs`` documents (a gate
+    misconfiguration that empties the corpus fails the audit, not
+    the training run); pass ``checks`` (``plans.checks.Check`` over
+    the staged view ``_staged_corpus``) for corpus-specific audits.
+
+    Returns {"published", "version" | "stage_id", "failed_checks",
+    "stats": [(stage, n_docs), ...]}.
+    """
+    import time as _time
+
+    from pipelines_spark.llm.curation import curate_corpus
+    from pipelines_spark.plans.checks import Check, run_checks
+    from pipelines_spark.sinks.snapshots import (
+        publish_snapshot,
+        snapshot_write_staged,
+        staged_snapshot_read,
+    )
+
+    clock = clock or _time.time
+    curated, stats = curate_corpus(docs, config, collect_stats=True)
+    stage_id = snapshot_write_staged(
+        spark, table_path, curated, mode="append", clock=clock
+    )
+
+    staged_snapshot_read(spark, table_path, stage_id).createOrReplaceTempView(
+        "_staged_corpus"
+    )
+    all_checks = [
+        Check(
+            name="min_docs",
+            sql=f"SELECT 1 WHERE (SELECT count(*) FROM _staged_corpus) >= {int(min_docs)}",
+            kind="expect_true",
+            description="curation must not empty the corpus",
+        ),
+        *(checks or []),
+    ]
+    results = run_checks(spark, all_checks)
+    failed = [r.name for r in results if not r.passed]
+    stats_rows = [(r["stage"], r["n_docs"]) for r in stats.collect()]
+    if failed:
+        _LOG.warning(
+            "curated corpus for %s NOT published: %d failed checks (%s); "
+            "stage %s kept for triage",
+            table_path, len(failed), ", ".join(failed), stage_id,
+        )
+        return {
+            "published": False,
+            "stage_id": stage_id,
+            "failed_checks": failed,
+            "stats": stats_rows,
+        }
+    version = publish_snapshot(spark, table_path, stage_id, clock=clock)
+    return {
+        "published": True,
+        "version": version,
+        "failed_checks": [],
+        "stats": stats_rows,
+    }

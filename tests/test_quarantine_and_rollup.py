@@ -143,6 +143,41 @@ def test_rollup_rejects_non_distributive_measure(spark, tmp_path):
         )
 
 
+def test_transactional_curation_flow_wap(spark, tmp_path, sf_small):
+    """Curation flagship through write-audit-publish: a healthy run
+    publishes the curated corpus atomically with funnel stats; a
+    misconfigured gate that would empty (here: shrink below min_docs)
+    the corpus fails the audit INVISIBLY — the table keeps its last
+    good version and the stage stays for triage."""
+    from pipelines_spark.flows import run_curation_flow_transactional
+    from pipelines_spark.llm.curation import BENCH_CONFIG, CurationConfig
+    from pipelines_spark.sinks.snapshots import current_version, snapshot_read
+
+    table = str(tmp_path / "corpus_tbl")
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    r = run_curation_flow_transactional(
+        spark, docs, table_path=table,
+        config=CurationConfig(**BENCH_CONFIG), min_docs=10,
+    )
+    assert r["published"] is True and r["version"] == 1
+    stats = dict(r["stats"])
+    assert stats["input"] == 500
+    published = snapshot_read(spark, table)
+    assert published.count() == stats["near_dup_canonical"]
+    assert "shard_no" in published.columns and "split" in published.columns
+
+    # audit failure: impossible min_docs — nothing new published
+    r2 = run_curation_flow_transactional(
+        spark, docs, table_path=table,
+        config=CurationConfig(**BENCH_CONFIG), min_docs=10**9,
+    )
+    assert r2["published"] is False and r2["failed_checks"] == ["min_docs"]
+    assert current_version(spark, table) == 1
+    assert snapshot_read(spark, table).count() == stats["near_dup_canonical"]
+
+
 def test_transactional_dump_flow_wap(spark, tmp_path):
     from pipelines_spark.flows import run_dump_flow_transactional
     from pipelines_spark.plans.checks import Check

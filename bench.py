@@ -233,6 +233,9 @@ EXTENDED = [
     "search_hybrid_rrf",
     # r8: Matryoshka truncation recall audit (prices a dims/D index cut)
     "embed_truncated_recall",
+    # r8: multiset set ops + measured Heaps'-law vocabulary growth
+    "o15_multiset_ops",
+    "text_heaps_law",
 ]
 
 

@@ -3230,6 +3230,50 @@ ORACLES: dict[str, str] = {
         WHERE n_pairs >= 5
         ORDER BY pmi DESC, w1, w2 LIMIT 30
     """,
+    # Heaps'-law growth: first-occurrence placement + decile grid,
+    # closed-form log-log least squares — same expression tree as Spark
+    "text_heaps_law": """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wne AS (SELECT * FROM words WHERE w <> ''),
+        first_seen AS (SELECT w, min(doc_id) AS first_doc FROM wne GROUP BY w),
+        doc_tokens AS (SELECT doc_id, count(*) AS n_tok FROM wne GROUP BY doc_id),
+        grid AS (
+            SELECT CAST(i + 1 AS INTEGER) AS decile,
+                   CAST(floor(q[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS cutoff
+            FROM (SELECT quantile_cont(doc_id,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS q
+                  FROM documents),
+                 UNNEST(range(0, 10)) AS t(i)
+        ),
+        vocab AS (
+            SELECT g.decile, g.cutoff, count(*) AS vocab
+            FROM grid g JOIN first_seen f ON f.first_doc <= g.cutoff
+            GROUP BY 1, 2
+        ),
+        toks AS (
+            SELECT g.decile, sum(n_tok) AS tokens
+            FROM grid g JOIN doc_tokens d ON d.doc_id <= g.cutoff
+            GROUP BY 1
+        ),
+        pts AS (
+            SELECT v.decile, v.cutoff, t.tokens, v.vocab,
+                   log10(t.tokens) AS x, log10(v.vocab) AS y
+            FROM vocab v JOIN toks t USING (decile)
+        ),
+        fit AS (
+            SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
+                         / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS beta,
+                   round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                          / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                         / count(*), 4) AS log10_k
+            FROM pts
+        )
+        SELECT decile, cutoff, CAST(tokens AS BIGINT) AS tokens,
+               CAST(vocab AS BIGINT) AS vocab, beta, log10_k
+        FROM pts CROSS JOIN fit ORDER BY decile
+    """,
     "o15_multiset_ops": """
         SELECT 'except_all' AS op, l_returnflag, count(*) AS n_rows FROM (
             SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1997

@@ -3948,6 +3948,82 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Heaps'-law vocabulary growth V(N) = K·N^β — the
+    curve behind docs/SCALE.md's BPE saturation argument, as a
+    registered query instead of prose. The scalable formulation:
+    cumulative distinct words need NO running-set state — each word's
+    FIRST-OCCURRENCE doc (one min() agg over the exploded corpus)
+    places it on the growth curve, and a decile checkpoint grid
+    (10 rows, broadcast) picks up cumulative vocabulary and token
+    counts with two small range-condition aggregations. The Heaps
+    exponent β and log-K come from a closed-form least-squares fit
+    over the 10 (log N, log V) checkpoints — exact integer counts
+    until the final fit arithmetic. Returns the checkpoints plus the
+    fitted (beta, log10_k) on every row for a one-frame result."""
+    register(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # checkpoint grid: the 10 decile doc ids (exact, tiny, broadcast)
+    grid = docs.agg(
+        *[
+            F.floor(F.expr(f"percentile(doc_id, {i / 10.0})")).cast("long").alias(f"d{i}")
+            for i in range(1, 11)
+        ]
+    ).select(
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("decile"), F.col(f"d{i}").alias("cutoff")) for i in range(1, 11)])
+        ).alias("g")
+    ).select("g.decile", "g.cutoff")
+    vocab = (
+        grid.join(first_seen, first_seen["first_doc"] <= grid["cutoff"])
+        .groupBy("decile", "cutoff")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    toks = (
+        grid.join(doc_tokens, doc_tokens["doc_id"] <= grid["cutoff"])
+        .groupBy(grid["decile"].alias("decile"))
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    pts = vocab.join(toks, "decile").select(
+        "decile",
+        "cutoff",
+        "tokens",
+        "vocab",
+        F.log10("tokens").alias("_x"),
+        F.log10("vocab").alias("_y"),
+    )
+    # closed-form least squares over the 10 checkpoints (1-row agg)
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    ).select(
+        F.round(
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+            4,
+        ).alias("beta"),
+        F.round(
+            (F.col("_sy") - ((F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+             / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))) * F.col("_sx"))
+            / F.col("_n"),
+            4,
+        ).alias("log10_k"),
+    )
+    return (
+        pts.select("decile", "cutoff", "tokens", "vocab")
+        .crossJoin(F.broadcast(fit))
+        .orderBy("decile")
+    )
+
+
 def o15_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTISET set operations — the bag-semantics siblings of
     o5/o9/o11's DISTINCT set ops: ``exceptAll`` keeps surplus
@@ -4669,6 +4745,7 @@ QUERIES = {
     "search_hybrid_rrf": search_hybrid_rrf,
     "embed_truncated_recall": embed_truncated_recall,
     "o15_multiset_ops": o15_multiset_ops,
+    "text_heaps_law": text_heaps_law,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

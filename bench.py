@@ -292,6 +292,14 @@ SCALE_PROBE_QUERIES = [
     # O(n · cap), so growth should track the corpus linearly — the
     # same claim-backing the capped dedup probes make
     "embed_knn_graph_capped",
+    # r8: prefix filtering's claim is candidate volume quadratic only
+    # in RARE-shingle document frequency (boilerplate drops out of the
+    # index by the pigeonhole guarantee) — back it with a ratio next
+    # to the capped/uncapped inverted-index twins
+    "dedup_prefix_jaccard",
+    # r8: incremental probe is one batch×store equi-join — growth
+    # should track the band-table sizes, never store×store
+    "dedup_incremental_batch",
 ]
 
 

@@ -260,6 +260,36 @@ BUDGETS = {
     # r7: knn_graph plan + the per-cell neighbor-cap window's _cell
     # exchange (the top-k window is the other)
     "embed_knn_graph_capped": 2,
+    # r8: df-frequency agg + per-doc prefix window + prefix self-join
+    # + candidate dedup + the two verify joins' id exchanges
+    "dedup_prefix_jaccard": 6,
+    # r8: two (row, bucket) sketch aggs (partial+final pairs), the
+    # tiny inner-product join/agg, and two per-key count aggs for the
+    # exact comparison — every exchange is sketch- or key-bounded
+    "a41_cms_join_size": 7,
+    # r8: bigram agg + unigram agg + the two unigram joins; totals
+    # broadcast
+    "text_pmi_collocations": 5,
+    # r8: BM25's doc agg + top-k + the dense leg's global window +
+    # the fusion full-outer join
+    "search_hybrid_rrf": 6,
+    # r8: two brute-force rankings (per-query windows) + overlap join
+    # + per-query agg
+    "embed_truncated_recall": 7,
+    # r8: per-side counts fold into the except/intersect rewrite —
+    # one agg exchange each + the final union agg
+    "o15_multiset_ops": 3,
+    # r8: first-occurrence agg + doc-token agg + decile grid + two
+    # range-join aggs + the 10-row fit — growth-curve exchanges are
+    # word/doc-keyed once each, grid-side all tiny
+    "text_heaps_law": 9,
+    # r8: base stats agg + the (col, bucket) register agg + per-col
+    # register rollup; no Expand anywhere (pinned in test_operators)
+    "profile_documents_approx": 3,
+    # r8: batch/store band tables + candidate dedup + the two verify
+    # set joins + the decision left join — all equi-joins on band or
+    # id keys; store×store never appears
+    "dedup_incremental_batch": 6,
 }
 
 

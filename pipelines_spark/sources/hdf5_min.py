@@ -18,11 +18,13 @@ extensible-array (incl. super blocks and paged data blocks — the
 index libhdf5 emits for one unlimited dimension, i.e. every
 appendable time-series netCDF-4), and v2-B-tree (≥2 unlimited dims)
 chunk indexes, deflate + shuffle filters (on chunks AND on fractal
-heap direct blocks — I/O-filtered dense groups decode built-in), and
-v1/v2/v3 attribute messages. The remaining long tail — fragmented
-fractal heaps, vlen/reference attribute payloads — raises a clear
-``NotImplementedError``; callers fall back to their env-gate message
-exactly as before.
+heap direct blocks — I/O-filtered dense groups decode built-in),
+v1/v2/v3 attribute messages, and VARIABLE-LENGTH STRING payloads
+(GCOL global heap: vlen datasets with compact/contiguous descriptor
+arrays, vlen attributes scalar or 1-D). The remaining long tail —
+fragmented fractal heaps, chunked vlen datasets, object-reference
+payloads — raises a clear ``NotImplementedError``; callers fall back
+to their env-gate message exactly as before.
 
 Writer exists to build REAL spec-compliant fixtures in an environment
 with no other HDF5 producer (same pattern as llm/jpeg.py): superblock
@@ -92,8 +94,15 @@ def _place_chunk(out: np.ndarray, chunk: np.ndarray, coords) -> None:
     out[tuple(sl_out)] = chunk[tuple(sl_in)]
 
 
-def _parse_datatype(body: bytes) -> tuple[np.dtype | None, int]:
-    """Datatype message → (numpy dtype | None if unsupported, size)."""
+#: sentinel dtype marker for variable-length strings (class 9 type 1):
+#: elements are 16-byte descriptors (u32 length + global heap id =
+#: 8-byte collection address + u32 object index) resolved through the
+#: GCOL global heap.
+VLEN_STR = "vlen_str"
+
+
+def _parse_datatype(body: bytes) -> tuple[np.dtype | str | None, int]:
+    """Datatype message → (numpy dtype | VLEN_STR | None, size)."""
     cls = body[0] & 0x0F
     bits = body[1:4]
     (size,) = struct.unpack_from("<I", body, 4)
@@ -106,6 +115,8 @@ def _parse_datatype(body: bytes) -> tuple[np.dtype | None, int]:
         return np.dtype(f"{order}f{size}"), size
     elif cls == 3:  # fixed-length string
         return np.dtype(f"S{size}"), size
+    elif cls == 9 and (bits[0] & 0x0F) == 1:  # variable-length string
+        return VLEN_STR, 16
     return None, size
 
 
@@ -135,8 +146,12 @@ def _parse_dataspace(body: bytes) -> list[int]:
     return _parse_dataspace_max(body)[0]
 
 
-def _parse_attribute(body: bytes):
-    """Attribute message (v1/v2/v3) → (name, value | None)."""
+def _parse_attribute(body: bytes, reader=None):
+    """Attribute message (v1/v2/v3) → (name, value | None).
+
+    ``reader`` (the owning ``_H5Reader``) is needed to resolve
+    variable-length string payloads through the global heap; without
+    it vlen attributes come back name-only, as before."""
     ver = body[0]
     if ver not in (1, 2, 3):
         return None, None
@@ -157,8 +172,18 @@ def _parse_attribute(body: bytes):
         dtype, size = _parse_datatype(dt_body)
     except (NotImplementedError, struct.error, IndexError):
         return name, None
+    if dtype == VLEN_STR:
+        n = int(np.prod(dims)) if dims else 1
+        raw = body[off : off + n * 16]
+        if reader is None or len(raw) < n * 16:
+            return name, None
+        try:
+            vals = reader._vlen_strings(raw, n)
+        except (ValueError, struct.error):
+            return name, None
+        return name, (vals[0] if not dims else np.array(vals).reshape(dims))
     if dtype is None:
-        return name, None  # vlen/reference payloads: name-only
+        return name, None  # reference payloads: name-only
     n = int(np.prod(dims)) if dims else 1
     raw = body[off : off + n * size]
     if len(raw) < n * size:
@@ -457,6 +482,56 @@ class _H5Reader:
         size, _free, data_addr = struct.unpack_from("<QQQ", buf, addr + 8)
         return buf[data_addr : data_addr + size]
 
+    # -- global heap (vlen payloads) ---------------------------------------
+
+    def _gheap_object(self, coll_addr: int, index: int) -> bytes:
+        """Object ``index`` of the GCOL global heap collection at
+        ``coll_addr`` — where vlen data lives (each vlen element's
+        16-byte descriptor points here)."""
+        buf = self.buf
+        if buf[coll_addr : coll_addr + 4] != b"GCOL":
+            raise ValueError("bad HDF5 global heap collection")
+        (size,) = struct.unpack_from("<Q", buf, coll_addr + 8)
+        pos, end = coll_addr + 16, coll_addr + size
+        while pos + 16 <= end:
+            idx, _refc = struct.unpack_from("<HH", buf, pos)
+            (osize,) = struct.unpack_from("<Q", buf, pos + 8)
+            if idx == 0:  # free-space object terminates the walk
+                break
+            if idx == index:
+                return buf[pos + 16 : pos + 16 + osize]
+            pos += 16 + ((osize + 7) & ~7)
+        raise ValueError(f"global heap object {index} not found")
+
+    def _vlen_strings(self, raw: bytes, n: int) -> list[str]:
+        """Decode ``n`` 16-byte vlen-string descriptors
+        (u32 length, 8-byte collection address, u32 heap index)."""
+        out = []
+        for i in range(n):
+            ln, caddr, idx = struct.unpack_from("<IQI", raw, i * 16)
+            data = self._gheap_object(caddr, idx)[:ln]
+            out.append(data.decode("utf-8", "replace"))
+        return out
+
+    def _read_vlen_str_layout(self, body, dims, name) -> np.ndarray:
+        """Vlen-string dataset payload: compact/contiguous descriptor
+        arrays resolve through the global heap; chunked vlen (rare —
+        netCDF-4 string VARIABLES are usually small label vectors)
+        stays gated."""
+        ver, lclass = body[0], body[1]
+        n = int(np.prod(dims)) if dims else 1
+        if ver in (3, 4) and lclass == 0:  # compact
+            (size,) = struct.unpack_from("<H", body, 2)
+            raw = body[4 : 4 + size]
+        elif ver in (3, 4) and lclass == 1:  # contiguous
+            addr, _size = struct.unpack_from("<QQ", body, 2)
+            raw = self.buf[addr : addr + n * 16]
+        else:
+            raise NotImplementedError(
+                f"dataset {name!r}: vlen strings with chunked layout"
+            )
+        return np.array(self._vlen_strings(raw, n)).reshape(dims)
+
     # -- datasets ----------------------------------------------------------
 
     def _read_dataset(self, name: str, addr: int) -> H5Dataset | None:
@@ -475,13 +550,17 @@ class _H5Reader:
             elif m.mtype == 0x000B:
                 filters = self._parse_filters(m.body)
             elif m.mtype == 0x000C:
-                aname, aval = _parse_attribute(m.body)
+                aname, aval = _parse_attribute(m.body, reader=self)
                 if aname is not None:
                     attrs[aname] = aval
             elif m.mtype == 0x0011:
                 return None  # sub-group, not a dataset (flat files only)
         if layout is None or dims is None:
             return None
+        if dtype == VLEN_STR:
+            return H5Dataset(
+                name, self._read_vlen_str_layout(layout, dims, name), attrs
+            )
         if dtype is None:
             raise NotImplementedError(f"dataset {name!r}: unsupported HDF5 datatype")
         unlim = [i for i, mx in enumerate(maxdims or []) if mx == _UNDEF]
@@ -942,6 +1021,54 @@ def _attr_message(name: str, value) -> bytes:
     return body + pad8(nb) + pad8(dt) + pad8(ds) + payload
 
 
+def _vlen_dt_message() -> bytes:
+    """Datatype message for a variable-length string (class 9 v1,
+    vlen-type=string, 16-byte descriptors) with an S1 base type."""
+    msg = bytes([(1 << 4) | 9, 0x01, 0x00, 0x00]) + struct.pack("<I", 16)
+    msg += bytes([(1 << 4) | 3, 0, 0, 0]) + struct.pack("<I", 1)
+    return msg
+
+
+def _write_vlen_gcol(alloc, strings: list[bytes]) -> tuple[int, list[int]]:
+    """Write one GCOL global heap collection holding ``strings`` as
+    objects 1..n (+ the terminating free-space object); returns
+    (collection address, object indexes)."""
+    body = bytearray()
+    ids: list[int] = []
+    for i, s in enumerate(strings, start=1):
+        body += struct.pack("<HHIQ", i, 1, 0, len(s))
+        body += s + b"\0" * (-len(s) % 8)
+        ids.append(i)
+    total = 16 + len(body) + 16
+    gcol = bytearray(b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", total))
+    gcol += body
+    gcol += struct.pack("<HHIQ", 0, 0, 0, 16)  # free-space object
+    return alloc(bytes(gcol)), ids
+
+
+def _vlen_descriptors(alloc, values: list[str]) -> bytes:
+    """GCOL + the 16-byte-per-element descriptor array for ``values``."""
+    raw = [v.encode() for v in values]
+    gaddr, ids = _write_vlen_gcol(alloc, raw)
+    return b"".join(
+        struct.pack("<IQI", len(r), gaddr, i) for r, i in zip(raw, ids)
+    )
+
+
+def _vlen_attr_message(name: str, alloc, value) -> bytes:
+    """Attribute message (v1) with a vlen-string payload: scalar str
+    or list of str; the strings land in a GCOL collection."""
+    pad8 = lambda b: b + b"\0" * (-len(b) % 8)  # noqa: E731
+    nb = name.encode() + b"\0"
+    scalar = isinstance(value, str)
+    values = [value] if scalar else list(value)
+    payload = _vlen_descriptors(alloc, values)
+    dt = _vlen_dt_message()
+    ds = _ds_message(() if scalar else (len(values),))
+    body = bytes([1, 0]) + struct.pack("<HHH", len(nb), len(dt), len(ds))
+    return body + pad8(nb) + pad8(dt) + pad8(ds) + payload
+
+
 def _header_msg(mtype: int, body: bytes) -> bytes:
     body = body + b"\0" * (-len(body) % 8)
     return struct.pack("<HHB3x", mtype, len(body), 0) + body
@@ -1227,6 +1354,27 @@ def build_hdf5(
     entries: list[tuple[str, int]] = []
     for name in sorted(datasets):  # symbol tables are name-sorted
         spec = datasets[name]
+        if spec.get("vstr"):
+            # variable-length string dataset: GCOL heap + contiguous
+            # 16-byte descriptor array
+            values = [str(v) for v in spec["data"]]
+            desc = _vlen_descriptors(alloc, values)
+            daddr = alloc(desc)
+            msgs = [
+                _header_msg(0x0001, _ds_message((len(values),))),
+                _header_msg(0x0003, _vlen_dt_message()),
+                _header_msg(
+                    0x0008, struct.pack("<BBQQ", 3, 1, daddr, len(desc))
+                ),
+            ]
+            for aname, aval in spec.get("attrs", {}).items():
+                msgs.append(_header_msg(0x000C, _attr_message(aname, aval)))
+            for aname, aval in spec.get("vstr_attrs", {}).items():
+                msgs.append(
+                    _header_msg(0x000C, _vlen_attr_message(aname, alloc, aval))
+                )
+            entries.append((name, alloc(_object_header(msgs))))
+            continue
         arr = np.ascontiguousarray(spec["data"])
         arr = arr.astype(arr.dtype.newbyteorder("<")) if arr.dtype.byteorder == ">" else arr
         msgs = [
@@ -1409,6 +1557,10 @@ def build_hdf5(
         msgs.append(_header_msg(0x0008, layout))
         for aname, aval in spec.get("attrs", {}).items():
             msgs.append(_header_msg(0x000C, _attr_message(aname, aval)))
+        for aname, aval in spec.get("vstr_attrs", {}).items():
+            msgs.append(
+                _header_msg(0x000C, _vlen_attr_message(aname, alloc, aval))
+            )
         oaddr = alloc(_object_header(msgs))
         entries.append((name, oaddr))
 

@@ -217,6 +217,69 @@ def test_watermarked_funnel_out_of_order_matches_batch(spark, tmp_path):
     assert u4_seq == [(1, 2), (2, 1)]
 
 
+def test_streaming_incremental_dedup_matches_oneshot(spark, tmp_path, sf_small):
+    """The streaming ingestion-dedup loop (foreachBatch over the
+    incremental batch operator + lake-resident fingerprint store):
+    two micro-batches produce EXACTLY the one-shot decisions, the
+    store accumulates every seen fingerprint, and the deduped corpus
+    is the is_dup=false filter."""
+    import time
+
+    from pipelines_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_fingerprints,
+    )
+    from pipelines_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_incremental_dedup_stream(
+        stream,
+        corpus_path=str(tmp_path / "corpus"),
+        store_path=str(tmp_path / "store"),
+        decisions_path=str(tmp_path / "decisions"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["is_dup"], r["dup_of"])
+        for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+    }
+    empty = docs.filter(F.lit(False))
+    oneshot = incremental_dedup_batch(
+        docs, minhash_fingerprints(empty, id_col="doc_id", text_col="text"), empty
+    )
+    want = {
+        (r["doc_id"], r["is_dup"], r["dup_of"]) for r in oneshot.collect()
+    }
+    assert got == want
+    assert any(d for (_, d, _) in got), "corpus should contain duplicates"
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert corpus.count() == 500  # raw zone keeps everything
+    n_kept = corpus.filter(~F.col("is_dup")).count()
+    assert n_kept == sum(1 for (_, d, _) in want if not d)
+    # the store holds every seen doc's fingerprints (kept AND dropped)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    n_shinglable = docs.filter(F.size(F.split("text", " ")) >= 3).count()
+    assert store.select("doc_id").distinct().count() == n_shinglable
+
+
 def test_streaming_heavy_hitters_matches_batch_guarantee(spark, tmp_path):
     """Streaming MG sketch: with <= capacity distinct values per
     group the counts are EXACT under any micro-batch split (no

@@ -496,3 +496,26 @@ def test_cusum_prefix_identity_matches_recursion(deviations):
         pmin = min(pmin, p)
         rewritten.append(p - min(pmin, 0))
     assert rewritten == naive
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    b=st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    t10=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=500, deadline=None)
+def test_prefix_filter_pigeonhole_theorem(a, b, t10):
+    """The losslessness guarantee behind llm/dedup.py::
+    prefix_filter_jaccard_pairs, independent of Spark: for ANY common
+    total order, if Jaccard(A, B) >= t then the first
+    floor((1-t)|A|)+1 elements of A and the first floor((1-t)|B|)+1
+    of B (in that order) share an element — so indexing only prefixes
+    can never miss a qualifying pair."""
+    t = t10 / 10.0
+    inter = len(a & b)
+    if inter / len(a | b) < t:
+        return  # theorem only claims qualifying pairs collide
+    order = sorted  # any common total order; ints sort naturally
+    pa = set(order(a)[: int((1 - t) * len(a)) + 1])
+    pb = set(order(b)[: int((1 - t) * len(b)) + 1])
+    assert pa & pb, (sorted(a), sorted(b), t)

@@ -312,9 +312,14 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    # persisted: the shingle table feeds the inverted index AND both
+    # sides of the verification join; the prefix index feeds both
+    # sides of the candidate self-join — same staging discipline as
+    # minhash_near_dup_pairs (without it the shingle/df stages
+    # recompute per consumer; measured 18.9 s → 6.2 s warm at sf0.1)
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
+    ).filter(F.size("_shingles") > 0).persist()
     sets = shingled.select(F.col(id_col), "_shingles", F.size("_shingles").alias("_n"))
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
     freq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -329,7 +334,7 @@ def prefix_filter_jaccard_pairs(
             <= F.floor((1.0 - threshold) * F.col("_n")).cast("int") + 1
         )
         .select(id_col, "_sh", "_n")
-    )
+    ).persist()
 
     cands = (
         prefix.alias("l")
@@ -347,7 +352,7 @@ def prefix_filter_jaccard_pairs(
     )
 
     pair_sets = sets.select(F.col(id_col), "_shingles")
-    return (
+    out = (
         cands.join(
             pair_sets.withColumnsRenamed({id_col: "id_a", "_shingles": "_sa"}), "id_a"
         )
@@ -363,6 +368,7 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    return _attach_staging(out, (shingled, prefix))
 
 
 def minhash_fingerprints(
@@ -464,6 +470,10 @@ def incremental_dedup_batch(
     the same seen-before discipline to files; here it is applied to
     near-duplicate content.
     """
+    # persisted: the batch's band table feeds BOTH sides of the
+    # within-batch self-join AND the store probe — without staging the
+    # 32-hash signature pipeline recomputes three times (measured 31.7 s
+    # → 3.3 s warm at sf0.1 on the registered query)
     batch_fps = minhash_fingerprints(
         batch,
         id_col=id_col,
@@ -471,7 +481,7 @@ def incremental_dedup_batch(
         shingle_words=shingle_words,
         num_hashes=num_hashes,
         bands=bands,
-    )
+    ).persist()
     # candidate pairs: batch → store (equi-join on the band key) ∪
     # batch → smaller-id batch doc (within-batch self-join)
     new_side = batch_fps.withColumnsRenamed({id_col: "_new_id"})
@@ -494,9 +504,11 @@ def incremental_dedup_batch(
     all_docs = store_docs.select(id_col, text_col).unionByName(
         batch.select(id_col, text_col)
     )
+    # persisted: the shingle sets feed both sides of the verification
+    # join (same staging discipline as minhash_near_dup_pairs)
     sets = all_docs.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_sh")
-    )
+    ).persist()
     verified = (
         cands.join(
             sets.withColumnsRenamed({id_col: "_new_id", "_sh": "_sn"}), "_new_id"
@@ -516,7 +528,7 @@ def incremental_dedup_batch(
             F.count(F.lit(1)).alias("n_dup_sources"),
         )
     )
-    return (
+    out = (
         batch.select(F.col(id_col))
         .join(verified.withColumnsRenamed({"_new_id": id_col}), id_col, "left")
         .select(
@@ -526,6 +538,7 @@ def incremental_dedup_batch(
             F.coalesce("n_dup_sources", F.lit(0)).alias("n_dup_sources"),
         )
     )
+    return _attach_staging(out, (batch_fps, sets))
 
 
 def ngram_jaccard_pairs(

@@ -79,3 +79,37 @@ def test_cost_guard(spark, sf_medium):
     guard_scan(df, max_bytes=10 * 1024**3)  # passes
     with pytest.raises(ScanTooLargeError):
         guard_scan(df, max_bytes=1024)
+
+
+def test_join_advisor_recommendations(spark):
+    """Sketch-driven pre-flight: tiny side → broadcast; hot key →
+    salted_join; and the CMS output estimate is exact when
+    collision-free."""
+    from pipelines_spark.plans.advisor import advise_join
+
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(20)], "k long, name string")
+    fact = spark.createDataFrame(
+        [(i % 20, "x" * 50) for i in range(2000)], "k long, payload string"
+    )
+    adv = advise_join(fact, dim, "k")
+    assert adv.recommendation == "broadcast_b"
+    assert adv.est_join_size == 2000  # every fact row matches once
+    assert adv.n_rows_a == 2000 and adv.n_rows_b == 20
+
+    # skew: one key holds half of a big (past-broadcast-budget) side
+    skewed = spark.createDataFrame(
+        [((0 if i % 2 == 0 else i), "y" * 40) for i in range(4000)],
+        "k long, payload string",
+    )
+    other = spark.createDataFrame(
+        [(i, "z" * 40) for i in range(4000)], "k long, p2 string"
+    )
+    adv2 = advise_join(skewed, other, "k", broadcast_bytes=1000)
+    assert adv2.recommendation == "salted_join"
+    assert adv2.top_key_share_a > 0.4
+    assert "one reducer" in adv2.reason
+
+    # no skew, both big → plain shuffle
+    adv3 = advise_join(other, other, "k", broadcast_bytes=1000)
+    assert adv3.recommendation == "shuffle_join"
+    assert adv3.est_join_size >= 4000

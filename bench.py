@@ -236,6 +236,9 @@ EXTENDED = [
     # r8: multiset set ops + measured Heaps'-law vocabulary growth
     "o15_multiset_ops",
     "text_heaps_law",
+    # r8: end-to-end entity resolution (blocked fuzzy match →
+    # transitive closure → canonical clusters)
+    "er_part_name_clusters",
 ]
 
 

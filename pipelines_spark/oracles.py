@@ -2395,6 +2395,36 @@ ORACLES: dict[str, str] = {
         FROM keyed GROUP BY user_id, grp
     """,
     # blocking key = first name token; refine = levenshtein <= 3
+    # entity resolution: the j13 blocked fuzzy pair graph closed
+    # transitively (recursive CTE), least name = canonical
+    "er_part_name_clusters": """
+        WITH RECURSIVE names AS (
+            SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL
+        ),
+        blocked AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names),
+        pairs AS (
+            SELECT a.p_name AS na, b.p_name AS nb
+            FROM blocked a JOIN blocked b
+              ON a.blk = b.blk AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ),
+        edges AS (
+            SELECT na AS a, nb AS b FROM pairs
+            UNION SELECT nb, na FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS node, least(a, min(b)) AS canonical
+            FROM reach GROUP BY a
+        )
+        SELECT canonical AS canonical_name,
+               count(*) AS n_members,
+               list_sort(list(node)) AS members
+        FROM labels GROUP BY canonical ORDER BY canonical
+    """,
     "j13_fuzzy_name_match": """
         WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
         blocked AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names)

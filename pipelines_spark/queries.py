@@ -2465,6 +2465,40 @@ def j13_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION — the composition record-linkage
+    systems actually run, assembled from three already-checked
+    engines: blocking + fuzzy match (operators/joins.py::
+    blocked_fuzzy_pairs — Σblock² candidate pairs, never n²,
+    JVM levenshtein refine) → transitive closure over the match graph
+    (llm/dedup.py::connected_components, large-star/small-star) →
+    per-entity cluster rollup with the lexicographically-least name
+    as the canonical id (CC's own least-label convention, so
+    canonical = component_id with zero extra passes). Returns one row
+    per multi-member entity: (canonical_name, n_members, members
+    sorted). Singleton names carry no linkage information and are
+    excluded, same as dedup_clusters."""
+    register(spark, sf_dir, ("part",))
+    from pipelines_spark.llm.dedup import connected_components
+    from pipelines_spark.operators.joins import blocked_fuzzy_pairs
+
+    pairs = blocked_fuzzy_pairs(
+        spark.table("part"),
+        "p_name",
+        block_expr=F.split(F.col("_name"), " ").getItem(0),
+        max_dist=3,
+    )
+    labels = connected_components(pairs, a_col="name_a", b_col="name_b")
+    return (
+        labels.groupBy(F.col("component_id").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("canonical_name")
+    )
+
+
 def a21_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py): estimate
     COUNT(DISTINCT l_orderkey) from the 256 smallest distinct md5
@@ -4746,6 +4780,7 @@ QUERIES = {
     "embed_truncated_recall": embed_truncated_recall,
     "o15_multiset_ops": o15_multiset_ops,
     "text_heaps_law": text_heaps_law,
+    "er_part_name_clusters": er_part_name_clusters,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

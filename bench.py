@@ -239,6 +239,9 @@ EXTENDED = [
     # r8: end-to-end entity resolution (blocked fuzzy match →
     # transitive closure → canonical clusters)
     "er_part_name_clusters",
+    # r8: the curation cascade with the CCNet entropy + span-dedup
+    # gates on (its stats twin shares the plan and is not re-timed)
+    "curation_pipeline_full",
 ]
 
 

@@ -53,6 +53,19 @@ BENCH_CONFIG: dict = {
     "max_per_source": 20,
 }
 
+#: the FULL-gate configuration: every optional stage on — the CCNet
+#: LM-entropy gate (trained on the post-exact-dedup corpus) and the
+#: span-dedup gate run between exact dedup and LSH. Thresholds picked
+#: to BITE on the test corpus (h_bits p90 ≈ 4.95; 33 docs carry
+#: duplicated 8-word windows at sf0.01) so the driver row actually
+#: exercises the gates. Interpolated into the oracle cascade like
+#: BENCH_CONFIG.
+BENCH_CONFIG_FULL: dict = {
+    **BENCH_CONFIG,
+    "max_entropy_bits": 4.95,
+    "max_dup_frac": 0.2,
+}
+
 
 @dataclass
 class CurationConfig:

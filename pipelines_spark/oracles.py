@@ -376,7 +376,102 @@ def _md5_bucket(expr: str, m: int) -> str:
     )
 
 
-_CURATION_CTE = f"""scored AS (
+def _curation_gate_ctes(cfg: dict) -> tuple[str, str]:
+    """Optional-stage CTEs (CCNet LM-entropy gate, dup-span gate) for
+    the composed cascade, each replayed ON THE PREVIOUS survivors;
+    returns (cte_sql_fragment, name_of_final_relation)."""
+    frag, src = "", "kept"
+    if cfg.get("max_entropy_bits") is not None:
+        frag += f""",
+etoks AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+    FROM {src}
+),
+euni AS (SELECT t.doc_id, tok FROM etoks t, UNNEST(t.w) AS u(tok)),
+eunic AS (SELECT tok, count(*) AS cu FROM euni GROUP BY 1),
+evocab AS (SELECT count(*) AS v FROM eunic),
+ebg AS (
+    SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+    FROM etoks, UNNEST(range(1, len(w))) AS t(i)
+    WHERE len(w) >= 2
+),
+ebgc AS (SELECT bg, count(*) AS cb FROM ebg GROUP BY 1),
+escored AS (
+    SELECT ebg.doc_id,
+           CAST(round(log2((cb + 1.0) / (cu + v)), 4) AS DECIMAL(18,4)) AS logp
+    FROM ebg JOIN ebgc USING (bg)
+    JOIN eunic ON ebg.w1 = eunic.tok
+    CROSS JOIN evocab
+),
+ehb AS (
+    SELECT doc_id, round(-CAST(sum(logp) AS DOUBLE) / count(*), 4) AS h_bits
+    FROM escored GROUP BY doc_id
+),
+kept_e AS (
+    SELECT k.* FROM {src} k LEFT JOIN ehb ON k.doc_id = ehb.doc_id
+    WHERE ehb.h_bits IS NULL OR ehb.h_bits <= {cfg["max_entropy_bits"]}
+)"""
+        src = "kept_e"
+    if cfg.get("max_dup_frac") is not None:
+        frag += f""",
+dtoks AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+    FROM {src}
+),
+dsizes AS (SELECT doc_id, len(w) AS n_words FROM dtoks),
+dwin AS (
+    SELECT doc_id, i AS s0,
+           md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS h
+    FROM dtoks, UNNEST(range(1, len(w) - 6)) AS t(i)
+    WHERE len(w) >= 8
+),
+ddup AS (SELECT h FROM dwin GROUP BY h HAVING count(*) > 1),
+dmarked AS (
+    SELECT w.doc_id, w.s0, w.s0 + 7 AS e0 FROM dwin w JOIN ddup USING (h)
+),
+disl AS (
+    SELECT doc_id, s0, e0,
+           CASE WHEN max(e0) OVER prev IS NULL
+                     OR s0 > max(e0) OVER prev + 1
+                THEN 1 ELSE 0 END AS new_island
+    FROM dmarked
+    WINDOW prev AS (PARTITION BY doc_id ORDER BY s0
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+disl2 AS (
+    SELECT doc_id, s0, e0,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY s0
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM disl
+),
+dspans AS (
+    SELECT doc_id, island, min(s0) AS s, max(e0) AS e
+    FROM disl2 GROUP BY 1, 2
+),
+dper AS (
+    SELECT doc_id, sum(e - s + 1) AS dup_words FROM dspans GROUP BY 1
+),
+dfrac AS (
+    SELECT z.doc_id,
+           round(COALESCE(p.dup_words, 0)
+                 / CAST(greatest(z.n_words, 1) AS DOUBLE), 4) AS dup_frac
+    FROM dsizes z LEFT JOIN dper p USING (doc_id)
+),
+kept_d AS (
+    SELECT k.* FROM {src} k JOIN dfrac USING (doc_id)
+    WHERE dup_frac <= {cfg["max_dup_frac"]}
+)"""
+        src = "kept_d"
+    return frag, src
+
+
+def _curation_cascade(cfg: dict) -> str:
+    """The full curate_corpus stage cascade for ``cfg`` (gates →
+    source cap → exact dedup → optional CCNet gates → LSH near-dup
+    canonical), each stage replayed on the previous stage's
+    survivors; ends in the ``curated`` CTE."""
+    gates, src = _curation_gate_ctes(cfg)
+    prefix = f"""scored AS (
     SELECT doc_id, text, source,
            {_QUALITY_EXPR} AS quality,
            CASE WHEN length(trim(text)) = 0 THEN 0
@@ -397,8 +492,8 @@ capped AS (
     ) WHERE rk <= {_CURCFG["max_per_source"]}
 ),
 canon AS (SELECT min(doc_id) AS doc_id FROM capped GROUP BY text),
-kept AS (SELECT c.* FROM capped c JOIN canon USING (doc_id)),
-cwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+kept AS (SELECT c.* FROM capped c JOIN canon USING (doc_id))"""
+    tail = f"""cwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
 cshingles AS (
     SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
     FROM cwords, UNNEST(range(1, len(w) - 1)) AS t(i)
@@ -427,7 +522,7 @@ creach(a, b) AS (
 clabels AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM creach GROUP BY a),
 clabeled AS (
     SELECT k.*, CAST(COALESCE(l.component_id, k.doc_id) AS BIGINT) AS component_id
-    FROM kept k LEFT JOIN clabels l USING (doc_id)
+    FROM {src} k LEFT JOIN clabels l USING (doc_id)
 ),
 curated AS (
     SELECT doc_id, quality, detected_lang, n_tokens, component_id FROM (
@@ -436,6 +531,16 @@ curated AS (
         FROM clabeled
     ) WHERE rn = 1
 )"""
+    return prefix + gates + ",\n" + tail
+
+
+_CURATION_CTE = _curation_cascade(_CURCFG)
+
+from pipelines_spark.llm.curation import (  # noqa: E402
+    BENCH_CONFIG_FULL as _CURCFG_FULL,
+)
+
+_CURATION_FULL_CTE = _curation_cascade(_CURCFG_FULL)
 
 
 ORACLES: dict[str, str] = {
@@ -926,6 +1031,39 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(u.n_dup_sources, 0) AS BIGINT) AS n_dup_sources
         FROM documents d LEFT JOIN dups u ON d.doc_id = u.new_id
         WHERE d.doc_id >= 250 ORDER BY doc_id
+    """,
+    # the FULL-gate cascade: + CCNet LM-entropy gate + span-dedup gate
+    "curation_pipeline_full": f"""
+        WITH RECURSIVE {_CURATION_FULL_CTE},
+        assigned AS (
+            SELECT *,
+                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   {_md5_bucket("doc_id", _CURCFG["shard_buckets"])} AS bucket
+            FROM curated
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens, component_id, split,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY bucket
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {float(_CURCFG["shard_tokens"])}) AS BIGINT) AS shard_no
+        FROM assigned ORDER BY doc_id
+    """,
+    "curation_funnel_full": f"""
+        WITH RECURSIVE {_CURATION_FULL_CTE}
+        SELECT stage, n_docs FROM (
+            SELECT 'input' AS stage, count(*) AS n_docs FROM documents
+            UNION ALL SELECT 'quality_lang_gate', count(*) FROM gated
+            UNION ALL SELECT 'source_cap', count(*) FROM capped
+            UNION ALL SELECT 'exact_dedup', count(*) FROM kept
+            UNION ALL SELECT 'lm_entropy_gate', count(*) FROM kept_e
+            UNION ALL SELECT 'dup_span_gate', count(*) FROM kept_d
+            UNION ALL SELECT 'near_dup_canonical', count(*) FROM curated
+        ) ORDER BY stage
     """,
     # LSH candidates are exactly verified, so the observable result
     # equals the exact-Jaccard pair set.

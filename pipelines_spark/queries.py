@@ -4694,6 +4694,57 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation cascade with EVERY optional stage on — the CCNet
+    LM-entropy gate (bigram cross-entropy trained on the
+    post-exact-dedup corpus, CCNet order: dedup before the LM so
+    boilerplate can't dominate the model it is judged by) and the
+    Lee-et-al span-dedup gate run between exact dedup and LSH
+    clustering. Same per-doc provenance output as curation_pipeline;
+    the oracle replays the full seven-stage cascade with each gate on
+    its predecessor's survivors (config: llm/curation.py::
+    BENCH_CONFIG_FULL, thresholds chosen to BITE on this corpus)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.curation import (
+        BENCH_CONFIG_FULL,
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    curated, _ = curate_corpus(
+        docs, CurationConfig(**BENCH_CONFIG_FULL), collect_stats=False
+    )
+    return curated.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "quality",
+        "detected_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("component_id").cast("long").alias("component_id"),
+        "split",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("shard_no").cast("long").alias("shard_no"),
+    ).orderBy("doc_id")
+
+
+def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel counts of the FULL-gate cascade — seven
+    stages including lm_entropy_gate and dup_span_gate (config shared
+    with curation_pipeline_full via BENCH_CONFIG_FULL)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.curation import (
+        BENCH_CONFIG_FULL,
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    _, stats = curate_corpus(
+        docs, CurationConfig(**BENCH_CONFIG_FULL), collect_stats=True
+    )
+    return stats.orderBy("stage")
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup — the production ingestion
     shape: docs 0-249 are the EXISTING corpus whose MinHash band
@@ -4781,6 +4832,8 @@ QUERIES = {
     "o15_multiset_ops": o15_multiset_ops,
     "text_heaps_law": text_heaps_law,
     "er_part_name_clusters": er_part_name_clusters,
+    "curation_pipeline_full": curation_pipeline_full,
+    "curation_funnel_full": curation_funnel_full,
     # --- last driver-checked r3 (oldest first) ---
     "a13_value_percentiles": a13_value_percentiles,
     "a14_cube_revenue": a14_cube_revenue,

@@ -109,7 +109,10 @@ def curate_corpus(
     ``stats``: (stage, n_docs) counts after each stage; the input
     count is an extra scan of the raw corpus and the per-stage counts
     are actions over persisted frames — pass ``collect_stats=False``
-    for a fully lazy, zero-extra-job plan (stats comes back ``None``).
+    for a zero-extra-job plan — no counts, no eager actions; stage
+    boundaries use LAZY localCheckpoints (GC-freed, nothing for the
+    caller to release) so multi-consumer stages materialize once
+    (stats comes back ``None``).
 
     Cache lifecycle: intermediate persists are released before
     return; the final canonical frame stays cached (the returned
@@ -124,7 +127,19 @@ def curate_corpus(
     spark = docs.sparkSession
 
     def persist(df: DataFrame) -> DataFrame:
-        return df.persist() if collect_stats else df
+        # stats path: explicit persist + unpersist (we control when
+        # everything materializes). Lazy path: LAZY localCheckpoint —
+        # no extra job, but each stage boundary still materializes
+        # ONCE on first use instead of re-deriving the whole upstream
+        # chain per consumer (the full-gate config has ~6 consumers of
+        # the gated chain: measured 28.7 s → 8.1 s warm at sf0.1).
+        # Blocks are executor-local and freed when the frames are
+        # GC'd — no unpersist obligation on the caller.
+        if collect_stats:
+            return df.persist()
+        from pipelines_spark.plans.staging import stage
+
+        return stage(df, eager=False)
 
     counts: list[tuple[str, int]] = (
         [("input", docs.count())] if collect_stats else []
@@ -209,8 +224,8 @@ def curate_corpus(
     # 3. near-dup clustering + best-quality canonical per component
     # staging caches are only attached (and later released) on the
     # stats path, where we control when everything materializes; with
-    # collect_stats=False the plan is fully lazy and persist-free, so
-    # nothing can leak for the session.
+    # collect_stats=False the stage boundaries are lazy localCheckpoints
+    # (GC-freed), so nothing needs explicit release for the session.
     pairs = minhash_near_dup_pairs(
         exact_kept, id_col=id_c, text_col=text_c,
         threshold=cfg.near_dup_threshold,

@@ -407,7 +407,7 @@ ehb AS (
     SELECT doc_id, round(-CAST(sum(logp) AS DOUBLE) / count(*), 4) AS h_bits
     FROM escored GROUP BY doc_id
 ),
-kept_e AS (
+kept_e AS MATERIALIZED (
     SELECT k.* FROM {src} k LEFT JOIN ehb ON k.doc_id = ehb.doc_id
     WHERE ehb.h_bits IS NULL OR ehb.h_bits <= {cfg["max_entropy_bits"]}
 )"""
@@ -457,7 +457,7 @@ dfrac AS (
                  / CAST(greatest(z.n_words, 1) AS DOUBLE), 4) AS dup_frac
     FROM dsizes z LEFT JOIN dper p USING (doc_id)
 ),
-kept_d AS (
+kept_d AS MATERIALIZED (
     SELECT k.* FROM {src} k JOIN dfrac USING (doc_id)
     WHERE dup_frac <= {cfg["max_dup_frac"]}
 )"""
@@ -479,12 +479,12 @@ def _curation_cascade(cfg: dict) -> str:
            {_LANG_SCORES}
     FROM documents
 ),
-gated AS (
+gated AS MATERIALIZED (
     SELECT doc_id, text, source, quality, n_tokens, {_LANG_PICK} AS detected_lang
     FROM scored
     WHERE quality >= {_CURCFG["min_quality"]} AND n_tokens >= {_CURCFG["min_tokens"]}
 ),
-capped AS (
+capped AS MATERIALIZED (
     SELECT doc_id, text, source, quality, n_tokens, detected_lang FROM (
         SELECT *, row_number() OVER (
             PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
@@ -492,7 +492,7 @@ capped AS (
     ) WHERE rk <= {_CURCFG["max_per_source"]}
 ),
 canon AS (SELECT min(doc_id) AS doc_id FROM capped GROUP BY text),
-kept AS (SELECT c.* FROM capped c JOIN canon USING (doc_id))"""
+kept AS MATERIALIZED (SELECT c.* FROM capped c JOIN canon USING (doc_id))"""
     tail = f"""cwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
 cshingles AS (
     SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
@@ -3106,7 +3106,7 @@ ORACLES: dict[str, str] = {
                 PARTITION BY source
                 ORDER BY quality DESC, doc_id ASC) AS rk
             FROM q
-        ), kept AS (
+        ), kept AS MATERIALIZED (
             SELECT * FROM ranked WHERE rk <= 40
         ), tot AS (
             SELECT source, count(*) AS n_total FROM q GROUP BY source
@@ -3178,7 +3178,7 @@ ORACLES: dict[str, str] = {
             CROSS JOIN cent c
         ), cell AS (
             SELECT vec_id, centroid_id FROM ranked WHERE cr = 1
-        ), capped AS (
+        ), capped AS MATERIALIZED (
             SELECT vec_id, centroid_id FROM (
                 SELECT vec_id, centroid_id,
                        row_number() OVER (

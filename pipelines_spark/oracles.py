@@ -3427,16 +3427,23 @@ ORACLES: dict[str, str] = {
         ),
         pts AS (
             SELECT v.decile, v.cutoff, t.tokens, v.vocab,
-                   log10(t.tokens) AS x, log10(v.vocab) AS y
+                   CAST(round(log10(t.tokens), 6) AS DECIMAL(18,6)) AS x,
+                   CAST(round(log10(v.vocab), 6) AS DECIMAL(18,6)) AS y
             FROM vocab v JOIN toks t USING (decile)
         ),
-        fit AS (
-            SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
-                         / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS beta,
-                   round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
-                          / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
-                         / count(*), 4) AS log10_k
+        sums AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy
             FROM pts
+        ),
+        fit AS (
+            SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                         / n, 4) AS log10_k
+            FROM sums
         )
         SELECT decile, cutoff, CAST(tokens AS BIGINT) AS tokens,
                CAST(vocab AS BIGINT) AS vocab, beta, log10_k

@@ -3992,9 +3992,15 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10 rows, broadcast) picks up cumulative vocabulary and token
     counts with two small range-condition aggregations. The Heaps
     exponent β and log-K come from a closed-form least-squares fit
-    over the 10 (log N, log V) checkpoints — exact integer counts
-    until the final fit arithmetic. Returns the checkpoints plus the
-    fitted (beta, log10_k) on every row for a one-frame result."""
+    over the 10 (log N, log V) checkpoints — exact integer counts,
+    then per-point logs rounded-and-DECIMAL-summed (the repo's float
+    convention; raw-double fit sums flipped round(β, 4) between runs
+    — caught by a vanilla-session verify pass). Returns the
+    checkpoints plus the fitted (beta, log10_k) on every row for a
+    one-frame result. On the synthetic test corpus the 31-word
+    vocabulary saturates inside the first decile, so β = 0 exactly —
+    the degenerate-saturation end of the Heaps curve, measured, not
+    a bug; real crawls land β ≈ 0.4–0.6."""
     register(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     words = docs.select(
@@ -4023,21 +4029,28 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(grid["decile"].alias("decile"))
         .agg(F.sum("n_tok").alias("tokens"))
     )
+    # per-point logs rounded then DECIMAL — the repo's float-sum
+    # convention: the fit sums must be EXACT so partition order can't
+    # flip the final 4-decimal rounding (caught by a vanilla-session
+    # verify run: raw-double sums differed between runs in the last
+    # bit, flipping round(beta, 4) at a boundary)
     pts = vocab.join(toks, "decile").select(
         "decile",
         "cutoff",
         "tokens",
         "vocab",
-        F.log10("tokens").alias("_x"),
-        F.log10("vocab").alias("_y"),
+        F.round(F.log10("tokens"), 6).cast("decimal(18,6)").alias("_x"),
+        F.round(F.log10("vocab"), 6).cast("decimal(18,6)").alias("_y"),
     )
-    # closed-form least squares over the 10 checkpoints (1-row agg)
+    # closed-form least squares over the 10 checkpoints (1-row agg);
+    # sums and cross-products are exact decimals, the slope division
+    # is one deterministic double expression over them
     fit = pts.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
     ).select(
         F.round(
             (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))

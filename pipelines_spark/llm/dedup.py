@@ -444,9 +444,15 @@ def incremental_dedup_batch(
     give you: the corpus is never re-paired; the batch probes the
     persisted band-signature store with one ``(band_no, band_key)``
     equi-join (batch×store, never store×store), and candidates are
-    exactly verified against only the candidate docs' texts (a
-    semi-join pushdown into ``store_docs``, bounded by candidate
-    volume, not corpus size).
+    exactly verified against only the candidate docs' texts: the
+    distinct candidate-id set (union of both pair sides) is
+    LEFT-SEMI-joined into ``store_docs`` BEFORE the shingle
+    projection, so the store-text scan and the shingling are bounded
+    by candidate volume, never corpus size. The candidate-id frame is
+    tiny (≤ 2 × candidate pairs), so at scale that semi-join
+    broadcasts and the 100 TB store is never shuffled — and if the
+    corpus table is bucketed by id it is not even re-shuffled for
+    reads (candidate-bounded scan pinned in tests/test_bucketing.py).
 
     Semantics — chosen so incremental ≡ one-shot EXACTLY (property
     test in tests/test_llm_ops.py): a batch doc is a duplicate iff it
@@ -485,24 +491,50 @@ def incremental_dedup_batch(
     # candidate pairs: batch → store (equi-join on the band key) ∪
     # batch → smaller-id batch doc (within-batch self-join)
     new_side = batch_fps.withColumnsRenamed({id_col: "_new_id"})
+    # the _prev_id != _new_id guard makes micro-batch REPLAY safe: a
+    # crash between the store write and the checkpoint commit means the
+    # replayed batch's own fingerprints are already in the store, and
+    # without the guard every doc would self-match at Jaccard 1.0
     cand_store = new_side.join(
         store_fps.withColumnsRenamed({id_col: "_prev_id"}),
         ["band_no", "band_key"],
-    )
+    ).filter(F.col("_prev_id") != F.col("_new_id"))
     cand_batch = new_side.join(
         batch_fps.withColumnsRenamed({id_col: "_prev_id"}),
         ["band_no", "band_key"],
     ).filter(F.col("_prev_id") < F.col("_new_id"))
-    cands = (
+    # staged (lazy localCheckpoint, plans/staging.py): cands feeds
+    # THREE consumers — the two candidate-id semi-joins and the
+    # verification join — and is bounded by candidate volume (small).
+    # A stage boundary (not a bare persist) keeps the downstream plan
+    # linear: the three consumers see one RDD scan, not three inlined
+    # copies of the band-probe subtree. GC-freed, nothing to release.
+    from pipelines_spark.plans.staging import stage
+
+    cands = stage(
         cand_store.select("_new_id", "_prev_id")
         .unionByName(cand_batch.select("_new_id", "_prev_id"))
-        .dropDuplicates(["_new_id", "_prev_id"])
+        .dropDuplicates(["_new_id", "_prev_id"]),
+        eager=False,
     )
 
-    # exact verification: shingle sets recomputed for CANDIDATE docs
-    # only (the join against cands prunes both scans)
-    all_docs = store_docs.select(id_col, text_col).unionByName(
-        batch.select(id_col, text_col)
+    # exact verification: the candidate-id set prunes BOTH text scans
+    # BEFORE the shingle projection — the store corpus is read
+    # candidate-bounded, never in full (the semi-join is applied per
+    # union leg because Catalyst does not push joins through Union)
+    # one reference to cands (map-side explode of the two pair sides),
+    # not a self-union — keeps the plan tree linear in cands
+    cand_ids = (
+        cands.select(
+            F.explode(F.array("_new_id", "_prev_id")).alias(id_col)
+        ).dropDuplicates([id_col])
+    )
+    all_docs = (
+        store_docs.select(id_col, text_col)
+        .join(cand_ids, id_col, "left_semi")
+        .unionByName(
+            batch.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+        )
     )
     # persisted: the shingle sets feed both sides of the verification
     # join (same staging discipline as minhash_near_dup_pairs)
@@ -538,7 +570,12 @@ def incremental_dedup_batch(
             F.coalesce("n_dup_sources", F.lit(0)).alias("n_dup_sources"),
         )
     )
-    return _attach_staging(out, (batch_fps, sets))
+    # batch_fps is exposed so the ingestion loop can advance the store
+    # without recomputing the 32-hash signature pipeline
+    # (streaming/dedup_stream.py reads it back via this attribute)
+    out = _attach_staging(out, (batch_fps, sets))
+    out._batch_fps = batch_fps
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -425,13 +425,25 @@ def cms_join_size(
 
     Returns one row: ``(est_join_size bigint)``.
     """
+    # inner join only sees OVERLAPPING buckets — a depth row with zero
+    # shared buckets has inner product 0 (the tightest estimate) and
+    # must not be dropped from the min, so left-join the per-row
+    # products back onto the full row_idx spine and coalesce to 0;
+    # the outer coalesce covers two empty sketches (est 0, not NULL,
+    # so advise_join's int(est) never sees None)
     prod = (
         cms_a.alias("a")
         .join(cms_b.alias("b"), ["row_idx", "bucket"])
         .groupBy("row_idx")
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("_ip"))
     )
-    return prod.agg(F.min("_ip").cast("long").alias("est_join_size"))
+    spine = cms_a.select("row_idx").union(cms_b.select("row_idx")).distinct()
+    per_row = spine.join(prod, "row_idx", "left").select(
+        F.coalesce("_ip", F.lit(0)).alias("_ip")
+    )
+    return per_row.agg(
+        F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias("est_join_size")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2560,7 +2560,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT canonical AS canonical_name,
                count(*) AS n_members,
-               list_sort(list(node)) AS members
+               array_to_string(list_sort(list(node)), '|') AS members
         FROM labels GROUP BY canonical ORDER BY canonical
     """,
     "j13_fuzzy_name_match": """

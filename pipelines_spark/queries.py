@@ -2476,8 +2476,11 @@ def er_part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the canonical id (CC's own least-label convention, so
     canonical = component_id with zero extra passes). Returns one row
     per multi-member entity: (canonical_name, n_members, members
-    sorted). Singleton names carry no linkage information and are
-    excluded, same as dedup_clusters."""
+    sorted, '|'-joined — serialized to a scalar string because the
+    driver's pandas canonicalization cannot hash bare array cells;
+    same convention as a4_nested_content's to_json). Singleton names
+    carry no linkage information and are excluded, same as
+    dedup_clusters."""
     register(spark, sf_dir, ("part",))
     from pipelines_spark.llm.dedup import connected_components
     from pipelines_spark.operators.joins import blocked_fuzzy_pairs
@@ -2493,7 +2496,9 @@ def er_part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("component_id").alias("canonical_name"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.array_sort(F.collect_list("node")).alias("members"),
+            F.concat_ws("|", F.array_sort(F.collect_list("node"))).alias(
+                "members"
+            ),
         )
         .orderBy("canonical_name")
     )
@@ -4686,8 +4691,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture→pretreat→load flows
     (/root/reference/pipelines/rj_smtr/flows.py:46-194), which are
     the reference's actual product; here the product is the curated
-    corpus. Lazy end to end (collect_stats=False): no persists, no
-    driver-side counts — the whole chain is one Catalyst plan."""
+    corpus. Lazy path (collect_stats=False): no explicit persists, no
+    driver-side counts — stage boundaries are LAZY localCheckpoints
+    (plans/staging.py) that materialize each multi-consumer stage
+    once and truncate lineage. Caveat that buys: checkpoint blocks
+    are executor-local and not recomputable on executor loss — the
+    single-node / short-job posture; long preemptible cluster runs
+    should use the durable ``staging="checkpoint"`` mode."""
     register(spark, sf_dir, ("documents",))
     from pipelines_spark.llm.curation import CurationConfig, curate_corpus
 
@@ -4811,62 +4821,14 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 8 head = the 17 round-7 additions that
-    # have never had a driver row, round-8 additions as they land, then
-    # the r3-checked cohort (oldest first) filling the window to 50.
-    # --- never driver-checked (r7 additions) ---
-    "funnel_windowed_conversion": funnel_windowed_conversion,
-    "trend_by_event_type": trend_by_event_type,
-    "profile_documents": profile_documents,
-    "w12_event_transitions": w12_event_transitions,
-    "funnel_time_to_convert": funnel_time_to_convert,
-    "j18_interval_overlap": j18_interval_overlap,
-    "a37_weighted_median": a37_weighted_median,
-    "a38_gini_concentration": a38_gini_concentration,
-    "graph_communities": graph_communities,
-    "embed_knn_graph": embed_knn_graph,
-    "sample_source_cap": sample_source_cap,
-    "j19_bloom_semi_reduction": j19_bloom_semi_reduction,
-    "a39_cusum_changepoints": a39_cusum_changepoints,
-    "trend_theilsen_by_type": trend_theilsen_by_type,
-    "graph_modularity": graph_modularity,
-    "a40_equidepth_histogram": a40_equidepth_histogram,
-    "embed_knn_graph_capped": embed_knn_graph_capped,
-    # --- round-8 additions (never driver-checked) land here ---
-    "curation_pipeline": curation_pipeline,
-    "curation_funnel_stats": curation_funnel_stats,
-    "dedup_incremental_batch": dedup_incremental_batch,
-    "profile_documents_approx": profile_documents_approx,
-    "dedup_prefix_jaccard": dedup_prefix_jaccard,
-    "a41_cms_join_size": a41_cms_join_size,
-    "text_pmi_collocations": text_pmi_collocations,
-    "search_hybrid_rrf": search_hybrid_rrf,
-    "embed_truncated_recall": embed_truncated_recall,
-    "o15_multiset_ops": o15_multiset_ops,
-    "text_heaps_law": text_heaps_law,
+    # outrank everything. Round 9 head = new r9 additions as they
+    # land, then er_part_name_clusters (red r8 row — never green),
+    # then the r3-checked cohort (oldest first), then the oldest
+    # r5/r6 entries filling the window to 50.
+    # --- round-9 additions (never driver-checked) land here ---
+    # --- red r8 row (array column fixed this round; never green) ---
     "er_part_name_clusters": er_part_name_clusters,
-    "curation_pipeline_full": curation_pipeline_full,
-    "curation_funnel_full": curation_funnel_full,
     # --- last driver-checked r3 (oldest first) ---
-    "a13_value_percentiles": a13_value_percentiles,
-    "a14_cube_revenue": a14_cube_revenue,
-    "a15_salted_event_totals": a15_salted_event_totals,
-    "a16_value_histogram": a16_value_histogram,
-    "a17_grouping_sets_revenue": a17_grouping_sets_revenue,
-    "dedup_canonical_selection": dedup_canonical_selection,
-    "dedup_clusters": dedup_clusters,
-    "embed_ivf_ann": embed_ivf_ann,
-    "embed_ivf_kmeans": embed_ivf_kmeans,
-    "embed_quantized_knn": embed_quantized_knn,
-    "j11_asof_enrichment": j11_asof_enrichment,
-    "j12_asof_forward": j12_asof_forward,
-    "j8_geo_stations": j8_geo_stations,
-    "j8b_best_overlap": j8b_best_overlap,
-    "o10_unpivot": o10_unpivot,
-    "o11_intersect_custkeys": o11_intersect_custkeys,
-    "q10_returned_items": q10_returned_items,
-    "q11_important_suppliers": q11_important_suppliers,
-    "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q16_part_supplier_counts": q16_part_supplier_counts,
@@ -4999,4 +4961,54 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "w6_sessionize": w6_sessionize,
+    # --- driver-checked r8 (the freshest cohort; back of the line) ---
+    "funnel_windowed_conversion": funnel_windowed_conversion,
+    "trend_by_event_type": trend_by_event_type,
+    "profile_documents": profile_documents,
+    "w12_event_transitions": w12_event_transitions,
+    "funnel_time_to_convert": funnel_time_to_convert,
+    "j18_interval_overlap": j18_interval_overlap,
+    "a37_weighted_median": a37_weighted_median,
+    "a38_gini_concentration": a38_gini_concentration,
+    "graph_communities": graph_communities,
+    "embed_knn_graph": embed_knn_graph,
+    "sample_source_cap": sample_source_cap,
+    "j19_bloom_semi_reduction": j19_bloom_semi_reduction,
+    "a39_cusum_changepoints": a39_cusum_changepoints,
+    "trend_theilsen_by_type": trend_theilsen_by_type,
+    "graph_modularity": graph_modularity,
+    "a40_equidepth_histogram": a40_equidepth_histogram,
+    "embed_knn_graph_capped": embed_knn_graph_capped,
+    "curation_pipeline": curation_pipeline,
+    "curation_funnel_stats": curation_funnel_stats,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "profile_documents_approx": profile_documents_approx,
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
+    "a41_cms_join_size": a41_cms_join_size,
+    "text_pmi_collocations": text_pmi_collocations,
+    "search_hybrid_rrf": search_hybrid_rrf,
+    "embed_truncated_recall": embed_truncated_recall,
+    "o15_multiset_ops": o15_multiset_ops,
+    "text_heaps_law": text_heaps_law,
+    "curation_pipeline_full": curation_pipeline_full,
+    "curation_funnel_full": curation_funnel_full,
+    "a13_value_percentiles": a13_value_percentiles,
+    "a14_cube_revenue": a14_cube_revenue,
+    "a15_salted_event_totals": a15_salted_event_totals,
+    "a16_value_histogram": a16_value_histogram,
+    "a17_grouping_sets_revenue": a17_grouping_sets_revenue,
+    "dedup_canonical_selection": dedup_canonical_selection,
+    "dedup_clusters": dedup_clusters,
+    "embed_ivf_ann": embed_ivf_ann,
+    "embed_ivf_kmeans": embed_ivf_kmeans,
+    "embed_quantized_knn": embed_quantized_knn,
+    "j11_asof_enrichment": j11_asof_enrichment,
+    "j12_asof_forward": j12_asof_forward,
+    "j8_geo_stations": j8_geo_stations,
+    "j8b_best_overlap": j8b_best_overlap,
+    "o10_unpivot": o10_unpivot,
+    "o11_intersect_custkeys": o11_intersect_custkeys,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_suppliers": q11_important_suppliers,
+    "q13_order_count_distribution": q13_order_count_distribution,
 }

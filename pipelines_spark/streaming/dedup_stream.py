@@ -24,8 +24,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from pipelines_spark.llm.dedup import (
     incremental_dedup_batch,
-    minhash_fingerprints,
     persist_fingerprints,
+    release_staging,
 )
 
 
@@ -53,7 +53,12 @@ def run_incremental_dedup_stream(
     filter), and advance the store with ALL of the batch's
     fingerprints (the seen-before semantics that make incremental ≡
     one-shot; llm/dedup.py). Batch-id-keyed partition replaces make
-    every write idempotent under micro-batch replay.
+    every write idempotent under micro-batch replay: store/corpus
+    reads EXCLUDE the current batch's own ``_batch_id`` partition, so
+    a crash between the lake writes and the checkpoint commit cannot
+    make the replay dedup the batch against its own partial output
+    (incremental_dedup_batch's ``_prev_id != _new_id`` guard is the
+    second layer of the same defence).
     """
     spark = source.sparkSession
 
@@ -61,8 +66,10 @@ def run_incremental_dedup_stream(
         if batch_df.isEmpty():
             return
         batch_df = batch_df.persist()
-        store_fps = _read_store(spark, store_path, id_col)
-        store_docs = _read_corpus(spark, corpus_path, batch_df, id_col, text_col)
+        store_fps = _read_store(spark, store_path, id_col, str(batch_id))
+        store_docs = _read_corpus(
+            spark, corpus_path, batch_df, id_col, text_col, str(batch_id)
+        )
         decisions = incremental_dedup_batch(
             batch_df.select(id_col, text_col),
             store_fps,
@@ -86,15 +93,14 @@ def run_incremental_dedup_stream(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(corpus_path)
         )
-        persist_fingerprints(
-            minhash_fingerprints(
-                batch_df.select(id_col, text_col),
-                id_col=id_col,
-                text_col=text_col,
-            ),
-            store_path,
-            str(batch_id),
-        )
+        # the batch's fingerprints were already computed (and persisted
+        # in-memory) inside incremental_dedup_batch — reuse them for the
+        # store advance instead of re-running the 32-hash pipeline
+        persist_fingerprints(decisions._batch_fps, store_path, str(batch_id))
+        # release the operator's staging frames (batch_fps, cands,
+        # shingle sets) — a long-running stream must not leak persisted
+        # frames per micro-batch
+        release_staging(decisions)
         decisions.unpersist()
         batch_df.unpersist()
 
@@ -106,13 +112,40 @@ def run_incremental_dedup_stream(
     return writer.start()
 
 
-def _read_store(spark: SparkSession, path: str, id_col: str) -> DataFrame:
+def _is_missing_path(exc: Exception) -> bool:
+    """True only for the 'first batch, store not created yet' case.
+    Any OTHER read failure (permissions, fs hiccup, corrupt footer)
+    must propagate — silently deduping against an empty store would
+    permanently record wrong keep decisions."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(exc, AnalysisException):
+        return False
+    cond = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    name = cond() if cond else None
+    if name is not None:
+        return name == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+
+def _read_store(
+    spark: SparkSession, path: str, id_col: str, batch_id: str
+) -> DataFrame:
     try:
-        return spark.read.parquet(path).select(id_col, "band_no", "band_key")
-    except Exception:
-        return spark.createDataFrame(
-            [], f"{id_col} long, band_no int, band_key long"
-        )
+        fps = spark.read.parquet(path)
+    except Exception as exc:
+        if _is_missing_path(exc):
+            return spark.createDataFrame(
+                [], f"{id_col} long, band_no int, band_key long"
+            )
+        raise
+    # replay guard: a crashed run may have written this batch's own
+    # partition already — it must not be probed as "previously seen"
+    return fps.filter(F.col("_batch_id") != batch_id).select(
+        id_col, "band_no", "band_key"
+    )
 
 
 def _read_corpus(
@@ -121,8 +154,12 @@ def _read_corpus(
     like: DataFrame,
     id_col: str,
     text_col: str,
+    batch_id: str,
 ) -> DataFrame:
     try:
-        return spark.read.parquet(path).select(id_col, text_col)
-    except Exception:
-        return like.select(id_col, text_col).filter(F.lit(False))
+        corpus = spark.read.parquet(path)
+    except Exception as exc:
+        if _is_missing_path(exc):
+            return like.select(id_col, text_col).filter(F.lit(False))
+        raise
+    return corpus.filter(F.col("_batch_id") != batch_id).select(id_col, text_col)

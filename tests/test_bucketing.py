@@ -105,3 +105,39 @@ def test_fingerprint_store_bucketed_probe_skips_store_shuffle(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS fps_store_b")
+
+
+def test_incremental_dedup_verification_is_candidate_bounded(spark, sf_small):
+    """The 100 TB-shape pin for exact verification: the shingle
+    projection (the `_sh` word-shingles Project) must sit DIRECTLY
+    above a LeftSemi join on the candidate-id set, for BOTH corpus
+    legs (store texts and batch texts) — i.e. the store corpus is
+    never shingled in full per ingestion batch; only candidate docs'
+    texts are read and shingled. Companion to the bucketed store
+    probe pin above (fingerprints) — this one bounds the TEXT side."""
+    from pipelines_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_fingerprints,
+        release_staging,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store_docs = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    fps = minhash_fingerprints(store_docs, id_col="doc_id", text_col="text")
+    out = incremental_dedup_batch(batch, fps, store_docs)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = [ln for ln in opt.splitlines() if ln.strip()]
+    # the verification shingle-set projection aliases the CASE-WHEN
+    # shingles expression as `_sh` ("END AS _sh#N"); the minhash
+    # pipeline's internal per-shingle explode also binds `_sh#` but
+    # never via that alias, so this matches only the text-side legs
+    shingle_projs = [
+        i for i, ln in enumerate(lines) if "Project" in ln and "END AS _sh#" in ln
+    ]
+    assert len(shingle_projs) >= 2, opt  # one per union leg, at least
+    for i in shingle_projs:
+        assert "LeftSemi" in lines[i + 1], "\n".join(lines[i : i + 2])
+    release_staging(out)

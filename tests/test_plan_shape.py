@@ -89,6 +89,23 @@ def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
             assert "ArrowEvalPython" not in plan, name
 
 
+def test_no_registered_query_returns_bare_array_or_map(spark, sf_medium):
+    """Driver-contract pin: the driver's DuckDB-oracle harness
+    canonicalizes results via pandas sort_values over all columns,
+    which crashes on unhashable cells (list/dict). Every registered
+    query must therefore serialize collection outputs to scalars
+    (concat_ws / to_json), the lesson of er_part_name_clusters'
+    red r8 row. Schema-only check — no execution needed."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        for field in fn(spark, sf_medium).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 def test_whole_stage_codegen_in_flagship(spark, sf_medium):
     # AQE's AdaptiveSparkPlan hides codegen subtrees until runtime —
     # disable it for the probe so EXPLAIN CODEGEN sees the stages.

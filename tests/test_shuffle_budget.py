@@ -288,8 +288,13 @@ BUDGETS = {
     "profile_documents_approx": 3,
     # r8: batch/store band tables + candidate dedup + the two verify
     # set joins + the decision left join — all equi-joins on band or
-    # id keys; store×store never appears
-    "dedup_incremental_batch": 6,
+    # id keys; store×store never appears. r9: +4 static exchanges for
+    # the candidate-bounded verification (cand_ids dedup + one
+    # LeftSemi per corpus leg, and the persisted `sets` subtree is
+    # textually inlined twice pre-materialization). At runtime AQE
+    # broadcasts the tiny cand_ids side and `sets` materializes once,
+    # so the executed count is lower than this static ceiling.
+    "dedup_incremental_batch": 10,
 }
 
 

@@ -56,6 +56,8 @@ def run_dump_flow(
     partition_cols: tuple[str, ...] = ("ano_particao",),
     mode: str = "overwrite_partitions",
     sort_by_date: bool = False,
+    enrich_with: DataFrame | None = None,
+    enrich_key: str | None = None,
 ) -> DataFrame:
     """§3.1 dump: normalize → derive partitions → all-string staged
     write → staging table registered; returns the staging DataFrame.
@@ -64,10 +66,33 @@ def run_dump_flow(
     (normalized) date column, so parquet zone maps support range
     pruning for every downstream incremental consumer — the sort is
     task-local and costs no extra shuffle (see
-    ``write_partitioned(sort_cols=...)``)."""
+    ``write_partitioned(sort_cols=...)``).
+
+    ``enrich_with`` + ``enrich_key``: optional dimension enrichment
+    BEFORE the lake write, routed through the sketch-driven join
+    advisor (plans/advisor.py::execute_advised_join) — the pre-flight
+    prices the join from bounded sketches and the executed strategy
+    follows its recommendation (broadcast / salted / plain shuffle);
+    the decision and its inputs are logged, the reference's auditable
+    cost-guard discipline applied to a join instead of a scan."""
     from pipelines_spark.naming import normalize_column_name
 
     df = normalize_columns(source_df)
+    if enrich_with is not None:
+        if enrich_key is None:
+            raise ValueError("enrich_with requires enrich_key")
+        from pipelines_spark.plans.advisor import execute_advised_join
+
+        df, advice = execute_advised_join(
+            df, normalize_columns(enrich_with), normalize_column_name(enrich_key)
+        )
+        _LOG.info(
+            "dump enrichment join on %s: %s (%s; est output %d rows)",
+            enrich_key,
+            advice.recommendation,
+            advice.reason,
+            advice.est_join_size,
+        )
     # the frame is normalized, so every later reference to date_col
     # must use its normalized name too
     date_norm = normalize_column_name(date_col)

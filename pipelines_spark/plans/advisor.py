@@ -141,3 +141,55 @@ def advise_join(
         recommendation=rec,
         reason=why,
     )
+
+
+def execute_advised_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    *,
+    how: str = "inner",
+    buckets: int = 8,
+    broadcast_bytes: int = BROADCAST_BYTES,
+    skew_share: float = SKEW_SHARE,
+    advice: JoinAdvice | None = None,
+) -> tuple[DataFrame, JoinAdvice]:
+    """Run the advisor's pre-flight and EXECUTE its recommendation —
+    the composition a pipeline author actually wants: one call that
+    prices the join from bounded sketches, then routes it through the
+    matching physical strategy:
+
+    - ``broadcast_a`` / ``broadcast_b`` → the fitting side is wrapped
+      in ``F.broadcast`` (plan shows BroadcastHashJoin, zero shuffle);
+    - ``salted_join`` → the skewed side is salted and the other side
+      replicated per bucket (operators/skew.py::salted_join), so the
+      hot key spreads over ``buckets`` reducers instead of funneling
+      through one;
+    - ``shuffle_join`` → plain equi-join (sort-merge/hash under AQE).
+
+    Returns ``(joined, advice)`` so callers can log the decision and
+    its inputs (the reference's auditable cost-guard discipline).
+    Pass a precomputed ``advice`` to skip re-profiling when the
+    caller already ran the pre-flight. ``salted_join`` supports only
+    inner joins (the replicated build side would break outer
+    semantics); a non-inner ``how`` with a salted recommendation
+    falls back to the plain join.
+    """
+    adv = advice or advise_join(
+        a, b, key, broadcast_bytes=broadcast_bytes, skew_share=skew_share
+    )
+    if adv.recommendation == "broadcast_a":
+        return a.hint("broadcast").join(b, key, how), adv
+    if adv.recommendation == "broadcast_b":
+        return a.join(F.broadcast(b), key, how), adv
+    if adv.recommendation == "salted_join" and how == "inner":
+        from pipelines_spark.operators.skew import salted_join
+
+        # salt the HOT side (its reducers are the bottleneck); the
+        # other side is replicated per salt bucket
+        if adv.top_key_share_a >= adv.top_key_share_b:
+            return salted_join(a, b, [key], buckets=buckets, how=how), adv
+        out = salted_join(b, a, [key], buckets=buckets, how=how)
+        # restore caller column order (a's columns first)
+        return out.select(*a.columns, *[c for c in b.columns if c != key]), adv
+    return a.join(b, key, how), adv

@@ -113,3 +113,83 @@ def test_join_advisor_recommendations(spark):
     adv3 = advise_join(other, other, "k", broadcast_bytes=1000)
     assert adv3.recommendation == "shuffle_join"
     assert adv3.est_join_size >= 4000
+
+
+def test_execute_advised_join_routes_each_recommendation(spark):
+    """The advisor's recommendation must CHANGE the executed plan:
+    broadcast rec → BroadcastHashJoin; salted rec → the join runs on
+    the composite (key, _salt) with the small side replicated per
+    bucket (operators/skew.py::salted_join); results always equal the
+    plain join."""
+    from pipelines_spark.plans.advisor import execute_advised_join
+
+    # tiny dim → broadcast_b → BroadcastHashJoin in the executed plan
+    dim = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(20)], "k long, name string"
+    )
+    fact = spark.createDataFrame(
+        [(i % 20, "x" * 50) for i in range(2000)], "k long, payload string"
+    )
+    joined, adv = execute_advised_join(fact, dim, "k")
+    assert adv.recommendation == "broadcast_b"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() == 2000
+
+    # hot key past the broadcast budget → salted_join: the physical
+    # join clusters on (k, _salt) and the build side carries the
+    # explode(sequence(0..buckets-1)) replication
+    skewed = spark.createDataFrame(
+        [((0 if i % 2 == 0 else i), "y" * 40) for i in range(4000)],
+        "k long, payload string",
+    )
+    other = spark.createDataFrame(
+        [(i, "z" * 40) for i in range(4000)], "k long, p2 string"
+    )
+    joined2, adv2 = execute_advised_join(
+        skewed, other, "k", broadcast_bytes=1000
+    )
+    assert adv2.recommendation == "salted_join"
+    plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan2  # the composite salt key reached the plan
+    assert "explode" in plan2  # replicated build side
+    want = skewed.join(other, "k").count()
+    assert joined2.count() == want
+    assert set(joined2.columns) == {"k", "payload", "p2"}
+
+    # no skew, both big → plain shuffle join, no salt, no broadcast
+    joined3, adv3 = execute_advised_join(other, other.withColumnRenamed("p2", "p3"), "k", broadcast_bytes=1000)
+    assert adv3.recommendation == "shuffle_join"
+    plan3 = joined3._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in plan3
+
+
+def test_dump_flow_enrichment_uses_advisor(spark, tmp_path):
+    """Flow-level integration: run_dump_flow's optional enrichment
+    join is routed through the advisor — a tiny dimension rides a
+    broadcast join into the staged write."""
+    from pipelines_spark.flows import run_dump_flow
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, f"2024-0{1 + i % 3}-15") for i in range(60)],
+        "id long, Region_Key long, event_date string",
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+    dim = spark.createDataFrame(
+        [(0, "north"), (1, "south"), (2, "east")],
+        "region_key long, region_name string",
+    )
+    staging = run_dump_flow(
+        spark,
+        fact,
+        lake_path=str(tmp_path / "lake"),
+        staging_table="dump_enriched_staging",
+        date_col="event_date",
+        enrich_with=dim,
+        enrich_key="region_key",
+    )
+    assert staging.count() == 60
+    assert "region_name" in staging.columns
+    assert (
+        staging.filter(F.col("region_name") == "north").count() == 20
+    )
+    spark.sql("DROP TABLE IF EXISTS dump_enriched_staging")

@@ -242,6 +242,19 @@ EXTENDED = [
     # r8: the curation cascade with the CCNet entropy + span-dedup
     # gates on (its stats twin shares the plan and is not re-timed)
     "curation_pipeline_full",
+    # r9: Spark-native session windows (the streaming-capable twin of
+    # w6_sessionize)
+    "t4_session_window",
+    # r9: Zipf rank-frequency fit (companion to text_heaps_law)
+    "text_zipf_fit",
+    # r9: rendezvous-hash sharding + resharding-movement audit
+    "sample_rendezvous_shards",
+    # r9: two-sample KS drift (binning-free companion to a32_psi_drift)
+    "a42_ks_drift",
+    # r9: Cramér's V categorical association
+    "a43_cramers_v",
+    # r9: margin-based bitext mining (ratio margin over the corpus)
+    "embed_bitext_margin",
 ]
 
 

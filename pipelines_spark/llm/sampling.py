@@ -284,3 +284,34 @@ def cap_per_source(
         .filter(F.col("_src_rank") <= n_max)
         .drop("_src_rank")
     )
+
+
+def rendezvous_shard(
+    id_col: Column | str, *, shards: int, salt: str = ""
+) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment: the shard
+    with the largest md5-fold hash of ``id:shard`` wins
+    (Thaler & Ravishankar 1998). Unlike ``hash_bucket``'s modulo,
+    GROWING the shard count moves only ~1/(n+1) of the keys — the
+    property an incremental resharding of a 100 TB corpus needs
+    (modulo reshuffles almost everything). Pure map-side expression:
+    an array of (hash, shard) structs reduced by array_max — zero
+    shuffle, O(shards) work per row, replayable by any engine with
+    md5 (the module's cross-engine hash convention).
+    """
+    from pipelines_spark.operators.sketches import md5_hash32
+
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    md5_hash32(
+                        F.concat_ws(":", col.cast("string"), F.lit(salt + str(s)))
+                    ).alias("h"),
+                    F.lit(s).cast("long").alias("s"),
+                )
+                for s in range(shards)
+            ]
+        )
+    )["s"]

@@ -1095,3 +1095,99 @@ def truncated_recall(
             F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4
         ).alias("recall"),
     )
+
+
+def margin_bitext_topk(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_margin: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 §3.2,
+    the "ratio" margin): for every query vector in ``corpus_a``, the
+    best match in ``corpus_b`` scored by
+
+        margin(x, y) = cos(x, y) / ((deg_k(x) + deg_k(y)) / 2)
+
+    where ``deg_k(v)`` is the mean cosine of ``v``'s ``k_margin``
+    nearest neighbours in the OTHER corpus. Dividing by the local
+    neighbourhood density cancels hubness — a vector that is "close
+    to everything" stops winning every pairing — which is what makes
+    margin scoring the standard mining objective for parallel-corpus
+    construction (LASER/CCMatrix lineage).
+
+    Exactness discipline: cosines are rounded to ``round_digits`` and
+    cast to DECIMAL before the degree sums, so deg is an exact
+    decimal sum / k — partition order cannot flip the final margin
+    rounding (the Heaps-law lesson). The scored pair table feeds
+    THREE consumers (both degree legs + the final margin join), so it
+    is persisted and attached for release_staging — the
+    multi-consumer staging discipline.
+
+    Scale shape: this is the exact (brute-force) formulation — the
+    query side broadcasts, the corpus side streams, like
+    brute_force_topk; at 100 TB the candidate generation step swaps
+    for any bucketed ANN in this module (SRP / IVF) and the margin
+    rescoring applies unchanged to the candidate lists.
+    """
+    from pipelines_spark.llm.dedup import _attach_staging
+
+    a = corpus_a.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    b = corpus_b.select(
+        F.col(id_col).alias("target_id"), F.col(vec_col).alias("_tv")
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            "query_id",
+            "target_id",
+            F.round(cosine_similarity(F.col("_tv"), F.col("_qv")), round_digits)
+            .cast("decimal(10,4)")
+            .alias("cos"),
+        )
+        .persist()
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("target_id"))
+    wt = Window.partitionBy("target_id").orderBy(F.desc("cos"), F.asc("query_id"))
+    deg_q = (
+        pairs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k_margin)
+        .groupBy("query_id")
+        .agg((F.sum("cos") / F.lit(float(k_margin))).alias("_deg_q"))
+    )
+    deg_t = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= k_margin)
+        .groupBy("target_id")
+        .agg((F.sum("cos") / F.lit(float(k_margin))).alias("_deg_t"))
+    )
+    marg = (
+        pairs.join(deg_q, "query_id")
+        .join(deg_t, "target_id")
+        .select(
+            "query_id",
+            "target_id",
+            "cos",
+            F.round(
+                F.col("cos") / ((F.col("_deg_q") + F.col("_deg_t")) / F.lit(2.0)),
+                round_digits,
+            ).alias("margin"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(F.desc("margin"), F.asc("target_id"))
+    best = (
+        marg.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("target_id").alias("match_id"),
+            F.col("cos").cast("double").alias("cosine"),
+            "margin",
+        )
+    )
+    return _attach_staging(best, (pairs,))

@@ -102,3 +102,66 @@ def psi_drift(
             F.round(F.sum("_t").cast("double"), 4).alias("psi"),
         )
     )
+
+
+def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    ``value_col`` distributions of a reference and a current frame:
+    D = max over the pooled support of |ECDF_ref − ECDF_cur|, with
+    the 95% rejection bound c(0.05)·sqrt((n1+n2)/(n1·n2)),
+    c(0.05) = 1.358 (Smirnov's asymptotic table). The
+    distribution-free companion to :func:`psi_drift` — PSI needs a
+    binning choice; KS does not.
+
+    Scale shape: counts aggregate BY DISTINCT VALUE first (one
+    shuffle, bounded by the value domain — a fixed-precision metric
+    column has a bounded distinct count regardless of row volume),
+    and only then does the single-partition cumulative window run
+    over the distinct-value table. For a genuinely unbounded
+    continuous domain, quantize ``value_col`` to fixed precision
+    first — the statistic degrades by at most one quantum.
+
+    Returns one row: (n_ref, n_cur, ks_stat, reject_95).
+    """
+    from pyspark.sql import Window
+
+    flagged = ref.select(F.col(value_col).alias("_v"), F.lit(1).alias("_is_ref")).unionByName(
+        cur.select(F.col(value_col).alias("_v"), F.lit(0).alias("_is_ref"))
+    ).filter(F.col("_v").isNotNull())
+    per_val = flagged.groupBy("_v").agg(
+        F.sum("_is_ref").alias("_n_ref"),
+        F.sum(F.lit(1) - F.col("_is_ref")).alias("_n_cur"),
+    )
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_val.select(
+        F.sum("_n_ref").over(wv).alias("_c_ref"),
+        F.sum("_n_cur").over(wv).alias("_c_cur"),
+    )
+    tot = per_val.agg(
+        F.sum("_n_ref").alias("_N_ref"), F.sum("_n_cur").alias("_N_cur")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("_c_ref") / F.col("_N_ref") - F.col("_c_cur") / F.col("_N_cur")
+            ).alias("_d"),
+            "_N_ref",
+            "_N_cur",
+        )
+        .groupBy("_N_ref", "_N_cur")
+        .agg(F.round(F.max("_d"), 6).alias("ks_stat"))
+        .select(
+            F.col("_N_ref").alias("n_ref"),
+            F.col("_N_cur").alias("n_cur"),
+            "ks_stat",
+            (
+                F.col("ks_stat")
+                > F.lit(1.358)
+                * F.sqrt(
+                    (F.col("_N_ref") + F.col("_N_cur"))
+                    / (F.col("_N_ref") * F.col("_N_cur"))
+                )
+            ).alias("reject_95"),
+        )
+    )

@@ -4311,4 +4311,182 @@ ORACLES: dict[str, str] = {
                CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         FROM documents
     """,
+    # r9: gaps-and-islands replay of Spark's session_window semantics
+    # (session end = last event + gap; an event exactly at the previous
+    # window's end starts a NEW session, hence >= on the gap test)
+    "t4_session_window": """
+        WITH e AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ), s AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 10 MINUTE AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    # r9: Zipf fit — same rounded-DECIMAL log-sum convention as
+    # text_heaps_law so the closed-form slope is partition-order-exact
+    "text_zipf_fit": """
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), counts AS (
+            SELECT w, count(*) AS freq FROM w WHERE w <> '' GROUP BY w
+        ), top AS (
+            SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+            FROM counts ORDER BY freq DESC, w ASC LIMIT 200
+        ), pts AS (
+            SELECT CAST(round(log10(rank), 6) AS DECIMAL(18,6)) AS x,
+                   CAST(round(log10(freq), 6) AS DECIMAL(18,6)) AS y
+            FROM top
+        ), s AS (
+            SELECT count(*) AS n_terms, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+            FROM pts
+        )
+        SELECT n_terms,
+               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope,
+               round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
+                 AS log10_c
+        FROM s
+    """,
+    # r9: HRW replay — the md5-fold tournament per (doc, shard), argmax
+    # via (hash DESC, shard DESC) row_number matching Spark's
+    # array_max-over-structs tie order
+    "sample_rendezvous_shards": """
+        WITH g AS (
+            SELECT doc_id, CAST(s AS BIGINT) AS s, doc_id || ':' || s AS key
+            FROM documents, (SELECT unnest(range(9)) AS s)
+        ), h AS (
+            SELECT doc_id, s,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(key), 1, 8), ''),
+                       c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS h
+            FROM g
+        ), a8 AS (
+            SELECT doc_id, s AS shard8 FROM (
+                SELECT doc_id, s, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+                FROM h WHERE s < 8
+            ) WHERE rn = 1
+        ), a9 AS (
+            SELECT doc_id, s AS shard9 FROM (
+                SELECT doc_id, s, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+                FROM h
+            ) WHERE rn = 1
+        )
+        SELECT shard8 AS shard, count(*) AS n_docs,
+               CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved,
+               min(a8.doc_id) AS min_doc, max(a8.doc_id) AS max_doc
+        FROM a8 JOIN a9 USING (doc_id)
+        GROUP BY shard8 ORDER BY shard8
+    """,
+    # r9: two-sample KS — distinct-value cumulative ECDFs, same
+    # 15-day period split as the PSI oracle
+    "a42_ks_drift": """
+        WITH ev AS (
+            SELECT value, ts FROM events WHERE value IS NOT NULL
+        ), cut AS (
+            SELECT min(CAST(ts AS DATE)) + 15 AS c FROM ev
+        ), flagged AS (
+            SELECT value, CASE WHEN CAST(ts AS DATE) < (SELECT c FROM cut)
+                               THEN 1 ELSE 0 END AS is_ref
+            FROM ev
+        ), per_val AS (
+            SELECT value, sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+            FROM flagged GROUP BY value
+        ), cum AS (
+            SELECT value,
+                   sum(n_ref) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c_ref,
+                   sum(n_cur) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c_cur
+            FROM per_val
+        ), tot AS (
+            SELECT sum(n_ref) AS N_ref, sum(n_cur) AS N_cur FROM per_val
+        )
+        SELECT CAST(N_ref AS BIGINT) AS n_ref, CAST(N_cur AS BIGINT) AS n_cur,
+               round(max(abs(c_ref / N_ref - c_cur / N_cur)), 6) AS ks_stat,
+               round(max(abs(c_ref / N_ref - c_cur / N_cur)), 6)
+                 > 1.358 * sqrt((N_ref + N_cur)
+                                / (CAST(N_ref AS DOUBLE) * N_cur)) AS reject_95
+        FROM cum, tot
+        GROUP BY N_ref, N_cur
+    """,
+    # r9: Cramér's V — exact contingency counts, per-cell chi-square
+    # terms rounded then DECIMAL-summed (the repo's float convention)
+    "a43_cramers_v": """
+        WITH cells AS (
+            SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS n_cell
+            FROM orders GROUP BY 1, 2
+        ), rowt AS (SELECT p, sum(n_cell) AS n_row FROM cells GROUP BY p),
+        colt AS (SELECT s, sum(n_cell) AS n_col FROM cells GROUP BY s),
+        tot AS (
+            SELECT sum(n_cell) AS n, count(DISTINCT p) AS r,
+                   count(DISTINCT s) AS c
+            FROM cells
+        ), terms AS (
+            SELECT n, r, c,
+                   CAST(round(pow(n_cell - n_row * n_col / n, 2)
+                              / (n_row * n_col / n), 6) AS DECIMAL(18,6)) AS t
+            FROM cells JOIN rowt USING (p) JOIN colt USING (s), tot
+        ), agg AS (
+            SELECT n, r, c, round(CAST(sum(t) AS DOUBLE), 4) AS chi2
+            FROM terms GROUP BY n, r, c
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows,
+               CAST(c AS BIGINT) AS n_cols, chi2,
+               round(sqrt(chi2 / (n * least(r - 1, c - 1))), 4) AS cramers_v
+        FROM agg
+    """,
+    # r9: ratio-margin bitext mining replay — rounded-DECIMAL cosines,
+    # degree = exact decimal top-4 sum / 4.0, ties on target/query id
+    "embed_bitext_margin": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id % 2 = 1 AND vec_id < 200
+        ), c AS (
+            SELECT vec_id AS target_id, embedding AS cv FROM embeddings
+            WHERE vec_id % 2 = 0
+        ), pairs AS (
+            SELECT q.query_id, c.target_id,
+                   CAST(round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4)
+                        AS DECIMAL(10,4)) AS cos
+            FROM c CROSS JOIN q
+        ), dq AS (
+            SELECT query_id, sum(cos) / 4.0 AS deg_q FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, target_id ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= 4 GROUP BY query_id
+        ), dt AS (
+            SELECT target_id, sum(cos) / 4.0 AS deg_t FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY target_id ORDER BY cos DESC, query_id ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= 4 GROUP BY target_id
+        ), marg AS (
+            SELECT p.query_id, p.target_id, p.cos,
+                   round(p.cos / ((deg_q + deg_t) / 2.0), 4) AS margin
+            FROM pairs p JOIN dq USING (query_id) JOIN dt USING (target_id)
+        )
+        SELECT query_id, target_id AS match_id, CAST(cos AS DOUBLE) AS cosine,
+               margin
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY margin DESC, target_id ASC) AS rn
+            FROM marg
+        ) WHERE rn = 1
+        ORDER BY query_id
+    """,
 }

@@ -4818,6 +4818,218 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("stage")
 
 
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (``F.session_window``, 10-min
+    gap): per (user, session) event count and value total, with the
+    engine-defined session bounds [first_ts, last_ts + gap). The
+    batch face of the streaming-capable operator — the same
+    expression runs under ``readStream`` with a watermark
+    (streaming/sessions.py::sessionized, its pass-local twin), which
+    the cumulative-flag formulation (w6_sessionize) cannot; w6 stays
+    as the portable ANSI twin. This row gives the session-window
+    semantics themselves an ORACLE-checked batch face. Reference spec: the capture-window
+    discipline (pipelines/rj_smtr/flows.py provenance) applied to
+    activity sessions. One shuffle (user_id); the session merge is
+    a sort within the user partition."""
+    register(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve — the
+    companion diagnostic to text_heaps_law: slope of log10(freq) vs
+    log10(rank) over the top-200 terms by closed-form least squares.
+    Healthy natural-language crawls fit slope ≈ −1; a flatter slope
+    flags template/boilerplate corpora (the curation gate's cheap
+    smoke alarm). Same exactness discipline as the Heaps fit: exact
+    integer counts, per-point logs rounded then DECIMAL-summed, one
+    deterministic double division at the end. The global top-200
+    window runs AFTER the count aggregation on a 200-row frame —
+    bounded, never corpus-sized. On the 31-word synthetic corpus the
+    curve is the saturated-vocabulary degenerate end, same caveat as
+    text_heaps_law."""
+    register(spark, sf_dir, ("documents",))
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    top = counts.orderBy(F.desc("freq"), "w").limit(200)
+    wr = Window.orderBy(F.desc("freq"), "w")
+    pts = top.withColumn("rank", F.row_number().over(wr)).select(
+        F.round(F.log10("rank"), 6).cast("decimal(18,6)").alias("_x"),
+        F.round(F.log10("freq"), 6).cast("decimal(18,6)").alias("_y"),
+    )
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return (
+        pts.agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum("_x").cast("double").alias("_sx"),
+            F.sum("_y").cast("double").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+            F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        )
+        .select(
+            "n_terms",
+            F.round(slope, 4).alias("zipf_slope"),
+            F.round(
+                (F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 4
+            ).alias("log10_c"),
+        )
+    )
+
+
+def sample_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of the corpus
+    (llm/sampling.py::rendezvous_shard) — the incremental-resharding
+    discipline: per shard under an 8-shard layout, how many docs land
+    there and how many would MOVE if a 9th shard were added. HRW's
+    guarantee is that only ~1/9 of keys move (each doc moves iff the
+    new shard wins its hash tournament), vs modulo re-sharding moving
+    ~8/9 — the difference between topping up a 100 TB layout and
+    rewriting it. Assignment is a pure map-side struct-max per row
+    (zero shuffle); the rollup is one 8-row aggregation."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import rendezvous_shard
+
+    assigned = spark.table("documents").select(
+        "doc_id",
+        rendezvous_shard("doc_id", shards=8).alias("shard8"),
+        rendezvous_shard("doc_id", shards=9).alias("shard9"),
+    )
+    return (
+        assigned.groupBy(F.col("shard8").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("shard9") != F.col("shard8")).cast("long")).alias(
+                "n_moved"
+            ),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+def a42_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check
+    (operators/drift.py::ks_drift): event values of the first 15 days
+    (reference) vs the rest (current), D = max ECDF gap with the 95%
+    Smirnov rejection bound. The binning-free companion to
+    a32_psi_drift — same period split, no bin-edge choice to defend.
+    Counts aggregate by distinct value first (the 2-decimal metric
+    domain is bounded regardless of row volume), so the cumulative
+    window runs over the distinct-value table, not the events."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.operators.drift import ks_drift
+
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    cut = ev.agg(F.date_add(F.min(F.to_date("ts")), 15).alias("_cut"))
+    with_cut = ev.crossJoin(F.broadcast(cut))
+    ref = with_cut.filter(F.to_date("ts") < F.col("_cut"))
+    cur = with_cut.filter(F.to_date("ts") >= F.col("_cut"))
+    return ks_drift(ref, cur, "value")
+
+
+def a43_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between two categorical columns
+    (order priority × order status) — the data-profiling complement
+    to the per-column profiler: does one dimension predict the
+    other? Chi-square over the contingency table with expected
+    counts from the margins, V = sqrt(χ²/(n·min(r−1,c−1))). All
+    counts exact; per-cell χ² terms rounded then DECIMAL-summed
+    (the repo's float convention) so the 15-cell sum is
+    partition-order-exact. State: O(r·c) cells — three tiny
+    broadcast joins, nothing scales with rows."""
+    register(spark, sf_dir, ("orders",))
+    cells = spark.table("orders").groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    rowt = cells.groupBy("o_orderpriority").agg(F.sum("n_cell").alias("n_row"))
+    colt = cells.groupBy("o_orderstatus").agg(F.sum("n_cell").alias("n_col"))
+    n_tot = cells.agg(
+        F.sum("n_cell").alias("n"),
+        F.count_distinct("o_orderpriority").alias("r"),
+        F.count_distinct("o_orderstatus").alias("c"),
+    )
+    terms = (
+        cells.join(rowt, "o_orderpriority")
+        .join(colt, "o_orderstatus")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "n",
+            "r",
+            "c",
+            F.round(
+                F.pow(
+                    F.col("n_cell") - F.col("n_row") * F.col("n_col") / F.col("n"),
+                    2,
+                )
+                / (F.col("n_row") * F.col("n_col") / F.col("n")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_t"),
+        )
+    )
+    return (
+        terms.groupBy("n", "r", "c")
+        .agg(F.round(F.sum("_t").cast("double"), 4).alias("chi2"))
+        .select(
+            "n",
+            F.col("r").cast("long").alias("n_rows"),
+            F.col("c").cast("long").alias("n_cols"),
+            "chi2",
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                4,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def embed_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (llm/similarity.py::
+    margin_bitext_topk; Artetxe & Schwenk 2019 ratio margin): best
+    cross-corpus match per query scored by cosine over mean top-4
+    neighbourhood cosine — the hubness-cancelling objective parallel-
+    corpus construction (LASER/CCMatrix lineage) actually optimizes,
+    here between the odd-id (<200) and even-id halves of the
+    embedding corpus. The scored pair table is persisted once and
+    feeds both degree legs plus the final margin join (the
+    multi-consumer staging discipline)."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import margin_bitext_topk
+
+    emb = spark.table("embeddings")
+    return margin_bitext_topk(
+        emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 200)),
+        emb.filter(F.col("vec_id") % 2 == 0),
+    ).orderBy("query_id")
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -4826,6 +5038,12 @@ QUERIES = {
     # then the r3-checked cohort (oldest first), then the oldest
     # r5/r6 entries filling the window to 50.
     # --- round-9 additions (never driver-checked) land here ---
+    "t4_session_window": t4_session_window,
+    "text_zipf_fit": text_zipf_fit,
+    "sample_rendezvous_shards": sample_rendezvous_shards,
+    "a42_ks_drift": a42_ks_drift,
+    "a43_cramers_v": a43_cramers_v,
+    "embed_bitext_margin": embed_bitext_margin,
     # --- red r8 row (array column fixed this round; never green) ---
     "er_part_name_clusters": er_part_name_clusters,
     # --- last driver-checked r3 (oldest first) ---

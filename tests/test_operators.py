@@ -438,3 +438,46 @@ def test_profile_columns_hll_matches_exact_at_low_cardinality(spark):
 
     plan = profile_columns_hll(df)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_ks_drift_bounds(spark):
+    """KS statistic: 0 for identical samples, 1 for disjoint supports,
+    and the 95% rejection flag follows the Smirnov bound."""
+    from pipelines_spark.operators.drift import ks_drift
+
+    same = spark.createDataFrame([(float(i % 10),) for i in range(200)], "v double")
+    r = ks_drift(same, same, "v").collect()[0]
+    assert r["ks_stat"] == 0.0 and not r["reject_95"]
+    assert r["n_ref"] == 200 and r["n_cur"] == 200
+
+    lo = spark.createDataFrame([(float(i % 10),) for i in range(200)], "v double")
+    hi = spark.createDataFrame([(100.0 + i % 10,) for i in range(200)], "v double")
+    r2 = ks_drift(lo, hi, "v").collect()[0]
+    assert r2["ks_stat"] == 1.0 and r2["reject_95"]
+
+
+def test_rendezvous_shard_movement_invariant(spark):
+    """The HRW guarantee that makes it the incremental-resharding
+    primitive: growing 8 → 9 shards only ever moves keys TO the new
+    shard (a doc moves iff shard 8 wins its tournament), and the
+    moved share is ~1/9, never the ~8/9 a modulo reshard causes."""
+    from pipelines_spark.llm.sampling import rendezvous_shard
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    assigned = docs.select(
+        "doc_id",
+        rendezvous_shard("doc_id", shards=8).alias("s8"),
+        rendezvous_shard("doc_id", shards=9).alias("s9"),
+    )
+    moved = assigned.filter(F.col("s8") != F.col("s9"))
+    # every moved doc went to the NEW shard — nothing reshuffles
+    # between existing shards
+    assert moved.filter(F.col("s9") != 8).count() == 0
+    # moved share ≈ 1/9 (loose band; 2000 Bernoulli(1/9) trials)
+    frac = moved.count() / 2000
+    assert 0.05 < frac < 0.18, frac
+    # assignment is a pure function: shards are all in range
+    mm = assigned.agg(
+        F.min("s8"), F.max("s8"), F.min("s9"), F.max("s9")
+    ).collect()[0]
+    assert mm[0] >= 0 and mm[1] <= 7 and mm[2] >= 0 and mm[3] <= 8

@@ -414,10 +414,11 @@ def read_netcdf_long(spark: SparkSession, path: str, variables: list[str]) -> Da
     with symbol-table, compact, or dense (fractal-heap) groups,
     chunked/deflate/shuffle data under v1-B-tree, single-chunk,
     implicit, fixed-array (plain or paged), extensible-array
-    (unlimited time dimension), or v2-B-tree chunk indexes; only the
-    residual long tail (filtered fractal heaps, vlen payloads, exotic
-    datatypes) falls back to xarray + a netCDF backend — a clear
-    error otherwise. (A bare xarray without backends raises a
+    (unlimited time dimension), or v2-B-tree chunk indexes, vlen
+    strings (any layout incl. chunked+filtered), object-reference /
+    DIMENSION_LIST attributes; only the residual long tail
+    (fragmented fractal heaps, exotic datatypes) falls back to
+    xarray + a netCDF backend — a clear error otherwise. (A bare xarray without backends raises a
     non-ImportError from open_dataset, so magic-first dispatch also
     keeps classic files working regardless of the xarray install
     state.) Mirrors xarray's ``to_dataframe().reset_index()`` shape:

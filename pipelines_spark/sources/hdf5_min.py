@@ -19,12 +19,17 @@ index libhdf5 emits for one unlimited dimension, i.e. every
 appendable time-series netCDF-4), and v2-B-tree (≥2 unlimited dims)
 chunk indexes, deflate + shuffle filters (on chunks AND on fractal
 heap direct blocks — I/O-filtered dense groups decode built-in),
-v1/v2/v3 attribute messages, and VARIABLE-LENGTH STRING payloads
-(GCOL global heap: vlen datasets with compact/contiguous descriptor
-arrays, vlen attributes scalar or 1-D). The remaining long tail —
-fragmented fractal heaps, chunked vlen datasets, object-reference
-payloads — raises a clear ``NotImplementedError``; callers fall back
-to their env-gate message exactly as before.
+v1/v2/v3 attribute messages, VARIABLE-LENGTH STRING payloads (GCOL
+global heap: vlen datasets under EVERY supported layout including
+chunked+filtered — the descriptors ride the same chunk machinery as
+numeric data — and vlen attributes scalar or 1-D), and OBJECT
+REFERENCES (class 7 scalar/array attributes and the class-9
+vlen-of-reference DIMENSION_LIST shape every netCDF-4 variable
+carries, resolved to linked dataset names). The remaining long tail
+— fragmented fractal heaps (multi-block manual link deletion, which
+no write-once producer emits) — raises a clear
+``NotImplementedError``; callers fall back to their env-gate message
+exactly as before.
 
 Writer exists to build REAL spec-compliant fixtures in an environment
 with no other HDF5 producer (same pattern as llm/jpeg.py): superblock
@@ -100,9 +105,20 @@ def _place_chunk(out: np.ndarray, chunk: np.ndarray, coords) -> None:
 #: GCOL global heap.
 VLEN_STR = "vlen_str"
 
+#: sentinel for object-reference payloads (class 7 type 0): each
+#: element is an 8-byte object-header address, resolved to the linked
+#: dataset's NAME via the group walk's address map.
+OBJ_REF = "obj_ref"
+
+#: sentinel for vlen-of-object-reference payloads (class 9 sequence
+#: over class 7) — the type of netCDF-4's DIMENSION_LIST attribute,
+#: which is how dimension scales attach to every variable.
+VLEN_REF = "vlen_ref"
+
 
 def _parse_datatype(body: bytes) -> tuple[np.dtype | str | None, int]:
-    """Datatype message → (numpy dtype | VLEN_STR | None, size)."""
+    """Datatype message → (numpy dtype | VLEN_STR | OBJ_REF |
+    VLEN_REF | None, size)."""
     cls = body[0] & 0x0F
     bits = body[1:4]
     (size,) = struct.unpack_from("<I", body, 4)
@@ -115,8 +131,14 @@ def _parse_datatype(body: bytes) -> tuple[np.dtype | str | None, int]:
         return np.dtype(f"{order}f{size}"), size
     elif cls == 3:  # fixed-length string
         return np.dtype(f"S{size}"), size
+    elif cls == 7 and (bits[0] & 0x0F) == 0:  # object reference
+        return OBJ_REF, size
     elif cls == 9 and (bits[0] & 0x0F) == 1:  # variable-length string
         return VLEN_STR, 16
+    elif cls == 9 and (bits[0] & 0x0F) == 0:  # vlen sequence
+        base, _ = _parse_datatype(body[8:])
+        if base == OBJ_REF:
+            return VLEN_REF, 16
     return None, size
 
 
@@ -182,8 +204,27 @@ def _parse_attribute(body: bytes, reader=None):
         except (ValueError, struct.error):
             return name, None
         return name, (vals[0] if not dims else np.array(vals).reshape(dims))
+    if dtype == OBJ_REF:
+        n = int(np.prod(dims)) if dims else 1
+        raw = body[off : off + n * 8]
+        if reader is None or len(raw) < n * 8:
+            return name, None
+        names = [
+            reader._ref_name(a) for a in struct.unpack(f"<{n}Q", raw)
+        ]
+        return name, (names[0] if not dims else names)
+    if dtype == VLEN_REF:
+        n = int(np.prod(dims)) if dims else 1
+        raw = body[off : off + n * 16]
+        if reader is None or len(raw) < n * 16:
+            return name, None
+        try:
+            vals = reader._vlen_refs(raw, n)
+        except (ValueError, struct.error):
+            return name, None
+        return name, (vals[0] if not dims else vals)
     if dtype is None:
-        return name, None  # reference payloads: name-only
+        return name, None  # exotic payloads: name-only
     n = int(np.prod(dims)) if dims else 1
     raw = body[off : off + n * size]
     if len(raw) < n * size:
@@ -200,6 +241,7 @@ def _parse_attribute(body: bytes, reader=None):
 class _H5Reader:
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
+        self._names_by_addr: dict[int, str] = {}
         if buf[:8] != _SIG:
             raise ValueError("not an HDF5 file")
         ver = buf[8]
@@ -302,6 +344,10 @@ class _H5Reader:
                 fheap = struct.unpack_from("<Q", m.body, 2 + (8 if m.body[1] & 1 else 0))[0]
                 if fheap != _UNDEF:
                     links.extend(self._dense_links(fheap))
+        # address → name map BEFORE reading datasets, so reference
+        # attributes (DIMENSION_LIST et al.) resolve to names even
+        # when they point at later-linked objects
+        self._names_by_addr.update({a: n for n, a in links})
         out: dict[str, H5Dataset] = {}
         for name, oaddr in links:
             ds = self._read_dataset(name, oaddr)
@@ -513,11 +559,34 @@ class _H5Reader:
             out.append(data.decode("utf-8", "replace"))
         return out
 
-    def _read_vlen_str_layout(self, body, dims, name) -> np.ndarray:
+    def _ref_name(self, addr: int) -> str:
+        """Object-header address → linked name (falls back to the hex
+        address for objects outside the walked group)."""
+        return self._names_by_addr.get(addr, f"@0x{addr:x}")
+
+    def _vlen_refs(self, raw: bytes, n: int) -> list[list[str]]:
+        """Decode ``n`` vlen-of-object-reference descriptors (the
+        DIMENSION_LIST shape): each heap object holds ``len`` 8-byte
+        object addresses, resolved to dataset names."""
+        out = []
+        for i in range(n):
+            ln, caddr, idx = struct.unpack_from("<IQI", raw, i * 16)
+            data = self._gheap_object(caddr, idx)[: ln * 8]
+            out.append(
+                [self._ref_name(a) for a in struct.unpack(f"<{ln}Q", data)]
+            )
+        return out
+
+    def _read_vlen_str_layout(
+        self, body, dims, name, filters=(), unlim_dim=0
+    ) -> np.ndarray:
         """Vlen-string dataset payload: compact/contiguous descriptor
-        arrays resolve through the global heap; chunked vlen (rare —
-        netCDF-4 string VARIABLES are usually small label vectors)
-        stays gated."""
+        arrays resolve through the global heap directly; CHUNKED vlen
+        rides the exact same chunk machinery as numeric data — each
+        element is a 16-byte descriptor record (u32 len, 8-byte GCOL
+        address, u32 heap index), so the chunk indexes / filter
+        pipeline are reused with an opaque 16-byte dtype and only the
+        final heap resolution differs."""
         ver, lclass = body[0], body[1]
         n = int(np.prod(dims)) if dims else 1
         if ver in (3, 4) and lclass == 0:  # compact
@@ -526,10 +595,11 @@ class _H5Reader:
         elif ver in (3, 4) and lclass == 1:  # contiguous
             addr, _size = struct.unpack_from("<QQ", body, 2)
             raw = self.buf[addr : addr + n * 16]
-        else:
-            raise NotImplementedError(
-                f"dataset {name!r}: vlen strings with chunked layout"
+        else:  # chunked (any index type the numeric path supports)
+            recs = self._read_layout(
+                body, dims, np.dtype("V16"), list(filters), name, unlim_dim
             )
+            raw = np.ascontiguousarray(recs).tobytes()
         return np.array(self._vlen_strings(raw, n)).reshape(dims)
 
     # -- datasets ----------------------------------------------------------
@@ -558,8 +628,13 @@ class _H5Reader:
         if layout is None or dims is None:
             return None
         if dtype == VLEN_STR:
+            vunlim = [i for i, mx in enumerate(maxdims or []) if mx == _UNDEF]
             return H5Dataset(
-                name, self._read_vlen_str_layout(layout, dims, name), attrs
+                name,
+                self._read_vlen_str_layout(
+                    layout, dims, name, filters, vunlim[0] if vunlim else 0
+                ),
+                attrs,
             )
         if dtype is None:
             raise NotImplementedError(f"dataset {name!r}: unsupported HDF5 datatype")
@@ -1069,6 +1144,53 @@ def _vlen_attr_message(name: str, alloc, value) -> bytes:
     return body + pad8(nb) + pad8(dt) + pad8(ds) + payload
 
 
+def _ref_dt_message() -> bytes:
+    """Datatype message for an object reference (class 7 v1, type 0,
+    8-byte object-header address)."""
+    return bytes([(1 << 4) | 7, 0, 0, 0]) + struct.pack("<I", 8)
+
+
+def _vlen_ref_dt_message() -> bytes:
+    """Datatype message for vlen-of-object-reference (class 9 v1
+    sequence over class 7) — netCDF-4's DIMENSION_LIST type."""
+    msg = bytes([(1 << 4) | 9, 0x00, 0x00, 0x00]) + struct.pack("<I", 16)
+    return msg + _ref_dt_message()
+
+
+def _ref_attr_message(name: str, addrs: list[int]) -> bytes:
+    """Attribute message (v1) with an object-reference array payload
+    (the REFERENCE_LIST / coordinates shape)."""
+    pad8 = lambda b: b + b"\0" * (-len(b) % 8)  # noqa: E731
+    nb = name.encode() + b"\0"
+    dt = _ref_dt_message()
+    ds = _ds_message((len(addrs),))
+    payload = b"".join(struct.pack("<Q", a) for a in addrs)
+    body = bytes([1, 0]) + struct.pack("<HHH", len(nb), len(dt), len(ds))
+    return body + pad8(nb) + pad8(dt) + pad8(ds) + payload
+
+
+def _vlen_ref_attr_message(
+    name: str, alloc, addr_lists: list[list[int]]
+) -> bytes:
+    """Attribute message (v1) with a vlen-of-object-reference payload:
+    one heap object of packed 8-byte addresses per element, descriptor
+    length = ELEMENT count (not bytes) — the DIMENSION_LIST shape."""
+    pad8 = lambda b: b + b"\0" * (-len(b) % 8)  # noqa: E731
+    nb = name.encode() + b"\0"
+    blobs = [
+        b"".join(struct.pack("<Q", a) for a in lst) for lst in addr_lists
+    ]
+    gaddr, ids = _write_vlen_gcol(alloc, blobs)
+    payload = b"".join(
+        struct.pack("<IQI", len(lst), gaddr, i)
+        for lst, i in zip(addr_lists, ids)
+    )
+    dt = _vlen_ref_dt_message()
+    ds = _ds_message((len(addr_lists),))
+    body = bytes([1, 0]) + struct.pack("<HHH", len(nb), len(dt), len(ds))
+    return body + pad8(nb) + pad8(dt) + pad8(ds) + payload
+
+
 def _header_msg(mtype: int, body: bytes) -> bytes:
     body = body + b"\0" * (-len(body) % 8)
     return struct.pack("<HHB3x", mtype, len(body), 0) + body
@@ -1354,7 +1476,7 @@ def build_hdf5(
     entries: list[tuple[str, int]] = []
     for name in sorted(datasets):  # symbol tables are name-sorted
         spec = datasets[name]
-        if spec.get("vstr"):
+        if spec.get("vstr") and spec.get("chunks") is None:
             # variable-length string dataset: GCOL heap + contiguous
             # 16-byte descriptor array
             values = [str(v) for v in spec["data"]]
@@ -1375,11 +1497,22 @@ def build_hdf5(
                 )
             entries.append((name, alloc(_object_header(msgs))))
             continue
-        arr = np.ascontiguousarray(spec["data"])
-        arr = arr.astype(arr.dtype.newbyteorder("<")) if arr.dtype.byteorder == ">" else arr
+        if spec.get("vstr"):
+            # CHUNKED vlen: the GCOL heap holds the strings, and the
+            # 16-byte descriptor records flow through the SAME chunked
+            # pipeline (indexes + filters) as numeric data below
+            values = [str(v) for v in spec["data"]]
+            arr = np.frombuffer(
+                _vlen_descriptors(alloc, values), dtype="V16"
+            ).copy()
+            dt_body = _vlen_dt_message()
+        else:
+            arr = np.ascontiguousarray(spec["data"])
+            arr = arr.astype(arr.dtype.newbyteorder("<")) if arr.dtype.byteorder == ">" else arr
+            dt_body = _dt_message(arr.dtype)
         msgs = [
             _header_msg(0x0001, _ds_message(arr.shape, spec.get("maxshape"))),
-            _header_msg(0x0003, _dt_message(arr.dtype)),
+            _header_msg(0x0003, dt_body),
         ]
         chunks = spec.get("chunks")
         deflate = spec.get("deflate")
@@ -1560,6 +1693,27 @@ def build_hdf5(
         for aname, aval in spec.get("vstr_attrs", {}).items():
             msgs.append(
                 _header_msg(0x000C, _vlen_attr_message(aname, alloc, aval))
+            )
+        # reference attributes resolve target names against the
+        # already-written entries (targets must sort before the
+        # referer — the coordinate-variables-first layout every
+        # netCDF-4 producer emits)
+        written = dict(entries)
+        for aname, targets in spec.get("ref_attrs", {}).items():
+            msgs.append(
+                _header_msg(
+                    0x000C,
+                    _ref_attr_message(aname, [written[t] for t in targets]),
+                )
+            )
+        for aname, tlists in spec.get("vlen_ref_attrs", {}).items():
+            msgs.append(
+                _header_msg(
+                    0x000C,
+                    _vlen_ref_attr_message(
+                        aname, alloc, [[written[t] for t in lst] for lst in tlists]
+                    ),
+                )
             )
         oaddr = alloc(_object_header(msgs))
         entries.append((name, oaddr))

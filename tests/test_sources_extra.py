@@ -949,3 +949,63 @@ def test_netcdf4_dense_links_unlimited_series_to_long(spark, tmp_path):
     got = {(r["time"], r["station"]): r["rain"] for r in rows}
     assert got[(time[0], station[0])] == rain[0, 0]
     assert got[(time[-1], station[-1])] == rain[-1, -1]
+
+
+def test_hdf5_min_chunked_vlen_and_object_references():
+    """The last two S15 long-tail items, closed: (1) CHUNKED vlen
+    string datasets — descriptors flow through the same chunk indexes
+    and filter pipeline as numeric data (v1 B-tree, single-chunk,
+    fixed-array, extensible-array; deflate and shuffle) — and
+    (2) OBJECT REFERENCES: class-7 attribute arrays and the class-9
+    vlen-of-reference DIMENSION_LIST every netCDF-4 variable carries,
+    resolved to the referenced datasets' names."""
+    import numpy as np
+
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    labels = [f"station-{i}-" + "x" * (i % 7) for i in range(100)]
+    for spec in (
+        {"vstr": True, "data": labels, "chunks": (16,)},
+        {"vstr": True, "data": labels, "chunks": (16,), "deflate": 6},
+        {
+            "vstr": True,
+            "data": labels,
+            "chunks": (16,),
+            "deflate": 6,
+            "shuffle": True,
+        },
+        {"vstr": True, "data": labels, "chunks": (16,), "index": "single"},
+        {"vstr": True, "data": labels, "chunks": (16,), "index": "fixed"},
+        {
+            "vstr": True,
+            "data": labels,
+            "chunks": (16,),
+            "index": "earray",
+            "maxshape": (None,),
+            "deflate": 6,
+        },
+    ):
+        ds = parse_hdf5(build_hdf5({"names": spec}))
+        assert list(ds["names"].data) == labels, spec
+
+    # DIMENSION_LIST / coordinates: coordinate vars sort before the
+    # data var (the layout every netCDF-4 producer emits)
+    buf = build_hdf5(
+        {
+            "a_time": {"data": np.arange(4.0)},
+            "b_lat": {"data": np.arange(3.0)},
+            "z_var": {
+                "data": np.arange(12.0).reshape(4, 3),
+                "chunks": (2, 3),
+                "deflate": 4,
+                "vlen_ref_attrs": {
+                    "DIMENSION_LIST": [["a_time"], ["b_lat"]]
+                },
+                "ref_attrs": {"COORDINATES": ["a_time", "b_lat"]},
+            },
+        }
+    )
+    ds = parse_hdf5(buf)
+    assert ds["z_var"].attrs["DIMENSION_LIST"] == [["a_time"], ["b_lat"]]
+    assert ds["z_var"].attrs["COORDINATES"] == ["a_time", "b_lat"]
+    assert ds["z_var"].data[3, 2] == 11.0

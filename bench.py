@@ -255,6 +255,17 @@ EXTENDED = [
     "a43_cramers_v",
     # r9: margin-based bitext mining (ratio margin over the corpus)
     "embed_bitext_margin",
+    # r9: the at-scale margin-mining twin (SRP-bucket candidates, no
+    # cross join, full corpus halves)
+    "embed_bitext_margin_bucketed",
+    # r9: GPT-style 2048-token sequence-packing audit
+    "sample_sequence_packing",
+    # r9: Mann-Kendall trend significance (Theil-Sen's companion)
+    "trend_mann_kendall",
+    # r9: Hamilton largest-remainder budget apportionment
+    "sample_quota_allocation",
+    # r9: pairwise source-vocabulary Jaccard (corpus-mix diagnostic)
+    "text_source_overlap",
 ]
 
 

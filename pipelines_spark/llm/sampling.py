@@ -315,3 +315,44 @@ def rendezvous_shard(
             ]
         )
     )["s"]
+
+
+def largest_remainder_quota(
+    df: DataFrame, group_col: str, *, budget: int
+) -> DataFrame:
+    """Hamilton / largest-remainder apportionment of a document
+    ``budget`` across ``group_col`` groups, proportional to group
+    size: each group gets floor(budget·n_g/total), and the leftover
+    seats go to the largest remainders (ties by group name, so the
+    allocation is a pure function of the data). This is the exact
+    integer allocation a mixture spec needs BEFORE sampling — quotas
+    sum to exactly ``budget`` by construction, where independent
+    per-group rounding drifts. All arithmetic is integer (the
+    remainder is ``budget·n_g mod total``), so the result is
+    engine-exact. State: one row per group; nothing scales with rows.
+
+    Returns (group_col, n_docs, quota).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("_total"))
+    alloc = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.floor(F.lit(budget) * F.col("n_docs") / F.col("_total")).alias("_floor"),
+        (F.lit(budget) * F.col("n_docs") % F.col("_total")).alias("_rem"),
+    )
+    wrem = Window.orderBy(F.desc("_rem"), F.asc(group_col))
+    short = alloc.groupBy().agg((F.lit(budget) - F.sum("_floor")).alias("_short"))
+    return (
+        alloc.withColumn("_rk", F.row_number().over(wrem))
+        .crossJoin(F.broadcast(short))
+        .select(
+            group_col,
+            "n_docs",
+            (F.col("_floor") + (F.col("_rk") <= F.col("_short")).cast("long")).alias(
+                "quota"
+            ),
+        )
+    )

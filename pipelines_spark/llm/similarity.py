@@ -1105,6 +1105,8 @@ def margin_bitext_topk(
     vec_col: str = "embedding",
     k_margin: int = 4,
     round_digits: int = 4,
+    ann_planes: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 §3.2,
     the "ratio" margin): for every query vector in ``corpus_a``, the
@@ -1127,23 +1129,38 @@ def margin_bitext_topk(
     is persisted and attached for release_staging — the
     multi-consumer staging discipline.
 
-    Scale shape: this is the exact (brute-force) formulation — the
-    query side broadcasts, the corpus side streams, like
-    brute_force_topk; at 100 TB the candidate generation step swaps
-    for any bucketed ANN in this module (SRP / IVF) and the margin
-    rescoring applies unchanged to the candidate lists.
+    Scale shape: ``ann_planes=None`` is the exact (brute-force)
+    formulation — the query side broadcasts, the corpus side streams,
+    like brute_force_topk. ``ann_planes=p`` is the 100 TB path:
+    candidates come from a deterministic SRP bucket EQUI-join (no
+    cross join anywhere) and degrees are computed over the candidate
+    lists — the standard ANN approximation of the margin, with
+    defined (not random) results because the buckets are
+    deterministic. Queries whose bucket holds no targets are absent
+    from the output, same as any bucketed ANN in this module.
     """
     from pipelines_spark.llm.dedup import _attach_staging
 
+    bucket = (
+        (lambda v: srp_bucket_key(v, dim, ann_planes))
+        if ann_planes is not None
+        else None
+    )
     a = corpus_a.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        *([bucket(F.col(vec_col)).alias("_bucket")] if bucket else []),
     )
     b = corpus_b.select(
-        F.col(id_col).alias("target_id"), F.col(vec_col).alias("_tv")
+        F.col(id_col).alias("target_id"),
+        F.col(vec_col).alias("_tv"),
+        *([bucket(F.col(vec_col)).alias("_bucket")] if bucket else []),
+    )
+    cand = (
+        b.join(F.broadcast(a), "_bucket") if bucket else b.crossJoin(F.broadcast(a))
     )
     pairs = (
-        b.crossJoin(F.broadcast(a))
-        .select(
+        cand.select(
             "query_id",
             "target_id",
             F.round(cosine_similarity(F.col("_tv"), F.col("_qv")), round_digits)

@@ -4489,4 +4489,148 @@ ORACLES: dict[str, str] = {
         ) WHERE rn = 1
         ORDER BY query_id
     """,
+    # r9: the at-scale margin-mining twin — SRP-bucket candidates
+    # (same deterministic projection replay as embed_srp_ann), margin
+    # degrees over the candidate lists
+    "embed_bitext_margin_bucketed": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   {_srp_bucket('embeddings')} AS bucket
+            FROM embeddings WHERE vec_id % 2 = 1
+        ), c AS (
+            SELECT vec_id AS target_id, embedding AS cv,
+                   {_srp_bucket('embeddings')} AS bucket
+            FROM embeddings WHERE vec_id % 2 = 0
+        ), pairs AS (
+            SELECT q.query_id, c.target_id,
+                   CAST(round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4)
+                        AS DECIMAL(10,4)) AS cos
+            FROM c JOIN q ON c.bucket = q.bucket
+        ), dq AS (
+            SELECT query_id, sum(cos) / 4.0 AS deg_q FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, target_id ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= 4 GROUP BY query_id
+        ), dt AS (
+            SELECT target_id, sum(cos) / 4.0 AS deg_t FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY target_id ORDER BY cos DESC, query_id ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= 4 GROUP BY target_id
+        ), marg AS (
+            SELECT p.query_id, p.target_id, p.cos,
+                   round(p.cos / ((deg_q + deg_t) / 2.0), 4) AS margin
+            FROM pairs p JOIN dq USING (query_id) JOIN dt USING (target_id)
+        )
+        SELECT query_id, target_id AS match_id, CAST(cos AS DOUBLE) AS cosine,
+               margin
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY margin DESC, target_id ASC) AS rn
+            FROM marg
+        ) WHERE rn = 1
+        ORDER BY query_id
+    """,
+    # r9: GPT-style packing — per-source cumulative token placement,
+    # sequence id = floor(start / 2048)
+    "sample_sequence_packing": """
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                        AS BIGINT) AS n_tok
+            FROM documents
+        ), placed AS (
+            SELECT source, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok AS s,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS e
+            FROM toks
+        ), seqd AS (
+            SELECT source, n_tok,
+                   CAST(floor(s / 2048) AS BIGINT) AS seq_id,
+                   CASE WHEN floor((e - 1) / 2048) <> floor(s / 2048)
+                        THEN 1 ELSE 0 END AS straddles
+            FROM placed
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               max(seq_id) + 1 AS n_seqs,
+               CAST(sum(straddles) AS BIGINT) AS n_straddling_docs,
+               CAST(sum(n_tok) - 2048 * max(seq_id) AS BIGINT) AS last_fill
+        FROM seqd GROUP BY source ORDER BY source
+    """,
+    # r9: Mann-Kendall — exact DECIMAL daily totals make every
+    # pairwise sign engine-exact; no-ties variance
+    "trend_mann_kendall": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+                        ELSE 0 END AS sgn
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ), s AS (
+            SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat
+            FROM pairs GROUP BY event_type
+        ), nd AS (
+            SELECT event_type, count(*) AS n_days FROM daily GROUP BY event_type
+        )
+        SELECT s.event_type, n_days, s_stat,
+               round((s_stat - sign(CAST(s_stat AS DOUBLE)))
+                     / sqrt(n_days * (n_days - 1) * (2 * n_days + 5) / 18.0),
+                     4) AS z_stat,
+               abs(round((s_stat - sign(CAST(s_stat AS DOUBLE)))
+                     / sqrt(n_days * (n_days - 1) * (2 * n_days + 5) / 18.0),
+                     4)) > 1.96 AS trend_95
+        FROM s JOIN nd USING (event_type)
+        ORDER BY event_type
+    """,
+    # r9: Hamilton apportionment — all-integer arithmetic (remainder
+    # = budget·n mod total), ties on source name
+    "sample_quota_allocation": """
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), tot AS (SELECT sum(n_docs) AS total FROM per_src),
+        alloc AS (
+            SELECT source, n_docs,
+                   CAST(floor(200 * n_docs / total) AS BIGINT) AS f,
+                   200 * n_docs % total AS rem
+            FROM per_src, tot
+        ), short AS (SELECT 200 - sum(f) AS s FROM alloc)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(f + CASE WHEN row_number() OVER (
+                                  ORDER BY rem DESC, source ASC)
+                                  <= (SELECT s FROM short)
+                             THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM alloc ORDER BY source
+    """,
+    # r9: pairwise source-vocabulary Jaccard — vocabulary-bounded
+    # word self-join, |sources|² pair table
+    "text_source_overlap": """
+        WITH words AS (
+            SELECT DISTINCT source, w FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), sizes AS (
+            SELECT source, count(*) AS vocab FROM words GROUP BY source
+        ), inter AS (
+            SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+            FROM words a JOIN words b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT s1, s2, n_inter,
+               CAST(va.vocab + vb.vocab - n_inter AS BIGINT) AS n_union,
+               round(n_inter / CAST(va.vocab + vb.vocab - n_inter AS DOUBLE),
+                     6) AS jaccard
+        FROM inter
+        JOIN sizes va ON va.source = s1
+        JOIN sizes vb ON vb.source = s2
+        ORDER BY s1, s2
+    """,
 }

@@ -5030,6 +5030,183 @@ def embed_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def embed_bitext_margin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE posture of margin-based bitext mining: candidates
+    come from a deterministic SRP bucket EQUI-join (no cross join
+    anywhere — the same scale move embed_srp_ann makes over
+    embed_knn_topk) and the Artetxe-Schwenk ratio-margin degrees are
+    computed over the candidate lists. Covers the FULL corpus halves
+    (1000×1000 at sf0.1) where the exact twin caps its query set —
+    bucketing is what buys the coverage. Approximation is defined,
+    not random: buckets are deterministic sign projections, so the
+    oracle replays them term-for-term."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import margin_bitext_topk
+
+    emb = spark.table("embeddings")
+    return margin_bitext_topk(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        ann_planes=8,
+    ).orderBy("query_id")
+
+
+def sample_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing audit: documents concatenated in
+    (source, doc_id) order and chopped into 2048-token training
+    sequences (tokens split across boundaries — the standard
+    pretraining pack), reported per source: sequence count, total
+    tokens, boundary-straddling docs, and the last sequence's fill.
+    The placement is a pure per-source cumulative sum (ONE bounded
+    window per source partition, no global window, no sequential
+    state), which is why this formulation scales where a true
+    first-fit bin packer (whose resets depend on unbounded history)
+    cannot be expressed relationally."""
+    register(spark, sf_dir, ("documents",))
+    cap = 2048
+    toks = spark.table("documents").select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("_end", F.sum("n_tok").over(wsrc)).select(
+        "source",
+        "n_tok",
+        (F.col("_end") - F.col("n_tok")).alias("_start"),
+        "_end",
+    )
+    seqd = placed.select(
+        "source",
+        "n_tok",
+        F.floor(F.col("_start") / cap).alias("seq_id"),
+        (F.floor((F.col("_end") - 1) / cap) != F.floor(F.col("_start") / cap))
+        .cast("long")
+        .alias("straddles"),
+    )
+    return (
+        seqd.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.max("seq_id") + 1).alias("n_seqs"),
+            F.sum("straddles").alias("n_straddling_docs"),
+            (F.sum("n_tok") - F.lit(cap) * F.max("seq_id")).alias("last_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per event type — the
+    significance companion to trend_theilsen_by_type's slope:
+    S = Σ_{i<j} sign(x_j − x_i) over the daily value totals, z from
+    the no-ties variance n(n−1)(2n+5)/18. Daily totals are DECIMAL
+    sums (2-decimal values add exactly), so every pairwise sign is
+    engine-exact — the float-sum hazard never arises. Pairwise stage
+    is over DAYS (30², after the daily rollup), never rows."""
+    register(spark, sf_dir, ("events",))
+    daily = spark.table("events").groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("v").alias("v2"))
+    s_stat = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.signum((F.col("v2") - F.col("v1")).cast("double")).cast("long")
+            ).alias("s_stat"),
+            (F.count_distinct("d1") + 1).alias("n_days"),
+        )
+    )
+    z = F.round(
+        (F.col("s_stat") - F.signum(F.col("s_stat").cast("double")))
+        / F.sqrt(
+            F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            / F.lit(18.0)
+        ),
+        4,
+    )
+    return (
+        s_stat.select("event_type", "n_days", "s_stat", z.alias("z_stat"))
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "z_stat",
+            (F.abs(F.col("z_stat")) > 1.96).alias("trend_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sample_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 200-doc budget
+    across sources (llm/sampling.py::largest_remainder_quota) — the
+    exact integer allocation a mixture spec needs before sampling:
+    quotas sum to exactly the budget by construction, where
+    independent per-source rounding drifts by ±(n_sources/2). All
+    integer arithmetic, engine-exact."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import largest_remainder_quota
+
+    return largest_remainder_quota(
+        spark.table("documents"), "source", budget=200
+    ).orderBy("source")
+
+
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic behind dedup/mixture decisions: two sources with
+    near-identical vocabularies are near-duplicate feeds (merge or
+    cap them); disjoint ones add diversity. One distinct (source,
+    word) projection, one word-keyed self-join with s1 < s2 — the
+    shuffle is vocabulary-bounded, never corpus-bounded, and the
+    pair table is |sources|², never |docs|²."""
+    register(spark, sf_dir, ("documents",))
+    words = (
+        spark.table("documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = words.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    inter = (
+        words.withColumnRenamed("source", "s1")
+        .join(words.withColumnRenamed("source", "s2"), "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"source": "s1", "vocab": "v1"}), "s1")
+        .join(sizes.withColumnsRenamed({"source": "s2", "vocab": "v2"}), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_inter",
+            (F.col("v1") + F.col("v2") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("v1") + F.col("v2") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -5044,6 +5221,11 @@ QUERIES = {
     "a42_ks_drift": a42_ks_drift,
     "a43_cramers_v": a43_cramers_v,
     "embed_bitext_margin": embed_bitext_margin,
+    "embed_bitext_margin_bucketed": embed_bitext_margin_bucketed,
+    "sample_sequence_packing": sample_sequence_packing,
+    "trend_mann_kendall": trend_mann_kendall,
+    "sample_quota_allocation": sample_quota_allocation,
+    "text_source_overlap": text_source_overlap,
     # --- red r8 row (array column fixed this round; never green) ---
     "er_part_name_clusters": er_part_name_clusters,
     # --- last driver-checked r3 (oldest first) ---

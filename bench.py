@@ -266,6 +266,14 @@ EXTENDED = [
     "sample_quota_allocation",
     # r9: pairwise source-vocabulary Jaccard (corpus-mix diagnostic)
     "text_source_overlap",
+    # r9: fuzzy (containment-scored) benchmark decontamination
+    "text_decontamination_fuzzy",
+    # r9: temperature-scaled mixture rates (p^alpha sampling)
+    "sample_temperature_mixture",
+    # r9: daily-series autocorrelation, lags 1-7 (seasonality detector)
+    "a44_acf_daily",
+    # r9: label-centroid cohesion (SemDeDup prune-rate diagnostic)
+    "embed_label_cohesion",
 ]
 
 

@@ -4633,4 +4633,123 @@ ORACLES: dict[str, str] = {
         JOIN sizes vb ON vb.source = s2
         ORDER BY s1, s2
     """,
+    # r9: fuzzy decontamination — 4-gram shingle replay (Spark
+    # word_shingles: distinct windows i..i+3 over the space split),
+    # containment = shared / doc shingles, worst probe per doc
+    "text_decontamination_fuzzy": """
+        WITH shing AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+3], ' ')
+                   ))) AS sh
+            FROM documents
+            WHERE len(string_split(text,' ')) >= 4
+        ), corpus AS (
+            SELECT doc_id, sh FROM shing WHERE doc_id >= 10
+        ), probe AS (
+            SELECT DISTINCT doc_id AS probe_id, sh FROM shing WHERE doc_id < 10
+        ), shared AS (
+            SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+            FROM corpus c JOIN probe p USING (sh)
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_doc_shingles FROM corpus GROUP BY doc_id
+        )
+        SELECT doc_id, probe_id AS worst_probe_id, n_shared, n_doc_shingles,
+               containment
+        FROM (
+            SELECT s.doc_id, s.probe_id, s.n_shared, z.n_doc_shingles,
+                   round(n_shared / CAST(z.n_doc_shingles AS DOUBLE), 6)
+                       AS containment,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id
+                       ORDER BY round(n_shared
+                                / CAST(z.n_doc_shingles AS DOUBLE), 6) DESC,
+                                s.probe_id ASC) AS rn
+            FROM shared s JOIN sizes z USING (doc_id)
+        ) WHERE rn = 1
+        ORDER BY doc_id
+    """,
+    # r9: temperature-scaled mixture — rounded-DECIMAL α-powered
+    # weights so the normalizer is partition-order-exact
+    "sample_temperature_mixture": """
+        WITH per AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), tot AS (SELECT sum(n_docs) AS total FROM per),
+        w AS (
+            SELECT source, n_docs, total,
+                   CAST(round(pow(n_docs / CAST(total AS DOUBLE), 0.5), 9)
+                        AS DECIMAL(18,9)) AS w
+            FROM per, tot
+        ), sw AS (SELECT sum(w) AS sw FROM w)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               round(n_docs / CAST(total AS DOUBLE), 6) AS natural_share,
+               round(CAST(w / sw AS DOUBLE), 6) AS temp_share,
+               round(round(CAST(w / sw AS DOUBLE), 6)
+                     / round(n_docs / CAST(total AS DOUBLE), 6), 4) AS boost
+        FROM w, sw ORDER BY source
+    """,
+    # r9: ACF lags 1-7 over DECIMAL-exact daily totals; one window
+    # leg per lag, Pearson from exact sufficient statistics
+    "a44_acf_daily": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        ), stacked AS (
+            """
+    + "\n            UNION ALL\n            ".join(
+        f"SELECT event_type, {k} AS lag, v AS x, lag(v, {k}) OVER "
+        f"(PARTITION BY event_type ORDER BY d) AS y FROM daily"
+        for k in range(1, 8)
+    )
+    + """
+        ), stats AS (
+            SELECT event_type, lag, count(*) AS n_pairs,
+                   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x*y) AS DOUBLE) AS sxy,
+                   CAST(sum(x*x) AS DOUBLE) AS sxx,
+                   CAST(sum(y*y) AS DOUBLE) AS syy
+            FROM stacked WHERE y IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+               round((n_pairs * sxy - sx * sy)
+                     / sqrt((n_pairs * sxx - sx * sx)
+                            * (n_pairs * syy - sy * sy)), 4) AS acf
+        FROM stats ORDER BY event_type, lag
+    """,
+    # r9: label-centroid cohesion — rounded-DECIMAL element sums make
+    # the centroid means partition-order-exact; cosine replay via the
+    # module's list-op convention
+    "embed_label_cohesion": """
+        WITH dims AS (
+            SELECT label, dim - 1 AS dim,
+                   CAST(round(CAST(v AS DOUBLE), 7) AS DECIMAL(20,7)) AS v
+            FROM (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            )
+        ), cent AS (
+            SELECT label, dim, CAST(sum(v) AS DOUBLE) / count(*) AS c
+            FROM dims GROUP BY 1, 2
+        ), cent_arr AS (
+            SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+        ), scored AS (
+            SELECT e.label,
+                   CAST(round(
+                       list_sum(list_transform(list_zip(e.embedding, a.centroid),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(a.centroid,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                       AS DECIMAL(10,4)) AS cos
+            FROM embeddings e JOIN cent_arr a USING (label)
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(CAST(sum(cos) AS DOUBLE) / count(*), 4) AS cohesion
+        FROM scored GROUP BY label ORDER BY label
+    """,
 }

@@ -5207,6 +5207,204 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the Dolma/FineWeb companion
+    to the exact twin (text_decontamination): instead of flagging any
+    shared shingle, score each corpus doc by its CONTAINMENT in the
+    benchmark — max over probe docs of |shared 4-gram shingles| /
+    |doc shingles| — so near-verbatim eval leakage ranks above
+    incidental phrase overlap. Shape: probe side tiny → broadcast;
+    corpus side one shingle explode feeding two consumers (the
+    overlap join and the per-doc sizes), persisted once. Returns the
+    worst (most-containing) probe per flagged doc."""
+    from pipelines_spark.llm.dedup import word_shingles
+
+    register(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    corpus_sh = (
+        docs.filter(F.col("doc_id") >= 10)
+        .select("doc_id", F.explode(word_shingles("text", 4)).alias("sh"))
+        .persist()
+    )
+    probe_sh = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.explode(word_shingles("text", 4)).alias("sh"),
+        )
+        .distinct()
+    )
+    shared = (
+        corpus_sh.join(F.broadcast(probe_sh), "sh")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_doc_shingles")
+    )
+    wc = Window.partitionBy("doc_id").orderBy(
+        F.desc("containment"), F.asc("probe_id")
+    )
+    return (
+        shared.join(sizes, "doc_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.col("n_doc_shingles").cast("double"), 6),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("probe_id").alias("worst_probe_id"),
+            "n_shared",
+            "n_doc_shingles",
+            "containment",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual-sampling
+    classic, mBERT/XLM-R lineage): sampling share ∝ p_i^α with
+    α = 0.5 — upweights tail sources, damps head ones, the knob
+    between natural (α=1) and uniform (α=0) mixing. The α-powered
+    weights are rounded then DECIMAL-summed so the normalizing
+    constant is partition-order-exact (the repo's float convention);
+    ``boost`` is the head/tail rebalancing factor a mixture spec
+    actually reads. One counts aggregation; everything after is a
+    20-row broadcast."""
+    register(spark, sf_dir, ("documents",))
+    per = spark.table("documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total",
+        F.round(F.pow(F.col("n_docs") / F.col("total"), 0.5), 9)
+        .cast("decimal(18,9)")
+        .alias("_w"),
+    )
+    sw = w.agg(F.sum("_w").alias("_sw"))
+    return (
+        w.crossJoin(F.broadcast(sw))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
+                "natural_share"
+            ),
+            F.round((F.col("_w") / F.col("_sw")).cast("double"), 6).alias(
+                "temp_share"
+            ),
+        )
+        .withColumn(
+            "boost", F.round(F.col("temp_share") / F.col("natural_share"), 4)
+        )
+        .orderBy("source")
+    )
+
+
+def a44_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily value series per event
+    type, lags 1–7 — the seasonality detector behind a27's weekly
+    model: a strong lag-7 spike is the signature worth checking, not
+    assuming. Daily totals are DECIMAL sums (exact), the seven lag
+    columns ride ONE per-type window pass, and the Pearson sufficient
+    statistics are exact-decimal sums — the correlation division is
+    the only float step (rounded 4). Pairwise state: |types|×7 rows
+    after the daily rollup, never events."""
+    register(spark, sf_dir, ("events",))
+    daily = spark.table("events").groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    wd = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(wd).alias(f"_l{k}") for k in range(1, 8)],
+    )
+    stacked = lagged.select(
+        "event_type",
+        F.expr(
+            "stack(7, "
+            + ", ".join(f"{k}, _l{k}" for k in range(1, 8))
+            + ") AS (lag, y)"
+        ),
+        F.col("v").alias("x"),
+    ).filter(F.col("y").isNotNull())
+    stats = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").cast("double").alias("_sx"),
+        F.sum("y").cast("double").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("_syy"),
+    )
+    return stats.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(
+            (F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / F.sqrt(
+                (F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                * (F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+            ),
+            4,
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion per embedding label: mean cosine of each
+    vector to its label CENTROID — the corpus-diversity diagnostic a
+    SemDeDup-style pruning run reads before choosing per-cluster
+    keep rates (tight clusters → prune harder). Centroids come from
+    one posexplode + (label, dim) aggregation with rounded-DECIMAL
+    element sums (partition-order-exact means), reassembled by a
+    sorted collect — state is |labels|×dims, never vectors². The
+    per-vector cosine is one broadcast join back onto the corpus."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import cosine_similarity
+
+    emb = spark.table("embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("val").cast("double"), 7).cast("decimal(20,7)").alias("v"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    return (
+        emb.join(F.broadcast(cent_arr), "label")
+        .select(
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 4)
+            .cast("decimal(10,4)")
+            .alias("_cos"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round((F.sum("_cos") / F.count(F.lit(1))).cast("double"), 4).alias(
+                "cohesion"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -5226,6 +5424,10 @@ QUERIES = {
     "trend_mann_kendall": trend_mann_kendall,
     "sample_quota_allocation": sample_quota_allocation,
     "text_source_overlap": text_source_overlap,
+    "text_decontamination_fuzzy": text_decontamination_fuzzy,
+    "sample_temperature_mixture": sample_temperature_mixture,
+    "a44_acf_daily": a44_acf_daily,
+    "embed_label_cohesion": embed_label_cohesion,
     # --- red r8 row (array column fixed this round; never green) ---
     "er_part_name_clusters": er_part_name_clusters,
     # --- last driver-checked r3 (oldest first) ---

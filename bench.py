@@ -274,6 +274,12 @@ EXTENDED = [
     "a44_acf_daily",
     # r9: label-centroid cohesion (SemDeDup prune-rate diagnostic)
     "embed_label_cohesion",
+    # r9: referential-integrity audit (four FK legs, one frame)
+    "a45_fk_integrity",
+    # r9: Monroe-et-al log-odds discriminative terms per source
+    "text_fightin_words",
+    # r9: salted-hash tokenized join (PII-safe linkage, lossless)
+    "j20_hashed_key_join",
 ]
 
 

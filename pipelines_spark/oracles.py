@@ -4752,4 +4752,100 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(cos) AS DOUBLE) / count(*), 4) AS cohesion
         FROM scored GROUP BY label ORDER BY label
     """,
+    # r9: referential-integrity audit — NOT EXISTS replays the
+    # left-anti legs
+    "a45_fk_integrity": """
+        WITH legs AS (
+            SELECT 'orders->customer' AS relation,
+                   (SELECT count(*) FROM orders) AS n_child,
+                   (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                       (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem->orders',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                       (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey))
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                       (SELECT 1 FROM supplier s
+                        WHERE s.s_suppkey = l.l_suppkey))
+            UNION ALL
+            SELECT 'customer->nation',
+                   (SELECT count(*) FROM customer c WHERE TRUE),
+                   (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                       (SELECT 1 FROM nation n
+                        WHERE n.n_nationkey = c.c_nationkey))
+        )
+        SELECT relation, n_child, n_orphans,
+               round(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_rate
+        FROM legs ORDER BY relation
+    """,
+    # r9: Monroe et al. log-odds with informative Dirichlet prior
+    # (a0 = 1000, prior from the corpus distribution), each source vs
+    # the rest; top-3 terms per source
+    "text_fightin_words": """
+        WITH words AS (
+            SELECT source, w FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), src_w AS (
+            SELECT source, w, count(*) AS y FROM words GROUP BY 1, 2
+        ), corpus_w AS (
+            SELECT w, sum(y) AS y_all FROM src_w GROUP BY w
+        ), src_n AS (
+            SELECT source, sum(y) AS n_src FROM src_w GROUP BY source
+        ), tot AS (SELECT sum(y_all) AS n_all FROM corpus_w),
+        j AS (
+            SELECT source, w, y, y_all, n_src, n_all,
+                   1000.0 * y_all / n_all AS a_w,
+                   y_all - y AS y_rest,
+                   n_all - n_src AS n_rest
+            FROM src_w JOIN corpus_w USING (w) JOIN src_n USING (source), tot
+        ), z AS (
+            SELECT source, w, CAST(y AS BIGINT) AS y,
+                   round((ln((y + a_w) / (n_src + 1000.0 - y - a_w))
+                          - ln((y_rest + a_w)
+                               / (n_rest + 1000.0 - y_rest - a_w)))
+                         / sqrt(1.0 / (y + a_w) + 1.0 / (y_rest + a_w)),
+                         4) AS zeta
+            FROM j
+        )
+        SELECT source, CAST(rn AS BIGINT) AS rank, w, y, zeta
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY zeta DESC, w ASC) AS rn
+            FROM z
+        ) WHERE rn <= 3
+        ORDER BY source, rank
+    """,
+    # r9: salted-hash tokenized join — the md5-fold replay proves the
+    # linkage is lossless vs the raw-key join
+    "j20_hashed_key_join": """
+        WITH oc AS (
+            SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           'lnk2024:' || o_custkey), 1, 8), ''),
+                       c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS hk,
+                   o_totalprice
+            FROM orders
+        ), cc AS (
+            SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           'lnk2024:' || c_custkey), 1, 8), ''),
+                       c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, b) -> a * 16 + b) AS hk,
+                   c_mktsegment
+            FROM customer
+        )
+        SELECT c_mktsegment, count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM oc JOIN cc USING (hk)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
 }

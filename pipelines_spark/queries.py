@@ -5405,6 +5405,172 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a45_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts and rates for four foreign-key relations (orders→customer,
+    lineitem→orders, lineitem→supplier, customer→nation) — the
+    data-quality check every load pipeline runs before publishing
+    (the reference's check-harness discipline, plans/checks.py
+    provenance, expressed as one oracle-checked frame). Each leg is a
+    LEFT-ANTI join against the distinct parent keys: the parent side
+    reduces to its key column (column pruning reaches the scan) and
+    broadcasts when small; no row pairing ever materializes."""
+    register(
+        spark, sf_dir, ("orders", "customer", "lineitem", "supplier", "nation")
+    )
+
+    def leg(rel: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(ckey)).distinct(), ckey, "left_anti"
+        )
+        return (
+            child.agg(
+                F.lit(rel).alias("relation"), F.count(F.lit(1)).alias("n_child")
+            )
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                "relation",
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans") / F.col("n_child").cast("double"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    li = spark.table("lineitem")
+    return (
+        leg("orders->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(
+            leg("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        )
+        .unionByName(
+            leg(
+                "lineitem->supplier",
+                li,
+                "l_suppkey",
+                spark.table("supplier"),
+                "s_suppkey",
+            )
+        )
+        .unionByName(
+            leg(
+                "customer->nation",
+                cust,
+                "c_nationkey",
+                spark.table("nation"),
+                "n_nationkey",
+            )
+        )
+        .orderBy("relation")
+    )
+
+
+def text_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DISCRIMINATIVE terms via Monroe-Colaresi-Quinn 2008
+    ("Fightin' Words") log-odds with an informative Dirichlet prior:
+    each source scored against the REST of the corpus, prior = corpus
+    word distribution scaled to a0=1000, z = δ/√(1/(y+a) +
+    1/(y_rest+a)). The prior is what makes this beat raw TF-IDF for
+    corpus-mix forensics — rare words can't dominate on tiny counts.
+    Top-3 terms per source. All inputs are exact integer counts; the
+    z expression is one deterministic double chain per (source, word)
+    row, state bounded by |sources|×vocabulary."""
+    register(spark, sf_dir, ("documents",))
+    a0 = 1000.0
+    words = (
+        spark.table("documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    src_w = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("y"))
+    corpus_w = src_w.groupBy("w").agg(F.sum("y").alias("y_all"))
+    src_n = src_w.groupBy("source").agg(F.sum("y").alias("n_src"))
+    tot = corpus_w.agg(F.sum("y_all").alias("n_all"))
+    joined = (
+        src_w.join(F.broadcast(corpus_w), "w")
+        .join(F.broadcast(src_n), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "y",
+            (F.lit(a0) * F.col("y_all") / F.col("n_all")).alias("a_w"),
+            (F.col("y_all") - F.col("y")).alias("y_rest"),
+            (F.col("n_all") - F.col("n_src")).alias("n_rest"),
+            "n_src",
+        )
+    )
+    z = joined.select(
+        "source",
+        "w",
+        "y",
+        F.round(
+            (
+                F.log(
+                    (F.col("y") + F.col("a_w"))
+                    / (F.col("n_src") + F.lit(a0) - F.col("y") - F.col("a_w"))
+                )
+                - F.log(
+                    (F.col("y_rest") + F.col("a_w"))
+                    / (F.col("n_rest") + F.lit(a0) - F.col("y_rest") - F.col("a_w"))
+                )
+            )
+            / F.sqrt(
+                1.0 / (F.col("y") + F.col("a_w"))
+                + 1.0 / (F.col("y_rest") + F.col("a_w"))
+            ),
+            4,
+        ).alias("zeta"),
+    )
+    wz = Window.partitionBy("source").orderBy(F.desc("zeta"), F.asc("w"))
+    return (
+        z.withColumn("rn", F.row_number().over(wz))
+        .filter(F.col("rn") <= 3)
+        .select("source", F.col("rn").cast("long").alias("rank"), "w", "y", "zeta")
+        .orderBy("source", "rank")
+    )
+
+
+def j20_hashed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving linkage: join orders to customers on a
+    SALTED-HASH key (md5 of salt:custkey) instead of the raw
+    identifier — the tokenized-identifier pattern for linking
+    datasets whose join keys must not travel in the clear (the PII
+    discipline of text_pii_redaction applied to join keys). The hash
+    is the module's cross-engine md5 fold, so the oracle replays the
+    tokenization bit-for-bit; revenue per market segment proves the
+    linkage loses nothing vs the raw-key join. Same shuffle shape as
+    the plain equi-join — tokenization is a map-side projection."""
+    register(spark, sf_dir, ("orders", "customer"))
+    from pipelines_spark.operators.sketches import md5_hash32
+
+    salt = "lnk2024"
+    oc = spark.table("orders").select(
+        md5_hash32(
+            F.concat_ws(":", F.lit(salt), F.col("o_custkey").cast("string"))
+        ).alias("hk"),
+        "o_totalprice",
+    )
+    cc = spark.table("customer").select(
+        md5_hash32(
+            F.concat_ws(":", F.lit(salt), F.col("c_custkey").cast("string"))
+        ).alias("hk"),
+        "c_mktsegment",
+    )
+    return (
+        oc.join(cc, "hk")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -5428,6 +5594,9 @@ QUERIES = {
     "sample_temperature_mixture": sample_temperature_mixture,
     "a44_acf_daily": a44_acf_daily,
     "embed_label_cohesion": embed_label_cohesion,
+    "a45_fk_integrity": a45_fk_integrity,
+    "text_fightin_words": text_fightin_words,
+    "j20_hashed_key_join": j20_hashed_key_join,
     # --- red r8 row (array column fixed this round; never green) ---
     "er_part_name_clusters": er_part_name_clusters,
     # --- last driver-checked r3 (oldest first) ---

@@ -280,6 +280,12 @@ EXTENDED = [
     "text_fightin_words",
     # r9: salted-hash tokenized join (PII-safe linkage, lossless)
     "j20_hashed_key_join",
+    # r9: rolling 7-day median (robust trend, percentile window)
+    "w14_rolling_median",
+    # r9: Newman degree assortativity of the trade graph
+    "graph_assortativity",
+    # r9: winsorized mean per event type (robust location)
+    "a47_winsorized_stats",
 ]
 
 

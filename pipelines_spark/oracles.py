@@ -4848,4 +4848,76 @@ ORACLES: dict[str, str] = {
         FROM oc JOIN cc USING (hk)
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
+    # r9: rolling 7-day median — percentile ≡ quantile_cont over a
+    # 7-row frame on the DECIMAL-exact daily rollup
+    "w14_rolling_median": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, d, CAST(v AS DOUBLE) AS daily_total,
+               round(quantile_cont(CAST(v AS DOUBLE), 0.5) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                   4) AS rolling_median_7d,
+               count(*) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_window
+        FROM daily ORDER BY event_type, d
+    """,
+    # r9: Newman degree assortativity — DECIMAL(38,0) sufficient
+    # statistics (Σdeg² over edges overflows BIGINT), one final
+    # double division
+    "graph_assortativity": """
+        WITH pairs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst, src FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS deg FROM bi GROUP BY src
+        ), ends AS (
+            SELECT a.deg AS dx, b.deg AS dy
+            FROM bi JOIN deg a ON bi.src = a.src JOIN deg b ON bi.dst = b.src
+        ), stats AS (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS m2,
+                   CAST(sum(dx) AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(dy) AS DECIMAL(38,0)) AS sy,
+                   CAST(sum(dx*dy) AS DECIMAL(38,0)) AS sxy,
+                   CAST(sum(dx*dx) AS DECIMAL(38,0)) AS sxx,
+                   CAST(sum(dy*dy) AS DECIMAL(38,0)) AS syy
+            FROM ends
+        )
+        SELECT CAST(m2 AS BIGINT) AS n_directed_edges,
+               round(CAST(m2 * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+                            * CAST(m2 * syy - sy * sy AS DOUBLE)),
+                     4) AS assortativity
+        FROM stats
+    """,
+    # r9: winsorized mean — bounds rounded to the metric's 2-decimal
+    # grain, clamped values stay DECIMAL (exact sum / count)
+    "a47_winsorized_stats": """
+        WITH ev AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ), bounds AS (
+            SELECT event_type,
+                   CAST(round(quantile_cont(value, 0.05), 2)
+                        AS DECIMAL(18,2)) AS lo,
+                   CAST(round(quantile_cont(value, 0.95), 2)
+                        AS DECIMAL(18,2)) AS hi
+            FROM ev GROUP BY event_type
+        ), clamped AS (
+            SELECT e.event_type, lo, hi,
+                   least(greatest(CAST(value AS DECIMAL(18,2)), lo), hi) AS wv
+            FROM ev e JOIN bounds USING (event_type)
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(lo AS DOUBLE) AS p05, CAST(hi AS DOUBLE) AS p95,
+               round(CAST(sum(wv) / count(*) AS DOUBLE), 4) AS winsorized_mean
+        FROM clamped GROUP BY event_type, lo, hi ORDER BY event_type
+    """,
 }

@@ -5571,6 +5571,131 @@ def j20_hashed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w14_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of the daily value series per event type —
+    the robust trend line the rolling mean (w4) can't give when a
+    single burst day would drag it: outlier days pass through the
+    median untouched. Exact interpolated ``percentile`` as a window
+    aggregate over a 7-row frame (≡ DuckDB quantile_cont, the
+    established pairing); input totals are DECIMAL-exact, and the
+    window runs on the |types|×|days| daily rollup, never events."""
+    register(spark, sf_dir, ("events",))
+    daily = spark.table("events").groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "d",
+        F.col("v").cast("double").alias("daily_total"),
+        F.round(F.expr("percentile(v, 0.5)").over(w7), 4).alias(
+            "rolling_median_7d"
+        ),
+        F.count(F.lit(1)).over(w7).alias("n_window"),
+    ).orderBy("event_type", "d")
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer↔supplier trade graph
+    (Newman 2002): Pearson correlation between the endpoint degrees
+    over all directed edges — negative means hubs attach to leaves
+    (the hub-and-spoke shape that makes skew handling matter),
+    positive means hubs trade with hubs. Sufficient statistics are
+    DECIMAL(38,0) sums of integer degrees (Σdeg² over edges overflows
+    BIGINT at real scale — hit at sf0.01 already), so the statistic
+    is engine-exact up to one final double division. One degree
+    aggregate + two broadcast-joinable lookups; state O(|V|)."""
+    register(spark, sf_dir, ("lineitem", "orders"))
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ends = bi.join(deg.withColumnsRenamed({"deg": "dx"}), "src").join(
+        deg.withColumnsRenamed({"src": "dst", "deg": "dy"}), "dst"
+    )
+    stats = ends.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+    )
+    return stats.select(
+        F.col("m2").cast("long").alias("n_directed_edges"),
+        F.round(
+            (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            4,
+        ).alias("assortativity"),
+    )
+
+
+def a47_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: values clamped to the exact
+    [p05, p95] interpolated percentiles before averaging — the robust
+    location estimate that, unlike trimming, keeps n constant. The
+    clamp bounds are rounded to the metric's 2-decimal grain and the
+    clamped values stay DECIMAL, so the mean is one exact sum / count
+    (partition-order-exact). Two passes over the grouped metric: one
+    percentile aggregate (broadcast back), one clamped sum."""
+    register(spark, sf_dir, ("events",))
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 2)
+        .cast("decimal(18,2)")
+        .alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 2)
+        .cast("decimal(18,2)")
+        .alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(
+            F.greatest(F.col("value").cast("decimal(18,2)"), F.col("lo")),
+            F.col("hi"),
+        ).alias("wv"),
+    )
+    return (
+        clamped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round((F.sum("wv") / F.count(F.lit(1))).cast("double"), 4).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("lo").cast("double").alias("p05"),
+            F.col("hi").cast("double").alias("p95"),
+            "winsorized_mean",
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -5597,6 +5722,9 @@ QUERIES = {
     "a45_fk_integrity": a45_fk_integrity,
     "text_fightin_words": text_fightin_words,
     "j20_hashed_key_join": j20_hashed_key_join,
+    "w14_rolling_median": w14_rolling_median,
+    "graph_assortativity": graph_assortativity,
+    "a47_winsorized_stats": a47_winsorized_stats,
     # --- red r8 row (array column fixed this round; never green) ---
     "er_part_name_clusters": er_part_name_clusters,
     # --- last driver-checked r3 (oldest first) ---

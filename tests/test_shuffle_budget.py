@@ -295,6 +295,29 @@ BUDGETS = {
     # broadcasts the tiny cand_ids side and `sets` materializes once,
     # so the executed count is lower than this static ceiling.
     "dedup_incremental_batch": 10,
+    # r9 additions — static no-AQE counts measured at registration;
+    # a lost broadcast or stray repartition moves these
+    "t4_session_window": 2,  # user-keyed session merge + final sort
+    "text_zipf_fit": 1,  # word-count agg; top-200 window is post-limit
+    "sample_rendezvous_shards": 2,  # map-side HRW + 8-row rollup + sort
+    "a42_ks_drift": 5,  # distinct-value agg + bounded cum window + totals
+    "a43_cramers_v": 9,  # contingency cells + three margin joins (tiny)
+    "embed_bitext_margin": 6,  # persisted pair tree inlined per consumer
+    "embed_bitext_margin_bucketed": 6,  # same, bucket equi-join candidates
+    "sample_sequence_packing": 2,  # per-source window + source rollup
+    "trend_mann_kendall": 4,  # daily agg + type-keyed pair join + rollup
+    "sample_quota_allocation": 6,  # counts + remainder window (20 rows)
+    "text_source_overlap": 6,  # distinct words + vocab-keyed self-join
+    "text_decontamination_fuzzy": 5,  # shingle agg + probe join + window
+    "sample_temperature_mixture": 6,  # counts + two 1-row normalizers
+    "a44_acf_daily": 3,  # daily agg + one type window + (type,lag) agg
+    "embed_label_cohesion": 4,  # (label,dim) agg + centroid pack + rollup
+    "a45_fk_integrity": 12,  # four anti-join legs x (dedup + count aggs)
+    "text_fightin_words": 9,  # per-source counts + three margin frames
+    "j20_hashed_key_join": 2,  # tokenized equi-join, same as the raw join
+    "w14_rolling_median": 3,  # daily agg + percentile window + sort
+    "graph_assortativity": 9,  # edges + degree agg + two lookups + stats
+    "a47_winsorized_stats": 3,  # percentile bounds + clamped sum agg
 }
 
 

@@ -85,18 +85,32 @@ def test_fingerprint_store_bucketed_probe_skips_store_shuffle(spark, sf_small):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         store = spark.table("fps_store_b")
-        out = incremental_dedup_batch(batch, store, store_docs)
+        # the probe join itself (the cand_store leg of
+        # incremental_dedup_batch — since r9 that leg lives inside a
+        # lazy-localCheckpointed candidate stage, so the outer plan no
+        # longer exposes the store scan; pin the probe's own plan):
         # the store scan must feed its SortMergeJoin with NO Exchange
         # in between (only Sort/Project/Filter) — the bucket layout
         # already satisfies the join's distribution
-        plan = out._jdf.queryExecution().executedPlan().toString()
+        batch_fps = minhash_fingerprints(
+            batch, id_col="doc_id", text_col="text"
+        )
+        probe = batch_fps.withColumnsRenamed({"doc_id": "_new_id"}).join(
+            store.withColumnsRenamed({"doc_id": "_prev_id"}),
+            ["band_no", "band_key"],
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
         lines = plan.splitlines()
         scan_idx = [i for i, ln in enumerate(lines) if "fps_store_b" in ln]
         assert scan_idx, plan
         above = "\n".join(lines[max(0, scan_idx[0] - 3) : scan_idx[0]])
         assert "Exchange" not in above, above
         assert "Sort [band_no" in above  # SMJ-ready straight off the scan
-        got = {tuple(r) for r in out.collect()}
+        # and the operator over the bucketed store stays correct
+        got = {
+            tuple(r)
+            for r in incremental_dedup_batch(batch, store, store_docs).collect()
+        }
         want = {
             tuple(r)
             for r in incremental_dedup_batch(batch, fps, store_docs).collect()

@@ -265,8 +265,12 @@ BUDGETS = {
     "dedup_prefix_jaccard": 6,
     # r8: two (row, bucket) sketch aggs (partial+final pairs), the
     # tiny inner-product join/agg, and two per-key count aggs for the
-    # exact comparison — every exchange is sketch- or key-bounded
-    "a41_cms_join_size": 7,
+    # exact comparison — every exchange is sketch- or key-bounded.
+    # r9: +3 for the zero-overlap fix — the row_idx spine (a distinct
+    # over the two depth-row sets) left-joins the per-row products so
+    # a no-shared-bucket row contributes 0 instead of vanishing; all
+    # three new exchanges move ≤ depth rows
+    "a41_cms_join_size": 10,
     # r8: bigram agg + unigram agg + the two unigram joins; totals
     # broadcast
     "text_pmi_collocations": 5,

@@ -5699,10 +5699,12 @@ def a47_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 9 head = new r9 additions as they
-    # land, then er_part_name_clusters (red r8 row — never green),
-    # then the r3-checked cohort (oldest first), then the oldest
-    # r5/r6 entries filling the window to 50.
+    # outrank everything. Round 9 head = the 21 r9 additions (never
+    # checked), then er_part_name_clusters (red r8 row — never
+    # green), then the r3-checked cohort (oldest first) filling the
+    # window: 22 + 28 = 50, so the last two r3-checked
+    # (a19_stale_feeds, embed_ivf_pq) plus the r5/r6 cohort lead the
+    # r10 rotation.
     # --- round-9 additions (never driver-checked) land here ---
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,

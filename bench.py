@@ -286,6 +286,12 @@ EXTENDED = [
     "graph_assortativity",
     # r9: winsorized mean per event type (robust location)
     "a47_winsorized_stats",
+    # r9: categorical entropy/diversity profile (5 columns, 3 tables)
+    "a48_column_entropy",
+    # r9: lifetime-revenue deciles + shares (the 80/20 audit)
+    "q23_revenue_deciles",
+    # r9: bounded 3-core peel of the trade graph (visible convergence)
+    "graph_kcore",
 ]
 
 

@@ -4920,4 +4920,77 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(wv) / count(*) AS DOUBLE), 4) AS winsorized_mean
         FROM clamped GROUP BY event_type, lo, hi ORDER BY event_type
     """,
+    # r9: entropy/diversity profile — rounded-DECIMAL per-value terms
+    "a48_column_entropy": " UNION ALL ".join(
+        f'''
+        SELECT '{table}.{col}' AS "column", n, k AS n_distinct,
+               round(CAST(sum(h) AS DOUBLE), 4) AS entropy,
+               round(round(CAST(sum(h) AS DOUBLE), 4)
+                     / ln(CAST(k AS DOUBLE)), 4) AS norm_entropy,
+               round(1.0 - CAST(sum(p2) AS DOUBLE), 4) AS gini_simpson
+        FROM (
+            SELECT n, k,
+                   CAST(round(-(c / CAST(n AS DOUBLE))
+                              * ln(c / CAST(n AS DOUBLE)), 8)
+                        AS DECIMAL(18,8)) AS h,
+                   CAST(round(pow(c / CAST(n AS DOUBLE), 2), 8)
+                        AS DECIMAL(18,8)) AS p2
+            FROM (
+                SELECT {col} AS v, count(*) AS c FROM {table} GROUP BY 1
+            ), (SELECT count(*) AS n, count(DISTINCT {col}) AS k FROM {table})
+        ) GROUP BY n, k
+        '''
+        for table, col in (
+            ("events", "event_type"),
+            ("documents", "source"),
+            ("documents", "lang"),
+            ("orders", "o_orderpriority"),
+            ("orders", "o_orderstatus"),
+        )
+    )
+    + ' ORDER BY "column"',
+    # r9: lifetime-revenue deciles — exact DECIMAL sums, deterministic
+    # ntile over the total order
+    "q23_revenue_deciles": """
+        WITH rev AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY o_custkey
+        ), dec AS (
+            SELECT *, ntile(10) OVER (ORDER BY rev DESC, o_custkey ASC)
+                AS decile
+            FROM rev
+        ), tot AS (SELECT sum(rev) AS total FROM rev)
+        SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+               sum(rev) AS revenue,
+               round(CAST(sum(rev) / total AS DOUBLE), 6) AS revenue_share
+        FROM dec, tot GROUP BY decile, total ORDER BY decile
+    """,
+    # r9: bounded 3-core peel — the identical five rounds unrolled as
+    # a CTE chain (degree filter + two EXISTS per round)
+    "graph_kcore": """
+        WITH pairs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), bi AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst, src FROM pairs
+        ),
+        e0 AS (SELECT src, dst FROM bi),
+        """
+    + ",\n        ".join(
+        f"k{r} AS (SELECT src FROM (SELECT src, count(*) AS deg "
+        f"FROM e{r-1} GROUP BY src) WHERE deg >= 3),\n"
+        f"        e{r} AS (SELECT e.src, e.dst FROM e{r-1} e\n"
+        f"          WHERE EXISTS (SELECT 1 FROM k{r} a WHERE a.src = e.src)\n"
+        f"            AND EXISTS (SELECT 1 FROM k{r} b WHERE b.src = e.dst))"
+        for r in range(1, 6)
+    )
+    + "\n        "
+    + "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS round, CAST(count(*) / 2 AS BIGINT) AS n_edges, "
+        f"CAST(count(DISTINCT src) AS BIGINT) AS n_nodes FROM e{r}"
+        for r in range(0, 6)
+    )
+    + "\n        ORDER BY round",
 }

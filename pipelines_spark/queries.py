@@ -5696,6 +5696,130 @@ def a47_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a48_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column information profile: Shannon entropy (nats),
+    normalized entropy H/ln(k), and Gini-Simpson diversity 1−Σp² for
+    five categorical columns across three tables — the profiler
+    signal that tells a pipeline author which dimensions are
+    near-constant (prune them from partitioning/grouping) and which
+    are near-uniform (good shard keys). Per-value terms are rounded
+    then DECIMAL-summed (partition-order-exact, the repo's float
+    convention); state per column is its distinct-value count."""
+    register(spark, sf_dir, ("events", "documents", "orders"))
+
+    def leg(df: DataFrame, table: str, col: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = counts.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("k"))
+        terms = counts.crossJoin(F.broadcast(tot)).select(
+            "n",
+            "k",
+            F.round(
+                -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")), 8
+            )
+            .cast("decimal(18,8)")
+            .alias("_h"),
+            F.round(F.pow(F.col("c") / F.col("n"), 2), 8)
+            .cast("decimal(18,8)")
+            .alias("_p2"),
+        )
+        return (
+            terms.groupBy("n", "k")
+            .agg(
+                F.round(F.sum("_h").cast("double"), 4).alias("entropy"),
+                F.round(F.lit(1.0) - F.sum("_p2").cast("double"), 4).alias(
+                    "gini_simpson"
+                ),
+            )
+            .select(
+                F.lit(f"{table}.{col}").alias("column"),
+                F.col("n"),
+                F.col("k").alias("n_distinct"),
+                "entropy",
+                F.round(
+                    F.col("entropy") / F.log(F.col("k").cast("double")), 4
+                ).alias("norm_entropy"),
+                "gini_simpson",
+            )
+        )
+
+    ev, docs, o = (
+        spark.table("events"),
+        spark.table("documents"),
+        spark.table("orders"),
+    )
+    return (
+        leg(ev, "events", "event_type")
+        .unionByName(leg(docs, "documents", "source"))
+        .unionByName(leg(docs, "documents", "lang"))
+        .unionByName(leg(o, "orders", "o_orderpriority"))
+        .unionByName(leg(o, "orders", "o_orderstatus"))
+        .orderBy("column")
+    )
+
+
+def q23_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-revenue deciles and each decile's revenue
+    share — the 80/20 concentration audit behind account-tiering
+    decisions (the per-nation Gini, a38, is the one-number version;
+    this is the actionable distribution). Exact DECIMAL revenue sums;
+    ntile(10) over the total order (revenue desc, custkey asc) is
+    deterministic and runs on the per-customer ROLLUP (|customers|
+    rows), never on orders."""
+    register(spark, sf_dir, ("orders",))
+    rev = spark.table("orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wd = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    tot = rev.agg(F.sum("rev").alias("total"))
+    return (
+        rev.withColumn("decile", F.ntile(10).over(wd))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "revenue",
+            F.round((F.col("revenue") / F.col("total")).cast("double"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peeling of the customer↔supplier trade graph
+    (operators/graph.py::k_core_peel): five rounds of drop-degree-<3,
+    per-round (n_nodes, n_edges) so convergence is visible in the
+    output — equal consecutive rounds mean the exact k-core was
+    reached within the budget. The dense-core extraction that
+    identifies the structurally load-bearing trade partners; oracle
+    unrolls the identical five rounds as a CTE chain."""
+    register(spark, sf_dir, ("lineitem", "orders"))
+    from pipelines_spark.operators.graph import k_core_peel
+
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return k_core_peel(bi, k=3, rounds=5).orderBy("round")
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -5727,6 +5851,9 @@ QUERIES = {
     "w14_rolling_median": w14_rolling_median,
     "graph_assortativity": graph_assortativity,
     "a47_winsorized_stats": a47_winsorized_stats,
+    "a48_column_entropy": a48_column_entropy,
+    "q23_revenue_deciles": q23_revenue_deciles,
+    "graph_kcore": graph_kcore,
     # --- red r8 row (array column fixed this round; never green) ---
     "er_part_name_clusters": er_part_name_clusters,
     # --- last driver-checked r3 (oldest first) ---

@@ -322,6 +322,9 @@ BUDGETS = {
     "w14_rolling_median": 3,  # daily agg + percentile window + sort
     "graph_assortativity": 9,  # edges + degree agg + two lookups + stats
     "a47_winsorized_stats": 3,  # percentile bounds + clamped sum agg
+    "a48_column_entropy": 21,  # 5 legs x (value counts + totals + term agg)
+    "q23_revenue_deciles": 4,  # customer rollup + ntile + decile agg
+    "graph_kcore": 12,  # staged peel rounds; per-round degree + semi-joins
 }
 
 

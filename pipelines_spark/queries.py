@@ -5823,11 +5823,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 9 head = the 21 r9 additions (never
+    # outrank everything. Round 9 head = the 24 r9 additions (never
     # checked), then er_part_name_clusters (red r8 row — never
     # green), then the r3-checked cohort (oldest first) filling the
-    # window: 22 + 28 = 50, so the last two r3-checked
-    # (a19_stale_feeds, embed_ivf_pq) plus the r5/r6 cohort lead the
+    # window: 25 + 25 = 50, so the last five r3-checked
+    # (text_top_terms … embed_ivf_pq) plus the r5/r6 cohort lead the
     # r10 rotation.
     # --- round-9 additions (never driver-checked) land here ---
     "t4_session_window": t4_session_window,

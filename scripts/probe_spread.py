@@ -13,11 +13,11 @@ already is. This script produces that artifact:
   that query on the same replica (what the timing looks like without
   any suite pollution).
 
-Writes docs/PROBE_SPREAD_r08.json:
+Writes docs/PROBE_SPREAD_<tag>.json (tag = argv[2], default r09):
   {query: {base, suite_runs: [...], suite_ratio_min/max,
            isolated, isolated_ratio}}
 
-Usage: python scripts/probe_spread.py [runs]
+Usage: python scripts/probe_spread.py [runs] [tag]
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = "/root/testdata/sf0.1"
-PROBES = ["graph_pagerank", "graph_communities", "graph_triangles"]
+PROBES = ["graph_pagerank", "graph_communities", "graph_triangles", "graph_kcore"]
 N_COPIES = 10
 
 
@@ -111,7 +111,8 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    out = Path(__file__).resolve().parent.parent / "docs" / "PROBE_SPREAD_r08.json"
+    tag = sys.argv[2] if len(sys.argv) > 2 else "r09"
+    out = Path(__file__).resolve().parent.parent / "docs" / f"PROBE_SPREAD_{tag}.json"
     out.write_text(json.dumps(result, indent=1))
     print(json.dumps(result))
 

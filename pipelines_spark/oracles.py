@@ -4993,4 +4993,84 @@ ORACLES: dict[str, str] = {
         for r in range(0, 6)
     )
     + "\n        ORDER BY round",
+    # r9: Flesch reading-ease — vowel-group syllables (min 1/word),
+    # [.!?]+ sentences (min 1/doc), rounded-DECIMAL per-doc scores
+    "text_readability_scores": """
+        WITH d AS (
+            SELECT source, string_split(text, ' ') AS w,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
+            FROM documents
+        ), m AS (
+            SELECT source, len(w) AS nw, ns,
+                   list_sum(list_transform(w,
+                       x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)
+                   )) AS syl
+            FROM d
+        ), f AS (
+            SELECT source,
+                   CAST(round(206.835
+                              - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+                              - 84.6 * (CAST(syl AS DOUBLE) / CAST(nw AS DOUBLE)),
+                              8) AS DECIMAL(18,8)) AS fl
+            FROM m
+        )
+        SELECT source, count(*) AS n_docs,
+               round(CAST(sum(fl) / count(*) AS DOUBLE), 4) AS mean_flesch,
+               round(CAST(sum(CASE WHEN fl >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS easy_share
+        FROM f GROUP BY source ORDER BY source
+    """,
+    # r9: first-occurrence 3-gram novelty — same shingle construction
+    # as the dedup oracles (3-word window, DISTINCT per doc, len>=3
+    # guard); docs with no shingles drop out in both engines
+    "text_ngram_novelty": """
+        WITH words AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ), shingles AS (
+            SELECT DISTINCT doc_id, source,
+                   list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, source, count(*) AS n_sh FROM shingles GROUP BY 1, 2
+        ), firstseen AS (
+            SELECT sh, min(doc_id) AS doc_id FROM shingles GROUP BY sh
+        ), novel AS (
+            SELECT doc_id, count(*) AS novel FROM firstseen GROUP BY doc_id
+        ), per_doc AS (
+            SELECT s.source, coalesce(n.novel, 0) AS novel,
+                   CAST(round(coalesce(n.novel, 0) / CAST(s.n_sh AS DOUBLE), 8)
+                        AS DECIMAL(18,8)) AS nov
+            FROM sizes s LEFT JOIN novel n USING (doc_id)
+        )
+        SELECT source, count(*) AS n_docs, sum(novel) AS novel_shingles,
+               round(CAST(sum(nov) / count(*) AS DOUBLE), 4) AS mean_novelty
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # r9: hashed-feature linear classifier gate — md5 bucket in
+    # [0,64) (the shared hash convention), integer tenth-weights so
+    # the per-doc sums are exact, sigmoid rounded to 6
+    "text_quality_linear": f"""
+        WITH feats AS (
+            SELECT DISTINCT doc_id, source, w
+            FROM (SELECT doc_id, source,
+                         UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+        ), weighted AS (
+            SELECT doc_id, source,
+                   ({_md5_bucket("w", 64)}) % 21 - 10 AS w_tenths
+            FROM feats
+        ), per_doc AS (
+            SELECT source,
+                   CAST(round(1.0 / (1.0 + exp(-(0.2
+                        + (sum(w_tenths) / 10.0) / count(*)))), 6)
+                        AS DECIMAL(18,6)) AS score
+            FROM weighted GROUP BY doc_id, source
+        )
+        SELECT source, count(*) AS n_docs,
+               round(CAST(sum(score) / count(*) AS DOUBLE), 4) AS mean_score,
+               round(CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 4) AS keep_rate
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
 }

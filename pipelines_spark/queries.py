@@ -5820,16 +5820,185 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_peel(bi, k=3, rounds=5).orderBy("round")
 
 
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease profile — the classic
+    readability gate a curation pipeline runs next to the stopword/
+    length heuristics (ref: pipelines' per-dataset quality checks are
+    schema/volume-level; readability is the text-level analogue).
+    Syllables are approximated as vowel groups (``[aeiouy]+``, min 1
+    per word) and sentences as ``[.!?]+`` runs (min 1 per doc) — the
+    standard proxy when a hyphenation dictionary is out of scope.
+    All per-doc arithmetic is JVM codegen (split + HOF aggregate +
+    regexp_count, no Python); per-doc scores are rounded then
+    DECIMAL-summed (the repo's partition-order-exact float
+    convention). One shuffle: the per-source aggregate."""
+    register(spark, sf_dir, ("documents",))
+    w = F.split(F.col("text"), " ")
+    syl = F.aggregate(
+        F.transform(
+            w,
+            lambda x: F.greatest(
+                F.regexp_count(x, F.lit("[aeiouy]+")), F.lit(1)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_sent = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
+    nw = F.size(w)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (nw.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / nw.cast("double"))
+    )
+    per_doc = spark.table("documents").select(
+        "source",
+        F.round(flesch, 8).cast("decimal(18,8)").alias("fl"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round((F.sum("fl") / F.count(F.lit(1))).cast("double"), 4).alias(
+                "mean_flesch"
+            ),
+            F.round(
+                F.sum(F.when(F.col("fl") >= 50, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("easy_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per source: for every distinct 3-word
+    shingle the corpus-wide first holder is min(doc_id); a doc's
+    novelty is the fraction of its shingles it introduced. The
+    dataset-freshness signal behind "is this source adding new text
+    or re-serving the crawl": near-0 mean novelty means the source is
+    derivative of earlier ids. Two aggregates (per-doc sizes,
+    per-shingle argmin) and ONE doc-level join — the shingle stream
+    itself is never joined, so the shuffle is vocabulary-bounded.
+    Docs under 3 words have no shingles and drop out (documented;
+    oracle replays the same guard)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.dedup import word_shingles
+
+    sh = spark.table("documents").select(
+        "doc_id", "source", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_sh"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("novel"))
+    )
+    per_doc = (
+        sizes.join(novel, "doc_id", "left")
+        .na.fill({"novel": 0})
+        .select(
+            "source",
+            "novel",
+            F.round(F.col("novel") / F.col("n_sh"), 8)
+            .cast("decimal(18,8)")
+            .alias("nov"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("novel").alias("novel_shingles"),
+            F.round((F.sum("nov") / F.count(F.lit(1))).cast("double"), 4).alias(
+                "mean_novelty"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring at scale — the fastText-style
+    gate (CCNet/RedPajama quality filters) expressed as a pure
+    DataFrame plan: hashed unigram presence features (md5 bucket in
+    [0,64), the module's cross-engine hash convention), fixed
+    deterministic weights in tenths ((bucket % 21 − 10)/10, so
+    per-doc weight sums are EXACT integers in tenths), sigmoid score,
+    keep at 0.5. The weights are a stand-in for a trained model's —
+    the plan (explode → hash → integer-weight sum → sigmoid → gate)
+    is exactly what serving a real linear classifier over 100 TB
+    looks like: map-side explode + one per-doc aggregate + one
+    per-source aggregate, no Python anywhere."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import hash_bucket
+
+    feats = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    bucket = hash_bucket("w", buckets=64)
+    scored = (
+        feats.select(
+            "doc_id", "source", ((bucket % 21) - F.lit(10)).alias("w_tenths")
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("w_tenths").alias("sum_tenths"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+        .select(
+            "source",
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.lit(0.2)
+                            + (F.col("sum_tenths") / F.lit(10.0))
+                            / F.col("n_feats")
+                        )
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round((F.sum("score") / F.count(F.lit(1))).cast("double"), 4).alias(
+                "mean_score"
+            ),
+            F.round(
+                F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 9 head = the 24 r9 additions (never
+    # outrank everything. Round 9 head = the r9 additions (never
     # checked), then er_part_name_clusters (red r8 row — never
     # green), then the r3-checked cohort (oldest first) filling the
-    # window: 25 + 25 = 50, so the last five r3-checked
-    # (text_top_terms … embed_ivf_pq) plus the r5/r6 cohort lead the
-    # r10 rotation.
+    # window to 50; the r3-checked tail that no longer fits plus the
+    # r5/r6 cohort lead the r10 rotation.
     # --- round-9 additions (never driver-checked) land here ---
+    "text_readability_scores": text_readability_scores,
+    "text_ngram_novelty": text_ngram_novelty,
+    "text_quality_linear": text_quality_linear,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

@@ -325,6 +325,9 @@ BUDGETS = {
     "a48_column_entropy": 21,  # 5 legs x (value counts + totals + term agg)
     "q23_revenue_deciles": 4,  # customer rollup + ntile + decile agg
     "graph_kcore": 12,  # staged peel rounds; per-round degree + semi-joins
+    "text_readability_scores": 2,  # per-source agg + sort
+    "text_ngram_novelty": 5,  # sizes + argmin + novel aggs, doc join, sort
+    "text_quality_linear": 3,  # per-doc agg + per-source agg + sort
 }
 
 

@@ -5073,4 +5073,60 @@ ORACLES: dict[str, str] = {
                           AS DOUBLE) / count(*), 4) AS keep_rate
         FROM per_doc GROUP BY source ORDER BY source
     """,
+    # r9: DSIR importance weights — 256-bucket hashed-unigram models
+    # (target lang='en' vs raw), add-1 smoothing, rounded-DECIMAL
+    # per-bucket log-ratios
+    "text_dsir_weights": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, {_md5_bucket("w", 256)} AS bucket
+            FROM (SELECT doc_id, lang, source,
+                         UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+        ), counts AS (
+            SELECT bucket, count(*) AS c_raw,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+            FROM toks GROUP BY bucket
+        ), totals AS (
+            SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM counts
+        ), model AS (
+            SELECT bucket,
+                   CAST(round(
+                       ln((c_tgt + 1) / CAST(n_tgt + 256 AS DOUBLE))
+                       - ln((c_raw + 1) / CAST(n_raw + 256 AS DOUBLE)), 8)
+                        AS DECIMAL(18,8)) AS lr
+            FROM counts, totals
+        )
+        SELECT doc_id, lang, source, count(*) AS n_tokens,
+               round(CAST(sum(lr) / count(*) AS DOUBLE), 6) AS dsir_logratio
+        FROM toks JOIN model USING (bucket)
+        GROUP BY doc_id, lang, source
+        ORDER BY dsir_logratio DESC, doc_id ASC LIMIT 15
+    """,
+    # r9: data-constrained epoch schedule — balanced 2×-corpus budget,
+    # 4-epoch repeat cap; all integer except the reported ratio
+    "sample_epoch_schedule": """
+        WITH avail AS (
+            SELECT source,
+                   sum(CAST(floor(n_chars / 4) AS BIGINT)) AS available_tokens
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT sum(available_tokens) AS corpus_tokens,
+                   count(*) AS n_sources
+            FROM avail
+        )
+        SELECT source, available_tokens,
+               CAST(floor((corpus_tokens * 2) / CAST(n_sources AS DOUBLE))
+                    AS BIGINT) AS target_tokens,
+               round(CAST(floor((corpus_tokens * 2)
+                                / CAST(n_sources AS DOUBLE)) AS DOUBLE)
+                     / CAST(available_tokens AS DOUBLE), 4) AS repeat_epochs,
+               least(CAST(floor((corpus_tokens * 2)
+                                / CAST(n_sources AS DOUBLE)) AS BIGINT),
+                     available_tokens * 4) AS effective_tokens,
+               greatest(CAST(floor((corpus_tokens * 2)
+                                   / CAST(n_sources AS DOUBLE)) AS BIGINT)
+                        - available_tokens * 4,
+                        0) AS unmet_tokens
+        FROM avail, totals ORDER BY source
+    """,
 }

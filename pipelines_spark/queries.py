@@ -5987,6 +5987,117 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc mean
+    log-likelihood ratio between a TARGET domain's hashed-unigram
+    bag-of-words model (here lang='en') and the raw-corpus model,
+    add-1 smoothed over 256 md5 buckets. The standard pretraining
+    data-selection score — docs resembling the target domain rank
+    high and get up-sampled. Plan shape: one token explode feeds one
+    256-row bucket model (both domain counts in a single aggregate),
+    per-bucket log-ratios are rounded-DECIMAL and BROADCAST back onto
+    the token stream, then one per-doc aggregate and a top-15 — the
+    model table is O(buckets), never O(vocabulary), which is the
+    whole point of hashed DSIR at 100 TB."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import hash_bucket
+
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).withColumn("bucket", hash_bucket("w", buckets=256))
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + 256))
+            - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + 256)),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("lr"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (F.sum("lr") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("dsir_logratio"),
+        )
+    )
+    return per_doc.orderBy(
+        F.desc("dsir_logratio"), F.asc("doc_id")
+    ).limit(15)
+
+
+def sample_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch schedule for a data-constrained run (Muennighoff et al.
+    2023 "Scaling Data-Constrained Language Models": repeating data
+    beyond ~4 epochs returns ~nothing): given a token budget of 2×
+    the corpus and a BALANCED per-source mixture spec, compute each
+    source's available tokens, its integer target, the repeat factor
+    target/available, the 4-epoch cap, and the unmet remainder the
+    mixture owner must re-allocate. All integer arithmetic except the
+    reported repeat ratio (rounded double) — engine-exact. One
+    per-source aggregate + one broadcast totals row; the schedule
+    itself is O(sources)."""
+    register(spark, sf_dir, ("documents",))
+    avail = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.floor(F.col("n_chars") / 4)).alias("available_tokens")
+        )
+    )
+    totals = avail.agg(
+        F.sum("available_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    MAX_EPOCHS = 4
+    return (
+        avail.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "available_tokens",
+            F.floor(
+                (F.col("corpus_tokens") * 2) / F.col("n_sources")
+            ).alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "available_tokens",
+            "target_tokens",
+            F.round(
+                F.col("target_tokens")
+                / F.col("available_tokens").cast("double"),
+                4,
+            ).alias("repeat_epochs"),
+            F.least(
+                F.col("target_tokens"),
+                F.col("available_tokens") * MAX_EPOCHS,
+            ).alias("effective_tokens"),
+            F.greatest(
+                F.col("target_tokens")
+                - F.col("available_tokens") * MAX_EPOCHS,
+                F.lit(0).cast("long"),
+            ).alias("unmet_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -5999,6 +6110,8 @@ QUERIES = {
     "text_readability_scores": text_readability_scores,
     "text_ngram_novelty": text_ngram_novelty,
     "text_quality_linear": text_quality_linear,
+    "text_dsir_weights": text_dsir_weights,
+    "sample_epoch_schedule": sample_epoch_schedule,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

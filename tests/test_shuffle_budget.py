@@ -328,6 +328,8 @@ BUDGETS = {
     "text_readability_scores": 2,  # per-source agg + sort
     "text_ngram_novelty": 5,  # sizes + argmin + novel aggs, doc join, sort
     "text_quality_linear": 3,  # per-doc agg + per-source agg + sort
+    "text_dsir_weights": 4,  # bucket model (counts+totals) + per-doc agg
+    "sample_epoch_schedule": 4,  # source agg (x2: totals leg) + sort
 }
 
 

@@ -5129,4 +5129,89 @@ ORACLES: dict[str, str] = {
                         0) AS unmet_tokens
         FROM avail, totals ORDER BY source
     """,
+    # r9: Adamic–Adar + Jaccard link prediction over the supplier↔part
+    # bipartite graph; per-part degree cap 32 before pairing (same
+    # constant as the Spark query), rounded-DECIMAL weights
+    "graph_adamic_adar": """
+        WITH sp AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ), sdeg AS (
+            SELECT s, count(*) AS sd FROM sp GROUP BY s
+        ), pdeg AS (
+            SELECT p, count(*) AS pd FROM sp GROUP BY p
+        ), pairs AS (
+            SELECT a.s AS s_a, b.s AS s_b,
+                   CAST(round(1.0 / ln(CAST(pd AS DOUBLE)), 8)
+                        AS DECIMAL(18,8)) AS w
+            FROM sp a
+            JOIN sp b ON a.p = b.p AND a.s < b.s
+            JOIN pdeg d ON d.p = a.p
+            WHERE pd BETWEEN 2 AND 32
+        ), agg AS (
+            SELECT s_a, s_b, count(*) AS common_parts,
+                   round(CAST(sum(w) AS DOUBLE), 4) AS adamic_adar
+            FROM pairs GROUP BY s_a, s_b
+        )
+        SELECT s_a, s_b, common_parts, adamic_adar,
+               round(common_parts
+                     / CAST(da.sd + db.sd - common_parts AS DOUBLE),
+                     4) AS jaccard
+        FROM agg
+        JOIN sdeg da ON da.s = s_a
+        JOIN sdeg db ON db.s = s_b
+        ORDER BY adamic_adar DESC, s_a ASC, s_b ASC LIMIT 20
+    """,
+    # r9: MMR greedy top-5 — identical 5 rounds unrolled as a CTE
+    # chain; all cosines rounded to 4 before any comparison
+    "embed_mmr_select": f"""
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), c0 AS (
+            SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id <> 0
+        ), cand AS (
+            SELECT vec_id, cv,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS rel
+            FROM c0 c CROSS JOIN q
+            ORDER BY rel DESC, vec_id LIMIT 20
+        ), sims AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(
+                       list_sum(list_transform(list_zip(a.cv, b.cv),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.cv,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.cv,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       4) AS sim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        ), s1 AS (
+            SELECT 1 AS "rank", vec_id, rel, CAST(0.0 AS DOUBLE) AS redundancy,
+                   round(0.7 * rel, 6) AS mmr_score
+            FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        ), sel1 AS (SELECT vec_id FROM s1),
+        """
+    + ",\n        ".join(
+        f's{r} AS (\n'
+        f'            SELECT {r} AS "rank", vec_id, rel, redundancy,\n'
+        f"                   round(0.7 * rel - 0.3 * redundancy, 6) AS mmr_score\n"
+        f"            FROM (\n"
+        f"                SELECT c.vec_id, c.rel, max(s.sim) AS redundancy\n"
+        f"                FROM cand c JOIN sims s ON s.a_id = c.vec_id\n"
+        f"                WHERE s.b_id IN (SELECT vec_id FROM sel{r-1})\n"
+        f"                  AND c.vec_id NOT IN (SELECT vec_id FROM sel{r-1})\n"
+        f"                GROUP BY c.vec_id, c.rel\n"
+        f"            )\n"
+        f"            ORDER BY mmr_score DESC, vec_id LIMIT 1\n"
+        f"        ),\n"
+        f"        sel{r} AS (SELECT vec_id FROM sel{r-1}\n"
+        f"                   UNION ALL SELECT vec_id FROM s{r})"
+        for r in range(2, 6)
+    )
+    + """
+        SELECT "rank", vec_id, rel AS relevance, redundancy, mmr_score
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+              UNION ALL SELECT * FROM s5)
+        ORDER BY "rank"
+    """,
 }

@@ -6098,6 +6098,169 @@ def sample_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier↔part bipartite graph:
+    Adamic–Adar (Σ 1/ln(deg) over common neighbors — rare shared
+    parts carry more signal than commodity ones) plus the Jaccard
+    companion, top-20 supplier pairs. The "which unlinked nodes
+    behave alike" primitive behind recommendation/ER blocking. NO
+    edge self-join: per-part supplier baskets expand i<j pairs as
+    array math on one row (the j15 pattern), bounded by the per-part
+    degree cap — parts with more than 32 suppliers are dropped before
+    pairing (commodity neighbors contribute ≈0 weight and explode
+    the pair count quadratically; the cap IS the at-scale posture —
+    per-part degree here tracks |lineitem|/|parts|, constant in SF,
+    so pair volume stays LINEAR in parts at any scale).
+    Per-pair weights rounded-DECIMAL summed."""
+    register(spark, sf_dir, ("lineitem",))
+    CAP = 32
+    sp = spark.table("lineitem").select("l_suppkey", "l_partkey").distinct()
+    sdeg = sp.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("sd"))
+    baskets = (
+        sp.groupBy("l_partkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("supps"))
+        .filter((F.size("supps") >= 2) & (F.size("supps") <= CAP))
+        .select(
+            "supps",
+            F.round(F.lit(1.0) / F.log(F.size("supps").cast("double")), 8)
+            .cast("decimal(18,8)")
+            .alias("w"),
+        )
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("supps"),
+                lambda x: F.transform(
+                    F.col("supps"),
+                    lambda y: F.struct(x.alias("s_a"), y.alias("s_b")),
+                ),
+            )
+        ),
+        lambda p: p["s_a"] < p["s_b"],
+    )
+    pairs = baskets.select(F.explode(pair_arr).alias("p"), "w").select(
+        F.col("p.s_a").alias("s_a"), F.col("p.s_b").alias("s_b"), "w"
+    )
+    agg = pairs.groupBy("s_a", "s_b").agg(
+        F.count(F.lit(1)).alias("common_parts"),
+        F.round(F.sum("w").cast("double"), 4).alias("adamic_adar"),
+    )
+    da = sdeg.select(F.col("l_suppkey").alias("s_a"), F.col("sd").alias("da"))
+    db = sdeg.select(F.col("l_suppkey").alias("s_b"), F.col("sd").alias("db"))
+    return (
+        agg.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "common_parts",
+            "adamic_adar",
+            F.round(
+                F.col("common_parts")
+                / (F.col("da") + F.col("db") - F.col("common_parts")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("s_a"), F.asc("s_b"))
+        .limit(20)
+    )
+
+
+def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedy top-5 from the 20 nearest neighbors of query vector
+    vec_id=0, each pick maximizing 0.7·relevance − 0.3·max-similarity
+    to the already-selected set — the diversity-aware retrieval/
+    data-selection step a plain kNN can't express (near-duplicate
+    neighbors crowd the top ranks). The candidate pool and its 20×20
+    similarity matrix are computed ONCE and persisted; the k=5 greedy
+    rounds are a bounded chain of 20-row plans (argmax + anti-join),
+    no driver-side collect. All cosines rounded to 4 before any
+    comparison; ties break on vec_id — engine-exact."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import cosine_similarity
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 4
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+        .persist()
+    )
+    sims = (
+        cand.select("vec_id", "embedding")
+        .crossJoin(
+            F.broadcast(
+                cand.select(
+                    F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("b_emb"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            "b_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("b_emb")), 4
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    picks = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            "rel",
+            F.lit(0.0).alias("redundancy"),
+            F.round(F.lit(0.7) * F.col("rel"), 6).alias("mmr_score"),
+        )
+    )
+    for r in range(2, 6):
+        sel_ids = picks.select(F.col("vec_id").alias("b_id"))
+        red = (
+            sims.join(F.broadcast(sel_ids), "b_id")
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("redundancy"))
+        )
+        nxt = (
+            cand.select("vec_id", "rel")
+            .join(picks.select("vec_id"), "vec_id", "left_anti")
+            .join(red, F.col("vec_id") == F.col("a_id"))
+            .select(
+                "vec_id",
+                "rel",
+                "redundancy",
+                F.round(
+                    F.lit(0.7) * F.col("rel")
+                    - F.lit(0.3) * F.col("redundancy"),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(r).alias("rank"), "vec_id", "rel", "redundancy", "mmr_score")
+        )
+        picks = picks.unionByName(nxt)
+    return picks.select(
+        "rank", "vec_id", F.col("rel").alias("relevance"), "redundancy", "mmr_score"
+    ).orderBy("rank")
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -6112,6 +6275,8 @@ QUERIES = {
     "text_quality_linear": text_quality_linear,
     "text_dsir_weights": text_dsir_weights,
     "sample_epoch_schedule": sample_epoch_schedule,
+    "graph_adamic_adar": graph_adamic_adar,
+    "embed_mmr_select": embed_mmr_select,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

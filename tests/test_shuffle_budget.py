@@ -330,6 +330,10 @@ BUDGETS = {
     "text_quality_linear": 3,  # per-doc agg + per-source agg + sort
     "text_dsir_weights": 4,  # bucket model (counts+totals) + per-doc agg
     "sample_epoch_schedule": 4,  # source agg (x2: totals leg) + sort
+    "graph_adamic_adar": 4,  # distinct edges + baskets + sdeg + pair agg
+    # static plan folds the 20-row greedy chain under CollectLimit (0
+    # exchanges today); headroom for representation-only plan changes
+    "embed_mmr_select": 4,
 }
 
 

@@ -5214,4 +5214,55 @@ ORACLES: dict[str, str] = {
               UNION ALL SELECT * FROM s5)
         ORDER BY "rank"
     """,
+    # r9: order-key sequence gaps — one global lag replays the Spark
+    # bucketed two-level formulation exactly (adjacent-pair coverage
+    # is identical)
+    "a49_id_gap_audit": """
+        WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+        g AS (SELECT lag(id) OVER (ORDER BY id) AS prev, id FROM ids)
+        SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+               id - prev - 1 AS n_missing
+        FROM g WHERE id - prev > 1
+        ORDER BY n_missing DESC, gap_start ASC LIMIT 10
+    """,
+    # r9: order-insensitive table fingerprints — 48-bit md5-prefix
+    # fold summed mod 1e18; same canonical '|' serialization
+    "a50_table_checksums": " UNION ALL ".join(
+        f"""
+        SELECT '{table}' AS table_name, count(*) AS n_rows,
+               CAST(sum(
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(
+                           concat_ws('|', '{tag}', {cols})), 1, 12), ''),
+                           c -> CAST(strpos('123456789abcdef', c) AS BIGINT))),
+                       (a, x) -> a * 16 + x)
+               ) % 1000000000000000000 AS BIGINT) AS checksum
+        FROM {table}
+        """
+        for table, tag, cols in (
+            (
+                "orders",
+                "o",
+                "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+                "CAST(o_orderdate AS VARCHAR), o_orderpriority",
+            ),
+            (
+                "customer",
+                "c",
+                "CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR)",
+            ),
+            (
+                "lineitem",
+                "l",
+                "CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+                "CAST(l_suppkey AS VARCHAR), CAST(l_shipdate AS VARCHAR)",
+            ),
+            (
+                "events",
+                "e",
+                "CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type",
+            ),
+        )
+    )
+    + " ORDER BY table_name",
 }

@@ -6261,6 +6261,104 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def a49_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit over the order-key stream ARRIVING in the
+    lineitem feed: the 10 largest missing-key ranges (start, end,
+    count) — the completeness check a pipeline runs when an upstream
+    claims monotonically assigned keys but the feed drops some (here
+    257 order keys never ship a line item; ref pipelines' capture-gap
+    checks are the time-axis version, this is the key-axis one). NO
+    global window
+    over the ids: keys are range-bucketed (÷4096), internal gaps come
+    from a lag window PARTITIONED by bucket, and cross-bucket gaps
+    from a lag over the tiny bucket (min,max) summary — the only
+    global ordering runs on |keyspace|/4096 rows. Adjacent-pair
+    coverage is exact: within-bucket pairs + consecutive non-empty
+    bucket boundaries partition all consecutive id pairs."""
+    register(spark, sf_dir, ("lineitem",))
+    B = 4096
+    ids = (
+        spark.table("lineitem")
+        .select(F.col("l_orderkey").alias("id"))
+        .distinct()
+        .withColumn("b", F.floor(F.col("id") / B))
+    )
+    win = Window.partitionBy("b").orderBy("id")
+    internal = (
+        ids.withColumn("prev", F.lag("id").over(win))
+        .filter(F.col("id") - F.col("prev") > 1)
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("id") - 1).alias("gap_end"),
+        )
+    )
+    bsum = ids.groupBy("b").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    wb = Window.orderBy("b")
+    boundary = (
+        bsum.withColumn("prev_mx", F.lag("mx").over(wb))
+        .filter(F.col("mn") - F.col("prev_mx") > 1)
+        .select(
+            (F.col("prev_mx") + 1).alias("gap_start"),
+            (F.col("mn") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        internal.unionByName(boundary)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+        )
+        .orderBy(F.desc("n_missing"), F.asc("gap_start"))
+        .limit(10)
+    )
+
+
+def a50_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprints for four tables in one
+    frame: row count + the sum of 48-bit md5-prefix hashes of a
+    canonical '|'-joined key serialization, mod 10¹⁸ — the
+    replication/migration audit that says "these two copies hold the
+    same rows" without sorting or moving either (sum is commutative,
+    so the check is partition- and order-independent by
+    construction; this repo's own DuckDB oracle is the second
+    engine). Only integer/string/date columns enter the
+    serialization — float formatting is not portable across engines
+    and is excluded by design. One map-side hash projection + one
+    single-row aggregate per table."""
+    register(spark, sf_dir, ("orders", "customer", "lineitem", "events"))
+
+    def leg(table: str, tag: str, cols: list) -> DataFrame:
+        s = F.concat_ws(
+            "|", F.lit(tag), *[F.col(c).cast("string") for c in cols]
+        )
+        h = F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("decimal(38,0)")
+        return (
+            spark.table(table)
+            .select(h.alias("h"))
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("s"))
+            .select(
+                F.lit(table).alias("table_name"),
+                "n_rows",
+                (F.col("s") % F.lit(10**18).cast("decimal(38,0)"))
+                .cast("long")
+                .alias("checksum"),
+            )
+        )
+
+    return (
+        leg("orders", "o", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+        .unionByName(leg("customer", "c", ["c_custkey", "c_name", "c_nationkey"]))
+        .unionByName(
+            leg("lineitem", "l", ["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"])
+        )
+        .unionByName(leg("events", "e", ["event_id", "user_id", "event_type"]))
+        .orderBy("table_name")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -6277,6 +6375,8 @@ QUERIES = {
     "sample_epoch_schedule": sample_epoch_schedule,
     "graph_adamic_adar": graph_adamic_adar,
     "embed_mmr_select": embed_mmr_select,
+    "a49_id_gap_audit": a49_id_gap_audit,
+    "a50_table_checksums": a50_table_checksums,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

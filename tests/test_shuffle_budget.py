@@ -334,6 +334,10 @@ BUDGETS = {
     # static plan folds the 20-row greedy chain under CollectLimit (0
     # exchanges today); headroom for representation-only plan changes
     "embed_mmr_select": 4,
+    # distinct + bucket-partitioned window + bucket-summary window
+    # (the only global ordering runs on the |keys|/4096 summary)
+    "a49_id_gap_audit": 4,
+    "a50_table_checksums": 4,  # one single-row agg per table leg
 }
 
 

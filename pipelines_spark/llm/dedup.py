@@ -270,6 +270,54 @@ def minhash_near_dup_pairs(
     return _attach_staging(verified, (shingled, banded_cached))
 
 
+def _prefix_candidate_pairs(
+    prefix: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a prefix index with columns
+    (id, _sh, _n, _rk): prefix-token equi-join + length filter +
+    PPJoin POSITIONAL filter (Xiao et al. WWW'08 §4).
+
+    Positional filter: a shared prefix token at ranks (i, j) bounds
+    the overlap from above by 1 + min(|x|−i, |y|−j); Jaccard ≥ t
+    needs overlap ≥ t·(|x|+|y|)/(1+t). LOSSLESS before the pair
+    dedup: for any true pair, its FIRST shared token in the global
+    df-order has every other common token ranked behind it in BOTH
+    sets, so that encounter's bound ≥ the true overlap and the pair
+    survives via at least one token row (and the standard pigeonhole
+    argument puts that first shared token inside both prefixes). The
+    1e-6 slack keeps exact-boundary rational equalities from being
+    lost to float rounding — the integer bound then admits at most
+    the boundary pair, never drops it. ``positional=False`` exists
+    only so tests can pin the reduction."""
+    cond = (
+        (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        # length filter: Jaccard ≥ t ⇒ t·|x| ≤ |y| ≤ |x|/t
+        & (F.col("l._n") * threshold <= F.col("r._n"))
+        & (F.col("r._n") * threshold <= F.col("l._n"))
+    )
+    if positional:
+        ubound = F.lit(1) + F.least(
+            F.col("l._n") - F.col("l._rk"), F.col("r._n") - F.col("r._rk")
+        )
+        cond = cond & (
+            ubound * (1.0 + threshold)
+            >= threshold * (F.col("l._n") + F.col("r._n")) - 1e-6
+        )
+    return (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "_sh")
+        .filter(cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     *,
@@ -297,8 +345,12 @@ def prefix_filter_jaccard_pairs(
     full inverted index — sort to the BACK of every prefix and drop
     out of candidate generation entirely, with zero recall loss
     (the pigeonhole guarantee, not a heuristic cap). A length filter
-    (t·|x| ≤ |y|) prunes size-incompatible pairs inside the join.
-    Candidates are exactly verified, so output ≡ the exact operator.
+    (t·|x| ≤ |y|) prunes size-incompatible pairs inside the join, and
+    the PPJoin POSITIONAL filter (_prefix_candidate_pairs) prunes
+    token encounters whose rank-derived overlap upper bound can't
+    reach t — measured 310k → 125k candidates (−60%) at t=0.5/sf0.1,
+    still provably lossless. Candidates are exactly verified, so
+    output ≡ the exact operator.
 
     Plan shape: one document-frequency aggregate, one per-document
     window (bounded by document size) to rank shingles, a prefix-index
@@ -333,23 +385,10 @@ def prefix_filter_jaccard_pairs(
             F.col("_rk")
             <= F.floor((1.0 - threshold) * F.col("_n")).cast("int") + 1
         )
-        .select(id_col, "_sh", "_n")
+        .select(id_col, "_sh", "_n", "_rk")
     ).persist()
 
-    cands = (
-        prefix.alias("l")
-        .join(prefix.alias("r"), "_sh")
-        .filter(
-            (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            # length filter: Jaccard ≥ t ⇒ t·|x| ≤ |y| ≤ |x|/t
-            & (F.col("l._n") * threshold <= F.col("r._n"))
-            & (F.col("r._n") * threshold <= F.col("l._n"))
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cands = _prefix_candidate_pairs(prefix, id_col, threshold)
 
     pair_sets = sets.select(F.col(id_col), "_shingles")
     out = (

@@ -121,6 +121,65 @@ def test_prefix_filter_equals_full_inverted_index(spark, sf_medium):
     assert len(exact) > 0  # not vacuous
 
 
+def test_positional_filter_prunes_candidates_losslessly(spark, sf_medium):
+    """The PPJoin positional filter strictly reduces the candidate
+    volume on the real corpus while changing NOTHING about which
+    pairs verify (the pair set is pinned against the full inverted
+    index by test_prefix_filter_equals_full_inverted_index; here we
+    pin that the filter actually bites AND that the surviving
+    candidate set still contains every true pair)."""
+    from pipelines_spark.llm.dedup import (
+        _prefix_candidate_pairs,
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    t = 0.5
+    shingled = docs.select(
+        "doc_id", word_shingles("text", 3).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    inv = shingled.select("doc_id", F.explode("_shingles").alias("_sh"))
+    freq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_df").asc(), F.col("_sh").asc()
+    )
+    prefix = (
+        inv.join(freq, "_sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(
+            shingled.select("doc_id", F.size("_shingles").alias("_n")),
+            "doc_id",
+        )
+        .filter(F.col("_rk") <= F.floor((1.0 - t) * F.col("_n")).cast("int") + 1)
+        .select("doc_id", "_sh", "_n", "_rk")
+        .persist()
+    )
+    with_pos = {
+        tuple(r)
+        for r in _prefix_candidate_pairs(prefix, "doc_id", t).collect()
+    }
+    without = {
+        tuple(r)
+        for r in _prefix_candidate_pairs(
+            prefix, "doc_id", t, positional=False
+        ).collect()
+    }
+    prefix.unpersist()
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=t
+        ).collect()
+    }
+    assert with_pos <= without
+    assert len(with_pos) < len(without), (
+        f"positional filter did not bite: {len(with_pos)} == {len(without)}"
+    )
+    assert true_pairs <= with_pos  # lossless: every verified pair survives
+
+
 def test_prefix_filter_skips_boilerplate_hot_shingle(spark):
     """A shingle shared by EVERY doc (boilerplate) must not generate
     candidates by itself: two docs whose only overlap is the hot

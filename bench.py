@@ -292,6 +292,23 @@ EXTENDED = [
     "q23_revenue_deciles",
     # r9: bounded 3-core peel of the trade graph (visible convergence)
     "graph_kcore",
+    # r9 batch 7: text-quality trio
+    "text_readability_scores",
+    "text_ngram_novelty",
+    "text_quality_linear",
+    # r9 batch 7: DSIR importance weights + epoch schedule
+    "text_dsir_weights",
+    "sample_epoch_schedule",
+    # r9 batch 7: link prediction + MMR diverse selection
+    "graph_adamic_adar",
+    "embed_mmr_select",
+    # r9 batch 7: key-space gap audit + table fingerprints
+    "a49_id_gap_audit",
+    "a50_table_checksums",
+    # r9 batch 8: closed-form MATTR, runs test, rolling correlation
+    "text_mattr_diversity",
+    "a51_runs_test",
+    "w15_rolling_corr",
 ]
 
 

@@ -5265,4 +5265,98 @@ ORACLES: dict[str, str] = {
         )
     )
     + " ORDER BY table_name",
+    # r9: closed-form MATTR — same O(tokens) first-occurrence window
+    # count as the Spark plan; W=25, sub-W docs drop
+    "text_mattr_diversity": """
+        WITH words AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        ), toks AS (
+            SELECT doc_id, source, i AS p, ws[i] AS w, len(ws) AS n
+            FROM words, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        ), pt AS (
+            SELECT doc_id, source, p, n,
+                   coalesce(lag(p) OVER (PARTITION BY doc_id, w ORDER BY p),
+                            0) AS prev
+            FROM toks
+        ), per_tok AS (
+            SELECT doc_id, source, n - 25 + 1 AS k,
+                   greatest(0, least(p, n - 25 + 1)
+                               - greatest(p - 25 + 1, prev + 1, 1) + 1)
+                       AS contrib
+            FROM pt WHERE n >= 25
+        ), per_doc AS (
+            SELECT source,
+                   CAST(round(sum(contrib) / CAST(k * 25 AS DOUBLE), 8)
+                        AS DECIMAL(18,8)) AS mattr
+            FROM per_tok GROUP BY doc_id, source, k
+        )
+        SELECT source, count(*) AS n_docs,
+               round(CAST(sum(mattr) / count(*) AS DOUBLE), 4) AS mean_mattr
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    # r9: Wald–Wolfowitz runs test — DECIMAL daily totals, integer
+    # run counting, closed-form z
+    "a51_runs_test": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        ), s1 AS (
+            SELECT event_type, day, v,
+                   lag(v) OVER (PARTITION BY event_type ORDER BY day) AS prev_v
+            FROM daily
+        ), s2 AS (
+            SELECT event_type, day,
+                   CASE WHEN v > prev_v THEN 1 ELSE -1 END AS sgn
+            FROM s1 WHERE prev_v IS NOT NULL AND v <> prev_v
+        ), r AS (
+            SELECT event_type,
+                   sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n_up,
+                   sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n_down,
+                   1 + sum(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                           THEN 1 ELSE 0 END) AS runs
+            FROM (SELECT *, lag(sgn) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS prev_sgn
+                  FROM s2)
+            GROUP BY event_type
+        )
+        SELECT event_type, n_up, n_down, runs,
+               round((runs - (1.0 + 2.0 * n_up * n_down
+                              / CAST(n_up + n_down AS DOUBLE)))
+                     / sqrt(2.0 * n_up * n_down
+                            * (2.0 * n_up * n_down - CAST(n_up + n_down AS DOUBLE))
+                            / (CAST(n_up + n_down AS DOUBLE)
+                               * CAST(n_up + n_down AS DOUBLE)
+                               * (CAST(n_up + n_down AS DOUBLE) - 1.0))),
+                     4) AS z_score
+        FROM r ORDER BY event_type
+    """,
+    # r9: rolling 14-day Pearson vs the all-types total — integer
+    # sufficient statistics inside the window, one double division out
+    "w15_rolling_corr": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT day, sum(x) AS y FROM daily GROUP BY day
+        ), j AS (
+            SELECT event_type, day, x, y FROM daily JOIN tot USING (day)
+        ), stats AS (
+            SELECT event_type, day,
+                   count(*) OVER w AS n,
+                   sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                   sum(x * y) OVER w AS sxy,
+                   sum(x * x) OVER w AS sxx,
+                   sum(y * y) OVER w AS syy
+            FROM j
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)),
+                     4) AS corr_with_total
+        FROM stats WHERE n = 14 ORDER BY event_type, day
+    """,
 }

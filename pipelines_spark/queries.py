@@ -6359,6 +6359,163 @@ def a50_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010) per
+    source — the length-independent lexical-diversity score (plain
+    TTR collapses as docs grow; MATTR averages TTR over every
+    sliding W=25-token window). Computed in CLOSED FORM, O(tokens)
+    instead of O(tokens·W): Σ_windows distinct(window) = Σ_tokens
+    #windows where that token occurrence is the first of its type,
+    which for position p with previous same-type occurrence prev is
+    |[max(p−W+1, prev+1, 1), min(p, K)]| — one lag over (doc, token)
+    and pure integer arithmetic; the only division is the final
+    per-doc mean. Docs shorter than W have no full window and drop
+    out (documented; oracle replays the guard)."""
+    register(spark, sf_dir, ("documents",))
+    W = 25
+    toks = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("p"), "w")
+    wprev = Window.partitionBy("doc_id", "w").orderBy("p")
+    wdoc = Window.partitionBy("doc_id")
+    per_tok = (
+        toks.withColumn("prev", F.coalesce(F.lag("p").over(wprev), F.lit(0)))
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+        .filter(F.col("n") >= W)
+        .withColumn("k", F.col("n") - W + 1)
+        .withColumn(
+            "contrib",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("p"), F.col("k"))
+                - F.greatest(
+                    F.col("p") - W + 1, F.col("prev") + 1, F.lit(1)
+                )
+                + 1,
+            ),
+        )
+    )
+    per_doc = per_tok.groupBy("doc_id", "source", "k").agg(
+        F.sum("contrib").alias("s")
+    ).select(
+        "source",
+        F.round(F.col("s") / (F.col("k") * W).cast("double"), 8)
+        .cast("decimal(18,8)")
+        .alias("mattr"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round((F.sum("mattr") / F.count(F.lit(1))).cast("double"), 4).alias(
+                "mean_mattr"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def a51_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on each event type's daily-revenue
+    direction sequence: too FEW runs of consecutive up/down days
+    means momentum/trend, too MANY means oscillation — the
+    randomness check behind "is this daily series i.i.d. noise or
+    structure worth modeling". Daily totals are exact DECIMAL sums;
+    up/down signs and the run count are pure integer window
+    arithmetic (zeros dropped, standard treatment); the z-score is
+    the closed form (R−μ)/σ with μ=1+2n₁n₂/n, σ² =
+    2n₁n₂(2n₁n₂−n)/(n²(n−1)). State per type is its calendar days."""
+    register(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias("v"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    signs = (
+        daily.withColumn("prev_v", F.lag("v").over(wt))
+        .filter(F.col("prev_v").isNotNull() & (F.col("v") != F.col("prev_v")))
+        .withColumn("sgn", F.when(F.col("v") > F.col("prev_v"), 1).otherwise(-1))
+    )
+    ws = Window.partitionBy("event_type").orderBy("day")
+    runs = (
+        signs.withColumn("prev_sgn", F.lag("sgn").over(ws))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n_up"),
+            F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n_down"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev_sgn").isNotNull()
+                        & (F.col("sgn") != F.col("prev_sgn")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("runs"),
+        )
+    )
+    n = (F.col("n_up") + F.col("n_down")).cast("double")
+    two_p = (F.lit(2.0) * F.col("n_up") * F.col("n_down")).cast("double")
+    mu = F.lit(1.0) + two_p / n
+    sigma = F.sqrt(two_p * (two_p - n) / (n * n * (n - F.lit(1.0))))
+    return runs.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "runs",
+        F.round((F.col("runs") - mu) / sigma, 4).alias("z_score"),
+    ).orderBy("event_type")
+
+
+def w15_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day Pearson correlation between each event type's
+    daily volume and the all-types daily total — the co-movement
+    monitor behind "did this feed decouple from overall traffic this
+    week". All six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    are INTEGER window sums over per-day counts, so the window pass
+    is exact and partition-order-independent; the one double division
+    happens per output row. Windows run over the per-(type, day)
+    rollup (≤ |types|·|days| rows), never over events; the daily
+    total is a ~|days|-row broadcast."""
+    register(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = daily.groupBy("day").agg(F.sum("x").alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    j = daily.join(F.broadcast(tot), "day")
+    stats = j.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).filter(F.col("n") == 14)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        F.round(num / den, 4).alias("corr_with_total"),
+    ).orderBy("event_type", "day")
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -6377,6 +6534,9 @@ QUERIES = {
     "embed_mmr_select": embed_mmr_select,
     "a49_id_gap_audit": a49_id_gap_audit,
     "a50_table_checksums": a50_table_checksums,
+    "text_mattr_diversity": text_mattr_diversity,
+    "a51_runs_test": a51_runs_test,
+    "w15_rolling_corr": w15_rolling_corr,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

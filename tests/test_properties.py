@@ -519,3 +519,61 @@ def test_prefix_filter_pigeonhole_theorem(a, b, t10):
     pa = set(order(a)[: int((1 - t) * len(a)) + 1])
     pb = set(order(b)[: int((1 - t) * len(b)) + 1])
     assert pa & pb, (sorted(a), sorted(b), t)
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=6), min_size=1, max_size=80
+    ),
+    w=st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=500, deadline=None)
+def test_mattr_closed_form_matches_window_brute_force(toks, w):
+    """The O(tokens) identity behind text_mattr_diversity (both
+    engines implement THIS formula, so oracle parity alone would not
+    catch an error in it): Σ over sliding windows of the window's
+    distinct count equals Σ over token positions p of
+    |[max(p−W+1, prev(p)+1, 1), min(p, K)]| where prev is the
+    previous same-type position (0 if none) and K = n−W+1."""
+    n = len(toks)
+    if n < w:
+        return
+    k = n - w + 1
+    brute = sum(len(set(toks[s : s + w])) for s in range(k))
+    last: dict[int, int] = {}
+    closed = 0
+    for p1, t in enumerate(toks, start=1):
+        prev = last.get(t, 0)
+        lo = max(p1 - w + 1, prev + 1, 1)
+        hi = min(p1, k)
+        closed += max(0, hi - lo + 1)
+        last[t] = p1
+    assert closed == brute
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=50), min_size=14, max_size=14),
+    ys=st.lists(st.integers(min_value=0, max_value=50), min_size=14, max_size=14),
+)
+@settings(max_examples=300, deadline=None)
+def test_rolling_corr_sufficient_stats_match_numpy(xs, ys):
+    """w15_rolling_corr's integer-sufficient-statistics Pearson
+    (n·Σxy−ΣxΣy over the √ product of the two variance terms) agrees
+    with numpy's corrcoef to float tolerance on every non-degenerate
+    window (both engines share the formula; this pins it against an
+    independent implementation)."""
+    import math
+
+    import numpy as np
+
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return  # degenerate window: NaN/inf in both engines by design
+    ours = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+    ref = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(ours - ref) < 1e-9

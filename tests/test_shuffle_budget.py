@@ -338,6 +338,9 @@ BUDGETS = {
     # (the only global ordering runs on the |keys|/4096 summary)
     "a49_id_gap_audit": 4,
     "a50_table_checksums": 4,  # one single-row agg per table leg
+    "text_mattr_diversity": 3,  # (doc,token) lag + per-doc agg + source agg
+    "a51_runs_test": 3,  # daily agg + per-type lag windows + final agg
+    "w15_rolling_corr": 5,  # daily agg + total agg + window + sort
 }
 
 

@@ -309,6 +309,9 @@ EXTENDED = [
     "text_mattr_diversity",
     "a51_runs_test",
     "w15_rolling_corr",
+    # r9 batch 8: the eight-stage scored curation cascade (classifier
+    # gate on; its funnel twin shares the plan and is not re-timed)
+    "curation_pipeline_scored",
 ]
 
 

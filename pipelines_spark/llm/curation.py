@@ -66,6 +66,16 @@ BENCH_CONFIG_FULL: dict = {
     "max_dup_frac": 0.2,
 }
 
+#: the SCORED configuration: the full cascade plus the hashed-feature
+#: linear-classifier gate (llm/text.py::linear_classifier_score) as
+#: stage 1c — the RedPajama/CCNet "quality classifier" slot. 0.54
+#: sits just below the corpus's score median so the gate bites
+#: without starving the downstream dedup stages.
+BENCH_CONFIG_SCORED: dict = {
+    **BENCH_CONFIG_FULL,
+    "min_classifier_score": 0.54,
+}
+
 
 @dataclass
 class CurationConfig:
@@ -86,6 +96,11 @@ class CurationConfig:
     #: fraction (llm/text.py::duplicate_spans) exceeds this.
     #: None disables.
     max_dup_frac: float | None = None
+    #: hashed-feature linear-classifier gate (the RedPajama "quality
+    #: classifier" slot): drop docs whose
+    #: llm/text.py::linear_classifier_score falls below this.
+    #: Map-only (one JVM HOF, no shuffle). None disables.
+    min_classifier_score: float | None = None
     #: RefinedWeb-style per-source cap: keep at most this many docs
     #: per ``source_col`` (highest quality first, id-asc ties), so no
     #: head domain dominates the token budget or the dedup stages'
@@ -161,7 +176,21 @@ def curate_corpus(
     if collect_stats:
         counts.append(("quality_lang_gate", gated.count()))
 
-    # 1b. optional per-source cap (one window shuffle on the source
+    # 1b. optional linear-classifier gate — also map-only (one JVM
+    # HOF over the words array, no shuffle); corpus-independent, so
+    # it runs before the cap/dedup stages shrink anything
+    if cfg.min_classifier_score is not None:
+        from pipelines_spark.llm.text import linear_classifier_score
+
+        gated = persist(
+            gated.filter(
+                linear_classifier_score(text_c) >= cfg.min_classifier_score
+            )
+        )
+        if collect_stats:
+            counts.append(("classifier_gate", gated.count()))
+
+    # 1c. optional per-source cap (one window shuffle on the source
     # key, WindowGroupLimit-bounded) — before the dedup stages so
     # their shuffles see the already-shrunk, head-domain-free corpus
     if cfg.max_per_source is not None:

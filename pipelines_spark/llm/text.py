@@ -93,6 +93,33 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     return F.round(length_term + stop_term + shape_term + punct_term, 4)
 
 
+def linear_classifier_score(
+    text: Column | str, *, buckets: int = 64, bias: float = 0.2
+) -> Column:
+    """Hashed-feature linear-classifier score (fastText-shape gate),
+    entirely MAP-SIDE: distinct unigrams → md5 bucket in [0, buckets)
+    (the module's cross-engine hash convention, sampling.hash_bucket)
+    → fixed tenth-grain weights ((bucket % 21 − 10)/10, integer sums
+    exact in any order) → sigmoid, rounded to 6. One JVM HOF over the
+    words array — no explode, no shuffle; the gate formulation of
+    queries.text_quality_linear's identical arithmetic."""
+    t = F.col(text) if isinstance(text, str) else text
+    feats = F.array_distinct(F.split(t, " "))
+    sumw = F.aggregate(
+        F.transform(
+            feats,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+            % buckets
+            % 21
+            - 10,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    z = F.lit(bias) + (sumw / F.lit(10.0)) / F.size(feats)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def document_fingerprint(text: Column | str, gram_chars: int = 8) -> Column:
     """Rolling fingerprint: lexicographic min of md5 over all
     ``gram_chars``-character windows (winnowing with window = whole

@@ -471,6 +471,21 @@ def _curation_cascade(cfg: dict) -> str:
     canonical), each stage replayed on the previous stage's
     survivors; ends in the ``curated`` CTE."""
     gates, src = _curation_gate_ctes(cfg)
+    # optional stage 1b: hashed-feature linear-classifier gate (md5
+    # bucket weights, the text_quality_linear arithmetic) on the
+    # stage-1 survivors
+    clf_cte, cap_src = "", "gated"
+    if cfg.get("min_classifier_score") is not None:
+        clf_cte = f""",
+clf_gated AS MATERIALIZED (
+    SELECT * FROM gated
+    WHERE round(1.0 / (1.0 + exp(-(0.2
+        + (list_sum(list_transform(list_distinct(string_split(text, ' ')),
+               w -> {_md5_bucket("w", 64)} % 21 - 10)) / 10.0)
+          / len(list_distinct(string_split(text, ' ')))))), 6)
+        >= {cfg["min_classifier_score"]}
+)"""
+        cap_src = "clf_gated"
     prefix = f"""scored AS (
     SELECT doc_id, text, source,
            {_QUALITY_EXPR} AS quality,
@@ -483,12 +498,12 @@ gated AS MATERIALIZED (
     SELECT doc_id, text, source, quality, n_tokens, {_LANG_PICK} AS detected_lang
     FROM scored
     WHERE quality >= {_CURCFG["min_quality"]} AND n_tokens >= {_CURCFG["min_tokens"]}
-),
+){clf_cte},
 capped AS MATERIALIZED (
     SELECT doc_id, text, source, quality, n_tokens, detected_lang FROM (
         SELECT *, row_number() OVER (
             PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
-        FROM gated
+        FROM {cap_src}
     ) WHERE rk <= {_CURCFG["max_per_source"]}
 ),
 canon AS (SELECT min(doc_id) AS doc_id FROM capped GROUP BY text),
@@ -541,6 +556,12 @@ from pipelines_spark.llm.curation import (  # noqa: E402
 )
 
 _CURATION_FULL_CTE = _curation_cascade(_CURCFG_FULL)
+
+from pipelines_spark.llm.curation import (  # noqa: E402
+    BENCH_CONFIG_SCORED as _CURCFG_SCORED,
+)
+
+_CURATION_SCORED_CTE = _curation_cascade(_CURCFG_SCORED)
 
 
 ORACLES: dict[str, str] = {
@@ -1058,6 +1079,40 @@ ORACLES: dict[str, str] = {
         SELECT stage, n_docs FROM (
             SELECT 'input' AS stage, count(*) AS n_docs FROM documents
             UNION ALL SELECT 'quality_lang_gate', count(*) FROM gated
+            UNION ALL SELECT 'source_cap', count(*) FROM capped
+            UNION ALL SELECT 'exact_dedup', count(*) FROM kept
+            UNION ALL SELECT 'lm_entropy_gate', count(*) FROM kept_e
+            UNION ALL SELECT 'dup_span_gate', count(*) FROM kept_d
+            UNION ALL SELECT 'near_dup_canonical', count(*) FROM curated
+        ) ORDER BY stage
+    """,
+    # The scored cascade: full gates + the stage-1b classifier gate
+    "curation_pipeline_scored": f"""
+        WITH RECURSIVE {_CURATION_SCORED_CTE},
+        assigned AS (
+            SELECT *,
+                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   {_md5_bucket("doc_id", _CURCFG["shard_buckets"])} AS bucket
+            FROM curated
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens, component_id, split,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY bucket
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {float(_CURCFG["shard_tokens"])}) AS BIGINT) AS shard_no
+        FROM assigned ORDER BY doc_id
+    """,
+    "curation_funnel_scored": f"""
+        WITH RECURSIVE {_CURATION_SCORED_CTE}
+        SELECT stage, n_docs FROM (
+            SELECT 'input' AS stage, count(*) AS n_docs FROM documents
+            UNION ALL SELECT 'quality_lang_gate', count(*) FROM gated
+            UNION ALL SELECT 'classifier_gate', count(*) FROM clf_gated
             UNION ALL SELECT 'source_cap', count(*) FROM capped
             UNION ALL SELECT 'exact_dedup', count(*) FROM kept
             UNION ALL SELECT 'lm_entropy_gate', count(*) FROM kept_e

@@ -4768,6 +4768,58 @@ def curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("stage")
 
 
+def curation_pipeline_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation cascade with every optional stage on PLUS the
+    hashed-feature linear-classifier gate (llm/text.py::
+    linear_classifier_score — the RedPajama/CCNet "quality
+    classifier" slot, run map-only as stage 1b before any shuffle
+    touches the corpus). Eight stages: gates → classifier → source
+    cap → exact dedup → LM-entropy gate → span-dedup gate → LSH
+    canonical → split/shard. Same per-doc provenance output as
+    curation_pipeline; config llm/curation.py::BENCH_CONFIG_SCORED
+    (threshold 0.54, chosen to bite), oracle replays all eight stages
+    each on its predecessor's survivors."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.curation import (
+        BENCH_CONFIG_SCORED,
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    curated, _ = curate_corpus(
+        docs, CurationConfig(**BENCH_CONFIG_SCORED), collect_stats=False
+    )
+    return curated.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "quality",
+        "detected_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("component_id").cast("long").alias("component_id"),
+        "split",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("shard_no").cast("long").alias("shard_no"),
+    ).orderBy("doc_id")
+
+
+def curation_funnel_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel counts of the SCORED cascade — eight stages
+    including classifier_gate (config shared with
+    curation_pipeline_scored via BENCH_CONFIG_SCORED)."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.curation import (
+        BENCH_CONFIG_SCORED,
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    _, stats = curate_corpus(
+        docs, CurationConfig(**BENCH_CONFIG_SCORED), collect_stats=True
+    )
+    return stats.orderBy("stage")
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup — the production ingestion
     shape: docs 0-249 are the EXISTING corpus whose MinHash band
@@ -6537,6 +6589,8 @@ QUERIES = {
     "text_mattr_diversity": text_mattr_diversity,
     "a51_runs_test": a51_runs_test,
     "w15_rolling_corr": w15_rolling_corr,
+    "curation_pipeline_scored": curation_pipeline_scored,
+    "curation_funnel_scored": curation_funnel_scored,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

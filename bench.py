@@ -312,6 +312,8 @@ EXTENDED = [
     # r9 batch 8: the eight-stage scored curation cascade (classifier
     # gate on; its funnel twin shares the plan and is not re-timed)
     "curation_pipeline_scored",
+    # r9 batch 8: measured SRP-ANN recall audit
+    "embed_srp_recall_audit",
 ]
 
 

@@ -5386,6 +5386,61 @@ ORACLES: dict[str, str] = {
                      4) AS z_score
         FROM r ORDER BY event_type
     """,
+    # r9: SRP recall audit — brute-force top-5 and bucketed top-5
+    # replayed (the embed_knn_topk / embed_srp_ann constructions),
+    # joined per query
+    "embed_srp_recall_audit": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 50
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), fscored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM c CROSS JOIN q
+            WHERE c.neighbor_id <> q.query_id
+        ), full5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM fscored
+            ) WHERE rn <= 5
+        ), qb AS (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   {_srp_bucket('embeddings')} AS bucket
+            FROM embeddings WHERE vec_id < 50
+        ), cb AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv,
+                   {_srp_bucket('embeddings')} AS bucket
+            FROM embeddings
+        ), sscored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) AS cosine
+            FROM cb c JOIN qb q ON c.bucket = q.bucket
+            WHERE c.neighbor_id <> q.query_id
+        ), srp5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM sscored
+            ) WHERE rn <= 5
+        ), acounts AS (
+            SELECT query_id, count(*) AS n_ann FROM srp5 GROUP BY query_id
+        ), h AS (
+            SELECT f.query_id,
+                   sum(CASE WHEN s.neighbor_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS hits
+            FROM full5 f LEFT JOIN srp5 s
+              ON f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
+            GROUP BY f.query_id
+        )
+        SELECT query_id, coalesce(n_ann, 0) AS n_ann, hits,
+               round(hits / 5.0, 4) AS recall_at_5
+        FROM h LEFT JOIN acounts USING (query_id) ORDER BY query_id
+    """,
     # r9: rolling 14-day Pearson vs the all-types total — integer
     # sufficient statistics inside the window, one double division out
     "w15_rolling_corr": """

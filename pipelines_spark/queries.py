@@ -4820,6 +4820,48 @@ def curation_funnel_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("stage")
 
 
+def embed_srp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the SRP-bucketed ANN against brute force,
+    per query — the companion audit to embed_truncated_recall: that
+    one prices a DIMENSION cut, this one prices the BUCKETING
+    approximation itself, on the actual corpus (the number an ANN
+    rollout decision needs, not the paper's). Composes the two
+    already-checked legs (brute_force_topk ∧ srp_bucketed_topk, same
+    configs as embed_knn_topk / embed_srp_ann) and joins their top-5
+    lists; per query: ANN candidate count, hits, recall. Queries in
+    empty buckets score 0 instead of disappearing (left join)."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import srp_bucketed_topk
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    exact = brute_force_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    ann = srp_bucketed_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5, n_planes=8
+    ).select("query_id", "neighbor_id")
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    hits = (
+        exact.join(
+            ann.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"))
+    )
+    return (
+        hits.join(F.broadcast(n_ann), "query_id", "left")
+        .na.fill({"n_ann": 0})
+        .select(
+            "query_id",
+            "n_ann",
+            "hits",
+            F.round(F.col("hits") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup — the production ingestion
     shape: docs 0-249 are the EXISTING corpus whose MinHash band
@@ -6591,6 +6633,7 @@ QUERIES = {
     "w15_rolling_corr": w15_rolling_corr,
     "curation_pipeline_scored": curation_pipeline_scored,
     "curation_funnel_scored": curation_funnel_scored,
+    "embed_srp_recall_audit": embed_srp_recall_audit,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

@@ -341,6 +341,8 @@ BUDGETS = {
     "text_mattr_diversity": 3,  # (doc,token) lag + per-doc agg + source agg
     "a51_runs_test": 3,  # daily agg + per-type lag windows + final agg
     "w15_rolling_corr": 5,  # daily agg + total agg + window + sort
+    # two ranked top-5 legs (window each) + hits agg + n_ann agg + sort
+    "embed_srp_recall_audit": 7,
 }
 
 

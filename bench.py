@@ -314,6 +314,8 @@ EXTENDED = [
     "curation_pipeline_scored",
     # r9 batch 8: measured SRP-ANN recall audit
     "embed_srp_recall_audit",
+    # r9 batch 8: near-dup cluster over-merge audit
+    "dedup_cluster_audit",
 ]
 
 

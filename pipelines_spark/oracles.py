@@ -5386,6 +5386,42 @@ ORACLES: dict[str, str] = {
                      4) AS z_score
         FROM r ORDER BY event_type
     """,
+    # r9: near-dup cluster over-merge audit — same pair set + CC as
+    # dedup_clusters, aggregated per component
+    "dedup_cluster_audit": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM jaccards
+            UNION
+            SELECT id_b AS a, id_a AS b FROM jaccards
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS doc_id,
+                   CAST(least(a, min(b)) AS BIGINT) AS component_id
+            FROM reach GROUP BY a
+        ),
+        comp_sizes AS (
+            SELECT component_id, count(*) AS size FROM labels GROUP BY 1
+        ),
+        ce AS (
+            SELECT l.component_id, count(*) AS n_edges,
+                   min(j.jaccard) AS min_edge_jaccard,
+                   round(CAST(sum(CAST(j.jaccard AS DECIMAL(8,4)))
+                              / count(*) AS DOUBLE), 4) AS mean_edge_jaccard
+            FROM jaccards j JOIN labels l ON j.id_a = l.doc_id
+            GROUP BY l.component_id
+        )
+        SELECT component_id, size, n_edges,
+               round(n_edges / CAST(size * (size - 1) / 2 AS DOUBLE), 4)
+                   AS edge_density,
+               min_edge_jaccard, mean_edge_jaccard
+        FROM comp_sizes JOIN ce USING (component_id) ORDER BY component_id
+    """,
     # r9: SRP recall audit — brute-force top-5 and bucketed top-5
     # replayed (the embed_knn_topk / embed_srp_ann constructions),
     # joined per query

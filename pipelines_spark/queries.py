@@ -1457,6 +1457,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-merge audit of the near-dup components: transitive
+    closure chains A~B~C into one cluster even when A and C share
+    nothing (the Lee-et-al caveat on clustering-based dedup), so
+    before keeping one canonical doc per component a pipeline should
+    LOOK at cluster shape. Per component: size, direct-edge count,
+    edge density vs the size·(size−1)/2 complete graph (low density =
+    chained merge), and the min/mean direct-edge Jaccard (a low min
+    says the weakest link is doing the merging). Same pairs + CC as
+    dedup_clusters; two joins on the doc-level label frame, every
+    aggregate per-component."""
+    register(spark, sf_dir, ("documents",))
+    pairs = minhash_near_dup_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text",
+        shingle_words=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    sizes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    edges = pairs.join(
+        labels.withColumnRenamed("doc_id", "id_a"), "id_a"
+    ).groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("jaccard").alias("min_edge_jaccard"),
+        F.round(
+            (
+                F.sum(F.col("jaccard").cast("decimal(8,4)"))
+                / F.count(F.lit(1))
+            ).cast("double"),
+            4,
+        ).alias("mean_edge_jaccard"),
+    )
+    return (
+        sizes.join(edges, "component_id")
+        .select(
+            "component_id",
+            "size",
+            "n_edges",
+            F.round(
+                F.col("n_edges")
+                / (F.col("size") * (F.col("size") - 1) / 2).cast("double"),
+                4,
+            ).alias("edge_density"),
+            "min_edge_jaccard",
+            "mean_edge_jaccard",
+        )
+        .orderBy("component_id")
+    )
+
+
 def q20_nested_in_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20-shaped nested IN chain: customers who ordered
     large quantities of red parts — three levels of IN subqueries
@@ -6613,11 +6666,12 @@ def w15_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 9 head = the r9 additions (never
-    # checked), then er_part_name_clusters (red r8 row — never
-    # green), then the r3-checked cohort (oldest first) filling the
-    # window to 50; the r3-checked tail that no longer fits plus the
-    # r5/r6 cohort lead the r10 rotation.
+    # outrank everything. Round 9 head = the 39 r9 additions (never
+    # checked; 15 session-2 batches lead, then the 24 earlier ones),
+    # then er_part_name_clusters (red r8 row — never green), then the
+    # 10 oldest r3-checked (q14 … q2) filling the window to 50. The
+    # r3-checked tail that no longer fits (q5_local_supplier_volume …
+    # embed_ivf_pq) plus the r5/r6 cohort lead the r10 rotation.
     # --- round-9 additions (never driver-checked) land here ---
     "text_readability_scores": text_readability_scores,
     "text_ngram_novelty": text_ngram_novelty,
@@ -6634,6 +6688,7 @@ QUERIES = {
     "curation_pipeline_scored": curation_pipeline_scored,
     "curation_funnel_scored": curation_funnel_scored,
     "embed_srp_recall_audit": embed_srp_recall_audit,
+    "dedup_cluster_audit": dedup_cluster_audit,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

@@ -343,6 +343,9 @@ BUDGETS = {
     "w15_rolling_corr": 5,  # daily agg + total agg + window + sort
     # two ranked top-5 legs (window each) + hits agg + n_ann agg + sort
     "embed_srp_recall_audit": 7,
+    # visible plan = label joins + sizes/edges/per-component aggs +
+    # sort; the CC rounds sit behind their localCheckpoint lineage cut
+    "dedup_cluster_audit": 9,
 }
 
 

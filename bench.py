@@ -316,6 +316,8 @@ EXTENDED = [
     "embed_srp_recall_audit",
     # r9 batch 8: near-dup cluster over-merge audit
     "dedup_cluster_audit",
+    # r9 batch 8: PCA top component by unrolled power iteration
+    "embed_pca_power_iteration",
 ]
 
 

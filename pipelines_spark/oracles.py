@@ -5386,6 +5386,65 @@ ORACLES: dict[str, str] = {
                      4) AS z_score
         FROM r ORDER BY event_type
     """,
+    # r9: PCA top component — identical three unrolled power-iteration
+    # rounds over the rounded-DECIMAL covariance
+    "embed_pca_power_iteration": """
+        WITH e AS (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(round(CAST(embedding[i] AS DOUBLE), 8)
+                        AS DECIMAL(18,8)) AS x
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), means AS (
+            SELECT d, round(CAST(sum(x) AS DOUBLE) / count(*), 8) AS mu
+            FROM e GROUP BY d
+        ), centered AS (
+            SELECT vec_id, d, round(CAST(x AS DOUBLE) - mu, 8) AS xc
+            FROM e JOIN means USING (d)
+        ), cov AS (
+            SELECT a.d AS i, b.d AS j,
+                   round(CAST(sum(CAST(round(a.xc * b.xc, 8)
+                                  AS DECIMAL(28,8))) AS DOUBLE), 8) AS c
+            FROM centered a JOIN centered b USING (vec_id)
+            GROUP BY a.d, b.d
+        ), v0 AS (
+            SELECT j, CAST(0.12345678 AS DOUBLE) AS v
+            FROM UNNEST(range(0, 64)) AS t(j)
+        )"""
+    + "".join(
+        f""",
+        w{r} AS (
+            SELECT i, round(CAST(sum(CAST(round(c * v, 8)
+                           AS DECIMAL(18,8))) AS DOUBLE), 8) AS w
+            FROM cov JOIN v{r-1} ON cov.j = v{r-1}.j GROUP BY i
+        ),
+        n{r} AS (
+            SELECT sqrt(CAST(sum(CAST(round(w * w, 8) AS DECIMAL(18,8)))
+                        AS DOUBLE)) AS nrm
+            FROM w{r}
+        ),
+        v{r} AS (SELECT i AS j, round(w / nrm, 8) AS v FROM w{r}, n{r})"""
+        for r in range(1, 4)
+    )
+    + """,
+        w4 AS (
+            SELECT i, round(CAST(sum(CAST(round(c * v, 8)
+                           AS DECIMAL(18,8))) AS DOUBLE), 8) AS w
+            FROM cov JOIN v3 ON cov.j = v3.j GROUP BY i
+        ),
+        lam AS (
+            SELECT round(CAST(sum(CAST(round(v3.v * w4.w, 8)
+                          AS DECIMAL(18,8))) AS DOUBLE), 8) AS eigenvalue
+            FROM v3 JOIN w4 ON v3.j = w4.i
+        ),
+        tr AS (
+            SELECT round(CAST(sum(CAST(c AS DECIMAL(18,8))) AS DOUBLE), 8)
+                   AS trace
+            FROM cov WHERE i = j
+        )
+        SELECT v3.j AS dim, round(v3.v, 6) AS loading, eigenvalue,
+               round(eigenvalue / trace, 6) AS var_share
+        FROM v3, lam, tr ORDER BY dim
+    """,
     # r9: near-dup cluster over-merge audit — same pair set + CC as
     # dedup_clusters, aggregated per component
     "dedup_cluster_audit": f"""

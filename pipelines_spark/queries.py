@@ -4915,6 +4915,116 @@ def embed_srp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by THREE
+    unrolled power-iteration rounds over the exactly-aggregated
+    covariance matrix — PCA without MLlib, as pure DataFrame algebra:
+    the 64×64 covariance is one (vec_id-joined) outer-product
+    aggregate with rounded-DECIMAL sums (partition-order-exact, the
+    repo's float convention, applied at every matvec/normalize step
+    so both engines walk the identical float path); each iteration is
+    a 4096×64 join. Output per dimension: the loading, the Rayleigh
+    eigenvalue estimate, and the explained-variance share vs
+    trace(C) — the "is one direction dominating my embedding space"
+    diagnostic (a near-1 share means collapsed embeddings). Fixed
+    deterministic start v₀ = 1/√64; three rounds are a fixed plan,
+    not a convergence loop — the audit's value is the deterministic
+    estimate, and the oracle replays the identical rounds."""
+    register(spark, sf_dir, ("embeddings",))
+    e = (
+        spark.table("embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "x0"))
+        .select(
+            "vec_id",
+            "d",
+            F.round(F.col("x0").cast("double"), 8)
+            .cast("decimal(18,8)")
+            .alias("x"),
+        )
+    )
+    # cast the DECIMAL sum to double BEFORE dividing: decimal/long
+    # division rounds at an engine-specific intermediate scale, which
+    # a round-8 pipeline (unlike the round-4 aggregates elsewhere)
+    # would expose
+    means = e.groupBy("d").agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 8).alias("mu")
+    )
+    centered = e.join(F.broadcast(means), "d").select(
+        "vec_id",
+        "d",
+        F.round(F.col("x").cast("double") - F.col("mu"), 8).alias("xc"),
+    )
+    a = centered.select("vec_id", F.col("d").alias("i"), F.col("xc").alias("xa"))
+    b = centered.select("vec_id", F.col("d").alias("j"), F.col("xc").alias("xb"))
+    cov = (
+        a.join(b, "vec_id")
+        .select(
+            "i",
+            "j",
+            F.round(F.col("xa") * F.col("xb"), 8)
+            .cast("decimal(28,8)")
+            .alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("p").cast("double"), 8).alias("c"))
+        .persist()
+    )
+    # v0 must not be a SHORT decimal: 0.125 × an 8-decimal c lands on
+    # exact round-8 ties (digits 9-11 ∈ {125,250,…,500…}) where the
+    # two engines' tie-breaking can split; a generic 8-decimal start
+    # keeps every product tie-free like the rest of the round-8 code
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.12345678).alias("v")
+    )
+
+    def matvec(vec: DataFrame) -> DataFrame:
+        return (
+            cov.join(F.broadcast(vec), "j")
+            .select(
+                "i",
+                F.round(F.col("c") * F.col("v"), 8)
+                .cast("decimal(18,8)")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.round(F.sum("t").cast("double"), 8).alias("w"))
+        )
+
+    for _ in range(3):
+        w = matvec(v)
+        nrm = w.select(
+            F.round(F.col("w") * F.col("w"), 8).cast("decimal(18,8)").alias("s")
+        ).agg(F.sqrt(F.sum("s").cast("double")).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"),
+            F.round(F.col("w") / F.col("nrm"), 8).alias("v"),
+        )
+    w4 = matvec(v)
+    lam = (
+        v.join(w4, F.col("j") == F.col("i"))
+        .select(
+            F.round(F.col("v") * F.col("w"), 8).cast("decimal(18,8)").alias("t")
+        )
+        .agg(F.round(F.sum("t").cast("double"), 8).alias("eigenvalue"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.round(F.sum(F.col("c").cast("decimal(18,8)")).cast("double"), 8).alias(
+            "trace"
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("v"), 6).alias("loading"),
+            "eigenvalue",
+            F.round(F.col("eigenvalue") / F.col("trace"), 6).alias("var_share"),
+        )
+        .orderBy("dim")
+    )
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup — the production ingestion
     shape: docs 0-249 are the EXISTING corpus whose MinHash band
@@ -6689,6 +6799,7 @@ QUERIES = {
     "curation_funnel_scored": curation_funnel_scored,
     "embed_srp_recall_audit": embed_srp_recall_audit,
     "dedup_cluster_audit": dedup_cluster_audit,
+    "embed_pca_power_iteration": embed_pca_power_iteration,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

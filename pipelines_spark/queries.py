@@ -4931,40 +4931,56 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a convergence loop — the audit's value is the deterministic
     estimate, and the oracle replays the identical rounds."""
     register(spark, sf_dir, ("embeddings",))
-    e = (
-        spark.table("embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "x0"))
-        .select(
-            "vec_id",
-            "d",
-            F.round(F.col("x0").cast("double"), 8)
-            .cast("decimal(18,8)")
-            .alias("x"),
-        )
+    e_arr = spark.table("embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double"), 8).cast("decimal(18,8)"),
+        ).alias("xa"),
     )
     # cast the DECIMAL sum to double BEFORE dividing: decimal/long
     # division rounds at an engine-specific intermediate scale, which
     # a round-8 pipeline (unlike the round-4 aggregates elsewhere)
     # would expose
-    means = e.groupBy("d").agg(
-        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 8).alias("mu")
-    )
-    centered = e.join(F.broadcast(means), "d").select(
-        "vec_id",
-        "d",
-        F.round(F.col("x").cast("double") - F.col("mu"), 8).alias("xc"),
-    )
-    a = centered.select("vec_id", F.col("d").alias("i"), F.col("xc").alias("xa"))
-    b = centered.select("vec_id", F.col("d").alias("j"), F.col("xc").alias("xb"))
-    cov = (
-        a.join(b, "vec_id")
-        .select(
-            "i",
-            "j",
-            F.round(F.col("xa") * F.col("xb"), 8)
-            .cast("decimal(28,8)")
-            .alias("p"),
+    means_row = (
+        e_arr.select(F.posexplode("xa").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 8).alias(
+                "mu"
+            )
         )
+        .agg(F.array_sort(F.collect_list(F.struct("d", "mu"))).alias("ms"))
+        .select(F.transform("ms", lambda s: s["mu"]).alias("mu_arr"))
+    )
+    # centering + the 64×64 outer product happen MAP-SIDE as array
+    # HOFs (zip_with + nested transform): the 20M-at-sf0.1 product
+    # rows are born inside the partial aggregate and never shuffle —
+    # the per-vec_id join formulation moved them all
+    centered = e_arr.crossJoin(F.broadcast(means_row)).select(
+        "vec_id",
+        F.zip_with(
+            "xa",
+            "mu_arr",
+            lambda x, m: F.round(x.cast("double") - m, 8),
+        ).alias("xc"),
+    )
+    outer = F.flatten(
+        F.transform(
+            F.col("xc"),
+            lambda x, i: F.transform(
+                F.col("xc"),
+                lambda y, j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(x * y, 8).cast("decimal(28,8)").alias("p"),
+                ),
+            ),
+        )
+    )
+    cov = (
+        centered.select(F.explode(outer).alias("o"))
+        .select("o.i", "o.j", "o.p")
         .groupBy("i", "j")
         .agg(F.round(F.sum("p").cast("double"), 8).alias("c"))
         .persist()

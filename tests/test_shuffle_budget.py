@@ -346,10 +346,12 @@ BUDGETS = {
     # visible plan = label joins + sizes/edges/per-component aggs +
     # sort; the CC rounds sit behind their localCheckpoint lineage cut
     "dedup_cluster_audit": 9,
-    # covariance build (explode aggs) + 4 matvec aggs + 3 norm aggs +
-    # eigenvalue/trace aggs + sort — every post-cov frame is <= 4096
-    # rows, so the exchange count is high but each moves ~nothing
-    "embed_pca_power_iteration": 25,
+    # means pack + map-side outer-product agg + 4 matvec aggs + 3 norm
+    # aggs + eigenvalue/trace aggs + sort — every post-cov frame is
+    # <= 4096 rows, so the exchange count is high but each moves
+    # ~nothing; the 20M product rows never shuffle (born in the
+    # partial aggregate)
+    "embed_pca_power_iteration": 30,
 }
 
 

@@ -176,17 +176,52 @@ def curate_corpus(
     if collect_stats:
         counts.append(("quality_lang_gate", gated.count()))
 
-    # 1b. optional linear-classifier gate — also map-only (one JVM
-    # HOF over the words array, no shuffle); corpus-independent, so
-    # it runs before the cap/dedup stages shrink anything
+    # 1b. optional linear-classifier gate. Two equivalent
+    # formulations exist (equality pinned in tests): the map-only HOF
+    # (llm/text.py::linear_classifier_score — zero shuffle, the
+    # 1000-executor shape) and this explode + hash-aggregate +
+    # semi-join one. Locally the HOF's interpreted per-element
+    # lambdas (md5+conv per word) cost ~5× the codegen'd explode —
+    # the same measured tradeoff behind minhash's explode formulation
+    # (llm/dedup.py::_minhash_signatures) — so the composed pipeline
+    # takes the codegen path; swap to the HOF when the extra doc_id
+    # shuffle costs more than the lambda overhead.
     if cfg.min_classifier_score is not None:
-        from pipelines_spark.llm.text import linear_classifier_score
+        from pipelines_spark.llm.sampling import hash_bucket
 
-        gated = persist(
-            gated.filter(
-                linear_classifier_score(text_c) >= cfg.min_classifier_score
+        scores = (
+            gated.select(
+                id_c,
+                F.explode(F.array_distinct(F.split(text_c, " "))).alias("_w"),
+            )
+            .select(
+                id_c, ((hash_bucket("_w", buckets=64) % 21) - 10).alias("_wt")
+            )
+            .groupBy(id_c)
+            .agg(
+                F.sum("_wt").alias("_sw"), F.count(F.lit(1)).alias("_nf")
+            )
+            .select(
+                id_c,
+                F.round(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(
+                                F.lit(0.2)
+                                + (F.col("_sw") / F.lit(10.0)) / F.col("_nf")
+                            )
+                        )
+                    ),
+                    6,
+                ).alias("_score"),
             )
         )
+        keep = scores.filter(
+            F.col("_score") >= cfg.min_classifier_score
+        ).select(id_c)
+        gated = persist(gated.join(keep, id_c, "semi"))
         if collect_stats:
             counts.append(("classifier_gate", gated.count()))
 
@@ -255,6 +290,21 @@ def curate_corpus(
     # stats path, where we control when everything materializes; with
     # collect_stats=False the stage boundaries are lazy localCheckpoints
     # (GC-freed), so nothing needs explicit release for the session.
+    if collect_stats:
+        # the stats path's persist() keeps stage RE-READS cheap but
+        # does NOT truncate the LOGICAL plan; by stage 3 the tree is
+        # deep enough that connected_components' per-iteration
+        # re-analysis dominates the driver (measured: the canonical
+        # stage took 16 s at sf0.1 with the full-gate tree and 45 s
+        # with one more gate stage, on 361 cached docs). A lazy
+        # localCheckpoint boundary hands CC a shallow LogicalRDD
+        # input — blocks free on GC like the lazy path's.
+        from pipelines_spark.plans.staging import stage as _cut
+
+        # keep the cached frame on the release list — the checkpoint
+        # wrapper would otherwise shadow it and leak its cache entry
+        released.append(exact_kept)
+        exact_kept = _cut(exact_kept, eager=False)
     pairs = minhash_near_dup_pairs(
         exact_kept, id_col=id_c, text_col=text_c,
         threshold=cfg.near_dup_threshold,

@@ -101,8 +101,12 @@ def linear_classifier_score(
     (the module's cross-engine hash convention, sampling.hash_bucket)
     → fixed tenth-grain weights ((bucket % 21 − 10)/10, integer sums
     exact in any order) → sigmoid, rounded to 6. One JVM HOF over the
-    words array — no explode, no shuffle; the gate formulation of
-    queries.text_quality_linear's identical arithmetic."""
+    words array — no explode, no shuffle: the 1000-executor shape of
+    queries.text_quality_linear's identical arithmetic. Local caveat
+    (tested equal in tests/test_llm_ops.py): HOF lambdas evaluate
+    interpreted per element, so on one box the codegen'd explode +
+    hash-aggregate formulation (which curation's classifier gate
+    uses) runs ~5× faster — the minhash tradeoff again."""
     t = F.col(text) if isinstance(text, str) else text
     feats = F.array_distinct(F.split(t, " "))
     sumw = F.aggregate(

@@ -1826,3 +1826,43 @@ def test_dhash_near_dup_clusters_across_codecs(spark):
     }
     assert {k for k in comps} == {1, 2, 3, 4, 5}  # unrelated never pair
     assert {comps[i] for i in (1, 2, 3, 4, 5)} == {1}  # one component
+
+
+def test_linear_classifier_hof_equals_explode_formulation(spark, sf_medium):
+    """The map-only HOF scorer (llm/text.py::linear_classifier_score,
+    the no-shuffle 1000-executor shape) and the codegen explode +
+    hash-aggregate formulation (used by curation's classifier gate
+    and text_quality_linear) are the SAME function — per-doc scores
+    identical on the real corpus."""
+    from pipelines_spark.llm.sampling import hash_bucket
+    from pipelines_spark.llm.text import linear_classifier_score
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    hof = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", linear_classifier_score("text").alias("s")
+        ).collect()
+    }
+    exploded = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        .select("doc_id", ((hash_bucket("w", buckets=64) % 21) - 10).alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("sw"), F.count(F.lit(1)).alias("nf"))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.lit(0.2) + (F.col("sw") / F.lit(10.0)) / F.col("nf")))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    exp = {r["doc_id"]: r["s"] for r in exploded.collect()}
+    assert hof == exp

@@ -6528,7 +6528,14 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.lit(r).alias("rank"), "vec_id", "rel", "redundancy", "mmr_score")
         )
-        picks = picks.unionByName(nxt)
+        # lineage-cut each 1-row pick (lazy localCheckpoint): picks_r
+        # references picks_{r-1} twice (selected ids + anti-join), so
+        # the raw tree doubles per round — 2^k copies for Catalyst to
+        # re-analyze even though execution hits the persisted pool
+        # (the SCALE.md "cache ≠ lineage cut" lesson)
+        from pipelines_spark.plans.staging import stage as _cut
+
+        picks = _cut(picks.unionByName(nxt), eager=False)
     return picks.select(
         "rank", "vec_id", F.col("rel").alias("relevance"), "redundancy", "mmr_score"
     ).orderBy("rank")

@@ -5098,7 +5098,8 @@ ORACLES: dict[str, str] = {
                         AS DECIMAL(18,8)) AS nov
             FROM sizes s LEFT JOIN novel n USING (doc_id)
         )
-        SELECT source, count(*) AS n_docs, sum(novel) AS novel_shingles,
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(novel) AS BIGINT) AS novel_shingles,
                round(CAST(sum(nov) / count(*) AS DOUBLE), 4) AS mean_novelty
         FROM per_doc GROUP BY source ORDER BY source
     """,
@@ -5169,19 +5170,19 @@ ORACLES: dict[str, str] = {
                    count(*) AS n_sources
             FROM avail
         )
-        SELECT source, available_tokens,
+        SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
                CAST(floor((corpus_tokens * 2) / CAST(n_sources AS DOUBLE))
                     AS BIGINT) AS target_tokens,
                round(CAST(floor((corpus_tokens * 2)
                                 / CAST(n_sources AS DOUBLE)) AS DOUBLE)
                      / CAST(available_tokens AS DOUBLE), 4) AS repeat_epochs,
-               least(CAST(floor((corpus_tokens * 2)
+               CAST(least(CAST(floor((corpus_tokens * 2)
                                 / CAST(n_sources AS DOUBLE)) AS BIGINT),
-                     available_tokens * 4) AS effective_tokens,
-               greatest(CAST(floor((corpus_tokens * 2)
+                     available_tokens * 4) AS BIGINT) AS effective_tokens,
+               CAST(greatest(CAST(floor((corpus_tokens * 2)
                                    / CAST(n_sources AS DOUBLE)) AS BIGINT)
                         - available_tokens * 4,
-                        0) AS unmet_tokens
+                        0) AS BIGINT) AS unmet_tokens
         FROM avail, totals ORDER BY source
     """,
     # r9: Adamic–Adar + Jaccard link prediction over the supplier↔part
@@ -5375,7 +5376,9 @@ ORACLES: dict[str, str] = {
                   FROM s2)
             GROUP BY event_type
         )
-        SELECT event_type, n_up, n_down, runs,
+        SELECT event_type, CAST(n_up AS BIGINT) AS n_up,
+               CAST(n_down AS BIGINT) AS n_down,
+               CAST(runs AS BIGINT) AS runs,
                round((runs - (1.0 + 2.0 * n_up * n_down
                               / CAST(n_up + n_down AS DOUBLE)))
                      / sqrt(2.0 * n_up * n_down
@@ -5532,7 +5535,8 @@ ORACLES: dict[str, str] = {
               ON f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
             GROUP BY f.query_id
         )
-        SELECT query_id, coalesce(n_ann, 0) AS n_ann, hits,
+        SELECT query_id, CAST(coalesce(n_ann, 0) AS BIGINT) AS n_ann,
+               CAST(hits AS BIGINT) AS hits,
                round(hits / 5.0, 4) AS recall_at_5
         FROM h LEFT JOIN acounts USING (query_id) ORDER BY query_id
     """,

@@ -318,6 +318,10 @@ EXTENDED = [
     "dedup_cluster_audit",
     # r9 batch 8: PCA top component by unrolled power iteration
     "embed_pca_power_iteration",
+    # r9 batch 9: RAKE keyphrases, term burstiness, A/B health
+    "text_keyword_rake",
+    "text_burstiness",
+    "a52_ab_experiment_health",
 ]
 
 

@@ -5389,6 +5389,109 @@ ORACLES: dict[str, str] = {
                      4) AS z_score
         FROM r ORDER BY event_type
     """,
+    # r9: RAKE keyphrases — same stopword-boundary split, degree/freq
+    # word scores, rounded-DECIMAL phrase sums
+    "text_keyword_rake": r"""
+        WITH pieces AS (
+            SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+            FROM (SELECT UNNEST(string_split_regex(text,
+                      '\b(?:the|a|of|and|to|in|is|that|for|on)\b')) AS p
+                  FROM documents)
+        ), phrases AS (
+            SELECT phrase FROM pieces WHERE length(phrase) > 0
+        ), occ AS (
+            SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY phrase
+        ), iw AS (
+            SELECT UNNEST(string_split(phrase, ' ')) AS w,
+                   len(string_split(phrase, ' ')) AS plen
+            FROM phrases
+        ), ws AS (
+            SELECT w, count(*) AS freq, sum(plen) AS degree FROM iw GROUP BY w
+        ), pw AS (
+            SELECT phrase, n_occ, UNNEST(string_split(phrase, ' ')) AS w
+            FROM occ
+        ), scored AS (
+            SELECT phrase, n_occ, count(*) AS n_words,
+                   sum(CAST(round(degree / CAST(freq AS DOUBLE), 8)
+                            AS DECIMAL(18,8))) AS s
+            FROM pw JOIN ws USING (w) GROUP BY phrase, n_occ
+        )
+        SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_occ AS BIGINT) AS n_occurrences,
+               round(CAST(s AS DOUBLE), 4) AS rake_score
+        FROM scored ORDER BY rake_score DESC, phrase ASC LIMIT 20
+    """,
+    # r9: term burstiness — VMR over all docs from integer sufficient
+    # statistics (zeros in closed form, never densified)
+    "text_burstiness": """
+        WITH per_doc AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ), nd AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), stats AS (
+            SELECT w, count(*) AS df, sum(c) AS total,
+                   sum(c * c) AS sumsq
+            FROM per_doc GROUP BY w
+        )
+        SELECT w AS term, CAST(df AS BIGINT) AS df,
+               CAST(total AS BIGINT) AS total,
+               round(CAST(n_docs * sumsq - total * total AS DOUBLE)
+                     / CAST(n_docs * total AS DOUBLE), 4) AS vmr
+        FROM stats, nd WHERE total >= 50
+        ORDER BY vmr DESC, term ASC LIMIT 20
+    """,
+    # r9: A/B experiment health — md5 50/50 split, SRM chi-square,
+    # Welch z from integer sufficient sums
+    "a52_ab_experiment_health": f"""
+        WITH pu AS (
+            SELECT CASE WHEN {_md5_bucket("user_id", 100)} < 50
+                   THEN 'A' ELSE 'B' END AS arm,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS p
+            FROM events GROUP BY user_id
+        ), wide AS (
+            SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+                   sum(CASE WHEN arm = 'A' THEN p ELSE 0 END) AS sa,
+                   sum(CASE WHEN arm = 'B' THEN p ELSE 0 END) AS sb,
+                   sum(CASE WHEN arm = 'A' THEN p * p ELSE 0 END) AS qa,
+                   sum(CASE WHEN arm = 'B' THEN p * p ELSE 0 END) AS qb
+            FROM pu
+        ), en AS (
+            SELECT na, nb, sa, sb,
+                   round(CAST((na - nb) * (na - nb) AS DOUBLE)
+                         / CAST(na + nb AS DOUBLE), 4) AS chi2_srm,
+                   CAST((na - nb) * (na - nb) AS DOUBLE)
+                       / CAST(na + nb AS DOUBLE) > 3.841 AS srm_flag,
+                   round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                          - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                         / sqrt((CAST(na * qa - sa * sa AS DOUBLE)
+                                 / (CAST(na AS DOUBLE)
+                                    * (CAST(na AS DOUBLE) - 1.0)))
+                                / CAST(na AS DOUBLE)
+                                + (CAST(nb * qb - sb * sb AS DOUBLE)
+                                   / (CAST(nb AS DOUBLE)
+                                      * (CAST(nb AS DOUBLE) - 1.0)))
+                                / CAST(nb AS DOUBLE)),
+                         4) AS z_mean_diff
+            FROM wide
+        )
+        SELECT 'A' AS arm, CAST(na AS BIGINT) AS n_users,
+               CAST(sa AS BIGINT) AS n_purchases,
+               round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 4)
+                   AS mean_purchases,
+               chi2_srm, srm_flag, z_mean_diff
+        FROM en
+        UNION ALL
+        SELECT 'B', CAST(nb AS BIGINT), CAST(sb AS BIGINT),
+               round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 4),
+               chi2_srm, srm_flag, z_mean_diff
+        FROM en
+        ORDER BY arm
+    """,
     # r9: PCA top component — identical three unrolled power-iteration
     # rounds over the rounded-DECIMAL covariance
     "embed_pca_power_iteration": """

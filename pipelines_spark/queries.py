@@ -5041,6 +5041,186 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stopword delimiter for RAKE phrase extraction — the en stopword
+#: list as a boundary regex; identical literal in the oracle
+_RAKE_SW = r"\b(?:the|a|of|and|to|in|is|that|for|on)\b"
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs; each word scores
+    degree/frequency (degree = Σ phrase length over its occurrences —
+    words that live in long phrases outrank words that appear alone);
+    a phrase scores the sum of its member word scores. The classic
+    no-model keyphrase extractor — corpus-level, two aggregates and
+    one join on the word key, everything else map-side regex. Top 20
+    phrases, deterministic ties."""
+    register(spark, sf_dir, ("documents",))
+    phrases = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", _RAKE_SW)).alias("p"))
+        .select(F.trim(F.regexp_replace("p", " +", " ")).alias("phrase"))
+        .filter(F.length("phrase") > 0)
+    )
+    occ = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    inst_words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wstats = inst_words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    pw = occ.select(
+        "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        pw.join(wstats, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.round(F.col("degree") / F.col("freq"), 8).cast(
+                    "decimal(18,8)"
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            "n_words",
+            F.col("n_occ").alias("n_occurrences"),
+            F.round(F.col("s").cast("double"), 4).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(20)
+    )
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): variance-to-mean ratio of
+    per-document counts over ALL docs (zeros included — computed in
+    closed form from integer sufficient statistics, never by
+    densifying). VMR ≈ 1 is Poisson scatter (function-word behavior);
+    VMR ≫ 1 marks content terms that clump into few documents — the
+    term-weighting/stopword-detection signal TF alone can't give.
+    Exact integers until one final division; terms with ≥ 50
+    occurrences, top 20."""
+    register(spark, sf_dir, ("documents",))
+    per_doc = (
+        spark.table("documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = spark.table("documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("total") >= 50)
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            "total",
+            F.round(
+                (
+                    F.col("n_docs") * F.col("sumsq")
+                    - F.col("total") * F.col("total")
+                ).cast("double")
+                / (F.col("n_docs") * F.col("total")).cast("double"),
+                4,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def a52_ab_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-health audit for a deterministic 50/50 hash split
+    of the user base: per-arm user counts and purchase-rate stats,
+    the sample-ratio-mismatch chi-square ((n_A−n_B)²/(n_A+n_B) for
+    equal expected — SRM is the #1 silent killer of A/B results), and
+    the Welch z for the arms' mean-purchases difference. Assignment
+    is the md5 hash-bucket convention (reproducible across engines
+    and reruns); all statistics from integer sufficient sums, one
+    double expression per reported stat."""
+    register(spark, sf_dir, ("events",))
+    from pipelines_spark.llm.sampling import hash_bucket
+
+    per_user = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("p")
+        )
+        .select(
+            F.when(hash_bucket("user_id", buckets=100) < 50, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "p",
+        )
+    )
+    wide = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("p")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("p")).otherwise(0)).alias("sb"),
+        F.sum(
+            F.when(F.col("arm") == "A", F.col("p") * F.col("p")).otherwise(0)
+        ).alias("qa"),
+        F.sum(
+            F.when(F.col("arm") == "B", F.col("p") * F.col("p")).otherwise(0)
+        ).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    va = (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    ) / (na * (na - F.lit(1.0)))
+    vb = (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    ) / (nb * (nb - F.lit(1.0)))
+    chi2 = (
+        (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))
+    ).cast("double") / (F.col("na") + F.col("nb")).cast("double")
+    z = (F.col("sa").cast("double") / na - F.col("sb").cast("double") / nb) / F.sqrt(
+        va / na + vb / nb
+    )
+    enriched = wide.select(
+        "na", "nb", "sa", "sb",
+        F.round(chi2, 4).alias("chi2_srm"),
+        (chi2 > 3.841).alias("srm_flag"),
+        F.round(z, 4).alias("z_mean_diff"),
+    )
+    a_row = enriched.select(
+        F.lit("A").alias("arm"),
+        F.col("na").alias("n_users"),
+        F.col("sa").alias("n_purchases"),
+        F.round(F.col("sa").cast("double") / F.col("na"), 4).alias(
+            "mean_purchases"
+        ),
+        "chi2_srm", "srm_flag", "z_mean_diff",
+    )
+    b_row = enriched.select(
+        F.lit("B").alias("arm"),
+        F.col("nb").alias("n_users"),
+        F.col("sb").alias("n_purchases"),
+        F.round(F.col("sb").cast("double") / F.col("nb"), 4).alias(
+            "mean_purchases"
+        ),
+        "chi2_srm", "srm_flag", "z_mean_diff",
+    )
+    return a_row.unionByName(b_row).orderBy("arm")
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup — the production ingestion
     shape: docs 0-249 are the EXISTING corpus whose MinHash band
@@ -6823,6 +7003,9 @@ QUERIES = {
     "embed_srp_recall_audit": embed_srp_recall_audit,
     "dedup_cluster_audit": dedup_cluster_audit,
     "embed_pca_power_iteration": embed_pca_power_iteration,
+    "text_keyword_rake": text_keyword_rake,
+    "text_burstiness": text_burstiness,
+    "a52_ab_experiment_health": a52_ab_experiment_health,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

@@ -352,6 +352,9 @@ BUDGETS = {
     # ~nothing; the 20M product rows never shuffle (born in the
     # partial aggregate)
     "embed_pca_power_iteration": 30,
+    "text_keyword_rake": 2,  # word-stats agg + phrase agg (occ broadcast)
+    "text_burstiness": 3,  # (doc,term) agg + term agg + sort
+    "a52_ab_experiment_health": 3,  # per-user agg + 1-row wide agg + sort
 }
 
 

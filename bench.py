@@ -322,6 +322,10 @@ EXTENDED = [
     "text_keyword_rake",
     "text_burstiness",
     "a52_ab_experiment_health",
+    # r9 batch 10: source JSD, Neyman allocation, seasonality strength
+    "text_js_divergence_sources",
+    "sample_neyman_allocation",
+    "a53_seasonality_strength",
 ]
 
 

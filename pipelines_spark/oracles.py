@@ -5389,6 +5389,120 @@ ORACLES: dict[str, str] = {
                      4) AS z_score
         FROM r ORDER BY event_type
     """,
+    # r9: pairwise JSD between source unigram distributions on the
+    # dense 256-bucket grid; 0·ln(0) = 0, rounded-DECIMAL terms
+    "text_js_divergence_sources": f"""
+        WITH toks AS (
+            SELECT source, {_md5_bucket("w", 256)} AS b
+            FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+        ), counts AS (
+            SELECT source, b, count(*) AS c FROM toks GROUP BY source, b
+        ), totals AS (
+            SELECT source, sum(c) AS n FROM counts GROUP BY source
+        ), grid AS (
+            SELECT t.source, g.b,
+                   coalesce(c.c, 0) / CAST(t.n AS DOUBLE) AS p
+            FROM totals t
+            CROSS JOIN (SELECT j AS b FROM UNNEST(range(0, 256)) AS u(j)) g
+            LEFT JOIN counts c ON c.source = t.source AND c.b = g.b
+        ), pairs AS (
+            SELECT l.source AS s1, r.source AS s2,
+                   CAST(round(0.5 * (
+                       (CASE WHEN l.p > 0
+                        THEN l.p * ln(l.p / ((l.p + r.p) / 2))
+                        ELSE 0.0 END)
+                       + (CASE WHEN r.p > 0
+                          THEN r.p * ln(r.p / ((l.p + r.p) / 2))
+                          ELSE 0.0 END)), 8) AS DECIMAL(18,8)) AS t
+            FROM grid l JOIN grid r ON l.b = r.b AND l.source < r.source
+        )
+        SELECT s1, s2, round(CAST(sum(t) AS DOUBLE), 6) AS jsd
+        FROM pairs GROUP BY s1, s2 ORDER BY jsd, s1, s2
+    """,
+    # r9: Neyman allocation — σ from integer sums, largest-remainder
+    # integer rounding to the exact budget
+    "sample_neyman_allocation": """
+        WITH stats AS (
+            SELECT source, count(*) AS n_h, sum(n_chars) AS sx,
+                   sum(n_chars * n_chars) AS sxx
+            FROM documents GROUP BY source
+        ), sig AS (
+            SELECT source, n_h,
+                   round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
+                              / CAST(n_h * (n_h - 1) AS DOUBLE)), 8) AS sigma
+            FROM stats
+        ), wgt AS (
+            SELECT source, n_h, sigma,
+                   CAST(round(n_h * sigma, 8) AS DECIMAL(28,8)) AS w
+            FROM sig
+        ), tot AS (SELECT sum(w) AS wtot FROM wgt),
+        shares AS (
+            SELECT source, n_h, round(sigma, 4) AS sigma,
+                   round(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE), 8) AS share
+            FROM wgt, tot
+        ), fl AS (
+            SELECT *, CAST(floor(share * 1000) AS BIGINT) AS base,
+                   share * 1000 - floor(share * 1000) AS frac
+            FROM shares
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY frac DESC, source ASC)
+                      AS rk
+            FROM fl
+        ), short AS (SELECT 1000 - sum(base) AS short FROM fl)
+        SELECT source, CAST(n_h AS BIGINT) AS n_h, sigma,
+               round(share, 6) AS neyman_share,
+               CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                    AS BIGINT) AS allocation
+        FROM ranked, short ORDER BY source
+    """,
+    # r9: seasonality strength — day-of-week seasonal means over
+    # DECIMAL daily totals, residual/total variances from rounded-
+    # DECIMAL sufficient sums
+    "a53_seasonality_strength": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS v,
+                   dayofweek(CAST(ts AS DATE)) AS dow
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seas AS (
+            SELECT event_type, dow,
+                   round(CAST(sum(v) AS DOUBLE) / count(*), 8) AS s
+            FROM daily GROUP BY event_type, dow
+        ), resid AS (
+            SELECT d.event_type, CAST(d.v AS DOUBLE) AS x,
+                   round(CAST(d.v AS DOUBLE) - s.s, 8) AS r
+            FROM daily d JOIN seas s
+              ON d.event_type = s.event_type AND d.dow = s.dow
+        ), st AS (
+            SELECT event_type, count(*) AS n_days,
+                   sum(CAST(round(x, 8) AS DECIMAL(28,8))) AS sx,
+                   sum(CAST(round(x * x, 8) AS DECIMAL(38,8))) AS sxx,
+                   sum(CAST(r AS DECIMAL(28,8))) AS sr,
+                   sum(CAST(round(r * r, 8) AS DECIMAL(38,8))) AS srr
+            FROM resid GROUP BY event_type
+        )
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               round((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n_days AS DOUBLE)
+                        * (CAST(n_days AS DOUBLE) - 1.0)), 4) AS var_total,
+               round((CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
+                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                     / (CAST(n_days AS DOUBLE)
+                        * (CAST(n_days AS DOUBLE) - 1.0)), 4) AS var_resid,
+               round(greatest(0.0, 1.0
+                     - ((CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
+                         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                        / (CAST(n_days AS DOUBLE)
+                           * (CAST(n_days AS DOUBLE) - 1.0)))
+                     / ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n_days AS DOUBLE)
+                           * (CAST(n_days AS DOUBLE) - 1.0)))), 4)
+                   AS seasonality_strength
+        FROM st ORDER BY event_type
+    """,
     # r9: RAKE keyphrases — same stopword-boundary split, degree/freq
     # word scores, rounded-DECIMAL phrase sums
     "text_keyword_rake": r"""

@@ -5221,6 +5221,205 @@ def a52_ab_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a_row.unionByName(b_row).orderBy("arm")
 
 
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    DISTRIBUTIONS over 256 hashed buckets — the distributional
+    companion to text_source_overlap's vocabulary Jaccard: two feeds
+    can share vocabulary yet use it at very different rates, and JSD
+    (symmetric, bounded by ln 2) is the standard mixture-design
+    distance. Distributions live on a dense source×bucket grid
+    (|sources|·256 rows — corpus-independent), the pair join runs on
+    that grid, and per-bucket terms are rounded-DECIMAL summed;
+    0·ln(0) handled as 0 exactly."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.sampling import hash_bucket
+
+    toks = spark.table("documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("source", hash_bucket("w", buckets=256).alias("b"))
+    counts = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = (
+        totals.select("source", "n")
+        .crossJoin(spark.range(256).select(F.col("id").alias("b")))
+        .join(counts, ["source", "b"], "left")
+        .na.fill({"c": 0})
+        .select(
+            "source",
+            "b",
+            (F.col("c") / F.col("n").cast("double")).alias("p"),
+        )
+    )
+    l = grid.select(
+        F.col("source").alias("s1"), "b", F.col("p").alias("p1")
+    )
+    r = grid.select(
+        F.col("source").alias("s2"), "b", F.col("p").alias("p2")
+    )
+
+    def kl_term(p, m):
+        return F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+
+    m = (F.col("p1") + F.col("p2")) / 2
+    pairs = (
+        l.join(r, "b")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(
+            "s1",
+            "s2",
+            F.round(
+                F.lit(0.5) * (kl_term(F.col("p1"), m) + kl_term(F.col("p2"), m)),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("t"),
+        )
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("jsd"))
+        .orderBy("jsd", "s1", "s2")
+    )
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation of a 1000-doc sampling
+    budget across sources: n_h ∝ N_h·σ_h (strata that are BIG and
+    VARIABLE get more samples — the minimum-variance allocation,
+    vs sample_quota_allocation's proportional Hamilton split). σ_h is
+    the sample stddev of n_chars from integer sufficient sums;
+    integer allocations hit the budget exactly by largest-remainder
+    rounding over rounded-DECIMAL shares (deterministic ties)."""
+    register(spark, sf_dir, ("documents",))
+    BUDGET = 1000
+    stats = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum("n_chars").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        )
+        .select(
+            "source",
+            "n_h",
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("n_h") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                    / (
+                        F.col("n_h") * (F.col("n_h") - 1)
+                    ).cast("double")
+                ),
+                8,
+            ).alias("sigma"),
+        )
+        .withColumn(
+            "wgt",
+            F.round(F.col("n_h") * F.col("sigma"), 8).cast("decimal(28,8)"),
+        )
+    )
+    tot = stats.agg(F.sum("wgt").alias("wtot"))
+    shares = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        F.round("sigma", 4).alias("sigma"),
+        # both decimals cast to double BEFORE dividing — decimal ÷
+        # decimal rounds at an engine-specific intermediate scale
+        # (the PCA means lesson)
+        F.round(
+            F.col("wgt").cast("double") / F.col("wtot").cast("double"), 8
+        ).alias("share"),
+    )
+    with_floor = shares.select(
+        "*",
+        F.floor(F.col("share") * BUDGET).cast("long").alias("base"),
+        (F.col("share") * BUDGET - F.floor(F.col("share") * BUDGET)).alias(
+            "frac"
+        ),
+    )
+    wr = Window.orderBy(F.desc("frac"), F.asc("source"))
+    short = with_floor.agg(
+        (F.lit(BUDGET) - F.sum("base")).alias("short")
+    )
+    return (
+        with_floor.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            "n_h",
+            "sigma",
+            F.round("share", 6).alias("neyman_share"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+            ).alias("allocation"),
+        )
+        .orderBy("source")
+    )
+
+
+def a53_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per event type (STL's strength statistic
+    with a day-of-week seasonal component): 1 − var(residual)/var(x)
+    over the DECIMAL-exact daily totals — the one-number answer to
+    "is this series weekly-periodic enough to model" that a27's
+    z-anomalies and a44's ACF lags both presuppose. Seasonal means
+    and residual moments use the repo's rounded-DECIMAL discipline;
+    state is |types|·|days|."""
+    register(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias("v")
+        )
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    seas = daily.groupBy("event_type", "dow").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 8).alias("s")
+    )
+    resid = daily.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        F.col("v").cast("double").alias("x"),
+        F.round(F.col("v").cast("double") - F.col("s"), 8).alias("r"),
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.round(F.col("x"), 8).cast("decimal(28,8)")).alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(38,8)")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("r").cast("decimal(28,8)")).alias("sr"),
+        F.sum(F.round(F.col("r") * F.col("r"), 8).cast("decimal(38,8)")).alias(
+            "srr"
+        ),
+    )
+    n = F.col("n_days").cast("double")
+    var_x = (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    var_r = (
+        n * F.col("srr").cast("double")
+        - F.col("sr").cast("double") * F.col("sr").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.round(var_x, 4).alias("var_total"),
+        F.round(var_r, 4).alias("var_resid"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_x), 4).alias(
+            "seasonality_strength"
+        ),
+    ).orderBy("event_type")
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup — the production ingestion
     shape: docs 0-249 are the EXISTING corpus whose MinHash band
@@ -7006,6 +7205,9 @@ QUERIES = {
     "text_keyword_rake": text_keyword_rake,
     "text_burstiness": text_burstiness,
     "a52_ab_experiment_health": a52_ab_experiment_health,
+    "text_js_divergence_sources": text_js_divergence_sources,
+    "sample_neyman_allocation": sample_neyman_allocation,
+    "a53_seasonality_strength": a53_seasonality_strength,
     "t4_session_window": t4_session_window,
     "text_zipf_fit": text_zipf_fit,
     "sample_rendezvous_shards": sample_rendezvous_shards,

@@ -355,6 +355,13 @@ BUDGETS = {
     "text_keyword_rake": 2,  # word-stats agg + phrase agg (occ broadcast)
     "text_burstiness": 3,  # (doc,term) agg + term agg + sort
     "a52_ab_experiment_health": 3,  # per-user agg + 1-row wide agg + sort
+    # bucket counts + totals + dense-grid join legs + pair agg + sort;
+    # every post-counts frame is |sources|x256, corpus-independent
+    "text_js_divergence_sources": 7,
+    # source stats + 1-row total + remainder window over |sources|
+    # rows (the only global ordering) + 1-row shortfall + sort
+    "sample_neyman_allocation": 6,
+    "a53_seasonality_strength": 5,  # daily agg + dow means + joins + agg
 }
 
 

@@ -7178,12 +7178,13 @@ def w15_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 9 head = the 39 r9 additions (never
-    # checked; 15 session-2 batches lead, then the 24 earlier ones),
+    # outrank everything. Round 9 head = the 47 r9 additions (never
+    # checked; 23 session-2 entries lead, then the 24 earlier ones),
     # then er_part_name_clusters (red r8 row — never green), then the
-    # 10 oldest r3-checked (q14 … q2) filling the window to 50. The
-    # r3-checked tail that no longer fits (q5_local_supplier_volume …
-    # embed_ivf_pq) plus the r5/r6 cohort lead the r10 rotation.
+    # 2 oldest r3-checked (q14, q15) filling the window to 50. The
+    # r3-checked tail that no longer fits (q16 … embed_ivf_pq) plus
+    # the r5/r6 cohort lead the r10 rotation; the registry stops
+    # growing this round so the window isn't overrun.
     # --- round-9 additions (never driver-checked) land here ---
     "text_readability_scores": text_readability_scores,
     "text_ngram_novelty": text_ngram_novelty,

@@ -5606,8 +5606,8 @@ ORACLES: dict[str, str] = {
         FROM en
         ORDER BY arm
     """,
-    # r9: PCA top component — identical three unrolled power-iteration
-    # rounds over the rounded-DECIMAL covariance
+    # r9: PCA principal-direction audit — identical eight unrolled
+    # power-iteration rounds over the rounded-DECIMAL covariance
     "embed_pca_power_iteration": """
         WITH e AS (
             SELECT vec_id, i - 1 AS d,
@@ -5620,7 +5620,7 @@ ORACLES: dict[str, str] = {
         ), centered AS (
             SELECT vec_id, d, round(CAST(x AS DOUBLE) - mu, 8) AS xc
             FROM e JOIN means USING (d)
-        ), cov AS (
+        ), cov AS MATERIALIZED (
             SELECT a.d AS i, b.d AS j,
                    round(CAST(sum(CAST(round(a.xc * b.xc, 8)
                                   AS DECIMAL(28,8))) AS DOUBLE), 8) AS c
@@ -5632,38 +5632,39 @@ ORACLES: dict[str, str] = {
         )"""
     + "".join(
         f""",
-        w{r} AS (
+        w{r} AS MATERIALIZED (
             SELECT i, round(CAST(sum(CAST(round(c * v, 8)
                            AS DECIMAL(18,8))) AS DOUBLE), 8) AS w
             FROM cov JOIN v{r-1} ON cov.j = v{r-1}.j GROUP BY i
         ),
-        n{r} AS (
+        n{r} AS MATERIALIZED (
             SELECT sqrt(CAST(sum(CAST(round(w * w, 8) AS DECIMAL(18,8)))
                         AS DOUBLE)) AS nrm
             FROM w{r}
         ),
-        v{r} AS (SELECT i AS j, round(w / nrm, 8) AS v FROM w{r}, n{r})"""
-        for r in range(1, 4)
+        v{r} AS MATERIALIZED (
+            SELECT i AS j, round(w / nrm, 8) AS v FROM w{r}, n{r})"""
+        for r in range(1, 9)
     )
     + """,
-        w4 AS (
+        w9 AS MATERIALIZED (
             SELECT i, round(CAST(sum(CAST(round(c * v, 8)
                            AS DECIMAL(18,8))) AS DOUBLE), 8) AS w
-            FROM cov JOIN v3 ON cov.j = v3.j GROUP BY i
+            FROM cov JOIN v8 ON cov.j = v8.j GROUP BY i
         ),
         lam AS (
-            SELECT round(CAST(sum(CAST(round(v3.v * w4.w, 8)
+            SELECT round(CAST(sum(CAST(round(v8.v * w9.w, 8)
                           AS DECIMAL(18,8))) AS DOUBLE), 8) AS eigenvalue
-            FROM v3 JOIN w4 ON v3.j = w4.i
+            FROM v8 JOIN w9 ON v8.j = w9.i
         ),
         tr AS (
             SELECT round(CAST(sum(CAST(c AS DECIMAL(18,8))) AS DOUBLE), 8)
                    AS trace
             FROM cov WHERE i = j
         )
-        SELECT v3.j AS dim, round(v3.v, 6) AS loading, eigenvalue,
+        SELECT v8.j AS dim, round(v8.v, 6) AS loading, eigenvalue,
                round(eigenvalue / trace, 6) AS var_share
-        FROM v3, lam, tr ORDER BY dim
+        FROM v8, lam, tr ORDER BY dim
     """,
     # r9: near-dup cluster over-merge audit — same pair set + CC as
     # dedup_clusters, aggregated per component

@@ -4916,20 +4916,23 @@ def embed_srp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by THREE
+    """Principal-direction audit of the embedding corpus by EIGHT
     unrolled power-iteration rounds over the exactly-aggregated
     covariance matrix — PCA without MLlib, as pure DataFrame algebra:
-    the 64×64 covariance is one (vec_id-joined) outer-product
-    aggregate with rounded-DECIMAL sums (partition-order-exact, the
-    repo's float convention, applied at every matvec/normalize step
-    so both engines walk the identical float path); each iteration is
-    a 4096×64 join. Output per dimension: the loading, the Rayleigh
-    eigenvalue estimate, and the explained-variance share vs
-    trace(C) — the "is one direction dominating my embedding space"
-    diagnostic (a near-1 share means collapsed embeddings). Fixed
-    deterministic start v₀ = 1/√64; three rounds are a fixed plan,
-    not a convergence loop — the audit's value is the deterministic
-    estimate, and the oracle replays the identical rounds."""
+    the 64×64 covariance is one map-side outer-product aggregate with
+    rounded-DECIMAL sums (partition-order-exact, the repo's float
+    convention, applied at every matvec/normalize step so both
+    engines walk the identical float path); each iteration is a
+    4096×64 join on ≤4096-row frames. Semantics are the HONEST ones
+    for a fixed unroll: the Rayleigh quotient is a LOWER BOUND on
+    λ_max that power iteration improves monotonically, so var_share
+    is a lower bound on the top-direction share — a LARGE value
+    proves the space has collapsed onto one direction (and collapse
+    ⇒ a big spectral gap ⇒ fast convergence, so collapse can't
+    hide), while a small value means no dominant direction. On this
+    deliberately near-isotropic corpus 8 rounds reach ~95 % of
+    λ_max (pinned against numpy's eigh in tests). Deterministic
+    generic start; the oracle replays the identical rounds."""
     register(spark, sf_dir, ("embeddings",))
     e_arr = spark.table("embeddings").select(
         "vec_id",
@@ -4965,22 +4968,22 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, m: F.round(x.cast("double") - m, 8),
         ).alias("xc"),
     )
-    outer = F.flatten(
-        F.transform(
-            F.col("xc"),
-            lambda x, i: F.transform(
-                F.col("xc"),
-                lambda y, j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    F.round(x * y, 8).cast("decimal(28,8)").alias("p"),
-                ),
-            ),
-        )
-    )
+    # the 64×64 outer product via TWO chained posexplodes of the same
+    # centered array — fully codegen'd Generate+Project (a nested
+    # transform-to-struct HOF computes the identical rows ~3× slower:
+    # higher-order lambdas evaluate interpreted per element, the
+    # minhash lesson); products are still born map-side inside the
+    # partial aggregate and never shuffle
     cov = (
-        centered.select(F.explode(outer).alias("o"))
-        .select("o.i", "o.j", "o.p")
+        centered.select("xc", F.posexplode("xc").alias("i", "x"))
+        .select("i", "x", F.posexplode("xc").alias("j", "y"))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("x") * F.col("y"), 8)
+            .cast("decimal(28,8)")
+            .alias("p"),
+        )
         .groupBy("i", "j")
         .agg(F.round(F.sum("p").cast("double"), 8).alias("c"))
         .persist()
@@ -5006,7 +5009,9 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("t").cast("double"), 8).alias("w"))
         )
 
-    for _ in range(3):
+    from pipelines_spark.plans.staging import stage as _cut
+
+    for r in range(8):
         w = matvec(v)
         nrm = w.select(
             F.round(F.col("w") * F.col("w"), 8).cast("decimal(18,8)").alias("s")
@@ -5015,6 +5020,15 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").alias("j"),
             F.round(F.col("w") / F.col("nrm"), 8).alias("v"),
         )
+        # lineage-cut every OTHER 64-row iterate: w is referenced
+        # twice per round (norm + normalize), so the raw tree doubles
+        # per round — 2^8 copies for Catalyst to re-analyze without
+        # cuts (the SCALE.md "cache ≠ lineage cut" lesson). Cutting
+        # alternate rounds bounds the tree at 4× per cut while
+        # halving the per-checkpoint job overhead that dominates on
+        # these tiny frames.
+        if r % 2 == 1:
+            v = _cut(v, eager=False)
     w4 = matvec(v)
     lam = (
         v.join(w4, F.col("j") == F.col("i"))

@@ -1866,3 +1866,90 @@ def test_linear_classifier_hof_equals_explode_formulation(spark, sf_medium):
     )
     exp = {r["doc_id"]: r["s"] for r in exploded.collect()}
     assert hof == exp
+
+
+def test_pca_power_iteration_invariants_vs_numpy(spark, sf_medium):
+    """Independent-implementation pin for embed_pca_power_iteration
+    (both engines share the unrolled formula, so oracle parity alone
+    cannot catch a formula bug): against numpy's eigendecomposition
+    of the same centered covariance, the Rayleigh estimate must be a
+    positive LOWER bound on λ_max (the documented semantics of a
+    fixed 8-round unroll), var_share must lower-bound the true top
+    share, and the returned loading must be unit-norm."""
+    import numpy as np
+
+    from pipelines_spark.queries import QUERIES, register
+
+    rows = QUERIES["embed_pca_power_iteration"](spark, sf_medium).collect()
+    v = np.array(
+        [r["loading"] for r in sorted(rows, key=lambda r: r["dim"])]
+    )
+    ray, share = rows[0]["eigenvalue"], rows[0]["var_share"]
+    register(spark, sf_medium, ("embeddings",))
+    X = np.array(
+        [r["embedding"] for r in spark.table("embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc
+    w = np.linalg.eigvalsh(C)
+    lmax, trace = float(w[-1]), float(np.trace(C))
+    assert 0 < ray <= lmax * (1 + 1e-6)
+    assert 0 < share <= lmax / trace * (1 + 1e-6)
+    assert ray / lmax > 0.9  # 8 rounds reach ~95% even on this flat spectrum
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4
+
+
+def test_mmr_select_matches_pure_python_greedy(spark, sf_medium):
+    """Independent-implementation pin for embed_mmr_select: replay
+    the greedy 0.7·rel − 0.3·max-sim selection in pure Python over
+    the same rounded cosine inputs and require the identical 5 picks
+    in the identical order."""
+    from pipelines_spark.queries import QUERIES, register
+
+    out = [
+        (r["rank"], r["vec_id"], r["relevance"], r["redundancy"], r["mmr_score"])
+        for r in QUERIES["embed_mmr_select"](spark, sf_medium).collect()
+    ]
+    register(spark, sf_medium, ("embeddings",))
+    embs = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.table("embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return round(dot / (na**0.5 * nb**0.5), 4)
+
+    q = embs[0]
+    scored = sorted(
+        ((cos(embs[i], q), i) for i in embs if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    cand = {i: rel for rel, i in scored}
+    picks = []
+    first = min(cand, key=lambda i: (-cand[i], i))
+    picks.append((1, first, cand[first], 0.0, round(0.7 * cand[first], 6)))
+    selected = {first}
+    for rank in range(2, 6):
+        best = None
+        for i in cand:
+            if i in selected:
+                continue
+            red = max(cos(embs[i], embs[j]) for j in selected)
+            score = round(0.7 * cand[i] - 0.3 * red, 6)
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, red, score)
+        _, i, red, score = best
+        picks.append((rank, i, cand[i], red, score))
+        selected.add(i)
+    assert out == picks

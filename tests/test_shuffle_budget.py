@@ -346,12 +346,12 @@ BUDGETS = {
     # visible plan = label joins + sizes/edges/per-component aggs +
     # sort; the CC rounds sit behind their localCheckpoint lineage cut
     "dedup_cluster_audit": 9,
-    # means pack + map-side outer-product agg + 4 matvec aggs + 3 norm
-    # aggs + eigenvalue/trace aggs + sort — every post-cov frame is
-    # <= 4096 rows, so the exchange count is high but each moves
-    # ~nothing; the 20M product rows never shuffle (born in the
-    # partial aggregate)
-    "embed_pca_power_iteration": 30,
+    # means pack + map-side outer-product agg + matvec/norm aggs up
+    # to the last lineage cut + eigenvalue/trace aggs + sort — every
+    # post-cov frame is <= 4096 rows; the 20M product rows never
+    # shuffle (born in the partial aggregate), and the alternate-
+    # round localCheckpoints hide the earlier iterations
+    "embed_pca_power_iteration": 12,
     "text_keyword_rake": 2,  # word-stats agg + phrase agg (occ broadcast)
     "text_burstiness": 3,  # (doc,term) agg + term agg + sort
     "a52_ab_experiment_health": 3,  # per-user agg + 1-row wide agg + sort

@@ -1,0 +1,152 @@
+"""Streaming distribution-drift monitor: windowed PSI against a
+batch reference.
+
+The batch operator (operators/drift.py::psi_drift) answers "did this
+week drift from last month" after the fact; production feeds want the
+same answer PER EVENT-TIME WINDOW while the stream runs — the input
+histogram skewing upstream is typically the first visible symptom of
+a broken producer (ref: the reference pipelines' capture checks watch
+volume and schema; this watches the VALUES).
+
+Two-stage shape, because Structured Streaming allows one aggregation
+per query:
+
+1. ``windowed_bin_counts`` — the STREAMING stage: reference-derived
+   equal-width binning as a pure map-side expression (no stream-side
+   join, nothing broadcast per batch), then ONE watermarked tumbling-
+   window count per (window, bin). Append mode: a window's histogram
+   is emitted exactly once, when the watermark closes it.
+2. ``psi_per_window`` — the BATCH finalization over the emitted
+   counts (run it on the sink table after each trigger, or on the
+   whole sink at audit time): per closed window, PSI vs the
+   reference shares with the same ``min_frac`` clamp and
+   rounded-DECIMAL term discipline as the batch operator.
+
+The reference enters as TWO scalars (vmin/vmax) plus a ``bins``-row
+share table — state independent of both corpus and stream volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reference_histogram(
+    ref: DataFrame, value_col: str, *, bins: int = 10
+) -> tuple[float, float, DataFrame]:
+    """(vmin, vmax, shares) from the reference frame: equal-width
+    breakpoints over the reference [min, max] (the standard PSI
+    protocol — the reference defines "expected"; live values outside
+    clamp into the edge bins) and the reference share per bin on the
+    full bin spine (empty bins present with share 0.0).
+
+    The two boundary scalars are a bounded 1-row collect (the
+    watermark-lookup pattern); the share table has ``bins`` rows.
+    """
+    row = ref.agg(
+        F.min(F.col(value_col)).alias("vmin"),
+        F.max(F.col(value_col)).alias("vmax"),
+    ).collect()[0]
+    vmin, vmax = float(row["vmin"]), float(row["vmax"])
+    b = _bin_expr(F.col(value_col), vmin, vmax, bins)
+    counts = ref.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    total = ref.count()
+    spine = ref.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    shares = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        (F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(total))).alias(
+            "base_share"
+        ),
+    )
+    return vmin, vmax, shares
+
+
+def _bin_expr(v, vmin: float, vmax: float, bins: int):
+    span = vmax - vmin
+    if span == 0:
+        return F.lit(0)
+    raw = F.floor((v - F.lit(vmin)) * bins / F.lit(span))
+    return (
+        F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw)).cast("int")
+    )
+
+
+def windowed_bin_counts(
+    stream: DataFrame,
+    *,
+    value_col: str,
+    ts_col: str,
+    vmin: float,
+    vmax: float,
+    bins: int = 10,
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The streaming stage: map-side bin assignment + ONE watermarked
+    tumbling-window count per (window, bin). Append-mode safe — each
+    window's histogram emits exactly once at watermark closure.
+    Output: (window_start, window_end, bin, n)."""
+    b = _bin_expr(F.col(value_col), vmin, vmax, bins)
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"), b.alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bin",
+            "n",
+        )
+    )
+
+
+def psi_per_window(
+    counts: DataFrame,
+    shares: DataFrame,
+    *,
+    min_frac: float = 1e-4,
+    alert_threshold: float = 0.2,
+) -> DataFrame:
+    """Batch finalization: PSI per emitted window vs the reference
+    shares, on the full bin spine (a bin the window never saw still
+    contributes via the ``min_frac`` clamp — same discipline as
+    operators/drift.py::psi_drift), rounded-DECIMAL terms. Output:
+    (window_start, n_events, psi, drift_alert) — the conventional
+    0.2 "significant shift" threshold, overridable."""
+    spine = counts.select("window_start").distinct().crossJoin(
+        F.broadcast(shares)
+    )
+    totals = counts.groupBy("window_start").agg(
+        F.sum("n").alias("n_events")
+    )
+    joined = (
+        spine.join(counts.select("window_start", "bin", "n"),
+                   ["window_start", "bin"], "left")
+        .join(totals, "window_start")
+    )
+    p = F.greatest(F.col("base_share"), F.lit(min_frac))
+    q = F.greatest(
+        F.coalesce(F.col("n"), F.lit(0)) / F.col("n_events").cast("double"),
+        F.lit(min_frac),
+    )
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        joined.select("window_start", "n_events", term.alias("t"))
+        .groupBy("window_start")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("t").cast("double"), 4).alias("psi"),
+        )
+        .select(
+            "window_start",
+            "n_events",
+            "psi",
+            (F.col("psi") >= alert_threshold).alias("drift_alert"),
+        )
+        .orderBy("window_start")
+    )

@@ -428,3 +428,78 @@ def test_dedup_within_watermark_retransmits_and_horizon(spark, tmp_path):
     for r in spark.read.parquet(out).collect():
         counts[r["k"]] = counts.get(r["k"], 0) + 1
     assert counts == {"A": 2, "B": 1, "C": 1}
+
+
+def test_streaming_windowed_psi_drift_monitor(spark, tmp_path):
+    """Windowed PSI against a batch reference: a stream window drawn
+    from the reference distribution scores near 0; a window collapsed
+    onto one bin trips the 0.2 alert. Append mode — each window's
+    histogram emits exactly once at watermark closure."""
+    import datetime as dt
+
+    from pipelines_spark.streaming.drift_stream import (
+        psi_per_window,
+        reference_histogram,
+        windowed_bin_counts,
+    )
+
+    # reference: uniform over [0, 10)
+    ref = spark.createDataFrame(
+        [(float(i % 100) / 10,) for i in range(1000)], "value double"
+    )
+    vmin, vmax, shares = reference_histogram(ref, "value", bins=10)
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # window 1: matches the reference (uniform)
+    for i in range(200):
+        rows.append((base + dt.timedelta(seconds=i), float(i % 100) / 10))
+    # window 2: collapsed onto one bin (producer bug)
+    for i in range(200):
+        rows.append((base + dt.timedelta(hours=1, seconds=i), 0.05))
+    # sentinel far ahead so the watermark closes both windows in the
+    # second availableNow pass
+    rows.append((base + dt.timedelta(hours=6), 5.0))
+
+    src = tmp_path / "drift_in"
+    src.mkdir()
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(
+        str(src)
+    )
+    out = str(tmp_path / "drift_out")
+    counts = windowed_bin_counts(
+        stream,
+        value_col="value",
+        ts_col="ts",
+        vmin=vmin,
+        vmax=vmax,
+        bins=10,
+        window="1 hour",
+        watermark_delay="1 minute",
+    )
+    for _ in range(2):  # second pass flushes watermark-closed windows
+        q = (
+            counts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    psi = {
+        r["window_start"]: (r["psi"], r["drift_alert"], r["n_events"])
+        for r in psi_per_window(emitted, shares).collect()
+    }
+    w1, w2 = base.replace(minute=0), base.replace(minute=0) + dt.timedelta(
+        hours=1
+    )
+    assert psi[w1][2] == 200 and psi[w2][2] == 200
+    assert psi[w1][0] < 0.05 and psi[w1][1] is False
+    assert psi[w2][0] > 1.0 and psi[w2][1] is True

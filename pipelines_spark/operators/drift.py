@@ -39,11 +39,17 @@ def psi_drift(
     Breakpoints are ``bins`` equal-width intervals over the REFERENCE
     period's per-group [min, max] (the standard protocol — the
     reference defines the expected distribution; current-period
-    values outside it clamp into the edge bins). Returns
+    values outside it clamp into the edge bins). NULL values are
+    dropped on BOTH sides before binning — greatest/least would
+    otherwise silently park them in the top bin as spurious drift;
+    use the streaming monitor's dedicated null bin (or a plain null
+    count check) when NULL emission itself is the signal. Returns
     ``(*group_cols, n_ref, n_cur, psi)``.
     """
     gcols = [F.col(c) for c in group_cols]
     v = F.col(value_col)
+    ref = ref.filter(v.isNotNull())
+    cur = cur.filter(v.isNotNull())
     bounds = ref.groupBy(*gcols).agg(
         F.min(v).alias("_vmin"), F.max(v).alias("_vmax")
     )

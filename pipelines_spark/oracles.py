@@ -497,14 +497,14 @@ clf_gated AS MATERIALIZED (
 gated AS MATERIALIZED (
     SELECT doc_id, text, source, quality, n_tokens, {_LANG_PICK} AS detected_lang
     FROM scored
-    WHERE quality >= {_CURCFG["min_quality"]} AND n_tokens >= {_CURCFG["min_tokens"]}
+    WHERE quality >= {cfg["min_quality"]} AND n_tokens >= {cfg["min_tokens"]}
 ){clf_cte},
 capped AS MATERIALIZED (
     SELECT doc_id, text, source, quality, n_tokens, detected_lang FROM (
         SELECT *, row_number() OVER (
             PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
         FROM {cap_src}
-    ) WHERE rk <= {_CURCFG["max_per_source"]}
+    ) WHERE rk <= {cfg["max_per_source"]}
 ),
 canon AS (SELECT min(doc_id) AS doc_id FROM capped GROUP BY text),
 kept AS MATERIALIZED (SELECT c.* FROM capped c JOIN canon USING (doc_id))"""
@@ -524,7 +524,7 @@ cjacc AS (
     SELECT id_a, id_b FROM cpairs
     JOIN csizes sa ON id_a = sa.doc_id
     JOIN csizes sb ON id_b = sb.doc_id
-    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {_CURCFG["near_dup_threshold"]}
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {cfg["near_dup_threshold"]}
 ),
 cedges AS (
     SELECT id_a AS a, id_b AS b FROM cjacc
@@ -562,6 +562,33 @@ from pipelines_spark.llm.curation import (  # noqa: E402
 )
 
 _CURATION_SCORED_CTE = _curation_cascade(_CURCFG_SCORED)
+
+
+def _curation_pipeline_sql(cte: str, cfg: dict) -> str:
+    """The shared split + shard-packing tail over a cascade's
+    ``curated`` CTE. Shard parameters come from the SAME ``cfg`` the
+    cascade was built from — a config that changes shard_buckets /
+    shard_tokens desynchronizes nothing."""
+    return f"""
+        WITH RECURSIVE {cte},
+        assigned AS (
+            SELECT *,
+                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   {_md5_bucket("doc_id", cfg["shard_buckets"])} AS bucket
+            FROM curated
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens, component_id, split,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY bucket
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {float(cfg["shard_tokens"])}) AS BIGINT) AS shard_no
+        FROM assigned ORDER BY doc_id
+    """
 
 
 ORACLES: dict[str, str] = {
@@ -989,26 +1016,7 @@ ORACLES: dict[str, str] = {
     # The composed curate_corpus chain: gates → source cap → exact
     # dedup → LSH near-dup canonical → split + shard packing, every
     # stage replayed on the previous stage's survivors.
-    "curation_pipeline": f"""
-        WITH RECURSIVE {_CURATION_CTE},
-        assigned AS (
-            SELECT *,
-                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
-                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
-                        ELSE 'test' END AS split,
-                   {_md5_bucket("doc_id", _CURCFG["shard_buckets"])} AS bucket
-            FROM curated
-        )
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
-               CAST(n_tokens AS BIGINT) AS n_tokens, component_id, split,
-               CAST(bucket AS BIGINT) AS bucket,
-               CAST(floor(COALESCE(sum(n_tokens) OVER (
-                   PARTITION BY bucket
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) / {float(_CURCFG["shard_tokens"])}) AS BIGINT) AS shard_no
-        FROM assigned ORDER BY doc_id
-    """,
+    "curation_pipeline": _curation_pipeline_sql(_CURATION_CTE, _CURCFG),
     "curation_funnel_stats": f"""
         WITH RECURSIVE {_CURATION_CTE}
         SELECT stage, n_docs FROM (
@@ -1054,26 +1062,7 @@ ORACLES: dict[str, str] = {
         WHERE d.doc_id >= 250 ORDER BY doc_id
     """,
     # the FULL-gate cascade: + CCNet LM-entropy gate + span-dedup gate
-    "curation_pipeline_full": f"""
-        WITH RECURSIVE {_CURATION_FULL_CTE},
-        assigned AS (
-            SELECT *,
-                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
-                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
-                        ELSE 'test' END AS split,
-                   {_md5_bucket("doc_id", _CURCFG["shard_buckets"])} AS bucket
-            FROM curated
-        )
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
-               CAST(n_tokens AS BIGINT) AS n_tokens, component_id, split,
-               CAST(bucket AS BIGINT) AS bucket,
-               CAST(floor(COALESCE(sum(n_tokens) OVER (
-                   PARTITION BY bucket
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) / {float(_CURCFG["shard_tokens"])}) AS BIGINT) AS shard_no
-        FROM assigned ORDER BY doc_id
-    """,
+    "curation_pipeline_full": _curation_pipeline_sql(_CURATION_FULL_CTE, _CURCFG_FULL),
     "curation_funnel_full": f"""
         WITH RECURSIVE {_CURATION_FULL_CTE}
         SELECT stage, n_docs FROM (
@@ -1087,26 +1076,7 @@ ORACLES: dict[str, str] = {
         ) ORDER BY stage
     """,
     # The scored cascade: full gates + the stage-1b classifier gate
-    "curation_pipeline_scored": f"""
-        WITH RECURSIVE {_CURATION_SCORED_CTE},
-        assigned AS (
-            SELECT *,
-                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
-                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
-                        ELSE 'test' END AS split,
-                   {_md5_bucket("doc_id", _CURCFG["shard_buckets"])} AS bucket
-            FROM curated
-        )
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
-               CAST(n_tokens AS BIGINT) AS n_tokens, component_id, split,
-               CAST(bucket AS BIGINT) AS bucket,
-               CAST(floor(COALESCE(sum(n_tokens) OVER (
-                   PARTITION BY bucket
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) / {float(_CURCFG["shard_tokens"])}) AS BIGINT) AS shard_no
-        FROM assigned ORDER BY doc_id
-    """,
+    "curation_pipeline_scored": _curation_pipeline_sql(_CURATION_SCORED_CTE, _CURCFG_SCORED),
     "curation_funnel_scored": f"""
         WITH RECURSIVE {_CURATION_SCORED_CTE}
         SELECT stage, n_docs FROM (
@@ -5379,14 +5349,19 @@ ORACLES: dict[str, str] = {
         SELECT event_type, CAST(n_up AS BIGINT) AS n_up,
                CAST(n_down AS BIGINT) AS n_down,
                CAST(runs AS BIGINT) AS runs,
-               round((runs - (1.0 + 2.0 * n_up * n_down
+               -- degenerate-sequence guard mirrored from the Spark
+               -- query: all-up/all-down or < 2 signed days -> NULL
+               CASE WHEN n_up = 0 OR n_down = 0 OR n_up + n_down < 2
+                    THEN NULL
+                    ELSE round((runs - (1.0 + 2.0 * n_up * n_down
                               / CAST(n_up + n_down AS DOUBLE)))
                      / sqrt(2.0 * n_up * n_down
                             * (2.0 * n_up * n_down - CAST(n_up + n_down AS DOUBLE))
                             / (CAST(n_up + n_down AS DOUBLE)
                                * CAST(n_up + n_down AS DOUBLE)
                                * (CAST(n_up + n_down AS DOUBLE) - 1.0))),
-                     4) AS z_score
+                     4)
+               END AS z_score
         FROM r ORDER BY event_type
     """,
     # r9: pairwise JSD between source unigram distributions on the
@@ -5428,9 +5403,13 @@ ORACLES: dict[str, str] = {
                    sum(n_chars * n_chars) AS sxx
             FROM documents GROUP BY source
         ), sig AS (
+            -- singleton-stratum guard mirrored from the Spark query:
+            -- one observation has sigma 0, never a 0/0 NULL
             SELECT source, n_h,
-                   round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
-                              / CAST(n_h * (n_h - 1) AS DOUBLE)), 8) AS sigma
+                   CASE WHEN n_h <= 1 THEN 0.0
+                        ELSE round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
+                                   / CAST(n_h * (n_h - 1) AS DOUBLE)), 8)
+                   END AS sigma
             FROM stats
         ), wgt AS (
             SELECT source, n_h, sigma,

@@ -5317,18 +5317,27 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_h",
-            F.round(
-                F.sqrt(
-                    (
-                        F.col("n_h") * F.col("sxx")
-                        - F.col("sx") * F.col("sx")
-                    ).cast("double")
-                    / (
-                        F.col("n_h") * (F.col("n_h") - 1)
-                    ).cast("double")
-                ),
-                8,
-            ).alias("sigma"),
+            # singleton-stratum guard: a source with one document has
+            # sigma 0 (one observation has no spread), not the
+            # NULL/NaN a 0/0 division would poison the whole budget
+            # with (the weight, share, and allocation rows downstream
+            # all inherit it and the budget stops summing to 1000)
+            F.when(F.col("n_h") <= 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.sqrt(
+                        (
+                            F.col("n_h") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        ).cast("double")
+                        / (
+                            F.col("n_h") * (F.col("n_h") - 1)
+                        ).cast("double")
+                    ),
+                    8,
+                )
+            )
+            .alias("sigma"),
         )
         .withColumn(
             "wgt",
@@ -7135,12 +7144,20 @@ def a51_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_p = (F.lit(2.0) * F.col("n_up") * F.col("n_down")).cast("double")
     mu = F.lit(1.0) + two_p / n
     sigma = F.sqrt(two_p * (two_p - n) / (n * n * (n - F.lit(1.0))))
+    # degenerate-sequence guard: an all-up or all-down type (n_up or
+    # n_down = 0 makes sigma 0) or one with < 2 signed days has no
+    # defined statistic — emit NULL explicitly instead of the
+    # NaN/divide-by-zero both engines would otherwise share
+    z = F.when(
+        (F.col("n_up") == 0) | (F.col("n_down") == 0) | (n < 2),
+        F.lit(None).cast("double"),
+    ).otherwise(F.round((F.col("runs") - mu) / sigma, 4))
     return runs.select(
         "event_type",
         "n_up",
         "n_down",
         "runs",
-        F.round((F.col("runs") - mu) / sigma, 4).alias("z_score"),
+        z.alias("z_score"),
     ).orderBy("event_type")
 
 
@@ -7192,66 +7209,11 @@ def w15_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 9 head = the 47 r9 additions (never
-    # checked; 23 session-2 entries lead, then the 24 earlier ones),
-    # then er_part_name_clusters (red r8 row — never green), then the
-    # 2 oldest r3-checked (q14, q15) filling the window to 50. The
-    # r3-checked tail that no longer fits (q16 … embed_ivf_pq) plus
-    # the r5/r6 cohort lead the r10 rotation; the registry stops
-    # growing this round so the window isn't overrun.
-    # --- round-9 additions (never driver-checked) land here ---
-    "text_readability_scores": text_readability_scores,
-    "text_ngram_novelty": text_ngram_novelty,
-    "text_quality_linear": text_quality_linear,
-    "text_dsir_weights": text_dsir_weights,
-    "sample_epoch_schedule": sample_epoch_schedule,
-    "graph_adamic_adar": graph_adamic_adar,
-    "embed_mmr_select": embed_mmr_select,
-    "a49_id_gap_audit": a49_id_gap_audit,
-    "a50_table_checksums": a50_table_checksums,
-    "text_mattr_diversity": text_mattr_diversity,
-    "a51_runs_test": a51_runs_test,
-    "w15_rolling_corr": w15_rolling_corr,
-    "curation_pipeline_scored": curation_pipeline_scored,
-    "curation_funnel_scored": curation_funnel_scored,
-    "embed_srp_recall_audit": embed_srp_recall_audit,
-    "dedup_cluster_audit": dedup_cluster_audit,
-    "embed_pca_power_iteration": embed_pca_power_iteration,
-    "text_keyword_rake": text_keyword_rake,
-    "text_burstiness": text_burstiness,
-    "a52_ab_experiment_health": a52_ab_experiment_health,
-    "text_js_divergence_sources": text_js_divergence_sources,
-    "sample_neyman_allocation": sample_neyman_allocation,
-    "a53_seasonality_strength": a53_seasonality_strength,
-    "t4_session_window": t4_session_window,
-    "text_zipf_fit": text_zipf_fit,
-    "sample_rendezvous_shards": sample_rendezvous_shards,
-    "a42_ks_drift": a42_ks_drift,
-    "a43_cramers_v": a43_cramers_v,
-    "embed_bitext_margin": embed_bitext_margin,
-    "embed_bitext_margin_bucketed": embed_bitext_margin_bucketed,
-    "sample_sequence_packing": sample_sequence_packing,
-    "trend_mann_kendall": trend_mann_kendall,
-    "sample_quota_allocation": sample_quota_allocation,
-    "text_source_overlap": text_source_overlap,
-    "text_decontamination_fuzzy": text_decontamination_fuzzy,
-    "sample_temperature_mixture": sample_temperature_mixture,
-    "a44_acf_daily": a44_acf_daily,
-    "embed_label_cohesion": embed_label_cohesion,
-    "a45_fk_integrity": a45_fk_integrity,
-    "text_fightin_words": text_fightin_words,
-    "j20_hashed_key_join": j20_hashed_key_join,
-    "w14_rolling_median": w14_rolling_median,
-    "graph_assortativity": graph_assortativity,
-    "a47_winsorized_stats": a47_winsorized_stats,
-    "a48_column_entropy": a48_column_entropy,
-    "q23_revenue_deciles": q23_revenue_deciles,
-    "graph_kcore": graph_kcore,
-    # --- red r8 row (array column fixed this round; never green) ---
-    "er_part_name_clusters": er_part_name_clusters,
+    # outrank everything. Round 10 head = the 28 stalest rows (25 last
+    # checked r3, a36 r4, a19/embed_ivf_pq r5) + the oldest 22 of the
+    # r6 cohort, filling the window to exactly 50. Everything checked
+    # green in r9 (the r9 additions + er + q14/q15) moves to the back.
     # --- last driver-checked r3 (oldest first) ---
-    "q14_promo_revenue": q14_promo_revenue,
-    "q15_top_supplier": q15_top_supplier,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -7277,10 +7239,12 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "text_top_terms": text_top_terms,
     "w7_rank_gauntlet": w7_rank_gauntlet,
+    # --- last driver-checked r4 ---
     "a36_kmv_by_type": a36_kmv_by_type,
+    # --- last driver-checked r5 ---
     "a19_stale_feeds": a19_stale_feeds,
     "embed_ivf_pq": embed_ivf_pq,
-    # --- last driver-checked r5/r6 ---
+    # --- last driver-checked r6 ---
     "a18_heavy_hitter_users": a18_heavy_hitter_users,
     "a20_cohort_retention": a20_cohort_retention,
     "a21_kmv_distinct": a21_kmv_distinct,
@@ -7303,6 +7267,7 @@ QUERIES = {
     "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_semantic": dedup_semantic,
     "embed_pq_adc": embed_pq_adc,
+    # ================= end of the r10 head-50 window =================
     "embed_srp_multiprobe": embed_srp_multiprobe,
     "graph_hierarchy_rollup": graph_hierarchy_rollup,
     "graph_khop_reach": graph_khop_reach,
@@ -7331,7 +7296,7 @@ QUERIES = {
     "w13_ses_forecast": w13_ses_forecast,
     "w8_resample_interpolate": w8_resample_interpolate,
     "w9_activity_islands": w9_activity_islands,
-    # --- driver-checked r7 (the freshest cohort; back of the line) ---
+    # --- driver-checked r7 ---
     "a11_colwise_max": a11_colwise_max,
     "a12_rollup_revenue": a12_rollup_revenue,
     "a1_relation_check": a1_relation_check,
@@ -7382,7 +7347,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "w6_sessionize": w6_sessionize,
-    # --- driver-checked r8 (the freshest cohort; back of the line) ---
+    # --- driver-checked r8 ---
     "funnel_windowed_conversion": funnel_windowed_conversion,
     "trend_by_event_type": trend_by_event_type,
     "profile_documents": profile_documents,
@@ -7432,4 +7397,55 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q11_important_suppliers": q11_important_suppliers,
     "q13_order_count_distribution": q13_order_count_distribution,
+    # --- driver-checked r9 (the freshest cohort; back of the line) ---
+    "text_readability_scores": text_readability_scores,
+    "text_ngram_novelty": text_ngram_novelty,
+    "text_quality_linear": text_quality_linear,
+    "text_dsir_weights": text_dsir_weights,
+    "sample_epoch_schedule": sample_epoch_schedule,
+    "graph_adamic_adar": graph_adamic_adar,
+    "embed_mmr_select": embed_mmr_select,
+    "a49_id_gap_audit": a49_id_gap_audit,
+    "a50_table_checksums": a50_table_checksums,
+    "text_mattr_diversity": text_mattr_diversity,
+    "a51_runs_test": a51_runs_test,
+    "w15_rolling_corr": w15_rolling_corr,
+    "curation_pipeline_scored": curation_pipeline_scored,
+    "curation_funnel_scored": curation_funnel_scored,
+    "embed_srp_recall_audit": embed_srp_recall_audit,
+    "dedup_cluster_audit": dedup_cluster_audit,
+    "embed_pca_power_iteration": embed_pca_power_iteration,
+    "text_keyword_rake": text_keyword_rake,
+    "text_burstiness": text_burstiness,
+    "a52_ab_experiment_health": a52_ab_experiment_health,
+    "text_js_divergence_sources": text_js_divergence_sources,
+    "sample_neyman_allocation": sample_neyman_allocation,
+    "a53_seasonality_strength": a53_seasonality_strength,
+    "t4_session_window": t4_session_window,
+    "text_zipf_fit": text_zipf_fit,
+    "sample_rendezvous_shards": sample_rendezvous_shards,
+    "a42_ks_drift": a42_ks_drift,
+    "a43_cramers_v": a43_cramers_v,
+    "embed_bitext_margin": embed_bitext_margin,
+    "embed_bitext_margin_bucketed": embed_bitext_margin_bucketed,
+    "sample_sequence_packing": sample_sequence_packing,
+    "trend_mann_kendall": trend_mann_kendall,
+    "sample_quota_allocation": sample_quota_allocation,
+    "text_source_overlap": text_source_overlap,
+    "text_decontamination_fuzzy": text_decontamination_fuzzy,
+    "sample_temperature_mixture": sample_temperature_mixture,
+    "a44_acf_daily": a44_acf_daily,
+    "embed_label_cohesion": embed_label_cohesion,
+    "a45_fk_integrity": a45_fk_integrity,
+    "text_fightin_words": text_fightin_words,
+    "j20_hashed_key_join": j20_hashed_key_join,
+    "w14_rolling_median": w14_rolling_median,
+    "graph_assortativity": graph_assortativity,
+    "a47_winsorized_stats": a47_winsorized_stats,
+    "a48_column_entropy": a48_column_entropy,
+    "q23_revenue_deciles": q23_revenue_deciles,
+    "graph_kcore": graph_kcore,
+    "er_part_name_clusters": er_part_name_clusters,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
 }

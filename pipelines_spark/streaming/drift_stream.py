@@ -24,11 +24,20 @@ per query:
 
 The reference enters as TWO scalars (vmin/vmax) plus a ``bins``-row
 share table — state independent of both corpus and stream volume.
+
+NULL discipline: NULL values are not "values" for PSI purposes, but a
+producer that starts emitting NULLs is exactly the failure this
+monitor exists to catch — so the streaming stage routes NULLs to a
+dedicated ``bin = -1`` row (visible in the histogram sink), and the
+finalization reports them as ``n_null`` per window while excluding
+them from the PSI terms and the share denominator. The reference
+side simply drops NULLs (min/max already skip them; counting them
+would silently deflate every base share).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,7 +52,14 @@ def reference_histogram(
 
     The two boundary scalars are a bounded 1-row collect (the
     watermark-lookup pattern); the share table has ``bins`` rows.
+    NULL reference values are dropped (see module NULL discipline).
+
+    Reference scan budget: TWO scans — one min/max aggregate (the
+    breakpoints must exist before binning can), one (bin, count)
+    aggregate. The total is derived from the bin counts with a
+    ``bins``-row window sum, never a third ``ref.count()`` scan.
     """
+    ref = ref.filter(F.col(value_col).isNotNull())
     row = ref.agg(
         F.min(F.col(value_col)).alias("vmin"),
         F.max(F.col(value_col)).alias("vmax"),
@@ -51,15 +67,18 @@ def reference_histogram(
     vmin, vmax = float(row["vmin"]), float(row["vmax"])
     b = _bin_expr(F.col(value_col), vmin, vmax, bins)
     counts = ref.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
-    total = ref.count()
     spine = ref.sparkSession.range(bins).select(
         F.col("id").cast("int").alias("bin")
     )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     shares = spine.join(F.broadcast(counts), "bin", "left").select(
         "bin",
-        (F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(total))).alias(
-            "base_share"
-        ),
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            / F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w_all).cast("double")
+        ).alias("base_share"),
     )
     return vmin, vmax, shares
 
@@ -88,8 +107,13 @@ def windowed_bin_counts(
     """The streaming stage: map-side bin assignment + ONE watermarked
     tumbling-window count per (window, bin). Append-mode safe — each
     window's histogram emits exactly once at watermark closure.
-    Output: (window_start, window_end, bin, n)."""
-    b = _bin_expr(F.col(value_col), vmin, vmax, bins)
+    NULL values land in the dedicated ``bin = -1`` row (a producer
+    emitting NULLs is a first-class drift signal, not a silent
+    top-bin artifact). Output: (window_start, window_end, bin, n)."""
+    v = F.col(value_col)
+    b = F.when(v.isNull(), F.lit(-1)).otherwise(
+        _bin_expr(v, vmin, vmax, bins)
+    )
     return (
         stream.withWatermark(ts_col, watermark_delay)
         .groupBy(
@@ -115,14 +139,21 @@ def psi_per_window(
     """Batch finalization: PSI per emitted window vs the reference
     shares, on the full bin spine (a bin the window never saw still
     contributes via the ``min_frac`` clamp — same discipline as
-    operators/drift.py::psi_drift), rounded-DECIMAL terms. Output:
-    (window_start, n_events, psi, drift_alert) — the conventional
-    0.2 "significant shift" threshold, overridable."""
+    operators/drift.py::psi_drift), rounded-DECIMAL terms. The
+    dedicated NULL bin (-1) is excluded from the PSI terms and the
+    share denominator but surfaced as ``n_null``. Output:
+    (window_start, n_events, n_null, psi, drift_alert) — the
+    conventional 0.2 "significant shift" threshold, overridable."""
     spine = counts.select("window_start").distinct().crossJoin(
         F.broadcast(shares)
     )
     totals = counts.groupBy("window_start").agg(
-        F.sum("n").alias("n_events")
+        F.coalesce(
+            F.sum(F.when(F.col("bin") >= 0, F.col("n"))), F.lit(0)
+        ).alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("bin") < 0, F.col("n"))), F.lit(0)
+        ).alias("n_null"),
     )
     joined = (
         spine.join(counts.select("window_start", "bin", "n"),
@@ -136,15 +167,17 @@ def psi_per_window(
     )
     term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
     return (
-        joined.select("window_start", "n_events", term.alias("t"))
+        joined.select("window_start", "n_events", "n_null", term.alias("t"))
         .groupBy("window_start")
         .agg(
             F.max("n_events").cast("long").alias("n_events"),
+            F.max("n_null").cast("long").alias("n_null"),
             F.round(F.sum("t").cast("double"), 4).alias("psi"),
         )
         .select(
             "window_start",
             "n_events",
+            "n_null",
             "psi",
             (F.col("psi") >= alert_threshold).alias("drift_alert"),
         )

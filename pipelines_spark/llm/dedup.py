@@ -477,6 +477,7 @@ def incremental_dedup_batch(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    persist_staging: bool = True,
 ) -> DataFrame:
     """Near-dup decisions for ONE new ingestion batch against an
     existing corpus — the production shape corpus-wide dedup can't
@@ -519,14 +520,24 @@ def incremental_dedup_batch(
     # within-batch self-join AND the store probe — without staging the
     # 32-hash signature pipeline recomputes three times (measured 31.7 s
     # → 3.3 s warm at sf0.1 on the registered query)
-    batch_fps = minhash_fingerprints(
-        batch,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_words=shingle_words,
-        num_hashes=num_hashes,
-        bands=bands,
-    ).persist()
+    from pipelines_spark.plans.staging import stage as _stage
+
+    def _maybe_stage(df: DataFrame) -> DataFrame:
+        # persist_staging=False exposes the full lineage for plan
+        # pins (tests) at the cost of recomputation — production
+        # callers keep the default
+        return _stage(df, eager=False) if persist_staging else df
+
+    batch_fps = _maybe_stage(
+        minhash_fingerprints(
+            batch,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_words=shingle_words,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+    )
     # candidate pairs: batch → store (equi-join on the band key) ∪
     # batch → smaller-id batch doc (within-batch self-join)
     new_side = batch_fps.withColumnsRenamed({id_col: "_new_id"})
@@ -575,11 +586,16 @@ def incremental_dedup_batch(
             batch.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
         )
     )
-    # persisted: the shingle sets feed both sides of the verification
-    # join (same staging discipline as minhash_near_dup_pairs)
-    sets = all_docs.select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("_sh")
-    ).persist()
+    # staged (lazy localCheckpoint): the shingle sets feed both sides
+    # of the verification join; unlike persist(), the blocks free with
+    # the frame — a long-lived ingestion loop calling this per batch
+    # must not accrete CacheManager entries (release_staging stays a
+    # harmless no-op on it)
+    sets = _maybe_stage(
+        all_docs.select(
+            F.col(id_col), word_shingles(text_col, shingle_words).alias("_sh")
+        )
+    )
     verified = (
         cands.join(
             sets.withColumnsRenamed({id_col: "_new_id", "_sh": "_sn"}), "_new_id"

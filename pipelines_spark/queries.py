@@ -1616,9 +1616,13 @@ def text_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.table("documents")
-    # tokenize ONCE: the same persisted posting table feeds frequency
-    # counting and per-doc scoring
-    sh = doc_shingles(docs).persist()
+    # tokenize ONCE: the same staged posting table feeds frequency
+    # counting and per-doc scoring (lazy localCheckpoint, not
+    # persist(): blocks free with the frame instead of lingering in
+    # the CacheManager for the session's lifetime)
+    from pipelines_spark.plans.staging import stage as _cut
+
+    sh = _cut(doc_shingles(docs), eager=False)
     bp = boilerplate_shingles(docs, max_doc_frac=0.01, shingles=sh)
     ratios = boilerplate_ratio(docs, bp, shingles=sh)
     return (
@@ -4974,6 +4978,8 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order lambdas evaluate interpreted per element, the
     # minhash lesson); products are still born map-side inside the
     # partial aggregate and never shuffle
+    from pipelines_spark.plans.staging import stage as _cut_pca
+
     cov = (
         centered.select("xc", F.posexplode("xc").alias("i", "x"))
         .select("i", "x", F.posexplode("xc").alias("j", "y"))
@@ -4986,8 +4992,12 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i", "j")
         .agg(F.round(F.sum("p").cast("double"), 8).alias("c"))
-        .persist()
     )
+    # staged, not persist(): the 4096-row covariance is the loop
+    # invariant of 8 matvec rounds — lazy localCheckpoint both caches
+    # it and cuts its lineage out of every round's plan, and the
+    # blocks free with the frame (no CacheManager residue)
+    cov = _cut_pca(cov, eager=False)
     # v0 must not be a SHORT decimal: 0.125 × an 8-decimal c lands on
     # exact round-8 ties (digits 9-11 ∈ {125,250,…,500…}) where the
     # two engines' tie-breaking can split; a generic 8-decimal start
@@ -5896,10 +5906,14 @@ def text_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    corpus_sh = (
+    from pipelines_spark.plans.staging import stage as _cut_fz
+
+    # staged (lazy localCheckpoint), not persist(): blocks free with
+    # the frame instead of lingering in the CacheManager
+    corpus_sh = _cut_fz(
         docs.filter(F.col("doc_id") >= 10)
-        .select("doc_id", F.explode(word_shingles("text", 4)).alias("sh"))
-        .persist()
+        .select("doc_id", F.explode(word_shingles("text", 4)).alias("sh")),
+        eager=False,
     )
     probe_sh = (
         docs.filter(F.col("doc_id") < 10)
@@ -6872,8 +6886,12 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(20)
-        .persist()
     )
+    # both loop invariants staged (lazy localCheckpoint), not
+    # persist(): cached for the k argmax rounds, freed with the frame
+    from pipelines_spark.plans.staging import stage as _cut_mmr
+
+    cand = _cut_mmr(cand, eager=False)
     sims = (
         cand.select("vec_id", "embedding")
         .crossJoin(
@@ -6892,8 +6910,8 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine_similarity(F.col("embedding"), F.col("b_emb")), 4
             ).alias("sim"),
         )
-        .persist()
     )
+    sims = _cut_mmr(sims, eager=False)
     picks = (
         cand.orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(1)

@@ -77,10 +77,23 @@ def run_capture_stream(
             )
             if log_path:
                 spark = batch_df.sparkSession
-                log = spark.createDataFrame(
-                    [(batch_id, True, None)], "batch_id long, sucesso boolean, erro string"
-                ).withColumn("timestamp_captura", F.current_timestamp())
-                log.coalesce(1).write.mode("append").parquet(log_path)
+                # K10 shape (sinks/logs.py::LOG_SCHEMA + batch_id),
+                # partitioned by data — the drift monitor appends its
+                # per-window verdicts into the SAME table
+                log = (
+                    spark.createDataFrame(
+                        [(batch_id, True, None)],
+                        "batch_id long, sucesso boolean, erro string",
+                    )
+                    .withColumn("timestamp_captura", F.current_timestamp())
+                    .withColumn(
+                        "data",
+                        F.date_format("timestamp_captura", "yyyy-MM-dd"),
+                    )
+                )
+                log.coalesce(1).write.mode("append").partitionBy(
+                    "data"
+                ).parquet(log_path)
         finally:
             batch_df.unpersist()
 
@@ -117,3 +130,77 @@ def dedup_within_watermark(
     return source.withWatermark(event_ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def run_capture_with_drift_monitor(
+    source: DataFrame,
+    *,
+    keys: list[str],
+    event_ts_col: str,
+    value_col: str,
+    raw_path: str,
+    staging_path: str,
+    checkpoint_path: str,
+    log_path: str,
+    histogram_path: str,
+    monitor_checkpoint_path: str,
+    reference: DataFrame,
+    bins: int = 10,
+    monitor_window: str = "1 hour",
+    watermark_delay: str = "2 minutes",
+    alert_threshold: float = 0.2,
+    max_null_frac: float | None = None,
+    trigger: dict | None = None,
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """The composed capture flow: the dual-sink capture stream PLUS a
+    windowed values-drift monitor over the same source, both logging
+    into the SAME capture-log table (K10) — batch successes from the
+    capture side, per-window PSI verdicts from the monitor side
+    (reference shape: capture checks + run logs,
+    pipelines/rj_smtr/utils.py:939-1006,1139-1206).
+
+    Structured Streaming allows one aggregation per query, so the
+    monitor is a SECOND query over the source, not a stage inside the
+    capture ``foreachBatch`` — each keeps its own checkpoint, and a
+    file/Kafka source replays identically into both. The reference
+    distribution is derived ONCE from the batch ``reference`` frame
+    (two bounded scans); per micro-batch the monitor is map-side
+    binning + one windowed count.
+    """
+    from pipelines_spark.streaming.drift_stream import (
+        reference_histogram,
+        run_drift_monitor_stream,
+    )
+
+    vmin, vmax, shares = reference_histogram(
+        reference, value_col, bins=bins
+    )
+    capture_q = run_capture_stream(
+        source,
+        keys=keys,
+        event_ts_col=event_ts_col,
+        raw_path=raw_path,
+        staging_path=staging_path,
+        checkpoint_path=checkpoint_path,
+        log_path=log_path,
+        watermark_delay=watermark_delay,
+        trigger=trigger,
+    )
+    monitor_q = run_drift_monitor_stream(
+        source,
+        value_col=value_col,
+        ts_col=event_ts_col,
+        vmin=vmin,
+        vmax=vmax,
+        shares=shares,
+        histogram_path=histogram_path,
+        checkpoint_path=monitor_checkpoint_path,
+        log_path=log_path,
+        bins=bins,
+        window=monitor_window,
+        watermark_delay=watermark_delay,
+        alert_threshold=alert_threshold,
+        max_null_frac=max_null_frac,
+        trigger=trigger,
+    )
+    return capture_q, monitor_q

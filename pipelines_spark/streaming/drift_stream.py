@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
 
 
 def reference_histogram(
@@ -183,3 +184,117 @@ def psi_per_window(
         )
         .orderBy("window_start")
     )
+
+
+def run_drift_monitor_stream(
+    stream: DataFrame,
+    *,
+    value_col: str,
+    ts_col: str,
+    vmin: float,
+    vmax: float,
+    shares: DataFrame,
+    histogram_path: str,
+    checkpoint_path: str,
+    log_path: str,
+    bins: int = 10,
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    alert_threshold: float = 0.2,
+    min_frac: float = 1e-4,
+    max_null_frac: float | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The composed monitor: windowed histograms into a sink table +
+    one capture-log row (K10 shape: ``timestamp_captura, sucesso,
+    erro, data`` — sinks/logs.py::LOG_SCHEMA) per CLOSED window, so
+    values-drift alerts land in the SAME log table the recapture
+    spine and check harness already watch (reference shape: the
+    capture checks + ``upload_run_logs_to_bq``,
+    pipelines/rj_smtr/utils.py:939-1006,1139-1206 — those watch
+    volume/schema; this watches the VALUES).
+
+    Exactly-once per window: ``windowed_bin_counts`` runs in append
+    mode, so a window's histogram rows arrive in exactly one
+    micro-batch (at watermark closure) and the PSI finalization +
+    log append run batch-locally under the streaming checkpoint.
+    A replayed batch re-appends — same contract as the capture flow's
+    idempotent re-upload (T6), reconciled downstream.
+
+    Alert policy: ``psi >= alert_threshold`` fails the window
+    (``sucesso = false``, ``erro = "[values_drift]…"``); an all-NULL
+    window always fails; with ``max_null_frac`` set, a window whose
+    NULL share exceeds it fails with ``[null_values]`` even when the
+    non-null distribution is clean.
+    """
+    counts = windowed_bin_counts(
+        stream,
+        value_col=value_col,
+        ts_col=ts_col,
+        vmin=vmin,
+        vmax=vmax,
+        bins=bins,
+        window=window,
+        watermark_delay=watermark_delay,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if not batch_df.take(1):
+                return
+            batch_df.write.mode("append").parquet(histogram_path)
+            scored = psi_per_window(
+                batch_df,
+                shares,
+                min_frac=min_frac,
+                alert_threshold=alert_threshold,
+            )
+            null_frac = F.col("n_null") / (
+                F.col("n_events") + F.col("n_null")
+            ).cast("double")
+            drift = F.coalesce(F.col("drift_alert"), F.lit(True))
+            null_breach = (
+                null_frac > F.lit(max_null_frac)
+                if max_null_frac is not None
+                else F.lit(False)
+            )
+            erro = F.when(
+                drift,
+                F.concat(
+                    F.lit("[values_drift]psi="),
+                    F.coalesce(F.col("psi").cast("string"), F.lit("null")),
+                    F.lit(" n_null="),
+                    F.col("n_null").cast("string"),
+                ),
+            ).when(
+                null_breach,
+                F.concat(
+                    F.lit("[null_values]null_frac="),
+                    F.round(null_frac, 4).cast("string"),
+                ),
+            )
+            log = scored.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                (~(drift | null_breach)).alias("sucesso"),
+                erro.alias("erro"),
+                F.col("window_start").alias("timestamp_captura"),
+            ).withColumn(
+                "data", F.date_format("timestamp_captura", "yyyy-MM-dd")
+            )
+            log.coalesce(1).write.mode("append").partitionBy("data").parquet(
+                log_path
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

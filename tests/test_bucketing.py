@@ -141,15 +141,28 @@ def test_incremental_dedup_verification_is_candidate_bounded(spark, sf_small):
     store_docs = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
     fps = minhash_fingerprints(store_docs, id_col="doc_id", text_col="text")
-    out = incremental_dedup_batch(batch, fps, store_docs)
+    # persist_staging=False: the default path stages batch_fps/sets
+    # via lazy localCheckpoint (r10 persist-hygiene), which compiles
+    # the structure under pin into an opaque LogicalRDD — the unstaged
+    # variant builds the IDENTICAL plan tree minus the stage wrappers,
+    # so the pin inspects the real structure (correctness of the
+    # staged default is covered by the parity tests + the
+    # CacheManager-hygiene sweep in test_lifecycle.py)
+    out = incremental_dedup_batch(batch, fps, store_docs, persist_staging=False)
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     lines = [ln for ln in opt.splitlines() if ln.strip()]
     # the verification shingle-set projection aliases the CASE-WHEN
-    # shingles expression as `_sh` ("END AS _sh#N"); the minhash
-    # pipeline's internal per-shingle explode also binds `_sh#` but
-    # never via that alias, so this matches only the text-side legs
+    # shingles expression as `_sh`; without the stage boundary Catalyst
+    # collapses the `_sn`/`_sp` renames into that Project, so the
+    # optimized plan shows "END AS _sn#"/"END AS _sp#" (one per union
+    # leg per join side); the minhash pipeline's internal per-shingle
+    # explode never binds these aliases, so this matches only the
+    # text-side legs
     shingle_projs = [
-        i for i, ln in enumerate(lines) if "Project" in ln and "END AS _sh#" in ln
+        i
+        for i, ln in enumerate(lines)
+        if "Project" in ln
+        and ("END AS _sh#" in ln or "END AS _sn#" in ln or "END AS _sp#" in ln)
     ]
     assert len(shingle_projs) >= 2, opt  # one per union leg, at least
     for i in shingle_projs:

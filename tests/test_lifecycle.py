@@ -433,3 +433,35 @@ def test_dedup_operators_release_staging_caches(spark, sf_medium):
         assert released >= 1
         assert n_persisted() == base
         assert release_staging(out) == 0  # idempotent
+
+
+def test_query_local_staging_leaves_no_cachemanager_entries(spark):
+    """Persist-hygiene sweep for the query-local staging sites: the
+    five formerly-persist() frames (boilerplate shingles, PCA
+    covariance, fuzzy-decontamination corpus shingles, both MMR loop
+    invariants) and incremental dedup's batch_fps/sets now stage via
+    lazy localCheckpoint — blocks free with the frame via the
+    ContextCleaner instead of accreting CacheManager entries for the
+    session's lifetime. A reintroduced bare ``.persist()`` in any of
+    these queries fails here: the SQL CacheManager must be exactly as
+    empty after the action as before it.
+
+    (Operators that persist THROUGH ``_attach_staging`` keep the
+    explicit ``release_staging`` lifecycle — that's a caller-owned
+    cache, not a leak, and out of scope here.)
+    """
+    from pipelines_spark.queries import QUERIES
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    for name in (
+        "text_boilerplate_stats",
+        "embed_pca_power_iteration",
+        "text_decontamination_fuzzy",
+        "embed_mmr_select",
+        "dedup_incremental_batch",
+    ):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0
+        assert cm.isEmpty(), f"{name} left a CacheManager entry behind"

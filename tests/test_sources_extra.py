@@ -1009,3 +1009,52 @@ def test_hdf5_min_chunked_vlen_and_object_references():
     assert ds["z_var"].attrs["DIMENSION_LIST"] == [["a_time"], ["b_lat"]]
     assert ds["z_var"].attrs["COORDINATES"] == ["a_time", "b_lat"]
     assert ds["z_var"].data[3, 2] == 11.0
+
+
+def test_hdf5_fragmented_fractal_heap_gates_cleanly(spark, tmp_path):
+    """The PERMANENT ruling on the one remaining HDF5 env-gate
+    (fragmented fractal heaps — see COVERAGE.md): a heap whose link
+    records are not packed front-to-back (a hole left by manual link
+    deletion, which no write-once netCDF-4/libhdf5 producer emits)
+    must (1) raise the reader's explicit NotImplementedError — never
+    misparse past the hole — and (2) surface read_netcdf_long's
+    env-gated xarray-fallback message, the documented deployment
+    seam. The fixture is a REAL writer-built dense-group file with a
+    one-byte hole punched where the first packed link record starts,
+    exactly the byte pattern a deleted link leaves."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pipelines_spark.sources.extra import read_netcdf_long
+    from pipelines_spark.sources.hdf5_min import build_hdf5, parse_hdf5
+
+    small = {f"var{i:02d}": {"data": np.arange(10, dtype="<f4") + i} for i in range(4)}
+    raw = bytearray(build_hdf5(small, dense_links=True))
+    # the healthy fixture parses
+    assert sorted(parse_hdf5(bytes(raw))) == sorted(small)
+
+    # punch the hole: first packed link record of the (unfiltered)
+    # direct block — db_hdr = sig(4) + version(1) + heap addr(8) +
+    # block offset(off_size) [+4 checksum iff FRHP flags bit 1]
+    fh = raw.find(b"FRHP")
+    assert fh != -1
+    flags = raw[fh + 9]
+    (max_heap_bits,) = struct.unpack_from("<H", raw, fh + 128)
+    off_size = (max_heap_bits + 7) // 8
+    db = raw.find(b"FHDB")
+    assert db != -1
+    rec0 = db + 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
+    assert raw[rec0] == 1  # a packed link record lives here
+    raw[rec0] = 0  # deleted-link hole
+
+    with _pytest.raises(NotImplementedError, match="fragmented fractal heap"):
+        parse_hdf5(bytes(raw))
+
+    # the composed reader falls through to the xarray env-gate (the
+    # sandbox has no xarray) with the documented deployment message
+    p = tmp_path / "fragmented.nc"
+    p.write_bytes(bytes(raw))
+    with _pytest.raises(NotImplementedError, match="xarray"):
+        read_netcdf_long(spark, str(p), ["var00"])

@@ -503,3 +503,103 @@ def test_streaming_windowed_psi_drift_monitor(spark, tmp_path):
     assert psi[w1][2] == 200 and psi[w2][2] == 200
     assert psi[w1][0] < 0.05 and psi[w1][1] is False
     assert psi[w2][0] > 1.0 and psi[w2][1] is True
+
+
+def test_capture_flow_with_drift_monitor_logs_alerts_once(spark, tmp_path):
+    """The composed flow (capture + windowed PSI monitor over the
+    same source, one shared K10 log table): a clean window logs
+    sucesso=true, a collapsed-distribution window logs a
+    [values_drift] alert, a NULL-heavy window logs [null_values] —
+    each CLOSED window exactly once across re-runs (checkpoint), next
+    to the capture side's per-batch success rows."""
+    import datetime as dt
+
+    from pipelines_spark.streaming.capture import (
+        run_capture_with_drift_monitor,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "mon_src"
+    src.mkdir()
+    paths = dict(
+        raw_path=str(tmp_path / "mon_raw"),
+        staging_path=str(tmp_path / "mon_staging"),
+        checkpoint_path=str(tmp_path / "mon_ckpt"),
+        log_path=str(tmp_path / "mon_logs"),
+        histogram_path=str(tmp_path / "mon_hist"),
+        monitor_checkpoint_path=str(tmp_path / "mon_ckpt2"),
+    )
+    # reference: uniform over [0, 10)
+    ref = spark.createDataFrame(
+        [(float(i % 100) / 10,) for i in range(1000)], "value double"
+    )
+
+    def emit(rows):
+        spark.createDataFrame(
+            rows, "ordem string, value double, datahora timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ordem string, value double, datahora timestamp"
+        ).parquet(str(src))
+        q1, q2 = run_capture_with_drift_monitor(
+            stream,
+            keys=["ordem"],
+            event_ts_col="datahora",
+            value_col="value",
+            reference=ref,
+            bins=10,
+            monitor_window="1 hour",
+            watermark_delay="1 minute",
+            max_null_frac=0.25,
+            **paths,
+        )
+        assert q1.awaitTermination(300)
+        assert q2.awaitTermination(300)
+
+    rows = []
+    # window 1 (12:00): matches the reference
+    for i in range(100):
+        rows.append((f"a{i}", float(i % 100) / 10, base + dt.timedelta(seconds=i)))
+    # window 2 (13:00): collapsed onto one bin (producer bug)
+    for i in range(100):
+        rows.append((f"b{i}", 0.05, base + dt.timedelta(hours=1, seconds=i)))
+    # window 3 (14:00): clean values but 40% NULLs
+    for i in range(100):
+        v = None if i % 5 < 2 else float(i % 100) / 10
+        rows.append((f"c{i}", v, base + dt.timedelta(hours=2, seconds=i)))
+    # sentinel far ahead so the watermark closes all three windows on
+    # the second pass
+    rows.append(("z", 5.0, base + dt.timedelta(hours=9)))
+    emit(rows)
+    run_once()
+    run_once()  # second pass flushes watermark-closed windows
+    run_once()  # third pass: no new data -> must not duplicate logs
+
+    # capture side landed the raw rows
+    assert spark.read.parquet(paths["raw_path"]).count() == 301
+
+    log = spark.read.parquet(paths["log_path"])
+    # monitor rows are the ones whose timestamp_captura is a window
+    # start (capture rows are stamped with wall-clock current_timestamp)
+    mon = {
+        r["timestamp_captura"]: (r["sucesso"], r["erro"])
+        for r in log.filter(F.col("timestamp_captura") < dt.datetime(2025, 1, 1)).collect()
+    }
+    w1, w2, w3 = base, base + dt.timedelta(hours=1), base + dt.timedelta(hours=2)
+    assert set(mon) == {w1, w2, w3}  # exactly once each, sentinel open
+    assert mon[w1] == (True, None)
+    assert mon[w2][0] is False and mon[w2][1].startswith("[values_drift]")
+    assert mon[w3][0] is False and mon[w3][1].startswith("[null_values]")
+
+    # the histogram sink carries the dedicated NULL bin for window 3
+    hist = spark.read.parquet(paths["histogram_path"])
+    null_rows = {
+        (r["window_start"], r["n"])
+        for r in hist.filter(F.col("bin") == -1).collect()
+    }
+    assert null_rows == {(w3, 40)}
+
+    # capture side logged its batches as successes alongside
+    assert log.filter(F.col("sucesso") & F.col("erro").isNull()).count() >= 3

@@ -83,14 +83,49 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     """Composite [0,1] quality heuristic: length band + stopword
     presence + word-shape sanity − punctuation noise. A deterministic
     stand-in for a trained quality classifier, with the same plan
-    shape (map-only scoring feeding a filter)."""
+    shape (map-only scoring feeding a filter).
+
+    Engine-exact arithmetic: every term is a rational of integer
+    counts, so the 4-dp score is computed as round-half-up of the
+    EXACT rational (×10⁴, integer numerator over W·C) instead of
+    ``round(double, 4)`` — the double form ties at *.5e-4 boundaries
+    where Spark (BigDecimal HALF_UP on the exact binary) and DuckDB
+    (scaled multiply) disagree; first observed on one sf0.1 document
+    (docs/PARITY_SF01.md). Non-tie scores are bit-identical to the
+    old form: the IEEE sum error (~1e-16) cannot cross a boundary
+    gap, which is at least 1/(2·W·C) ≈ 1e-8 when not exactly zero.
+    The final floor divides two exact-integer doubles well inside
+    2^53, where the quotient is correctly rounded and cannot cross an
+    integer boundary for the same reason."""
     t = F.col(text) if isinstance(text, str) else text
-    length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0)) * 0.3
-    stop_term = F.least(stopword_ratio(t, lang) * 3, F.lit(1.0)) * 0.3
-    wl = mean_word_length(t)
-    shape_term = F.when((wl >= 3) & (wl <= 8), F.lit(1.0)).otherwise(F.lit(0.3)) * 0.2
-    punct_term = (F.lit(1.0) - F.least(punct_ratio(t) * 5, F.lit(1.0))) * 0.2
-    return F.round(length_term + stop_term + shape_term + punct_term, 4)
+    toks = tokens(t)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    w_cnt = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    s_cnt = F.size(
+        F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))
+    ).cast("long")
+    tw = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+        "long"
+    )
+    ln = F.length(t).cast("long")
+    c_cnt = F.greatest(ln, F.lit(1))
+    p_cnt = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("long")
+    # ×10⁴ terms: 0.3·min(L/500,1) → 6·min(L,500); shape → 2000/600;
+    # punct baseline 2000 − min(10000P, 2000C)/C; stop min(9000S,3000W)/W
+    shape4 = F.when(
+        (tw >= 3 * w_cnt) & (tw <= 8 * w_cnt), F.lit(2000)
+    ).otherwise(F.lit(600))
+    a_num = F.least(F.lit(9000) * s_cnt, F.lit(3000) * w_cnt)
+    b_num = F.least(F.lit(10000) * p_cnt, F.lit(2000) * c_cnt)
+    n_num = (
+        (F.lit(6) * F.least(ln, F.lit(500)) + shape4 + F.lit(2000))
+        * w_cnt
+        * c_cnt
+        + a_num * c_cnt
+        - b_num * w_cnt
+    )
+    d_den = w_cnt * c_cnt
+    return F.floor((2 * n_num + d_den) / (2 * d_den)) / F.lit(10000.0)
 
 
 def linear_classifier_score(

@@ -234,16 +234,36 @@ _LANG_PICK = (
     + " END"
 )
 
+# engine-exact quality score (mirrors llm/text.py::quality_score):
+# round-half-up of the exact rational ×10⁴ via integer arithmetic —
+# the round(double, 4) form ties at *.5e-4 boundaries where the two
+# engines' rounding disagrees (first seen at sf0.1)
+_Q_W = "CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT)"
+_Q_S = (
+    "CAST(len(list_filter(string_split(text, ' '), w -> list_contains(["
+    + ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    + "], lower(w)))) AS BIGINT)"
+)
+_Q_TW = (
+    "CAST(coalesce(list_sum(list_transform(string_split(text, ' '),"
+    " w -> length(w))), 0) AS BIGINT)"
+)
+_Q_L = "CAST(length(text) AS BIGINT)"
+_Q_C = f"greatest({_Q_L}, 1)"
+_Q_P = (
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)"
+)
+_Q_NUM = (
+    f"((6 * least({_Q_L}, 500)"
+    f" + (CASE WHEN {_Q_TW} BETWEEN 3 * {_Q_W} AND 8 * {_Q_W}"
+    f"    THEN 2000 ELSE 600 END)"
+    f" + 2000) * {_Q_W} * {_Q_C}"
+    f" + least(9000 * {_Q_S}, 3000 * {_Q_W}) * {_Q_C}"
+    f" - least(10000 * {_Q_P}, 2000 * {_Q_C}) * {_Q_W})"
+)
+_Q_DEN = f"({_Q_W} * {_Q_C})"
 _QUALITY_EXPR = (
-    "round("
-    "least(length(text) / 500.0, 1.0) * 0.3 + "
-    f"least(({_stopword_ratio(_STOPWORDS['en'])}) * 3, 1.0) * 0.3 + "
-    "(CASE WHEN (CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)"
-    " / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)) BETWEEN 3 AND 8"
-    " THEN 1.0 ELSE 0.3 END) * 0.2 + "
-    "(1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
-    " / CAST(greatest(length(text), 1) AS DOUBLE)) * 5, 1.0)) * 0.2"
-    ", 4)"
+    f"(((2 * {_Q_NUM} + {_Q_DEN}) // (2 * {_Q_DEN})) / 10000.0)"
 )
 
 _MWL = (
@@ -3139,8 +3159,12 @@ ORACLES: dict[str, str] = {
         SELECT k.source, t.n_total,
                count(*) AS n_kept,
                t.n_total - count(*) AS n_dropped,
-               round(CAST(sum(CAST(k.quality AS DECIMAL(14,4))) AS DOUBLE)
-                     / count(*), 4) AS avg_kept_quality,
+               -- engine-exact 4-dp mean (integer half-up), mirrored
+               -- from the Spark query: the round(double) form ties at
+               -- *.5e-4 boundaries (first seen at sf0.1)
+               floor((2 * CAST(sum(CAST(k.quality AS DECIMAL(14,4)))
+                               * 10000 AS BIGINT) + count(*))
+                     / (2 * count(*))) / 10000.0 AS avg_kept_quality,
                min(k.quality) AS quality_cutoff
         FROM kept k JOIN tot t USING (source)
         GROUP BY k.source, t.n_total

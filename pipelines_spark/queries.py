@@ -4436,10 +4436,26 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(
-                F.sum(F.col("quality").cast("decimal(14,4)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            # engine-exact 4-dp mean: quality is a 4-decimal value, so
+            # the mean is the exact rational S4/n in 1e-4 units,
+            # rounded half-up via integer floor((2*S4+n)/(2*n)) — the
+            # double-division-then-round formulation ties at *.5e-4
+            # boundaries where Spark (BigDecimal HALF_UP on the exact
+            # binary) and DuckDB (scaled multiply) disagree; first
+            # observed at sf0.1 (docs/PARITY_SF01.md)
+            (
+                F.floor(
+                    (
+                        F.lit(2)
+                        * (
+                            F.sum(F.col("quality").cast("decimal(14,4)"))
+                            * 10000
+                        ).cast("long")
+                        + F.count(F.lit(1))
+                    )
+                    / (F.lit(2) * F.count(F.lit(1)))
+                )
+                / F.lit(10000.0)
             ).alias("avg_kept_quality"),
             F.min("quality").alias("quality_cutoff"),
         )

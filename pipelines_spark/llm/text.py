@@ -304,8 +304,20 @@ def ngram_cross_entropy(
         .select(
             id_col,
             "n_bigrams",
-            F.round(
-                -F.col("_slp").cast("double") / F.col("n_bigrams"), 4
+            # engine-exact 4-dp mean: the summed logp is a 4-decimal
+            # DECIMAL, so -S/n is an exact rational that can land ON a
+            # *.5e-4 boundary (sf0.1 doc 370: 58.5066/12 = 4.87555),
+            # where round(double) splits across engines — round
+            # half-up via integer floor((2·S4+n)/(2n)) instead
+            (
+                F.floor(
+                    (
+                        F.lit(2) * (-F.col("_slp") * 10000).cast("long")
+                        + F.col("n_bigrams")
+                    )
+                    / (F.lit(2) * F.col("n_bigrams"))
+                )
+                / F.lit(10000.0)
             ).alias("h_bits"),
         )
     )

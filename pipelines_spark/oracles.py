@@ -424,7 +424,11 @@ escored AS (
     CROSS JOIN evocab
 ),
 ehb AS (
-    SELECT doc_id, round(-CAST(sum(logp) AS DOUBLE) / count(*), 4) AS h_bits
+    -- engine-exact 4-dp mean (integer half-up) — same formula as the
+    -- standalone text_ngram_entropy oracle; -S/n ties at *.5e-4
+    SELECT doc_id,
+           floor((2 * CAST(-sum(logp) * 10000 AS BIGINT) + count(*))
+                 / (2 * count(*))) / 10000.0 AS h_bits
     FROM escored GROUP BY doc_id
 ),
 kept_e AS MATERIALIZED (
@@ -3575,7 +3579,10 @@ ORACLES: dict[str, str] = {
             CROSS JOIN vocab
         )
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(-CAST(sum(logp) AS DOUBLE) / count(*), 4) AS h_bits
+               -- engine-exact 4-dp mean (integer half-up), mirrored
+               -- from ngram_cross_entropy: -S/n ties at *.5e-4
+               floor((2 * CAST(-sum(logp) * 10000 AS BIGINT) + count(*))
+                     / (2 * count(*))) / 10000.0 AS h_bits
         FROM scored GROUP BY doc_id
     """,
     # 8-word duplicate windows (count > 1 corpus-wide) merged into

@@ -627,8 +627,14 @@ def incremental_dedup_batch(
     )
     # batch_fps is exposed so the ingestion loop can advance the store
     # without recomputing the 32-hash signature pipeline
-    # (streaming/dedup_stream.py reads it back via this attribute)
-    out = _attach_staging(out, (batch_fps, sets))
+    # (streaming/dedup_stream.py reads it back via this attribute).
+    # NOTHING is attached for release_staging: the staged frames are
+    # lazy localCheckpoints whose blocks free with the frame (GC +
+    # ContextCleaner); unpersisting a checkpointed frame would
+    # truncate it unrecoverably for any later action, which is a
+    # strictly worse contract than the persist-era "recompute after
+    # release". Callers' release_staging(out) is a harmless no-op.
+    out = _attach_staging(out, ())
     out._batch_fps = batch_fps
     return out
 

@@ -588,6 +588,31 @@ from pipelines_spark.llm.curation import (  # noqa: E402
 _CURATION_SCORED_CTE = _curation_cascade(_CURCFG_SCORED)
 
 
+def _exact_mean_sql(
+    sum_expr: str,
+    count_expr: str,
+    *,
+    sum_scale: int,
+    out_scale: int = 4,
+    den_factor: int = 1,
+) -> str:
+    """DuckDB twin of functions/exact.py::exact_mean /
+    exact_div_round: round-half-up of the exact rational mean in
+    integer arithmetic (DuckDB's // on BIGINT/HUGEINT is exact), so a
+    mean landing ON a *.5e-out boundary cannot split the engines
+    (docs/PARITY_SF01.md). ``sum_expr`` must be an exact DECIMAL or
+    integer sum carrying ``sum_scale`` decimals; ``den_factor`` folds
+    a non-power-of-ten unit divisor into the denominator (pre-reduce
+    large numerators at the call site)."""
+    s = f"CAST({sum_expr} * {10 ** sum_scale} AS HUGEINT)"
+    up = 10 ** max(out_scale - sum_scale, 0)
+    half = f"(CAST({count_expr} AS HUGEINT) * {10 ** max(sum_scale - out_scale, 0) * den_factor})"
+    q = f"((2 * abs({s}) * {up} + {half}) // (2 * {half}))"
+    return (
+        f"((CASE WHEN {s} < 0 THEN -{q} ELSE {q} END) / {float(10 ** out_scale)})"
+    )
+
+
 def _curation_pipeline_sql(cte: str, cfg: dict) -> str:
     """The shared split + shard-packing tail over a cascade's
     ``curated`` CTE. Shard parameters come from the SAME ``cfg`` the
@@ -622,9 +647,9 @@ ORACLES: dict[str, str] = {
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-               CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_qty,
-               CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
-               CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_disc,
+               ((CASE WHEN CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) ELSE ((2 * abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) END) / 10000.0)      AS avg_qty,
+               ((CASE WHEN CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) ELSE ((2 * abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) END) / 10000.0) AS avg_price,
+               ((CASE WHEN CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) ELSE ((2 * abs(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) END) / 10000.0)      AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -893,7 +918,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT nationkey,
                count(*) AS n_stations,
-               round(CAST(sum(CAST(dist_km AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_dist_km
+               ((CASE WHEN CAST(sum(CAST(dist_km AS DECIMAL(14,4))) * 10000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(dist_km AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CAST(dist_km AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS avg_dist_km
         FROM inside GROUP BY nationkey
     """,
     "j8b_best_overlap": """
@@ -1169,7 +1194,7 @@ ORACLES: dict[str, str] = {
     """,
     "text_quality_by_source": f"""
         SELECT source,
-               round(CAST(sum(CAST({_QUALITY_EXPR} AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
+               ((CASE WHEN CAST(sum(CAST({_QUALITY_EXPR} AS DECIMAL(14,4))) * 10000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST({_QUALITY_EXPR} AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CAST({_QUALITY_EXPR} AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS avg_quality,
                count(*) AS n_docs
         FROM documents GROUP BY source
     """,
@@ -1184,7 +1209,7 @@ ORACLES: dict[str, str] = {
         SELECT lang,
                CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
                CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
-               round(CAST(sum(CAST(mwl AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_word_len
+               ((CASE WHEN CAST(sum(CAST(mwl AS DECIMAL(18,8))) * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(mwl AS DECIMAL(18,8))) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) ELSE ((2 * abs(CAST(sum(CAST(mwl AS DECIMAL(18,8))) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) END) / 10000.0) AS avg_word_len
         FROM per_doc GROUP BY lang
     """,
     "text_fingerprints": """
@@ -1497,7 +1522,7 @@ ORACLES: dict[str, str] = {
             FROM ev
         )
         SELECT event_type,
-               round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2) AS avg_gap_s,
+               ((CASE WHEN CAST(sum(gap_us) * 1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(gap_us) * 1 AS HUGEINT)) * 100 + (CAST(count(*) AS HUGEINT) * 1000000)) // (2 * (CAST(count(*) AS HUGEINT) * 1000000))) ELSE ((2 * abs(CAST(sum(gap_us) * 1 AS HUGEINT)) * 100 + (CAST(count(*) AS HUGEINT) * 1000000)) // (2 * (CAST(count(*) AS HUGEINT) * 1000000))) END) / 100.0) AS avg_gap_s,
                CAST(max(gap_us) AS BIGINT)       AS max_gap_us,
                count(*)                          AS n_gaps
         FROM gaps WHERE gap_us IS NOT NULL
@@ -1573,7 +1598,7 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                count(*)               AS n_clicks,
                count(purchase_value)  AS n_matched,
-               round(CAST(sum(epoch_us(ts) - epoch_us(pts)) AS DOUBLE) / count(pts) / 1000000.0, 2) AS avg_staleness_s,
+               ((CASE WHEN CAST(sum(epoch_us(ts) - epoch_us(pts)) * 1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(epoch_us(ts) - epoch_us(pts)) * 1 AS HUGEINT)) * 100 + (CAST(count(pts) AS HUGEINT) * 1000000)) // (2 * (CAST(count(pts) AS HUGEINT) * 1000000))) ELSE ((2 * abs(CAST(sum(epoch_us(ts) - epoch_us(pts)) * 1 AS HUGEINT)) * 100 + (CAST(count(pts) AS HUGEINT) * 1000000)) // (2 * (CAST(count(pts) AS HUGEINT) * 1000000))) END) / 100.0) AS avg_staleness_s,
                CAST(round(sum(CAST(purchase_value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_purchase_value
         FROM j GROUP BY user_id
     """,
@@ -1664,7 +1689,7 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                count(*)               AS n_clicks,
                count(purchase_value)  AS n_converted,
-               round(CAST(sum(epoch_us(pts) - epoch_us(ts)) AS DOUBLE) / count(pts) / 1000000.0, 2) AS avg_time_to_purchase_s
+               ((CASE WHEN CAST(sum(epoch_us(pts) - epoch_us(ts)) * 1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(epoch_us(pts) - epoch_us(ts)) * 1 AS HUGEINT)) * 100 + (CAST(count(pts) AS HUGEINT) * 1000000)) // (2 * (CAST(count(pts) AS HUGEINT) * 1000000))) ELSE ((2 * abs(CAST(sum(epoch_us(pts) - epoch_us(ts)) * 1 AS HUGEINT)) * 100 + (CAST(count(pts) AS HUGEINT) * 1000000)) // (2 * (CAST(count(pts) AS HUGEINT) * 1000000))) END) / 100.0) AS avg_time_to_purchase_s
         FROM j GROUP BY user_id
     """,
     "embed_ivf_ann": f"""
@@ -1908,7 +1933,7 @@ ORACLES: dict[str, str] = {
         SELECT source,
                count(*) AS n_docs,
                CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
-               round(CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS mismatch_rate
+               ((CASE WHEN CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) * 1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CASE WHEN detected <> lang THEN 1 ELSE 0 END) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS mismatch_rate
         FROM det GROUP BY source
     """,
     # greedy first-fit packing by exclusive running token sum within
@@ -1962,7 +1987,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT d.source,
                count(*) AS n_docs,
-               round(CAST(sum(CAST(r AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_bp_ratio,
+               ((CASE WHEN CAST(sum(CAST(r AS DECIMAL(14,4))) * 10000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(r AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CAST(r AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS avg_bp_ratio,
                max(r) AS max_bp_ratio
         FROM ratios x JOIN documents d ON d.doc_id = x.doc_id
         GROUP BY d.source
@@ -3103,7 +3128,7 @@ ORACLES: dict[str, str] = {
             GROUP BY 1, 2
         ), tgt AS (
             SELECT event_type,
-                   CAST(round(CAST(sum(y) AS DOUBLE) / count(*), 6)
+                   CAST(((CASE WHEN CAST(sum(y) * 1000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(y) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(y) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 1000000.0)
                         AS DECIMAL(18,6)) AS target
             FROM daily GROUP BY 1
         ), pre AS (
@@ -4237,8 +4262,7 @@ ORACLES: dict[str, str] = {
             FROM s3 JOIN s1 ON s3.user_id = s1.user_id
         )
         SELECT count(*) AS n_converted,
-               CAST(round((CAST(sum(us) AS DOUBLE) / count(*)) / 3.6e9, 4)
-                    AS DOUBLE) AS avg_hours,
+               ((CASE WHEN CAST(sum(us) * 1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(us) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 3600000000)) // (2 * (CAST(count(*) AS HUGEINT) * 3600000000))) ELSE ((2 * abs(CAST(sum(us) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 3600000000)) // (2 * (CAST(count(*) AS HUGEINT) * 3600000000))) END) / 10000.0) AS avg_hours,
                CAST(round(quantile_cont(us, 0.5) / 3.6e9, 4)
                     AS DOUBLE) AS p50_hours,
                CAST(round(quantile_cont(us, 0.95) / 3.6e9, 4)
@@ -4805,7 +4829,7 @@ ORACLES: dict[str, str] = {
             FROM embeddings e JOIN cent_arr a USING (label)
         )
         SELECT label, count(*) AS n_vecs,
-               round(CAST(sum(cos) AS DOUBLE) / count(*), 4) AS cohesion
+               ((CASE WHEN CAST(sum(CAST(cos AS DECIMAL(14,4))) * 10000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(cos AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CAST(cos AS DECIMAL(14,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS cohesion
         FROM scored GROUP BY label ORDER BY label
     """,
     # r9: referential-integrity audit — NOT EXISTS replays the
@@ -4973,7 +4997,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_type, count(*) AS n,
                CAST(lo AS DOUBLE) AS p05, CAST(hi AS DOUBLE) AS p95,
-               round(CAST(sum(wv) / count(*) AS DOUBLE), 4) AS winsorized_mean
+               ((CASE WHEN CAST(sum(wv) * 100 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(wv) * 100 AS HUGEINT)) * 100 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(wv) * 100 AS HUGEINT)) * 100 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS winsorized_mean
         FROM clamped GROUP BY event_type, lo, hi ORDER BY event_type
     """,
     # r9: entropy/diversity profile — rounded-DECIMAL per-value terms
@@ -5071,9 +5095,8 @@ ORACLES: dict[str, str] = {
             FROM m
         )
         SELECT source, count(*) AS n_docs,
-               round(CAST(sum(fl) / count(*) AS DOUBLE), 4) AS mean_flesch,
-               round(CAST(sum(CASE WHEN fl >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 4) AS easy_share
+               ((CASE WHEN CAST(sum(fl) * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(fl) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) ELSE ((2 * abs(CAST(sum(fl) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) END) / 10000.0) AS mean_flesch,
+               ((CASE WHEN CAST(sum(CASE WHEN fl >= 50 THEN 1 ELSE 0 END) * 1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CASE WHEN fl >= 50 THEN 1 ELSE 0 END) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CASE WHEN fl >= 50 THEN 1 ELSE 0 END) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS easy_share
         FROM f GROUP BY source ORDER BY source
     """,
     # r9: first-occurrence 3-gram novelty — same shingle construction
@@ -5101,7 +5124,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT source, count(*) AS n_docs,
                CAST(sum(novel) AS BIGINT) AS novel_shingles,
-               round(CAST(sum(nov) / count(*) AS DOUBLE), 4) AS mean_novelty
+               ((CASE WHEN CAST(sum(nov) * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(nov) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) ELSE ((2 * abs(CAST(sum(nov) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) END) / 10000.0) AS mean_novelty
         FROM per_doc GROUP BY source ORDER BY source
     """,
     # r9: hashed-feature linear classifier gate — md5 bucket in
@@ -5125,9 +5148,8 @@ ORACLES: dict[str, str] = {
             FROM weighted GROUP BY doc_id, source
         )
         SELECT source, count(*) AS n_docs,
-               round(CAST(sum(score) / count(*) AS DOUBLE), 4) AS mean_score,
-               round(CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(*), 4) AS keep_rate
+               ((CASE WHEN CAST(sum(CAST(score AS DECIMAL(18,6))) * 1000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(score AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) ELSE ((2 * abs(CAST(sum(CAST(score AS DECIMAL(18,6))) * 1000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) END) / 10000.0) AS mean_score,
+               ((CASE WHEN CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1 AS HUGEINT)) * 10000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS keep_rate
         FROM per_doc GROUP BY source ORDER BY source
     """,
     # r9: DSIR importance weights — 256-bucket hashed-unigram models
@@ -5154,7 +5176,7 @@ ORACLES: dict[str, str] = {
             FROM counts, totals
         )
         SELECT doc_id, lang, source, count(*) AS n_tokens,
-               round(CAST(sum(lr) / count(*) AS DOUBLE), 6) AS dsir_logratio
+               ((CASE WHEN CAST(sum(lr) * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(lr) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) ELSE ((2 * abs(CAST(sum(lr) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 100)) // (2 * (CAST(count(*) AS HUGEINT) * 100))) END) / 1000000.0) AS dsir_logratio
         FROM toks JOIN model USING (bucket)
         GROUP BY doc_id, lang, source
         ORDER BY dsir_logratio DESC, doc_id ASC LIMIT 15
@@ -5348,7 +5370,7 @@ ORACLES: dict[str, str] = {
             FROM per_tok GROUP BY doc_id, source, k
         )
         SELECT source, count(*) AS n_docs,
-               round(CAST(sum(mattr) / count(*) AS DOUBLE), 4) AS mean_mattr
+               ((CASE WHEN CAST(sum(mattr) * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(mattr) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) ELSE ((2 * abs(CAST(sum(mattr) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 10000)) // (2 * (CAST(count(*) AS HUGEINT) * 10000))) END) / 10000.0) AS mean_mattr
         FROM per_doc GROUP BY source ORDER BY source
     """,
     # r9: Wald–Wolfowitz runs test — DECIMAL daily totals, integer
@@ -5477,7 +5499,7 @@ ORACLES: dict[str, str] = {
             FROM events GROUP BY event_type, CAST(ts AS DATE)
         ), seas AS (
             SELECT event_type, dow,
-                   round(CAST(sum(v) AS DOUBLE) / count(*), 8) AS s
+                   ((CASE WHEN CAST(sum(v) * 100 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(v) * 100 AS HUGEINT)) * 1000000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(v) * 100 AS HUGEINT)) * 1000000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 100000000.0) AS s
             FROM daily GROUP BY event_type, dow
         ), resid AS (
             SELECT d.event_type, CAST(d.v AS DOUBLE) AS x,
@@ -5625,7 +5647,7 @@ ORACLES: dict[str, str] = {
                         AS DECIMAL(18,8)) AS x
             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         ), means AS (
-            SELECT d, round(CAST(sum(x) AS DOUBLE) / count(*), 8) AS mu
+            SELECT d, ((CASE WHEN CAST(sum(x) * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(x) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(x) * 100000000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 100000000.0) AS mu
             FROM e GROUP BY d
         ), centered AS (
             SELECT vec_id, d, round(CAST(x AS DOUBLE) - mu, 8) AS xc
@@ -5701,8 +5723,7 @@ ORACLES: dict[str, str] = {
         ce AS (
             SELECT l.component_id, count(*) AS n_edges,
                    min(j.jaccard) AS min_edge_jaccard,
-                   round(CAST(sum(CAST(j.jaccard AS DECIMAL(8,4)))
-                              / count(*) AS DOUBLE), 4) AS mean_edge_jaccard
+                   ((CASE WHEN CAST(sum(CAST(j.jaccard AS DECIMAL(8,4))) * 10000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(j.jaccard AS DECIMAL(8,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(CAST(j.jaccard AS DECIMAL(8,4))) * 10000 AS HUGEINT)) * 1 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 10000.0) AS mean_edge_jaccard
             FROM jaccards j JOIN labels l ON j.id_a = l.doc_id
             GROUP BY l.component_id
         )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pipelines_spark.functions.datetime_ops import derive_partition_columns
+from pipelines_spark.functions.exact import exact_div_round, exact_mean
 from pipelines_spark.functions.json_ops import nest_payload
 from pipelines_spark.llm.dedup import (
     connected_components,
@@ -130,9 +131,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-               CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_qty,
-               CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
-               CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE)      AS avg_disc,
+               (CAST((CASE WHEN CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0)) < 0 THEN -((2 * abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))) * 1 + (CAST(count(*) AS DECIMAL(38,0)) * 100)) div (2 * (CAST(count(*) AS DECIMAL(38,0)) * 100))) ELSE ((2 * abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))) * 1 + (CAST(count(*) AS DECIMAL(38,0)) * 100)) div (2 * (CAST(count(*) AS DECIMAL(38,0)) * 100))) END) / 10000.0 AS DOUBLE))      AS avg_qty,
+               (CAST((CASE WHEN CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0)) < 0 THEN -((2 * abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))) * 1 + (CAST(count(*) AS DECIMAL(38,0)) * 100)) div (2 * (CAST(count(*) AS DECIMAL(38,0)) * 100))) ELSE ((2 * abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))) * 1 + (CAST(count(*) AS DECIMAL(38,0)) * 100)) div (2 * (CAST(count(*) AS DECIMAL(38,0)) * 100))) END) / 10000.0 AS DOUBLE)) AS avg_price,
+               (CAST((CASE WHEN CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0)) < 0 THEN -((2 * abs(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))) * 1 + (CAST(count(*) AS DECIMAL(38,0)) * 100)) div (2 * (CAST(count(*) AS DECIMAL(38,0)) * 100))) ELSE ((2 * abs(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))) * 1 + (CAST(count(*) AS DECIMAL(38,0)) * 100)) div (2 * (CAST(count(*) AS DECIMAL(38,0)) * 100))) END) / 10000.0 AS DOUBLE))      AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -627,10 +628,10 @@ def j8_geo_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_stations"),
-            F.round(
-                F.sum(F.col("dist_km").cast("decimal(14,4)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            exact_mean(
+                F.sum(F.col("dist_km").cast("decimal(14,4)")),
+                F.count(F.lit(1)),
+                sum_scale=4,
             ).alias("avg_dist_km"),
         )
     )
@@ -957,7 +958,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark, sf_dir, ("documents",))
     df = spark.table("documents").withColumn("q", quality_score("text"))
     return df.groupBy("source").agg(
-        F.round((F.sum(F.col("q").cast("decimal(14,4)")).cast("double") / F.count(F.lit(1))), 4).alias("avg_quality"),
+        exact_mean(F.sum(F.col("q").cast("decimal(14,4)")), F.count(F.lit(1)), sum_scale=4).alias("avg_quality"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -974,7 +975,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("lang").agg(
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("re_tokens").alias("total_re_tokens"),
-        F.round((F.sum(F.col("mwl").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1))), 4).alias("avg_word_len"),
+        exact_mean(F.sum(F.col("mwl").cast("decimal(18,8)")), F.count(F.lit(1)), sum_scale=8).alias("avg_word_len"),
     )
 
 
@@ -1172,7 +1173,9 @@ def w5_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_gap_us").isNotNull()
     )
     return gaps.groupBy("event_type").agg(
-        F.round(F.sum("_gap_us").cast("double") / F.count(F.lit(1)) / F.lit(1_000_000.0), 2).alias("avg_gap_s"),
+        exact_div_round(
+            F.sum("_gap_us"), F.count(F.lit(1)) * F.lit(1_000_000), out_scale=2
+        ).alias("avg_gap_s"),
         F.max(F.col("_gap_us")).alias("max_gap_us"),
         F.count(F.lit(1)).alias("n_gaps"),
     )
@@ -1273,11 +1276,10 @@ def j11_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("asof_purchase_value").alias("n_matched"),
-        F.round(
-            F.sum(_epoch_us("ts") - _epoch_us("asof_pts")).cast("double")
-            / F.count("asof_pts")
-            / F.lit(1_000_000.0),
-            2,
+        exact_div_round(
+            F.sum(_epoch_us("ts") - _epoch_us("asof_pts")),
+            F.count("asof_pts") * F.lit(1_000_000),
+            out_scale=2,
         ).alias("avg_staleness_s"),
         F.round(
             F.sum(F.col("asof_purchase_value").cast("decimal(18,6)")), 2
@@ -1346,11 +1348,10 @@ def j12_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("asof_purchase_value").alias("n_converted"),
-        F.round(
-            F.sum(_epoch_us("asof_pts") - _epoch_us("ts")).cast("double")
-            / F.count("asof_pts")
-            / F.lit(1_000_000.0),
-            2,
+        exact_div_round(
+            F.sum(_epoch_us("asof_pts") - _epoch_us("ts")),
+            F.count("asof_pts") * F.lit(1_000_000),
+            out_scale=2,
         ).alias("avg_time_to_purchase_s"),
     )
 
@@ -1484,12 +1485,10 @@ def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.min("jaccard").alias("min_edge_jaccard"),
-        F.round(
-            (
-                F.sum(F.col("jaccard").cast("decimal(8,4)"))
-                / F.count(F.lit(1))
-            ).cast("double"),
-            4,
+        exact_mean(
+            F.sum(F.col("jaccard").cast("decimal(8,4)")),
+            F.count(F.lit(1)),
+            sum_scale=4,
         ).alias("mean_edge_jaccard"),
     )
     return (
@@ -1631,10 +1630,10 @@ def text_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum(F.col("boilerplate_ratio").cast("decimal(14,4)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            exact_mean(
+                F.sum(F.col("boilerplate_ratio").cast("decimal(14,4)")),
+                F.count(F.lit(1)),
+                sum_scale=4,
             ).alias("avg_bp_ratio"),
             F.max("boilerplate_ratio").alias("max_bp_ratio"),
         )
@@ -1755,10 +1754,10 @@ def text_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("detected") != F.col("lang")).cast("long")).alias("n_mismatch"),
-        F.round(
-            F.sum((F.col("detected") != F.col("lang")).cast("long"))
-            / F.count(F.lit(1)).cast("double"),
-            4,
+        exact_mean(
+            F.sum((F.col("detected") != F.col("lang")).cast("long")),
+            F.count(F.lit(1)),
+            sum_scale=0,
         ).alias("mismatch_rate"),
     )
 
@@ -3983,7 +3982,11 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = lambda c: F.round(c / F.lit(3.6e9), 4).cast("double")  # noqa: E731
     return conv.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        hours(F.sum("us").cast("double") / F.count(F.lit(1))).alias("avg_hours"),
+        exact_div_round(
+            F.sum("us"),
+            F.count(F.lit(1)) * F.lit(3_600_000_000),
+            out_scale=4,
+        ).alias("avg_hours"),
         hours(F.expr("percentile(us, 0.5)")).alias("p50_hours"),
         hours(F.expr("percentile(us, 0.95)")).alias("p95_hours"),
     )
@@ -4541,9 +4544,7 @@ def a39_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
     )
     target = daily.groupBy("event_type").agg(
-        F.round(
-            F.sum("y").cast("double") / F.count(F.lit(1)), 6
-        )
+        exact_mean(F.sum("y"), F.count(F.lit(1)), sum_scale=6, out_scale=6)
         .cast("decimal(18,6)")
         .alias("target")
     )
@@ -4969,9 +4970,9 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_arr.select(F.posexplode("xa").alias("d", "x"))
         .groupBy("d")
         .agg(
-            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 8).alias(
-                "mu"
-            )
+            exact_mean(
+                F.sum("x"), F.count(F.lit(1)), sum_scale=8, out_scale=8
+            ).alias("mu")
         )
         .agg(F.array_sort(F.collect_list(F.struct("d", "mu"))).alias("ms"))
         .select(F.transform("ms", lambda s: s["mu"]).alias("mu_arr"))
@@ -5431,7 +5432,7 @@ def a53_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dow", F.dayofweek("day"))
     )
     seas = daily.groupBy("event_type", "dow").agg(
-        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 8).alias("s")
+        exact_mean(F.sum("v"), F.count(F.lit(1)), sum_scale=2, out_scale=8).alias("s")
     )
     resid = daily.join(seas, ["event_type", "dow"]).select(
         "event_type",
@@ -6102,9 +6103,9 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round((F.sum("_cos") / F.count(F.lit(1))).cast("double"), 4).alias(
-                "cohesion"
-            ),
+            exact_mean(
+                F.sum("_cos"), F.count(F.lit(1)), sum_scale=4
+            ).alias("cohesion"),
         )
         .orderBy("label")
     )
@@ -6386,9 +6387,9 @@ def a47_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         clamped.groupBy("event_type", "lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round((F.sum("wv") / F.count(F.lit(1))).cast("double"), 4).alias(
-                "winsorized_mean"
-            ),
+            exact_mean(
+                F.sum("wv"), F.count(F.lit(1)), sum_scale=2
+            ).alias("winsorized_mean"),
         )
         .select(
             "event_type",
@@ -6564,13 +6565,13 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round((F.sum("fl") / F.count(F.lit(1))).cast("double"), 4).alias(
-                "mean_flesch"
-            ),
-            F.round(
-                F.sum(F.when(F.col("fl") >= 50, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            exact_mean(
+                F.sum("fl"), F.count(F.lit(1)), sum_scale=8
+            ).alias("mean_flesch"),
+            exact_mean(
+                F.sum(F.when(F.col("fl") >= 50, 1).otherwise(0)),
+                F.count(F.lit(1)),
+                sum_scale=0,
             ).alias("easy_share"),
         )
         .orderBy("source")
@@ -6617,9 +6618,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("novel").alias("novel_shingles"),
-            F.round((F.sum("nov") / F.count(F.lit(1))).cast("double"), 4).alias(
-                "mean_novelty"
-            ),
+            exact_mean(
+                F.sum("nov"), F.count(F.lit(1)), sum_scale=8
+            ).alias("mean_novelty"),
         )
         .orderBy("source")
     )
@@ -6679,13 +6680,13 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round((F.sum("score") / F.count(F.lit(1))).cast("double"), 4).alias(
-                "mean_score"
-            ),
-            F.round(
-                F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            exact_mean(
+                F.sum("score"), F.count(F.lit(1)), sum_scale=6
+            ).alias("mean_score"),
+            exact_mean(
+                F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0)),
+                F.count(F.lit(1)),
+                sum_scale=0,
             ).alias("keep_rate"),
         )
         .orderBy("source")
@@ -6737,8 +6738,8 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                (F.sum("lr") / F.count(F.lit(1))).cast("double"), 6
+            exact_mean(
+                F.sum("lr"), F.count(F.lit(1)), sum_scale=8, out_scale=6
             ).alias("dsir_logratio"),
         )
     )
@@ -7125,9 +7126,9 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round((F.sum("mattr") / F.count(F.lit(1))).cast("double"), 4).alias(
-                "mean_mattr"
-            ),
+            exact_mean(
+                F.sum("mattr"), F.count(F.lit(1)), sum_scale=8
+            ).alias("mean_mattr"),
         )
         .orderBy("source")
     )

@@ -234,3 +234,76 @@ def test_polygon_clip_matches_rect_closed_form(spark):
     bad = [(r["i"], r["clip_area"], r["closed_form"])
            for r in got if r["clip_area"] != r["closed_form"]]
     assert not bad, bad[:5]
+
+
+def test_exact_mean_matches_fraction_reference_in_all_three_engines(spark):
+    """The exact-mean discipline (docs/PARITY_SF01.md): the Spark
+    Column helper, the Spark-SQL text twin, and the DuckDB text twin
+    must all equal round-half-up of the EXACT rational mean — checked
+    against Fraction arithmetic over randoms plus the deliberate
+    *.5e-4 tie cases that split round(double, 4) across engines
+    (58.5066/12 = 4.87555; the sf0.1 sweep's two real failures)."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pipelines_spark.functions.exact import (
+        exact_mean,
+        exact_mean_sparksql,
+    )
+    from pipelines_spark.oracles import _exact_mean_sql
+
+    def expected(s_int, n, ss, os_):
+        x = Fraction(abs(s_int), n * 10**ss) * 10**os_
+        q = (2 * x.numerator + x.denominator) // (2 * x.denominator)
+        return (-q if s_int < 0 else q) / 10**os_
+
+    rng = random.Random(7)
+    cases = [(585066, 12, 4, 4), (73735, 10, 4, 4), (-73735, 10, 4, 4),
+             (301869, 40, 4, 4), (5, 1000, 0, 4), (1, 2, 0, 2)]
+    for _ in range(40):
+        cases.append((rng.randint(-10**14, 10**14), rng.randint(1, 10**6),
+                      rng.choice([0, 2, 4, 6, 8]), rng.choice([2, 4, 6])))
+
+    con = duckdb.connect()
+    for s_int, n, ss, os_ in cases:
+        exp = expected(s_int, n, ss, os_)
+        sum_sql = (
+            f"CAST(CAST({s_int} AS DECIMAL(38,0)) / {10**ss}"
+            f" AS DECIMAL(30,{ss}))" if ss else str(s_int)
+        )
+        duck_sum = (
+            f"(CAST({s_int} AS HUGEINT) / {10**ss}.0)::DECIMAL(30,{ss})"
+            if ss else str(s_int)
+        )
+        got_d = con.execute(
+            "SELECT " + _exact_mean_sql(duck_sum, str(n), sum_scale=ss, out_scale=os_)
+        ).fetchone()[0]
+        assert abs(got_d - exp) < 1e-12, (s_int, n, ss, os_, got_d, exp)
+        got_sql = spark.sql(
+            "SELECT " + exact_mean_sparksql(sum_sql, str(n), sum_scale=ss, out_scale=os_) + " AS m"
+        ).collect()[0]["m"]
+        assert abs(got_sql - exp) < 1e-12, (s_int, n, ss, os_, got_sql, exp)
+
+    # Column API: one pass over all cases in a single plan
+    rows = [(i, s, n) for i, (s, n, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, s long, n long")
+    for ss in (0, 2, 4, 6, 8):
+        for os_ in (2, 4, 6):
+            got = {
+                r["i"]: r["m"]
+                for r in df.select(
+                    "i",
+                    exact_mean(
+                        (F.col("s") / F.lit(10**ss)).cast(f"decimal(30,{ss})"),
+                        F.col("n"),
+                        sum_scale=ss,
+                        out_scale=os_,
+                    ).alias("m"),
+                ).collect()
+            }
+            for i, (s_int, n, _, _) in enumerate(cases):
+                exp = expected(s_int, n, ss, os_)
+                assert abs(got[i] - exp) < 1e-12, (s_int, n, ss, os_, got[i], exp)

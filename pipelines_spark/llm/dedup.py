@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+
+from pipelines_spark.functions.exact import exact_div_round
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger("pipelines_spark.llm.dedup")
@@ -263,7 +265,17 @@ def minhash_near_dup_pairs(
             / (F.size("_sa") + F.size("_sb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            # output rounding via the exact-rational discipline
+            # (functions/exact.py): round(double, 4) of inter/union
+            # ties at *.5e-4 boundaries across engines
+            exact_div_round(
+                F.col("_inter"),
+                F.size("_sa") + F.size("_sb") - F.col("_inter"),
+            ).alias("jaccard"),
+        )
     )
     if not persist_staging:
         return verified
@@ -405,7 +417,14 @@ def prefix_filter_jaccard_pairs(
             / (F.size("_sa") + F.size("_sb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            exact_div_round(
+                F.col("_inter"),
+                F.size("_sa") + F.size("_sb") - F.col("_inter"),
+            ).alias("jaccard"),
+        )
     )
     return _attach_staging(out, (shingled, prefix))
 
@@ -715,7 +734,14 @@ def ngram_jaccard_pairs(
             F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            exact_div_round(
+                F.col("_inter"),
+                F.col("_na") + F.col("_nb") - F.col("_inter"),
+            ).alias("jaccard"),
+        )
     )
     return _attach_staging(scored, staged)
 
@@ -798,7 +824,9 @@ def containment_pairs(
         F.when(smaller_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
             "container_id"
         ),
-        F.round("containment", 4).alias("containment"),
+        exact_div_round(
+            F.col("_inter"), F.least("_na", "_nb")
+        ).alias("containment"),
     )
     return _attach_staging(out, staged)
 

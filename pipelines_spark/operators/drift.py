@@ -146,17 +146,32 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str) -> DataFrame:
     tot = per_val.agg(
         F.sum("_n_ref").alias("_N_ref"), F.sum("_n_cur").alias("_N_cur")
     )
+    from pipelines_spark.functions.exact import exact_div_round
+
+    # |c_ref/N_ref − c_cur/N_cur| = |c_ref·N_cur − c_cur·N_ref| / (N_ref·N_cur):
+    # take the max in exact integer space (decimal(38,0) products, so
+    # 100 TB row counts cannot wrap), divide once with the exact-
+    # rational rounding discipline (functions/exact.py) — the D
+    # statistic is a rational whose round(double, 6) can land ON a
+    # *.5e-6 boundary and split engines
     return (
         cum.crossJoin(F.broadcast(tot))
         .select(
             F.abs(
-                F.col("_c_ref") / F.col("_N_ref") - F.col("_c_cur") / F.col("_N_cur")
+                F.col("_c_ref").cast("decimal(38,0)") * F.col("_N_cur")
+                - F.col("_c_cur").cast("decimal(38,0)") * F.col("_N_ref")
             ).alias("_d"),
             "_N_ref",
             "_N_cur",
         )
         .groupBy("_N_ref", "_N_cur")
-        .agg(F.round(F.max("_d"), 6).alias("ks_stat"))
+        .agg(
+            exact_div_round(
+                F.max("_d"),
+                (F.col("_N_ref").cast("decimal(38,0)") * F.col("_N_cur")),
+                out_scale=6,
+            ).alias("ks_stat")
+        )
         .select(
             F.col("_N_ref").alias("n_ref"),
             F.col("_N_cur").alias("n_cur"),

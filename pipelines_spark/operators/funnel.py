@@ -132,14 +132,19 @@ def funnel_summary(
     # step.
     step_structs = []
     for i, step in enumerate(steps):
+        from pipelines_spark.functions.exact import exact_div_round
+
+        # exact-rational rounding discipline (functions/exact.py):
+        # users/users is an exact integer ratio that can land ON a
+        # *.5e-6 boundary, where round(double) splits across engines
         conv = (
             F.lit(1.0).cast("double")
             if i == 0
-            else F.round(
-                F.col(f"_u{i + 1}").cast("double")
-                / F.nullif(F.col(f"_u{i}"), F.lit(0)),
-                6,
-            ).cast("double")
+            else exact_div_round(
+                F.col(f"_u{i + 1}"),
+                F.nullif(F.col(f"_u{i}"), F.lit(0)),
+                out_scale=6,
+            )
         )
         step_structs.append(
             F.struct(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipelines_spark.functions.exact import exact_div_round
+
 from pipelines_spark.plans.staging import stage
 
 SCALE = 1_000_000_000_000_000  # 1e15 fixed-point rank numerators
@@ -437,16 +439,14 @@ def community_modularity(
             "degree_sum",
             # + 0.0 collapses IEEE -0.0 to +0.0 (a contribution that
             # rounds to zero must hash identically in every engine)
-            (
-                F.round(
-                    F.col("_internal_bi").cast("double") / F.col("_m_bi")
-                    - F.pow(
-                        F.col("degree_sum").cast("double") / F.col("_m_bi"),
-                        F.lit(2),
-                    ),
-                    6,
-                )
-                + F.lit(0.0)
+            # i/m − (d/m)² = (i·m − d²)/m² — an exact integer
+            # rational, rounded half-up in integer arithmetic
+            # (functions/exact.py discipline); never produces -0.0
+            exact_div_round(
+                F.col("_internal_bi") * F.col("_m_bi")
+                - F.col("degree_sum") * F.col("degree_sum"),
+                F.col("_m_bi") * F.col("_m_bi"),
+                out_scale=6,
             ).alias("modularity_contrib"),
         )
     )

@@ -56,7 +56,7 @@ pair_inter AS (
 ),
 jaccards AS (
     SELECT id_a, id_b,
-           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+           ((CASE WHEN CAST(inter AS HUGEINT) < 0 THEN -((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(sa.n + sb.n - inter AS HUGEINT))) // (2 * (CAST(sa.n + sb.n - inter AS HUGEINT)))) ELSE ((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(sa.n + sb.n - inter AS HUGEINT))) // (2 * (CAST(sa.n + sb.n - inter AS HUGEINT)))) END) / 10000.0) AS jaccard
     FROM pair_inter
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
@@ -101,7 +101,7 @@ pair_inter AS (
 _CAPPED_JACCARD_SQL = f"""
     WITH {_CAPPED_SHINGLES_CTE}
     SELECT id_a, id_b,
-           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+           ((CASE WHEN CAST(inter AS HUGEINT) < 0 THEN -((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(sa.n + sb.n - inter AS HUGEINT))) // (2 * (CAST(sa.n + sb.n - inter AS HUGEINT)))) ELSE ((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(sa.n + sb.n - inter AS HUGEINT))) // (2 * (CAST(sa.n + sb.n - inter AS HUGEINT)))) END) / 10000.0) AS jaccard
     FROM pair_inter
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
@@ -114,7 +114,7 @@ _CAPPED_CONTAINMENT_SQL = f"""
                 THEN id_a ELSE id_b END AS contained_id,
            CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
                 THEN id_b ELSE id_a END AS container_id,
-           round(inter / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+           ((CASE WHEN CAST(inter AS HUGEINT) < 0 THEN -((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(least(sa.n, sb.n) AS HUGEINT))) // (2 * (CAST(least(sa.n, sb.n) AS HUGEINT)))) ELSE ((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(least(sa.n, sb.n) AS HUGEINT))) // (2 * (CAST(least(sa.n, sb.n) AS HUGEINT)))) END) / 10000.0) AS containment
     FROM pair_inter
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
@@ -477,8 +477,7 @@ dper AS (
 ),
 dfrac AS (
     SELECT z.doc_id,
-           round(COALESCE(p.dup_words, 0)
-                 / CAST(greatest(z.n_words, 1) AS DOUBLE), 4) AS dup_frac
+           ((CASE WHEN CAST(COALESCE(p.dup_words, 0) AS HUGEINT) < 0 THEN -((2 * abs(CAST(COALESCE(p.dup_words, 0) AS HUGEINT)) * 10000 + (CAST(greatest(z.n_words, 1) AS HUGEINT))) // (2 * (CAST(greatest(z.n_words, 1) AS HUGEINT)))) ELSE ((2 * abs(CAST(COALESCE(p.dup_words, 0) AS HUGEINT)) * 10000 + (CAST(greatest(z.n_words, 1) AS HUGEINT))) // (2 * (CAST(greatest(z.n_words, 1) AS HUGEINT)))) END) / 10000.0) AS dup_frac
     FROM dsizes z LEFT JOIN dper p USING (doc_id)
 ),
 kept_d AS MATERIALIZED (
@@ -808,8 +807,7 @@ ORACLES: dict[str, str] = {
             FROM cells CROSS JOIN stations
         )
         SELECT cell_id,
-               CAST(round(CAST(sum(CAST(reading * (1.0 / (distance + 1.0)) AS DECIMAL(28,14)))
-                    / sum(CAST(1.0 / (distance + 1.0) AS DECIMAL(28,14))) AS DOUBLE), 4) AS DOUBLE) AS idw_reading
+               ((CASE WHEN CAST(sum(CAST(reading * (1.0 / (distance + 1.0)) AS DECIMAL(28,14))) * 100000000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CAST(reading * (1.0 / (distance + 1.0)) AS DECIMAL(28,14))) * 100000000000000 AS HUGEINT)) * 10000 + (CAST(sum(CAST(1.0 / (distance + 1.0) AS DECIMAL(28,14))) * 100000000000000 AS HUGEINT))) // (2 * (CAST(sum(CAST(1.0 / (distance + 1.0) AS DECIMAL(28,14))) * 100000000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(sum(CAST(reading * (1.0 / (distance + 1.0)) AS DECIMAL(28,14))) * 100000000000000 AS HUGEINT)) * 10000 + (CAST(sum(CAST(1.0 / (distance + 1.0) AS DECIMAL(28,14))) * 100000000000000 AS HUGEINT))) // (2 * (CAST(sum(CAST(1.0 / (distance + 1.0) AS DECIMAL(28,14))) * 100000000000000 AS HUGEINT)))) END) / 10000.0) AS idw_reading
         FROM ranked WHERE rnk <= 3
         GROUP BY cell_id
     """,
@@ -1788,11 +1786,13 @@ ORACLES: dict[str, str] = {
     """,
     "q8_market_share": """
         SELECT l_year,
-               CAST(round(
-                   CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+               ((CASE WHEN CAST(sum(CASE WHEN supp_nation = 'NATION_5'
                                  THEN CAST(volume AS DECIMAL(18,6))
-                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                   / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                 THEN CAST(volume AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS HUGEINT)) * 1000000 + (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS HUGEINT))) // (2 * (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                 THEN CAST(volume AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS HUGEINT)) * 1000000 + (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS HUGEINT))) // (2 * (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS HUGEINT)))) END) / 1000000.0) AS mkt_share
         FROM (
             SELECT CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
                    l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -2296,8 +2296,10 @@ ORACLES: dict[str, str] = {
             ) WHERE rn <= 20
         )
         SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense,
-               round(COALESCE(1.0 / (60 + r_lex), 0)
-                     + COALESCE(1.0 / (60 + r_dense), 0), 6) AS rrf_score
+               (CASE WHEN r_lex IS NOT NULL AND r_dense IS NOT NULL
+                     THEN ((CASE WHEN CAST(120 + r_lex + r_dense AS HUGEINT) < 0 THEN -((2 * abs(CAST(120 + r_lex + r_dense AS HUGEINT)) * 1000000 + (CAST((60 + r_lex) * (60 + r_dense) AS HUGEINT))) // (2 * (CAST((60 + r_lex) * (60 + r_dense) AS HUGEINT)))) ELSE ((2 * abs(CAST(120 + r_lex + r_dense AS HUGEINT)) * 1000000 + (CAST((60 + r_lex) * (60 + r_dense) AS HUGEINT))) // (2 * (CAST((60 + r_lex) * (60 + r_dense) AS HUGEINT)))) END) / 1000000.0)
+                     ELSE ((CASE WHEN CAST(1 AS HUGEINT) < 0 THEN -((2 * abs(CAST(1 AS HUGEINT)) * 1000000 + (CAST(60 + COALESCE(r_lex, r_dense) AS HUGEINT))) // (2 * (CAST(60 + COALESCE(r_lex, r_dense) AS HUGEINT)))) ELSE ((2 * abs(CAST(1 AS HUGEINT)) * 1000000 + (CAST(60 + COALESCE(r_lex, r_dense) AS HUGEINT))) // (2 * (CAST(60 + COALESCE(r_lex, r_dense) AS HUGEINT)))) END) / 1000000.0)
+                END) AS rrf_score
         FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
         ORDER BY rrf_score DESC, doc_id LIMIT 10
     """,
@@ -3316,9 +3318,7 @@ ORACLES: dict[str, str] = {
         SELECT d.community, m.n_members,
                CAST(d.internal_bi // 2 AS BIGINT) AS internal_edges,
                d.degree_sum,
-               round(CAST(d.internal_bi AS DOUBLE) / mm.m_bi
-                     - power(CAST(d.degree_sum AS DOUBLE) / mm.m_bi, 2),
-                     6) + 0.0 AS modularity_contrib
+               ((CASE WHEN CAST(d.internal_bi * mm.m_bi - d.degree_sum * d.degree_sum AS HUGEINT) < 0 THEN -((2 * abs(CAST(d.internal_bi * mm.m_bi - d.degree_sum * d.degree_sum AS HUGEINT)) * 1000000 + (CAST(mm.m_bi * mm.m_bi AS HUGEINT))) // (2 * (CAST(mm.m_bi * mm.m_bi AS HUGEINT)))) ELSE ((2 * abs(CAST(d.internal_bi * mm.m_bi - d.degree_sum * d.degree_sum AS HUGEINT)) * 1000000 + (CAST(mm.m_bi * mm.m_bi AS HUGEINT))) // (2 * (CAST(mm.m_bi * mm.m_bi AS HUGEINT)))) END) / 1000000.0) AS modularity_contrib
         FROM deg d JOIN mem m USING (community) CROSS JOIN mm
         ORDER BY m.n_members DESC, d.community ASC
         LIMIT 15
@@ -3668,7 +3668,7 @@ ORACLES: dict[str, str] = {
                     THEN id_a ELSE id_b END AS contained_id,
                CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b)
                     THEN id_b ELSE id_a END AS container_id,
-               round(inter / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+               ((CASE WHEN CAST(inter AS HUGEINT) < 0 THEN -((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(least(sa.n, sb.n) AS HUGEINT))) // (2 * (CAST(least(sa.n, sb.n) AS HUGEINT)))) ELSE ((2 * abs(CAST(inter AS HUGEINT)) * 10000 + (CAST(least(sa.n, sb.n) AS HUGEINT))) // (2 * (CAST(least(sa.n, sb.n) AS HUGEINT)))) END) / 10000.0) AS containment
         FROM pair_inter
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
@@ -4200,10 +4200,10 @@ ORACLES: dict[str, str] = {
                CAST(1.0 AS DOUBLE) AS conv_from_prev FROM agg
         UNION ALL
         SELECT CAST(2 AS INTEGER), 'click', CAST(u2 AS BIGINT),
-               CAST(round(u2 * 1.0 / nullif(u1, 0), 6) AS DOUBLE) FROM agg
+               CAST(((CASE WHEN CAST(u2 AS HUGEINT) < 0 THEN -((2 * abs(CAST(u2 AS HUGEINT)) * 1000000 + (CAST(nullif(u1, 0) AS HUGEINT))) // (2 * (CAST(nullif(u1, 0) AS HUGEINT)))) ELSE ((2 * abs(CAST(u2 AS HUGEINT)) * 1000000 + (CAST(nullif(u1, 0) AS HUGEINT))) // (2 * (CAST(nullif(u1, 0) AS HUGEINT)))) END) / 1000000.0) AS DOUBLE) FROM agg
         UNION ALL
         SELECT CAST(3 AS INTEGER), 'purchase', CAST(u3 AS BIGINT),
-               CAST(round(u3 * 1.0 / nullif(u2, 0), 6) AS DOUBLE) FROM agg
+               CAST(((CASE WHEN CAST(u3 AS HUGEINT) < 0 THEN -((2 * abs(CAST(u3 AS HUGEINT)) * 1000000 + (CAST(nullif(u2, 0) AS HUGEINT))) // (2 * (CAST(nullif(u2, 0) AS HUGEINT)))) ELSE ((2 * abs(CAST(u3 AS HUGEINT)) * 1000000 + (CAST(nullif(u2, 0) AS HUGEINT))) // (2 * (CAST(nullif(u2, 0) AS HUGEINT)))) END) / 1000000.0) AS DOUBLE) FROM agg
     """,
     # Same exact-sufficient-statistics formulation as the Spark side:
     # exact bigint/DECIMAL sums, one cast to DOUBLE each, identical
@@ -4282,10 +4282,7 @@ ORACLES: dict[str, str] = {
         SELECT event_type AS from_type,
                next_type AS to_type,
                count(*) AS n,
-               CAST(round(
-                   CAST(count(*) AS DOUBLE)
-                   / CAST(sum(count(*)) OVER (PARTITION BY event_type)
-                          AS DOUBLE), 6) AS DOUBLE) AS p
+               ((CASE WHEN CAST(count(*) AS HUGEINT) < 0 THEN -((2 * abs(CAST(count(*) AS HUGEINT)) * 1000000 + (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS HUGEINT))) // (2 * (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS HUGEINT)))) ELSE ((2 * abs(CAST(count(*) AS HUGEINT)) * 1000000 + (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS HUGEINT))) // (2 * (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS HUGEINT)))) END) / 1000000.0) AS p
         FROM seq
         WHERE next_type IS NOT NULL
         GROUP BY event_type, next_type
@@ -4496,8 +4493,8 @@ ORACLES: dict[str, str] = {
             SELECT sum(n_ref) AS N_ref, sum(n_cur) AS N_cur FROM per_val
         )
         SELECT CAST(N_ref AS BIGINT) AS n_ref, CAST(N_cur AS BIGINT) AS n_cur,
-               round(max(abs(c_ref / N_ref - c_cur / N_cur)), 6) AS ks_stat,
-               round(max(abs(c_ref / N_ref - c_cur / N_cur)), 6)
+               ((CASE WHEN CAST(max(abs(CAST(c_ref AS HUGEINT) * N_cur - CAST(c_cur AS HUGEINT) * N_ref)) AS HUGEINT) < 0 THEN -((2 * abs(CAST(max(abs(CAST(c_ref AS HUGEINT) * N_cur - CAST(c_cur AS HUGEINT) * N_ref)) AS HUGEINT)) * 1000000 + (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT))) // (2 * (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT)))) ELSE ((2 * abs(CAST(max(abs(CAST(c_ref AS HUGEINT) * N_cur - CAST(c_cur AS HUGEINT) * N_ref)) AS HUGEINT)) * 1000000 + (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT))) // (2 * (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT)))) END) / 1000000.0) AS ks_stat,
+               ((CASE WHEN CAST(max(abs(CAST(c_ref AS HUGEINT) * N_cur - CAST(c_cur AS HUGEINT) * N_ref)) AS HUGEINT) < 0 THEN -((2 * abs(CAST(max(abs(CAST(c_ref AS HUGEINT) * N_cur - CAST(c_cur AS HUGEINT) * N_ref)) AS HUGEINT)) * 1000000 + (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT))) // (2 * (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT)))) ELSE ((2 * abs(CAST(max(abs(CAST(c_ref AS HUGEINT) * N_cur - CAST(c_cur AS HUGEINT) * N_ref)) AS HUGEINT)) * 1000000 + (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT))) // (2 * (CAST(CAST(N_ref AS HUGEINT) * N_cur AS HUGEINT)))) END) / 1000000.0)
                  > 1.358 * sqrt((N_ref + N_cur)
                                 / (CAST(N_ref AS DOUBLE) * N_cur)) AS reject_95
         FROM cum, tot
@@ -4706,8 +4703,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT s1, s2, n_inter,
                CAST(va.vocab + vb.vocab - n_inter AS BIGINT) AS n_union,
-               round(n_inter / CAST(va.vocab + vb.vocab - n_inter AS DOUBLE),
-                     6) AS jaccard
+               ((CASE WHEN CAST(n_inter AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_inter AS HUGEINT)) * 1000000 + (CAST(va.vocab + vb.vocab - n_inter AS HUGEINT))) // (2 * (CAST(va.vocab + vb.vocab - n_inter AS HUGEINT)))) ELSE ((2 * abs(CAST(n_inter AS HUGEINT)) * 1000000 + (CAST(va.vocab + vb.vocab - n_inter AS HUGEINT))) // (2 * (CAST(va.vocab + vb.vocab - n_inter AS HUGEINT)))) END) / 1000000.0) AS jaccard
         FROM inter
         JOIN sizes va ON va.source = s1
         JOIN sizes vb ON vb.source = s2
@@ -4764,10 +4760,9 @@ ORACLES: dict[str, str] = {
             FROM per, tot
         ), sw AS (SELECT sum(w) AS sw FROM w)
         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-               round(n_docs / CAST(total AS DOUBLE), 6) AS natural_share,
-               round(CAST(w / sw AS DOUBLE), 6) AS temp_share,
-               round(round(CAST(w / sw AS DOUBLE), 6)
-                     / round(n_docs / CAST(total AS DOUBLE), 6), 4) AS boost
+               ((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0) AS natural_share,
+               ((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0) AS temp_share,
+               ((CASE WHEN CAST(CAST(round((((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT) < 0 THEN -((2 * abs(CAST(CAST(round((((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)) * 10000 + (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT))) // (2 * (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)))) ELSE ((2 * abs(CAST(CAST(round((((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)) * 10000 + (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT))) // (2 * (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)))) END) / 10000.0) AS boost
         FROM w, sw ORDER BY source
     """,
     # r9: ACF lags 1-7 over DECIMAL-exact daily totals; one window
@@ -4861,7 +4856,7 @@ ORACLES: dict[str, str] = {
                         WHERE n.n_nationkey = c.c_nationkey))
         )
         SELECT relation, n_child, n_orphans,
-               round(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_rate
+               ((CASE WHEN CAST(n_orphans AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_orphans AS HUGEINT)) * 1000000 + (CAST(n_child AS HUGEINT))) // (2 * (CAST(n_child AS HUGEINT)))) ELSE ((2 * abs(CAST(n_orphans AS HUGEINT)) * 1000000 + (CAST(n_child AS HUGEINT))) // (2 * (CAST(n_child AS HUGEINT)))) END) / 1000000.0) AS orphan_rate
         FROM legs ORDER BY relation
     """,
     # r9: Monroe et al. log-odds with informative Dirichlet prior
@@ -5004,16 +4999,16 @@ ORACLES: dict[str, str] = {
     "a48_column_entropy": " UNION ALL ".join(
         f'''
         SELECT '{table}.{col}' AS "column", n, k AS n_distinct,
-               round(CAST(sum(h) AS DOUBLE), 4) AS entropy,
-               round(round(CAST(sum(h) AS DOUBLE), 4)
+               CAST(round(sum(h), 4) AS DOUBLE) AS entropy,
+               round(CAST(round(sum(h), 4) AS DOUBLE)
                      / ln(CAST(k AS DOUBLE)), 4) AS norm_entropy,
-               round(1.0 - CAST(sum(p2) AS DOUBLE), 4) AS gini_simpson
+               CAST(round(1.0 - sum(p2), 4) AS DOUBLE) AS gini_simpson
         FROM (
             SELECT n, k,
                    CAST(round(-(c / CAST(n AS DOUBLE))
                               * ln(c / CAST(n AS DOUBLE)), 8)
                         AS DECIMAL(18,8)) AS h,
-                   CAST(round(pow(c / CAST(n AS DOUBLE), 2), 8)
+                   CAST(((CASE WHEN CAST(c * c AS HUGEINT) < 0 THEN -((2 * abs(CAST(c * c AS HUGEINT)) * 100000000 + (CAST(n * n AS HUGEINT))) // (2 * (CAST(n * n AS HUGEINT)))) ELSE ((2 * abs(CAST(c * c AS HUGEINT)) * 100000000 + (CAST(n * n AS HUGEINT))) // (2 * (CAST(n * n AS HUGEINT)))) END) / 100000000.0)
                         AS DECIMAL(18,8)) AS p2
             FROM (
                 SELECT {col} AS v, count(*) AS c FROM {table} GROUP BY 1
@@ -5228,13 +5223,11 @@ ORACLES: dict[str, str] = {
             WHERE pd BETWEEN 2 AND 32
         ), agg AS (
             SELECT s_a, s_b, count(*) AS common_parts,
-                   round(CAST(sum(w) AS DOUBLE), 4) AS adamic_adar
+                   CAST(round(sum(w), 4) AS DOUBLE) AS adamic_adar
             FROM pairs GROUP BY s_a, s_b
         )
         SELECT s_a, s_b, common_parts, adamic_adar,
-               round(common_parts
-                     / CAST(da.sd + db.sd - common_parts AS DOUBLE),
-                     4) AS jaccard
+               ((CASE WHEN CAST(common_parts AS HUGEINT) < 0 THEN -((2 * abs(CAST(common_parts AS HUGEINT)) * 10000 + (CAST(da.sd + db.sd - common_parts AS HUGEINT))) // (2 * (CAST(da.sd + db.sd - common_parts AS HUGEINT)))) ELSE ((2 * abs(CAST(common_parts AS HUGEINT)) * 10000 + (CAST(da.sd + db.sd - common_parts AS HUGEINT))) // (2 * (CAST(da.sd + db.sd - common_parts AS HUGEINT)))) END) / 10000.0) AS jaccard
         FROM agg
         JOIN sdeg da ON da.s = s_a
         JOIN sdeg db ON db.s = s_b
@@ -5471,7 +5464,7 @@ ORACLES: dict[str, str] = {
         ), tot AS (SELECT sum(w) AS wtot FROM wgt),
         shares AS (
             SELECT source, n_h, round(sigma, 4) AS sigma,
-                   round(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE), 8) AS share
+                   ((CASE WHEN CAST(w * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 100000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 100000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) END) / 100000000.0) AS share
             FROM wgt, tot
         ), fl AS (
             SELECT *, CAST(floor(share * 1000) AS BIGINT) AS base,

@@ -408,12 +408,11 @@ def j9_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nearest.groupBy("cell_id")
         .agg(
-            F.round(
-                (
-                    F.sum((F.col("reading") * w).cast("decimal(28,14)"))
-                    / F.sum(w.cast("decimal(28,14)"))
-                ).cast("double"),
-                4,
+            exact_div_round(
+                F.sum((F.col("reading") * w).cast("decimal(28,14)"))
+                * F.lit(10 ** 14).cast("decimal(20,0)"),
+                F.sum(w.cast("decimal(28,14)"))
+                * F.lit(10 ** 14).cast("decimal(20,0)"),
             ).alias("idw_reading")
         )
     )
@@ -1826,11 +1825,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_year,
-               CAST(round(
-                   CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+               (CAST((CASE WHEN CAST(sum(CASE WHEN supp_nation = 'NATION_5'
                                  THEN CAST(volume AS DECIMAL(18,6))
-                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                   / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS DECIMAL(38,0)) < 0 THEN -((2 * abs(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                 THEN CAST(volume AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS DECIMAL(38,0))) * 1000000 + (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0)))) div (2 * (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))))) ELSE ((2 * abs(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                 THEN CAST(volume AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS DECIMAL(38,0))) * 1000000 + (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0)))) div (2 * (CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS DECIMAL(38,0))))) END) / 1000000.0 AS DOUBLE)) AS mkt_share
         FROM (
             SELECT CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
                    l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -4019,10 +4020,7 @@ def w12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS from_type,
                next_type AS to_type,
                count(*) AS n,
-               CAST(round(
-                   CAST(count(*) AS DOUBLE)
-                   / CAST(sum(count(*)) OVER (PARTITION BY event_type)
-                          AS DOUBLE), 6) AS DOUBLE) AS p
+               (CAST((CASE WHEN CAST(count(*) AS DECIMAL(38,0)) < 0 THEN -((2 * abs(CAST(count(*) AS DECIMAL(38,0))) * 1000000 + (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DECIMAL(38,0)))) div (2 * (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DECIMAL(38,0))))) ELSE ((2 * abs(CAST(count(*) AS DECIMAL(38,0))) * 1000000 + (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DECIMAL(38,0)))) div (2 * (CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DECIMAL(38,0))))) END) / 1000000.0 AS DOUBLE)) AS p
         FROM seq
         WHERE next_type IS NOT NULL
         GROUP BY event_type, next_type
@@ -4213,11 +4211,25 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "r_lex",
         "r_dense",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
+        # exact-rational RRF: both-legs = (120+rl+rd)/((60+rl)(60+rd)),
+        # one leg = 1/(60+r) — round(double, 6) ties structurally at
+        # e.g. rank 68 (10^6/128 = 7812.5)
+        F.when(
+            F.col("r_lex").isNotNull() & F.col("r_dense").isNotNull(),
+            exact_div_round(
+                F.lit(120) + F.col("r_lex") + F.col("r_dense"),
+                (F.lit(60) + F.col("r_lex")) * (F.lit(60) + F.col("r_dense")),
+                out_scale=6,
+            ),
+        )
+        .otherwise(
+            exact_div_round(
+                F.lit(1),
+                F.lit(60) + F.coalesce(F.col("r_lex"), F.col("r_dense")),
+                out_scale=6,
+            )
+        )
+        .alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
 
@@ -5379,8 +5391,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both decimals cast to double BEFORE dividing — decimal ÷
         # decimal rounds at an engine-specific intermediate scale
         # (the PCA means lesson)
-        F.round(
-            F.col("wgt").cast("double") / F.col("wtot").cast("double"), 8
+        exact_div_round(
+            F.col("wgt") * 100000000,
+            F.col("wtot") * 100000000,
+            out_scale=8,
         ).alias("share"),
     )
     with_floor = shares.select(
@@ -5899,10 +5913,10 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s2",
             "n_inter",
             (F.col("v1") + F.col("v2") - F.col("n_inter")).alias("n_union"),
-            F.round(
-                F.col("n_inter")
-                / (F.col("v1") + F.col("v2") - F.col("n_inter")).cast("double"),
-                6,
+            exact_div_round(
+                F.col("n_inter"),
+                F.col("v1") + F.col("v2") - F.col("n_inter"),
+                out_scale=6,
             ).alias("jaccard"),
         )
         .orderBy("s1", "s2")
@@ -5999,15 +6013,25 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
-                "natural_share"
-            ),
-            F.round((F.col("_w") / F.col("_sw")).cast("double"), 6).alias(
-                "temp_share"
-            ),
+            # all three ratios via the exact-rational rounding
+            # discipline (functions/exact.py); boost recovers the two
+            # 6-dp shares as exact integers first
+            exact_div_round(
+                F.col("n_docs"), F.col("total"), out_scale=6
+            ).alias("natural_share"),
+            exact_div_round(
+                F.col("_w") * F.lit(10 ** 9).cast("decimal(20,0)"),
+                F.col("_sw") * F.lit(10 ** 9).cast("decimal(20,0)"),
+                out_scale=6,
+            ).alias("temp_share"),
         )
         .withColumn(
-            "boost", F.round(F.col("temp_share") / F.col("natural_share"), 4)
+            "boost",
+            exact_div_round(
+                F.round(F.col("temp_share") * 1e6, 0).cast("long"),
+                F.round(F.col("natural_share") * 1e6, 0).cast("long"),
+                out_scale=4,
+            ),
         )
         .orderBy("source")
     )
@@ -6138,8 +6162,8 @@ def a45_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "relation",
                 "n_child",
                 "n_orphans",
-                F.round(
-                    F.col("n_orphans") / F.col("n_child").cast("double"), 6
+                exact_div_round(
+                    F.col("n_orphans"), F.col("n_child"), out_scale=6
                 ).alias("orphan_rate"),
             )
         )
@@ -6426,17 +6450,19 @@ def a48_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("decimal(18,8)")
             .alias("_h"),
-            F.round(F.pow(F.col("c") / F.col("n"), 2), 8)
+            exact_div_round(
+                F.col("c") * F.col("c"), F.col("n") * F.col("n"), out_scale=8
+            )
             .cast("decimal(18,8)")
             .alias("_p2"),
         )
         return (
             terms.groupBy("n", "k")
             .agg(
-                F.round(F.sum("_h").cast("double"), 4).alias("entropy"),
-                F.round(F.lit(1.0) - F.sum("_p2").cast("double"), 4).alias(
-                    "gini_simpson"
-                ),
+                F.round(F.sum("_h"), 4).cast("double").alias("entropy"),
+                F.round(
+                    F.lit(1).cast("decimal(18,8)") - F.sum("_p2"), 4
+                ).cast("double").alias("gini_simpson"),
             )
             .select(
                 F.lit(f"{table}.{col}").alias("column"),
@@ -6850,7 +6876,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("s_a", "s_b").agg(
         F.count(F.lit(1)).alias("common_parts"),
-        F.round(F.sum("w").cast("double"), 4).alias("adamic_adar"),
+        F.round(F.sum("w"), 4).cast("double").alias("adamic_adar"),
     )
     da = sdeg.select(F.col("l_suppkey").alias("s_a"), F.col("sd").alias("da"))
     db = sdeg.select(F.col("l_suppkey").alias("s_b"), F.col("sd").alias("db"))
@@ -6862,12 +6888,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_b",
             "common_parts",
             "adamic_adar",
-            F.round(
-                F.col("common_parts")
-                / (F.col("da") + F.col("db") - F.col("common_parts")).cast(
-                    "double"
-                ),
-                4,
+            exact_div_round(
+                F.col("common_parts"),
+                F.col("da") + F.col("db") - F.col("common_parts"),
             ).alias("jaccard"),
         )
         .orderBy(F.desc("adamic_adar"), F.asc("s_a"), F.asc("s_b"))

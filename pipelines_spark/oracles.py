@@ -1864,11 +1864,11 @@ ORACLES: dict[str, str] = {
         ),
         shares AS (
             SELECT doc_id,
-                   round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_share
+                   ((CASE WHEN CAST(max(n) AS HUGEINT) < 0 THEN -((2 * abs(CAST(max(n) AS HUGEINT)) * 10000 + (CAST(sum(n) AS HUGEINT))) // (2 * (CAST(sum(n) AS HUGEINT)))) ELSE ((2 * abs(CAST(max(n) AS HUGEINT)) * 10000 + (CAST(sum(n) AS HUGEINT))) // (2 * (CAST(sum(n) AS HUGEINT)))) END) / 10000.0) AS top_bigram_share
             FROM counts GROUP BY doc_id
         )
         SELECT d.doc_id,
-               round(1.0 - CAST(len(list_distinct(d.ws)) AS DOUBLE) / len(d.ws), 4) AS dup_word_ratio,
+               ((CASE WHEN CAST(len(d.ws) - len(list_distinct(d.ws)) AS HUGEINT) < 0 THEN -((2 * abs(CAST(len(d.ws) - len(list_distinct(d.ws)) AS HUGEINT)) * 10000 + (CAST(len(d.ws) AS HUGEINT))) // (2 * (CAST(len(d.ws) AS HUGEINT)))) ELSE ((2 * abs(CAST(len(d.ws) - len(list_distinct(d.ws)) AS HUGEINT)) * 10000 + (CAST(len(d.ws) AS HUGEINT))) // (2 * (CAST(len(d.ws) AS HUGEINT)))) END) / 10000.0) AS dup_word_ratio,
                s.top_bigram_share
         FROM docs d JOIN shares s ON d.doc_id = s.doc_id
     """,

@@ -1917,7 +1917,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable, so the shuffle carries distinct bigrams, not token
     instances). Docs scoring high on either get dropped upstream of
     training."""
-    from pipelines_spark.llm.text import dup_word_ratio, word_bigrams
+    from pipelines_spark.llm.text import word_bigrams
 
     register(spark, sf_dir, ("documents",))
     docs = spark.table("documents").filter(
@@ -1929,10 +1929,18 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     shares = bigram_counts.groupBy("doc_id").agg(
-        F.round((F.max("n") / F.sum("n")).cast("double"), 4).alias("top_bigram_share")
+        exact_div_round(F.max("n"), F.sum("n")).alias("top_bigram_share")
     )
+    # dup_word_ratio = (w − d)/w — the same exact-rational rounding
+    # discipline as the bigram share (functions/exact.py)
+    ws = F.split("text", " ")
     return (
-        docs.select("doc_id", F.round(dup_word_ratio("text"), 4).alias("dup_word_ratio"))
+        docs.select(
+            "doc_id",
+            exact_div_round(
+                F.size(ws) - F.size(F.array_distinct(ws)), F.size(ws)
+            ).alias("dup_word_ratio"),
+        )
         .join(shares, "doc_id")
     )
 

@@ -77,6 +77,7 @@ def build_avi(
 ) -> bytes:
     """MJPEG frame list → AVI bytes (fixture builder): avih + one
     ``vids``/``MJPG`` stream + movi chunks + idx1 index."""
+    # round-ok: container frame-duration metadata, not an oracle value
     usec = int(round(1e6 / fps)) if fps else 0
 
     def chunk(cid: bytes, body: bytes) -> bytes:

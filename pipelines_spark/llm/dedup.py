@@ -497,6 +497,7 @@ def incremental_dedup_batch(
     bands: int = 8,
     threshold: float = 0.5,
     persist_staging: bool = True,
+    staging: str = "local",
 ) -> DataFrame:
     """Near-dup decisions for ONE new ingestion batch against an
     existing corpus — the production shape corpus-wide dedup can't
@@ -544,8 +545,13 @@ def incremental_dedup_batch(
     def _maybe_stage(df: DataFrame) -> DataFrame:
         # persist_staging=False exposes the full lineage for plan
         # pins (tests) at the cost of recomputation — production
-        # callers keep the default
-        return _stage(df, eager=False) if persist_staging else df
+        # callers keep the default. ``staging`` picks the durability
+        # mode (plans/staging.py): "local" (localCheckpoint — fastest,
+        # but a lost executor loses the blocks unrecoverably) or
+        # "checkpoint" (reliable checkpoint dir — the posture for
+        # long-lived ingestion loops on preemption-prone clusters,
+        # where out._batch_fps outlives this call).
+        return _stage(df, eager=False, staging=staging) if persist_staging else df
 
     batch_fps = _maybe_stage(
         minhash_fingerprints(
@@ -585,6 +591,7 @@ def incremental_dedup_batch(
         .unionByName(cand_batch.select("_new_id", "_prev_id"))
         .dropDuplicates(["_new_id", "_prev_id"]),
         eager=False,
+        staging=staging,
     )
 
     # exact verification: the candidate-id set prunes BOTH text scans

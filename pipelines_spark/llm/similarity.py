@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pipelines_spark.functions.exact import exact_div_round
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -1091,8 +1093,11 @@ def truncated_recall(
     return base.join(overlap, "query_id", "left").select(
         "query_id",
         F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-        F.round(
-            F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4
+        # exact integer-arithmetic recall: n/k is an exact rational and
+        # round(double, 4) of one is the cross-engine tie class (for
+        # k = 32 etc. n/k lands exactly on 4-dp boundaries)
+        exact_div_round(
+            F.coalesce("n_overlap", F.lit(0)), F.lit(k), out_scale=4
         ).alias("recall"),
     )
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from pipelines_spark.functions.exact import exact_div_round
+
 #: Tiny per-language stopword lists for the n-gram/stopword heuristic
 #: language identifier. Deliberately small: the operator contract is a
 #: deterministic scoring rule, swappable for real lists.
@@ -94,9 +96,11 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     (docs/PARITY_SF01.md). Non-tie scores are bit-identical to the
     old form: the IEEE sum error (~1e-16) cannot cross a boundary
     gap, which is at least 1/(2·W·C) ≈ 1e-8 when not exactly zero.
-    The final floor divides two exact-integer doubles well inside
-    2^53, where the quotient is correctly rounded and cannot cross an
-    integer boundary for the same reason."""
+    The numerator and the final floor division run in DECIMAL(38,0)
+    (modular exact division, the exact.py pattern) — n_num ≈ 7000·W·C
+    exceeds 2^53 for ~3 MB documents and 2^63 for ~100 MB ones, so
+    neither a double floor nor 64-bit longs have the headroom; the
+    DuckDB twin (oracles._Q_NUM) runs the same products in HUGEINT."""
     t = F.col(text) if isinstance(text, str) else text
     toks = tokens(t)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -115,17 +119,31 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     shape4 = F.when(
         (tw >= 3 * w_cnt) & (tw <= 8 * w_cnt), F.lit(2000)
     ).otherwise(F.lit(600))
-    a_num = F.least(F.lit(9000) * s_cnt, F.lit(3000) * w_cnt)
-    b_num = F.least(F.lit(10000) * p_cnt, F.lit(2000) * c_cnt)
-    n_num = (
-        (F.lit(6) * F.least(ln, F.lit(500)) + shape4 + F.lit(2000))
-        * w_cnt
-        * c_cnt
-        + a_num * c_cnt
-        - b_num * w_cnt
+    wd = w_cnt.cast("decimal(19,0)")
+    cd = c_cnt.cast("decimal(19,0)")
+    a_num = F.least(F.lit(9000) * s_cnt, F.lit(3000) * w_cnt).cast(
+        "decimal(19,0)"
     )
-    d_den = w_cnt * c_cnt
-    return F.floor((2 * n_num + d_den) / (2 * d_den)) / F.lit(10000.0)
+    b_num = F.least(F.lit(10000) * p_cnt, F.lit(2000) * c_cnt).cast(
+        "decimal(19,0)"
+    )
+    n_num = (
+        (F.lit(6) * F.least(ln, F.lit(500)) + shape4 + F.lit(2000)).cast(
+            "decimal(19,0)"
+        )
+        * wd
+        * cd
+        + a_num * cd
+        - b_num * wd
+    )
+    d_den = wd * cd
+    # floor((2n+d)/(2d)) by exact modular division (n_num > 0 always:
+    # the length/shape/base terms contribute >= 2600·W·C and the
+    # punctuation penalty subtracts at most 2000·W·C)
+    x = n_num * 2 + d_den
+    y = d_den * 2
+    q = ((x - x % y) / y).cast("long")
+    return q / F.lit(10000.0)
 
 
 def linear_classifier_score(
@@ -398,10 +416,11 @@ def duplicate_spans(
             "n_words",
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
             F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
-            F.round(
-                F.coalesce("dup_words", F.lit(0))
-                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
-                4,
+            # exact integer-arithmetic ratio (cross-engine tie class)
+            exact_div_round(
+                F.coalesce("dup_words", F.lit(0)),
+                F.greatest(F.col("n_words"), F.lit(1)),
+                out_scale=4,
             ).alias("dup_frac"),
         )
     )
@@ -485,9 +504,11 @@ def boilerplate_ratio(
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.coalesce(F.col("_bp"), F.lit(0))).cast("long").alias("n_boilerplate"),
-        F.round(
-            F.sum(F.coalesce(F.col("_bp"), F.lit(0)))
-            / F.count(F.lit(1)).cast("double"),
-            4,
+        # exact integer-arithmetic ratio (round(double, 4) of an exact
+        # rational is the cross-engine tie class — PARITY_SF01.md)
+        exact_div_round(
+            F.sum(F.coalesce(F.col("_bp"), F.lit(0))),
+            F.count(F.lit(1)),
+            out_scale=4,
         ).alias("boilerplate_ratio"),
     )

@@ -105,7 +105,9 @@ def psi_drift(
         .agg(
             F.max("_nr").cast("long").alias("n_ref"),
             F.max("_nc").cast("long").alias("n_cur"),
-            F.round(F.sum("_t").cast("double"), 4).alias("psi"),
+            # round the exact DECIMAL(18,6) sum, not its double cast —
+            # a 6-dp rational can sit on a 4-dp boundary (tie class)
+            F.round(F.sum("_t"), 4).cast("double").alias("psi"),
         )
     )
 

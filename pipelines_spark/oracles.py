@@ -253,15 +253,18 @@ _Q_C = f"greatest({_Q_L}, 1)"
 _Q_P = (
     "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)"
 )
+# W·C products in HUGEINT: n_num ≈ 7000·W·C overflows BIGINT for
+# ~100 MB documents (the Spark twin runs the same products in
+# DECIMAL(38,0) — llm/text.py::quality_score)
 _Q_NUM = (
     f"((6 * least({_Q_L}, 500)"
     f" + (CASE WHEN {_Q_TW} BETWEEN 3 * {_Q_W} AND 8 * {_Q_W}"
     f"    THEN 2000 ELSE 600 END)"
-    f" + 2000) * {_Q_W} * {_Q_C}"
-    f" + least(9000 * {_Q_S}, 3000 * {_Q_W}) * {_Q_C}"
-    f" - least(10000 * {_Q_P}, 2000 * {_Q_C}) * {_Q_W})"
+    f" + 2000) * CAST({_Q_W} AS HUGEINT) * CAST({_Q_C} AS HUGEINT)"
+    f" + least(9000 * {_Q_S}, 3000 * {_Q_W}) * CAST({_Q_C} AS HUGEINT)"
+    f" - least(10000 * {_Q_P}, 2000 * {_Q_C}) * CAST({_Q_W} AS HUGEINT))"
 )
-_Q_DEN = f"({_Q_W} * {_Q_C})"
+_Q_DEN = f"(CAST({_Q_W} AS HUGEINT) * CAST({_Q_C} AS HUGEINT))"
 _QUALITY_EXPR = (
     f"(((2 * {_Q_NUM} + {_Q_DEN}) // (2 * {_Q_DEN})) / 10000.0)"
 )
@@ -774,10 +777,10 @@ ORACLES: dict[str, str] = {
         SELECT s.minute FROM spine s
         WHERE s.minute NOT IN (SELECT minute FROM observed)
     """,
-    "j7_shipdate_range_join": """
+    "j7_shipdate_range_join": f"""
         SELECT o_orderpriority,
                count(*)                  AS n_quick_ships,
-               round(avg(l_quantity), 4) AS avg_qty
+               CAST({_exact_mean_sql("sum(CAST(l_quantity AS DECIMAL(18,2)))", "count(*)", sum_scale=2, out_scale=4)} AS DOUBLE) AS avg_qty
         FROM lineitem l
         JOIN orders o
           ON l.l_orderkey = o.o_orderkey
@@ -943,6 +946,7 @@ ORACLES: dict[str, str] = {
             -- analytically exact answer the engine's general
             -- Sutherland-Hodgman clip must reproduce
             SELECT cell_id, nationkey,
+                   -- round-ok: exact rect area of 2/3-dp grid coords has <= 6 dp
                    round(
                        GREATEST(0, LEAST(cx1, nx1) - GREATEST(cx0, nx0))
                        * GREATEST(0, LEAST(cy1, ny1) - GREATEST(cy0, ny0)),
@@ -985,6 +989,7 @@ ORACLES: dict[str, str] = {
                o_orderdate + INTERVAL '90' DAY                             AS due_ts,
                CAST(year(o_orderdate) AS BIGINT)                           AS order_year,
                TRY_CAST(o_orderpriority AS DOUBLE)                         AS bad_cast,
+               -- round-ok: 2-dp price over den in (1,2): exact value has <= 3 dp, identity at 4
                round(o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0), 4) AS safe_ratio,
                concat_ws('-', o_orderstatus, o_orderpriority)              AS tag,
                CASE WHEN o_totalprice > 200000 THEN 'big'
@@ -1259,7 +1264,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT b.query_id,
                CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
-               round(COALESCE(n_overlap, 0) / 5.0, 4) AS recall
+               CAST({_exact_mean_sql("COALESCE(n_overlap, 0)", "5", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS recall
         FROM (SELECT DISTINCT query_id FROM full5) b
         LEFT JOIN ov USING (query_id)
         ORDER BY query_id
@@ -1966,7 +1972,7 @@ ORACLES: dict[str, str] = {
     # shingle document-frequency boilerplate: mirrors
     # llm/text.boilerplate_shingles + boilerplate_ratio (per-doc ratio
     # rounded to 4 before the decimal-routed average)
-    "text_boilerplate_stats": """
+    "text_boilerplate_stats": f"""
         WITH words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
@@ -1980,8 +1986,8 @@ ORACLES: dict[str, str] = {
         bp AS (SELECT sh FROM freq, total WHERE doc_freq > n_total * 0.01),
         ratios AS (
             SELECT s.doc_id,
-                   round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
-                         * 1.0 / count(*), 4) AS r
+                   CAST({_exact_mean_sql("sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)", "count(*)", sum_scale=0, out_scale=4)}
+                        AS DOUBLE) AS r
             FROM shingles s LEFT JOIN bp b ON s.sh = b.sh
             GROUP BY s.doc_id
         )
@@ -2167,12 +2173,18 @@ ORACLES: dict[str, str] = {
         ORDER BY numwait DESC, supp_name ASC
         LIMIT 50
     """,
-    "w7_rank_gauntlet": """
+    # prank/cdist are exact integer rationals (unique-key order →
+    # singleton peer groups) computed round-half-up in integer
+    # arithmetic — the tie-proof twin of the Spark reformulation.
+    "w7_rank_gauntlet": f"""
         SELECT c_custkey, c_mktsegment,
                CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
                dense_rank()   OVER w AS drank,
-               CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS prank,
-               CAST(round(cume_dist()    OVER w, 6) AS DOUBLE) AS cdist,
+               CAST(CASE WHEN count(*) OVER (PARTITION BY c_mktsegment) = 1
+                    THEN 0.0
+                    ELSE {_exact_mean_sql("(row_number() OVER w - 1)", "(count(*) OVER (PARTITION BY c_mktsegment) - 1)", sum_scale=0, out_scale=6)}
+                    END AS DOUBLE) AS prank,
+               CAST({_exact_mean_sql("(row_number() OVER w)", "(count(*) OVER (PARTITION BY c_mktsegment))", sum_scale=0, out_scale=6)} AS DOUBLE) AS cdist,
                ntile(4)       OVER w AS quartile,
                first_value(c_custkey) OVER (
                    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
@@ -3153,8 +3165,8 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS n_alerts_up,
                CAST(sum(CASE WHEN s_dn > target / 2 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_alerts_down,
-               round(CAST(max(s_up) AS DOUBLE), 4) AS max_cusum_up,
-               round(CAST(max(s_dn) AS DOUBLE), 4) AS max_cusum_down
+               CAST(round(max(s_up), 4) AS DOUBLE) AS max_cusum_up,
+               CAST(round(max(s_dn), 4) AS DOUBLE) AS max_cusum_down
         FROM s GROUP BY event_type ORDER BY event_type
     """,
     # the Bloom prefilter is a pure pruning structure — the exact
@@ -3409,7 +3421,7 @@ ORACLES: dict[str, str] = {
     # depth/width, min-over-rows estimate left-joined with 0-default
     # CMS inner-product join-size estimate: both sketches replayed
     # with the a28 salted-md5 fold, est = min over rows of Σ cntA·cntB
-    "a41_cms_join_size": """
+    "a41_cms_join_size": f"""
         WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i),
         ua AS (
             SELECT i.i AS row_idx,
@@ -3448,8 +3460,8 @@ ORACLES: dict[str, str] = {
                   WHERE o_custkey IS NOT NULL GROUP BY 1) b USING (k)
         )
         SELECT est_join_size, exact_join_size,
-               round((est_join_size - exact_join_size)
-                     / CAST(exact_join_size AS DOUBLE), 4) AS rel_err
+               CAST({_exact_mean_sql("(est_join_size - exact_join_size)", "exact_join_size", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS rel_err
         FROM est, exact
     """,
     # PMI collocations: exact bigram/unigram counts, identical
@@ -3478,7 +3490,7 @@ ORACLES: dict[str, str] = {
     """,
     # Heaps'-law growth: first-occurrence placement + decile grid,
     # closed-form log-log least squares — same expression tree as Spark
-    "text_heaps_law": """
+    "text_heaps_law": f"""
         WITH words AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
         ),
@@ -3504,23 +3516,26 @@ ORACLES: dict[str, str] = {
             GROUP BY 1
         ),
         pts AS (
+            -- 6-dp logs as scaled BIGINTs (x1e6): exact integer fit
             SELECT v.decile, v.cutoff, t.tokens, v.vocab,
-                   CAST(round(log10(t.tokens), 6) AS DECIMAL(18,6)) AS x,
-                   CAST(round(log10(v.vocab), 6) AS DECIMAL(18,6)) AS y
+                   CAST(round(log10(t.tokens) * 1000000, 0) AS BIGINT) AS x,
+                   CAST(round(log10(v.vocab) * 1000000, 0) AS BIGINT) AS y
             FROM vocab v JOIN toks t USING (decile)
         ),
         sums AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(x) AS DOUBLE) AS sx,
-                   CAST(sum(y) AS DOUBLE) AS sy,
-                   CAST(sum(x * x) AS DOUBLE) AS sxx,
-                   CAST(sum(x * y) AS DOUBLE) AS sxy
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x * x) AS HUGEINT) AS sxx,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy
             FROM pts
         ),
         fit AS (
-            SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
-                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                         / n, 4) AS log10_k
+            -- slope/intercept rationals rounded half-up in integer
+            -- arithmetic (tie class); the x1e-12 unit cancels for
+            -- beta, the intercept numerator carries one extra x1e-6
+            SELECT CAST({_exact_mean_sql("(n * sxy - sx * sy)", "(n * sxx - sx * sx)", sum_scale=0, out_scale=4)} AS DOUBLE) AS beta,
+                   CAST({_exact_mean_sql("(sy * sxx - sx * sxy)", "((n * sxx - sx * sx) * 1000000)", sum_scale=0, out_scale=4)} AS DOUBLE) AS log10_k
             FROM sums
         )
         SELECT decile, cutoff, CAST(tokens AS BIGINT) AS tokens,
@@ -3612,7 +3627,7 @@ ORACLES: dict[str, str] = {
     """,
     # 8-word duplicate windows (count > 1 corpus-wide) merged into
     # maximal spans with the same gaps-and-islands pass as Spark.
-    "text_dup_spans": """
+    "text_dup_spans": f"""
         WITH toks AS (
             SELECT doc_id,
                    list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
@@ -3656,8 +3671,8 @@ ORACLES: dict[str, str] = {
         SELECT z.doc_id, z.n_words,
                CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
                CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
-               round(COALESCE(p.dup_words, 0)
-                     / CAST(greatest(z.n_words, 1) AS DOUBLE), 4) AS dup_frac
+               CAST({_exact_mean_sql("COALESCE(p.dup_words, 0)", "greatest(z.n_words, 1)", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS dup_frac
         FROM sizes z LEFT JOIN per_doc p USING (doc_id)
     """,
     # One-sided containment over the shared 3-word shingle universe;
@@ -3811,10 +3826,13 @@ ORACLES: dict[str, str] = {
                round(max(m.med), 4) AS median,
                round(max(m.mad), 4) AS mad,
                count(*) AS n,
+               -- round-ok: quantize-before-compare convention (kills the 1-ulp percentile class)
                CAST(sum(CASE WHEN round(abs(e.value - m.med), 6) > round(3 * 1.4826 * m.mad, 6)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               -- round-ok: same quantize-before-compare; max/min select stored 2-dp values
                round(max(CASE WHEN round(abs(e.value - m.med), 6) > round(3 * 1.4826 * m.mad, 6)
                               THEN e.value END), 4) AS worst_high,
+               -- round-ok: same quantize-before-compare; max/min select stored 2-dp values
                round(min(CASE WHEN round(abs(e.value - m.med), 6) > round(3 * 1.4826 * m.mad, 6)
                               THEN e.value END), 4) AS worst_low
         FROM ev e JOIN mad m USING (event_type)
@@ -3960,7 +3978,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_type, CAST(max(tt) AS BIGINT) AS n_days,
                max(last_day) AS last_day,
-               round(CAST(sum(term) AS DOUBLE), 4) AS forecast
+               CAST(round(sum(term), 4) AS DOUBLE) AS forecast
         FROM terms GROUP BY 1
     """,
     # 10% salted-hash sample (the sampling family's md5 rule) vs exact
@@ -4063,7 +4081,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
                CAST(max(nc) AS BIGINT) AS n_cur,
-               round(CAST(sum(t) AS DOUBLE), 4) AS psi
+               CAST(round(sum(t), 4) AS DOUBLE) AS psi
         FROM terms GROUP BY 1
     """,
     "text_bpe_merges": _bpe_sql(8, _BPE_MERGES_FINAL),
@@ -4208,7 +4226,7 @@ ORACLES: dict[str, str] = {
     # Same exact-sufficient-statistics formulation as the Spark side:
     # exact bigint/DECIMAL sums, one cast to DOUBLE each, identical
     # closed-form arithmetic.
-    "trend_by_event_type": """
+    "trend_by_event_type": f"""
         WITH pts AS (
             SELECT event_type,
                    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -4219,21 +4237,24 @@ ORACLES: dict[str, str] = {
         ), s AS (
             SELECT event_type,
                    COUNT(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
-                   CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(y * y) AS DOUBLE) AS syy
+                   SUM(x) AS sx,
+                   SUM(x * x) AS sxx,
+                   SUM(y) AS sy,
+                   SUM(x * y) AS sxy,
+                   SUM(y * y) AS syy
             FROM pts GROUP BY event_type
         )
         SELECT event_type,
                n,
-               CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-                    AS DOUBLE) AS slope_per_day,
-               CAST(round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4)
-                    AS DOUBLE) AS intercept,
-               CAST(round((n * sxy - sx * sy)
-                          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                    ELSE CAST({_exact_mean_sql("(n * sxy - sx * sy)", "(n * sxx - sx * sx)", sum_scale=6, out_scale=6)} AS DOUBLE)
+                    END AS slope_per_day,
+               CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                    ELSE CAST({_exact_mean_sql("(sy * sxx - sx * sxy)", "(n * sxx - sx * sx)", sum_scale=6, out_scale=4)} AS DOUBLE)
+                    END AS intercept,
+               CAST(round(CAST((n * sxy - sx * sy) AS DOUBLE)
+                          / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                                 * CAST((n * syy - sy * sy) AS DOUBLE)), 6)
                     AS DOUBLE) AS r
         FROM s
         ORDER BY event_type
@@ -4406,13 +4427,16 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id, min(ts) AS session_start,
                max(ts) + INTERVAL 10 MINUTE AS session_end,
-               count(*) AS n_events, round(sum(value), 2) AS total_value
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_value
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
     """,
-    # r9: Zipf fit — same rounded-DECIMAL log-sum convention as
-    # text_heaps_law so the closed-form slope is partition-order-exact
-    "text_zipf_fit": """
+    # r9 (reworked r11): Zipf fit — ×10⁶-scaled BIGINT log sums and an
+    # integer-arithmetic slope/intercept round (tie class), same
+    # discipline as text_heaps_law
+    "text_zipf_fit": f"""
         WITH w AS (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
         ), counts AS (
@@ -4421,18 +4445,18 @@ ORACLES: dict[str, str] = {
             SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
             FROM counts ORDER BY freq DESC, w ASC LIMIT 200
         ), pts AS (
-            SELECT CAST(round(log10(rank), 6) AS DECIMAL(18,6)) AS x,
-                   CAST(round(log10(freq), 6) AS DECIMAL(18,6)) AS y
+            SELECT CAST(round(log10(rank) * 1000000, 0) AS BIGINT) AS x,
+                   CAST(round(log10(freq) * 1000000, 0) AS BIGINT) AS y
             FROM top
         ), s AS (
-            SELECT count(*) AS n_terms, CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-                   CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+            SELECT count(*) AS n_terms, CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(x*y) AS HUGEINT) AS sxy
             FROM pts
         )
         SELECT n_terms,
-               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope,
-               round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
+               CAST({_exact_mean_sql("(n * sxy - sx * sy)", "(n * sxx - sx * sx)", sum_scale=0, out_scale=4)} AS DOUBLE) AS zipf_slope,
+               CAST({_exact_mean_sql("(sy * sxx - sx * sxy)", "((n * sxx - sx * sx) * 1000000)", sum_scale=0, out_scale=4)} AS DOUBLE)
                  AS log10_c
         FROM s
     """,
@@ -4518,7 +4542,7 @@ ORACLES: dict[str, str] = {
                               / (n_row * n_col / n), 6) AS DECIMAL(18,6)) AS t
             FROM cells JOIN rowt USING (p) JOIN colt USING (s), tot
         ), agg AS (
-            SELECT n, r, c, round(CAST(sum(t) AS DOUBLE), 4) AS chi2
+            SELECT n, r, c, CAST(round(sum(t), 4) AS DOUBLE) AS chi2
             FROM terms GROUP BY n, r, c
         )
         SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows,
@@ -4712,7 +4736,7 @@ ORACLES: dict[str, str] = {
     # r9: fuzzy decontamination — 4-gram shingle replay (Spark
     # word_shingles: distinct windows i..i+3 over the space split),
     # containment = shared / doc shingles, worst probe per doc
-    "text_decontamination_fuzzy": """
+    "text_decontamination_fuzzy": f"""
         WITH shing AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -4736,12 +4760,11 @@ ORACLES: dict[str, str] = {
                containment
         FROM (
             SELECT s.doc_id, s.probe_id, s.n_shared, z.n_doc_shingles,
-                   round(n_shared / CAST(z.n_doc_shingles AS DOUBLE), 6)
-                       AS containment,
+                   CAST({_exact_mean_sql("n_shared", "z.n_doc_shingles", sum_scale=0, out_scale=6)}
+                        AS DOUBLE) AS containment,
                    row_number() OVER (
                        PARTITION BY s.doc_id
-                       ORDER BY round(n_shared
-                                / CAST(z.n_doc_shingles AS DOUBLE), 6) DESC,
+                       ORDER BY {_exact_mean_sql("n_shared", "z.n_doc_shingles", sum_scale=0, out_scale=6)} DESC,
                                 s.probe_id ASC) AS rn
             FROM shared s JOIN sizes z USING (doc_id)
         ) WHERE rn = 1
@@ -4762,6 +4785,8 @@ ORACLES: dict[str, str] = {
         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
                ((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0) AS natural_share,
                ((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0) AS temp_share,
+               -- round-ok: the embedded rounds recover exact integers q from
+               -- the generated q/1e6 share expressions, never a .5
                ((CASE WHEN CAST(CAST(round((((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT) < 0 THEN -((2 * abs(CAST(CAST(round((((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)) * 10000 + (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT))) // (2 * (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)))) ELSE ((2 * abs(CAST(CAST(round((((CASE WHEN CAST(w * 1000000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 1000000000 AS HUGEINT)) * 1000000 + (CAST(sw * 1000000000 AS HUGEINT))) // (2 * (CAST(sw * 1000000000 AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)) * 10000 + (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT))) // (2 * (CAST(CAST(round((((CASE WHEN CAST(n_docs AS HUGEINT) < 0 THEN -((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) ELSE ((2 * abs(CAST(n_docs AS HUGEINT)) * 1000000 + (CAST(total AS HUGEINT))) // (2 * (CAST(total AS HUGEINT)))) END) / 1000000.0)) * 1000000, 0) AS HUGEINT) AS HUGEINT)))) END) / 10000.0) AS boost
         FROM w, sw ORDER BY source
     """,
@@ -5026,7 +5051,7 @@ ORACLES: dict[str, str] = {
     + ' ORDER BY "column"',
     # r9: lifetime-revenue deciles — exact DECIMAL sums, deterministic
     # ntile over the total order
-    "q23_revenue_deciles": """
+    "q23_revenue_deciles": f"""
         WITH rev AS (
             SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
             FROM orders GROUP BY o_custkey
@@ -5037,7 +5062,8 @@ ORACLES: dict[str, str] = {
         ), tot AS (SELECT sum(rev) AS total FROM rev)
         SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
                sum(rev) AS revenue,
-               round(CAST(sum(rev) / total AS DOUBLE), 6) AS revenue_share
+               CAST({_exact_mean_sql("(sum(rev) * 100)", "(total * 100)", sum_scale=0, out_scale=6)}
+                    AS DOUBLE) AS revenue_share
         FROM dec, tot GROUP BY decile, total ORDER BY decile
     """,
     # r9: bounded 3-core peel — the identical five rounds unrolled as
@@ -5070,7 +5096,7 @@ ORACLES: dict[str, str] = {
     + "\n        ORDER BY round",
     # r9: Flesch reading-ease — vowel-group syllables (min 1/word),
     # [.!?]+ sentences (min 1/doc), rounded-DECIMAL per-doc scores
-    "text_readability_scores": """
+    "text_readability_scores": f"""
         WITH d AS (
             SELECT source, string_split(text, ' ') AS w,
                    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
@@ -5082,11 +5108,11 @@ ORACLES: dict[str, str] = {
                    )) AS syl
             FROM d
         ), f AS (
+            -- flesch is an exact rational: (206835*ns*nw - 1015*nw*nw
+            -- - 84600*syl*ns) / (1000*ns*nw) — integer-arithmetic round
             SELECT source,
-                   CAST(round(206.835
-                              - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
-                              - 84.6 * (CAST(syl AS DOUBLE) / CAST(nw AS DOUBLE)),
-                              8) AS DECIMAL(18,8)) AS fl
+                   CAST({_exact_mean_sql("(206835 * ns * nw - 1015 * nw * nw - 84600 * syl * ns)", "(1000 * ns * nw)", sum_scale=0, out_scale=8)}
+                        AS DECIMAL(18,8)) AS fl
             FROM m
         )
         SELECT source, count(*) AS n_docs,
@@ -5097,7 +5123,7 @@ ORACLES: dict[str, str] = {
     # r9: first-occurrence 3-gram novelty — same shingle construction
     # as the dedup oracles (3-word window, DISTINCT per doc, len>=3
     # guard); docs with no shingles drop out in both engines
-    "text_ngram_novelty": """
+    "text_ngram_novelty": f"""
         WITH words AS (
             SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
         ), shingles AS (
@@ -5113,7 +5139,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, count(*) AS novel FROM firstseen GROUP BY doc_id
         ), per_doc AS (
             SELECT s.source, coalesce(n.novel, 0) AS novel,
-                   CAST(round(coalesce(n.novel, 0) / CAST(s.n_sh AS DOUBLE), 8)
+                   CAST({_exact_mean_sql("coalesce(n.novel, 0)", "s.n_sh", sum_scale=0, out_scale=8)}
                         AS DECIMAL(18,8)) AS nov
             FROM sizes s LEFT JOIN novel n USING (doc_id)
         )
@@ -5178,7 +5204,7 @@ ORACLES: dict[str, str] = {
     """,
     # r9: data-constrained epoch schedule — balanced 2×-corpus budget,
     # 4-epoch repeat cap; all integer except the reported ratio
-    "sample_epoch_schedule": """
+    "sample_epoch_schedule": f"""
         WITH avail AS (
             SELECT source,
                    sum(CAST(floor(n_chars / 4) AS BIGINT)) AS available_tokens
@@ -5191,9 +5217,8 @@ ORACLES: dict[str, str] = {
         SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
                CAST(floor((corpus_tokens * 2) / CAST(n_sources AS DOUBLE))
                     AS BIGINT) AS target_tokens,
-               round(CAST(floor((corpus_tokens * 2)
-                                / CAST(n_sources AS DOUBLE)) AS DOUBLE)
-                     / CAST(available_tokens AS DOUBLE), 4) AS repeat_epochs,
+               CAST({_exact_mean_sql("CAST(floor((corpus_tokens * 2) / CAST(n_sources AS DOUBLE)) AS BIGINT)", "available_tokens", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS repeat_epochs,
                CAST(least(CAST(floor((corpus_tokens * 2)
                                 / CAST(n_sources AS DOUBLE)) AS BIGINT),
                      available_tokens * 4) AS BIGINT) AS effective_tokens,
@@ -5258,6 +5283,7 @@ ORACLES: dict[str, str] = {
             FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
         ), s1 AS (
             SELECT 1 AS "rank", vec_id, rel, CAST(0.0 AS DOUBLE) AS redundancy,
+                   -- round-ok: rel is a cosine (sqrt-normalized, continuous)
                    round(0.7 * rel, 6) AS mmr_score
             FROM cand ORDER BY rel DESC, vec_id LIMIT 1
         ), sel1 AS (SELECT vec_id FROM s1),
@@ -5265,6 +5291,7 @@ ORACLES: dict[str, str] = {
     + ",\n        ".join(
         f's{r} AS (\n'
         f'            SELECT {r} AS "rank", vec_id, rel, redundancy,\n'
+        # round-ok: rel/redundancy are cosines (continuous)
         f"                   round(0.7 * rel - 0.3 * redundancy, 6) AS mmr_score\n"
         f"            FROM (\n"
         f"                SELECT c.vec_id, c.rel, max(s.sim) AS redundancy\n"
@@ -5339,7 +5366,7 @@ ORACLES: dict[str, str] = {
     + " ORDER BY table_name",
     # r9: closed-form MATTR — same O(tokens) first-occurrence window
     # count as the Spark plan; W=25, sub-W docs drop
-    "text_mattr_diversity": """
+    "text_mattr_diversity": f"""
         WITH words AS (
             SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
         ), toks AS (
@@ -5358,7 +5385,7 @@ ORACLES: dict[str, str] = {
             FROM pt WHERE n >= 25
         ), per_doc AS (
             SELECT source,
-                   CAST(round(sum(contrib) / CAST(k * 25 AS DOUBLE), 8)
+                   CAST({_exact_mean_sql("sum(contrib)", "(k * 25)", sum_scale=0, out_scale=8)}
                         AS DECIMAL(18,8)) AS mattr
             FROM per_tok GROUP BY doc_id, source, k
         )
@@ -5438,7 +5465,7 @@ ORACLES: dict[str, str] = {
                           ELSE 0.0 END)), 8) AS DECIMAL(18,8)) AS t
             FROM grid l JOIN grid r ON l.b = r.b AND l.source < r.source
         )
-        SELECT s1, s2, round(CAST(sum(t) AS DOUBLE), 6) AS jsd
+        SELECT s1, s2, CAST(round(sum(t), 6) AS DOUBLE) AS jsd
         FROM pairs GROUP BY s1, s2 ORDER BY jsd, s1, s2
     """,
     # r9: Neyman allocation — σ from integer sums, largest-remainder
@@ -5450,21 +5477,24 @@ ORACLES: dict[str, str] = {
             FROM documents GROUP BY source
         ), sig AS (
             -- singleton-stratum guard mirrored from the Spark query:
-            -- one observation has sigma 0, never a 0/0 NULL
+            -- one observation has sigma 0, never a 0/0 NULL.
+            -- σ quantizes to DECIMAL(28,8) at birth (tie class)
             SELECT source, n_h,
-                   CASE WHEN n_h <= 1 THEN 0.0
+                   CAST(CASE WHEN n_h <= 1 THEN 0.0
                         ELSE round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
                                    / CAST(n_h * (n_h - 1) AS DOUBLE)), 8)
-                   END AS sigma
+                   END AS DECIMAL(28,8)) AS sigma
             FROM stats
         ), wgt AS (
             SELECT source, n_h, sigma,
-                   CAST(round(n_h * sigma, 8) AS DECIMAL(28,8)) AS w
+                   CAST(n_h * sigma AS DECIMAL(28,8)) AS w
             FROM sig
         ), tot AS (SELECT sum(w) AS wtot FROM wgt),
         shares AS (
-            SELECT source, n_h, round(sigma, 4) AS sigma,
-                   ((CASE WHEN CAST(w * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 100000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 100000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) END) / 100000000.0) AS share
+            SELECT source, n_h,
+                   CAST(round(sigma, 4) AS DOUBLE) AS sigma,
+                   ((CASE WHEN CAST(w * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 100000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 100000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) END) / 100000000.0) AS share,
+                   ((CASE WHEN CAST(w * 100000000 AS HUGEINT) < 0 THEN -((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 1000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) ELSE ((2 * abs(CAST(w * 100000000 AS HUGEINT)) * 1000000 + (CAST(wtot * 100000000 AS HUGEINT))) // (2 * (CAST(wtot * 100000000 AS HUGEINT)))) END) / 1000000.0) AS share6
             FROM wgt, tot
         ), fl AS (
             SELECT *, CAST(floor(share * 1000) AS BIGINT) AS base,
@@ -5476,7 +5506,7 @@ ORACLES: dict[str, str] = {
             FROM fl
         ), short AS (SELECT 1000 - sum(base) AS short FROM fl)
         SELECT source, CAST(n_h AS BIGINT) AS n_h, sigma,
-               round(share, 6) AS neyman_share,
+               share6 AS neyman_share,
                CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
                     AS BIGINT) AS allocation
         FROM ranked, short ORDER BY source
@@ -5484,7 +5514,10 @@ ORACLES: dict[str, str] = {
     # r9: seasonality strength — day-of-week seasonal means over
     # DECIMAL daily totals, residual/total variances from rounded-
     # DECIMAL sufficient sums
-    "a53_seasonality_strength": """
+    # r11: scaled-integer moments (x_i = v·10², r_i = v·10⁸ − s·10⁸)
+    # and integer-arithmetic variance rounds — the double-round of an
+    # exact rational is the cross-engine tie class
+    "a53_seasonality_strength": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
                    sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS v,
@@ -5495,42 +5528,42 @@ ORACLES: dict[str, str] = {
                    ((CASE WHEN CAST(sum(v) * 100 AS HUGEINT) < 0 THEN -((2 * abs(CAST(sum(v) * 100 AS HUGEINT)) * 1000000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) ELSE ((2 * abs(CAST(sum(v) * 100 AS HUGEINT)) * 1000000 + (CAST(count(*) AS HUGEINT) * 1)) // (2 * (CAST(count(*) AS HUGEINT) * 1))) END) / 100000000.0) AS s
             FROM daily GROUP BY event_type, dow
         ), resid AS (
-            SELECT d.event_type, CAST(d.v AS DOUBLE) AS x,
-                   round(CAST(d.v AS DOUBLE) - s.s, 8) AS r
+            SELECT d.event_type,
+                   CAST(d.v * 100 AS BIGINT) AS xi,
+                   CAST(d.v * 100 AS BIGINT) * 1000000
+                       - CAST(round(s.s * 1e8, 0) AS BIGINT) AS ri
             FROM daily d JOIN seas s
               ON d.event_type = s.event_type AND d.dow = s.dow
         ), st AS (
             SELECT event_type, count(*) AS n_days,
-                   sum(CAST(round(x, 8) AS DECIMAL(28,8))) AS sx,
-                   sum(CAST(round(x * x, 8) AS DECIMAL(38,8))) AS sxx,
-                   sum(CAST(r AS DECIMAL(28,8))) AS sr,
-                   sum(CAST(round(r * r, 8) AS DECIMAL(38,8))) AS srr
+                   CAST(sum(xi) AS HUGEINT) AS sx,
+                   CAST(sum(xi * xi) AS HUGEINT) AS sxx,
+                   CAST(sum(ri) AS HUGEINT) AS sr,
+                   sum(CAST(ri AS HUGEINT) * CAST(ri AS HUGEINT)) AS srr
             FROM resid GROUP BY event_type
+        ), nums AS (
+            SELECT event_type, n_days,
+                   CAST(n_days AS HUGEINT) * sxx - sx * sx AS num_x,
+                   CAST(n_days AS HUGEINT) * srr - sr * sr AS num_r,
+                   CAST(n_days AS HUGEINT)
+                       * (CAST(n_days AS HUGEINT) - 1) AS den_n
+            FROM st
         )
         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
-               round((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                     / (CAST(n_days AS DOUBLE)
-                        * (CAST(n_days AS DOUBLE) - 1.0)), 4) AS var_total,
-               round((CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
-                      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
-                     / (CAST(n_days AS DOUBLE)
-                        * (CAST(n_days AS DOUBLE) - 1.0)), 4) AS var_resid,
-               round(greatest(0.0, 1.0
-                     - ((CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
-                         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
-                        / (CAST(n_days AS DOUBLE)
-                           * (CAST(n_days AS DOUBLE) - 1.0)))
-                     / ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        / (CAST(n_days AS DOUBLE)
-                           * (CAST(n_days AS DOUBLE) - 1.0)))), 4)
-                   AS seasonality_strength
-        FROM st ORDER BY event_type
+               CASE WHEN n_days > 1 THEN
+                   CAST({_exact_mean_sql("num_x", "(den_n * 10000)", sum_scale=0, out_scale=4)} AS DOUBLE)
+               END AS var_total,
+               CASE WHEN n_days > 1 THEN
+                   CAST({_exact_mean_sql("num_r", "(den_n * 10000000000000000)", sum_scale=0, out_scale=4)} AS DOUBLE)
+               END AS var_resid,
+               CASE WHEN n_days > 1 AND num_x > 0 THEN
+                   greatest(0.0, CAST({_exact_mean_sql("(num_x * 1000000000000 - num_r)", "(num_x * 1000000000000)", sum_scale=0, out_scale=4)} AS DOUBLE))
+               END AS seasonality_strength
+        FROM nums ORDER BY event_type
     """,
     # r9: RAKE keyphrases — same stopword-boundary split, degree/freq
     # word scores, rounded-DECIMAL phrase sums
-    "text_keyword_rake": r"""
+    "text_keyword_rake": rf"""
         WITH pieces AS (
             SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
             FROM (SELECT UNNEST(string_split_regex(text,
@@ -5551,18 +5584,18 @@ ORACLES: dict[str, str] = {
             FROM occ
         ), scored AS (
             SELECT phrase, n_occ, count(*) AS n_words,
-                   sum(CAST(round(degree / CAST(freq AS DOUBLE), 8)
+                   sum(CAST({_exact_mean_sql("degree", "freq", sum_scale=0, out_scale=8)}
                             AS DECIMAL(18,8))) AS s
             FROM pw JOIN ws USING (w) GROUP BY phrase, n_occ
         )
         SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
                CAST(n_occ AS BIGINT) AS n_occurrences,
-               round(CAST(s AS DOUBLE), 4) AS rake_score
+               CAST(round(s, 4) AS DOUBLE) AS rake_score
         FROM scored ORDER BY rake_score DESC, phrase ASC LIMIT 20
     """,
     # r9: term burstiness — VMR over all docs from integer sufficient
     # statistics (zeros in closed form, never densified)
-    "text_burstiness": """
+    "text_burstiness": f"""
         WITH per_doc AS (
             SELECT doc_id, w, count(*) AS c
             FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
@@ -5577,8 +5610,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT w AS term, CAST(df AS BIGINT) AS df,
                CAST(total AS BIGINT) AS total,
-               round(CAST(n_docs * sumsq - total * total AS DOUBLE)
-                     / CAST(n_docs * total AS DOUBLE), 4) AS vmr
+               CAST({_exact_mean_sql("(n_docs * sumsq - total * total)", "(n_docs * total)", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS vmr
         FROM stats, nd WHERE total >= 50
         ORDER BY vmr DESC, term ASC LIMIT 20
     """,
@@ -5601,8 +5634,8 @@ ORACLES: dict[str, str] = {
             FROM pu
         ), en AS (
             SELECT na, nb, sa, sb,
-                   round(CAST((na - nb) * (na - nb) AS DOUBLE)
-                         / CAST(na + nb AS DOUBLE), 4) AS chi2_srm,
+                   CAST({_exact_mean_sql("((na - nb) * (na - nb))", "(na + nb)", sum_scale=0, out_scale=4)}
+                        AS DOUBLE) AS chi2_srm,
                    CAST((na - nb) * (na - nb) AS DOUBLE)
                        / CAST(na + nb AS DOUBLE) > 3.841 AS srm_flag,
                    round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
@@ -5620,13 +5653,14 @@ ORACLES: dict[str, str] = {
         )
         SELECT 'A' AS arm, CAST(na AS BIGINT) AS n_users,
                CAST(sa AS BIGINT) AS n_purchases,
-               round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 4)
-                   AS mean_purchases,
+               CAST({_exact_mean_sql("sa", "na", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS mean_purchases,
                chi2_srm, srm_flag, z_mean_diff
         FROM en
         UNION ALL
         SELECT 'B', CAST(nb AS BIGINT), CAST(sb AS BIGINT),
-               round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 4),
+               CAST({_exact_mean_sql("sb", "nb", sum_scale=0, out_scale=4)}
+                    AS DOUBLE),
                chi2_srm, srm_flag, z_mean_diff
         FROM en
         ORDER BY arm
@@ -5687,6 +5721,7 @@ ORACLES: dict[str, str] = {
                    AS trace
             FROM cov WHERE i = j
         )
+        -- round-ok: v is sqrt-normalized (continuous)
         SELECT v8.j AS dim, round(v8.v, 6) AS loading, eigenvalue,
                round(eigenvalue / trace, 6) AS var_share
         FROM v8, lam, tr ORDER BY dim
@@ -5721,8 +5756,8 @@ ORACLES: dict[str, str] = {
             GROUP BY l.component_id
         )
         SELECT component_id, size, n_edges,
-               round(n_edges / CAST(size * (size - 1) / 2 AS DOUBLE), 4)
-                   AS edge_density,
+               CAST({_exact_mean_sql("(n_edges * 2)", "(size * (size - 1))", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS edge_density,
                min_edge_jaccard, mean_edge_jaccard
         FROM comp_sizes JOIN ce USING (component_id) ORDER BY component_id
     """,
@@ -5779,7 +5814,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT query_id, CAST(coalesce(n_ann, 0) AS BIGINT) AS n_ann,
                CAST(hits AS BIGINT) AS hits,
-               round(hits / 5.0, 4) AS recall_at_5
+               CAST({_exact_mean_sql("hits", "5", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS recall_at_5
         FROM h LEFT JOIN acounts USING (query_id) ORDER BY query_id
     """,
     # r9: rolling 14-day Pearson vs the all-types total — integer

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pipelines_spark.functions.datetime_ops import derive_partition_columns
-from pipelines_spark.functions.exact import exact_div_round, exact_mean
+from pipelines_spark.functions.exact import (
+    exact_div_round,
+    exact_mean,
+    exact_mean_sparksql,
+)
 from pipelines_spark.functions.json_ops import nest_payload
 from pipelines_spark.llm.dedup import (
     connected_components,
@@ -188,6 +192,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON o.o_orderkey = po.l_orderkey
             GROUP BY o.o_custkey
         )
+        -- round-ok: rev_d = sum of DECIMAL(18,6) rev (decimal-exact, two-hop alias)
         SELECT c.c_custkey, c.c_name, CAST(round(p.rev_d, 2) AS DOUBLE) AS revenue
         FROM per_cust p JOIN customer c ON c.c_custkey = p.custkey
         ORDER BY revenue DESC, c_custkey ASC
@@ -368,7 +373,14 @@ def j7_shipdate_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_quick_ships"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # avg of 2-dp fixed-point quantities is an exact rational —
+            # round-half-up in integer arithmetic (tie class)
+            exact_mean(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+                F.count(F.lit(1)),
+                sum_scale=2,
+                out_scale=4,
+            ).alias("avg_qty"),
         )
     )
 
@@ -619,6 +631,7 @@ def j8_geo_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     inside = st.filter(point_in_polygon("lat", "lon", ring))
+    # round-ok: haversine is sqrt/trig-derived (continuous)
     dist = F.round(
         haversine_km("lat", "lon", F.lit(-22.9068), F.lit(-43.1729)), 4
     )
@@ -713,6 +726,7 @@ def j8b_best_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells_b.join(F.broadcast(neigh_b), "bucket")
         .filter(F.col("bucket") == canonical)  # each pair exactly once
     )
+    # round-ok: exact rect-clip area of 2/3-dp grid coords has <= 6 dp
     area = F.round(
         intersection_area(
             rect_ring(F.col("cx0"), F.col("cy0"), F.col("cx1"), F.col("cy1")),
@@ -759,6 +773,7 @@ def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderdate + INTERVAL '90' DAY                           AS due_ts,
                cast(year(o_orderdate) AS bigint)                         AS order_year,
                try_cast(o_orderpriority AS double)                       AS bad_cast,
+               -- round-ok: 2-dp price over den in (1,2): exact value has <= 3 dp, identity at 4
                round(o_totalprice / nullif(cast(o_orderkey % 3 AS double), 0), 4) AS safe_ratio,
                concat_ws('-', o_orderstatus, o_orderpriority)            AS tag,
                CASE WHEN o_totalprice > 200000 THEN 'big'
@@ -1496,10 +1511,11 @@ def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_id",
             "size",
             "n_edges",
-            F.round(
-                F.col("n_edges")
-                / (F.col("size") * (F.col("size") - 1) / 2).cast("double"),
-                4,
+            # exact integer-arithmetic density (tie class at 4 dp)
+            exact_div_round(
+                F.col("n_edges") * 2,
+                F.col("size") * (F.col("size") - 1),
+                out_scale=4,
             ).alias("edge_density"),
             "min_edge_jaccard",
             "mean_edge_jaccard",
@@ -2147,13 +2163,26 @@ def w7_rank_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; all four ranks share ONE Window spec, so Spark
     computes them in a single sort+window pass (one shuffle)."""
     register(spark, sf_dir, ("customer",))
+    # percent_rank/cume_dist are exact rationals ((rn-1)/(n-1), rn/n —
+    # the window order includes the unique key, so every row is its
+    # own peer group and rank()==row_number()); round(double, 6) of an
+    # exact rational is the cross-engine tie class (PARITY_SF01.md),
+    # so both are computed round-half-up in integer arithmetic.
+    n_part = "count(*) OVER (PARTITION BY c_mktsegment)"
+    prank = exact_mean_sparksql(
+        "(row_number() OVER w - 1)", f"({n_part} - 1)", sum_scale=0, out_scale=6
+    )
+    cdist = exact_mean_sparksql(
+        "(row_number() OVER w)", f"({n_part})", sum_scale=0, out_scale=6
+    )
     return spark.sql(
-        """
+        f"""
         SELECT c_custkey, c_mktsegment,
                CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
                dense_rank()   OVER w AS drank,
-               CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS prank,
-               CAST(round(cume_dist()    OVER w, 6) AS DOUBLE) AS cdist,
+               CASE WHEN {n_part} = 1 THEN CAST(0.0 AS DOUBLE)
+                    ELSE {prank} END AS prank,
+               {cdist} AS cdist,
                ntile(4)       OVER w AS quartile,
                first_value(c_custkey) OVER (
                    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
@@ -2213,8 +2242,11 @@ def a15_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n",
+        # round-ok: total_value is the DECIMAL(18,6) val_dec sum — exact
         F.round(F.col("total_value"), 2).cast("double").alias("total_value"),
+        # round-ok: max/min select a stored 2-dp double — identity at 4
         F.round(F.col("max_value"), 4).alias("max_value"),
+        # round-ok: max/min select a stored 2-dp double — identity at 4
         F.round(F.col("min_value"), 4).alias("min_value"),
     )
 
@@ -3459,7 +3491,9 @@ def w13_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("t_last").cast("long").alias("n_days"),
             F.max("last_day").alias("last_day"),
-            F.round(F.sum("term").cast("double"), 4).alias("forecast"),
+            # round the exact DECIMAL(18,6) sum, not its double cast —
+            # a 6-dp rational CAN sit on a 4-dp boundary (tie class)
+            F.round(F.sum("term"), 4).cast("double").alias("forecast"),
         )
         .orderBy("event_type")
     )
@@ -3614,7 +3648,11 @@ def a35_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             # flip the count (repo convention: round-before-compare,
             # cf. a23's quantized z-threshold)
             "_is_out",
+            # round-ok: deliberate coarse quantize before compare — it
+            # kills the 1-ulp percentile-interpolation class, which is
+            # strictly more likely than a 6-dp boundary coincidence
             F.round(F.abs(F.col("value") - F.col("_med")), 6)
+            # round-ok: same quantize-before-compare convention
             > F.round(F.lit(3 * 1.4826) * F.col("_mad"), 6),
         )
     )
@@ -3936,8 +3974,16 @@ def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form slope/intercept/r arithmetic is the identical IEEE
     sequence in both engines. One shuffle (partial+final agg)."""
     register(spark, sf_dir, ("events",))
+    # slope/intercept are exact rationals over the exact sufficient
+    # statistics — round-half-up in integer arithmetic (tie class);
+    # Pearson r divides by a sqrt (irrational) and stays a double.
+    num_s = "(n * sxy - sx * sy)"
+    num_i = "(sy * sxx - sx * sxy)"
+    den = "(n * sxx - sx * sx)"
+    slope = exact_mean_sparksql(num_s, den, sum_scale=6, out_scale=6)
+    intercept = exact_mean_sparksql(num_i, den, sum_scale=6, out_scale=4)
     return spark.sql(
-        """
+        f"""
         WITH pts AS (
             SELECT event_type,
                    CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS x,
@@ -3947,21 +3993,20 @@ def trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), s AS (
             SELECT event_type,
                    COUNT(*) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
-                   CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
-                   CAST(SUM(y * y) AS DOUBLE) AS syy
+                   SUM(x) AS sx,
+                   SUM(x * x) AS sxx,
+                   SUM(y) AS sy,
+                   SUM(x * y) AS sxy,
+                   SUM(y * y) AS syy
             FROM pts GROUP BY event_type
         )
         SELECT event_type,
                n,
-               CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-                    AS DOUBLE) AS slope_per_day,
-               CAST(round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4)
-                    AS DOUBLE) AS intercept,
-               CAST(round((n * sxy - sx * sy)
-                          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               CASE WHEN {den} = 0 THEN NULL ELSE {slope} END AS slope_per_day,
+               CASE WHEN {den} = 0 THEN NULL ELSE {intercept} END AS intercept,
+               CAST(round(CAST({num_s} AS DOUBLE)
+                          / sqrt(CAST({den} AS DOUBLE)
+                                 * CAST((n * syy - sy * sy) AS DOUBLE)), 6)
                     AS DOUBLE) AS r
         FROM s
         ORDER BY event_type
@@ -3988,6 +4033,8 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = d.where(F.col("depth") == 3).select(
         (_epoch_us("reached_at") - _epoch_us("entered_at")).alias("us")
     )
+    # percentile-interpolated µs: both engines share the interpolation
+    # and the double (documented percentile exemption). round-ok: see above
     hours = lambda c: F.round(c / F.lit(3.6e9), 4).cast("double")  # noqa: E731
     return conv.agg(
         F.count(F.lit(1)).alias("n_converted"),
@@ -4110,29 +4157,37 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cutoff",
         "tokens",
         "vocab",
-        F.round(F.log10("tokens"), 6).cast("decimal(18,6)").alias("_x"),
-        F.round(F.log10("vocab"), 6).cast("decimal(18,6)").alias("_y"),
+        # 6-dp logs as scaled BIGINTs (×10⁶): every downstream sum and
+        # cross-product is exact integer arithmetic
+        F.round(F.log10("tokens") * 1e6, 0).cast("long").alias("_x"),
+        F.round(F.log10("vocab") * 1e6, 0).cast("long").alias("_y"),
     )
     # closed-form least squares over the 10 checkpoints (1-row agg);
-    # sums and cross-products are exact decimals, the slope division
-    # is one deterministic double expression over them
+    # the slope / intercept rationals are rounded half-up in INTEGER
+    # arithmetic — round(double, 4) of an exact rational is the
+    # cross-engine tie class (PARITY_SF01.md). The ×10⁻¹² unit carried
+    # by the scaled sums cancels between numerator and denominator for
+    # β; the intercept numerator carries one extra ×10⁻⁶.
+    _d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    _num_b = _d(F.col("_n")) * _d(F.col("_sxy")) - _d(F.col("_sx")) * _d(
+        F.col("_sy")
+    )
+    _num_i = _d(F.col("_sy")) * _d(F.col("_sxx")) - _d(F.col("_sx")) * _d(
+        F.col("_sxy")
+    )
+    _den = _d(F.col("_n")) * _d(F.col("_sxx")) - _d(F.col("_sx")) * _d(
+        F.col("_sx")
+    )
     fit = pts.agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        F.sum("_x").cast("double").alias("_sx"),
-        F.sum("_y").cast("double").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
-        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
     ).select(
-        F.round(
-            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
-            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
-            4,
-        ).alias("beta"),
-        F.round(
-            (F.col("_sy") - ((F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
-             / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))) * F.col("_sx"))
-            / F.col("_n"),
-            4,
+        exact_div_round(_num_b, _den, out_scale=4).alias("beta"),
+        exact_div_round(
+            _num_i, _den * F.lit(10 ** 6).cast("decimal(20,0)"), out_scale=4
         ).alias("log10_k"),
     )
     return (
@@ -4327,10 +4382,11 @@ def a41_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact).select(
         "est_join_size",
         "exact_join_size",
-        F.round(
-            (F.col("est_join_size") - F.col("exact_join_size"))
-            / F.col("exact_join_size").cast("double"),
-            4,
+        # exact integer-arithmetic relative error (tie class at 4 dp)
+        exact_div_round(
+            F.col("est_join_size") - F.col("exact_join_size"),
+            F.col("exact_join_size"),
+            out_scale=4,
         ).alias("rel_err"),
     )
 
@@ -4596,8 +4652,9 @@ def a39_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("s_dn") > F.col("h"), 1).otherwise(0)).alias(
                 "n_alerts_down"
             ),
-            F.round(F.max("s_up").cast("double"), 4).alias("max_cusum_up"),
-            F.round(F.max("s_dn").cast("double"), 4).alias("max_cusum_down"),
+            # round the exact DECIMAL(18,6) maxima (tie class at 4 dp)
+            F.round(F.max("s_up"), 4).cast("double").alias("max_cusum_up"),
+            F.round(F.max("s_dn"), 4).cast("double").alias("max_cusum_down"),
         )
         .orderBy("event_type")
     )
@@ -4950,7 +5007,10 @@ def embed_srp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "n_ann",
             "hits",
-            F.round(F.col("hits") / F.lit(5.0), 4).alias("recall_at_5"),
+            # exact integer-arithmetic recall ratio (tie class)
+            exact_div_round(F.col("hits"), F.lit(5), out_scale=4).alias(
+                "recall_at_5"
+            ),
         )
         .orderBy("query_id")
     )
@@ -5006,7 +5066,8 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             "xa",
             "mu_arr",
-            lambda x, m: F.round(x.cast("double") - m, 8),
+            # round-ok: 8-dp decimal minus 8-dp exact mean — identity at 8
+        lambda x, m: F.round(x.cast("double") - m, 8),
         ).alias("xc"),
     )
     # the 64×64 outer product via TWO chained posexplodes of the same
@@ -5140,9 +5201,10 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum(
-                F.round(F.col("degree") / F.col("freq"), 8).cast(
-                    "decimal(18,8)"
-                )
+                # exact integer-arithmetic round of the degree/freq
+                # rational (tie class at 8 dp)
+                exact_div_round(F.col("degree"), F.col("freq"), out_scale=8)
+                .cast("decimal(18,8)")
             ).alias("s"),
         )
     )
@@ -5151,7 +5213,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phrase",
             "n_words",
             F.col("n_occ").alias("n_occurrences"),
-            F.round(F.col("s").cast("double"), 4).alias("rake_score"),
+            F.round(F.col("s"), 4).cast("double").alias("rake_score"),
         )
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(20)
@@ -5189,13 +5251,12 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("term"),
             "df",
             "total",
-            F.round(
-                (
-                    F.col("n_docs") * F.col("sumsq")
-                    - F.col("total") * F.col("total")
-                ).cast("double")
-                / (F.col("n_docs") * F.col("total")).cast("double"),
-                4,
+            # exact integer-arithmetic VMR (tie class at 4 dp)
+            exact_div_round(
+                F.col("n_docs") * F.col("sumsq")
+                - F.col("total") * F.col("total"),
+                F.col("n_docs") * F.col("total"),
+                out_scale=4,
             ).alias("vmr"),
         )
         .orderBy(F.desc("vmr"), F.asc("term"))
@@ -5249,6 +5310,10 @@ def a52_ab_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast(
         "double"
     ) / (nb * (nb - F.lit(1.0)))
+    # chi² is an exact rational (na−nb)²/(na+nb): its 4-dp report uses
+    # integer arithmetic (tie class); the flag comparison stays on the
+    # shared IEEE double (comparisons don't round). z divides by a
+    # sqrt (irrational) and stays a double.
     chi2 = (
         (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))
     ).cast("double") / (F.col("na") + F.col("nb")).cast("double")
@@ -5257,7 +5322,11 @@ def a52_ab_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = wide.select(
         "na", "nb", "sa", "sb",
-        F.round(chi2, 4).alias("chi2_srm"),
+        exact_div_round(
+            (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb")),
+            F.col("na") + F.col("nb"),
+            out_scale=4,
+        ).alias("chi2_srm"),
         (chi2 > 3.841).alias("srm_flag"),
         F.round(z, 4).alias("z_mean_diff"),
     )
@@ -5265,7 +5334,8 @@ def a52_ab_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("A").alias("arm"),
         F.col("na").alias("n_users"),
         F.col("sa").alias("n_purchases"),
-        F.round(F.col("sa").cast("double") / F.col("na"), 4).alias(
+        # exact integer-arithmetic mean (tie class at 4 dp)
+        exact_mean(F.col("sa"), F.col("na"), sum_scale=0, out_scale=4).alias(
             "mean_purchases"
         ),
         "chi2_srm", "srm_flag", "z_mean_diff",
@@ -5274,7 +5344,7 @@ def a52_ab_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("B").alias("arm"),
         F.col("nb").alias("n_users"),
         F.col("sb").alias("n_purchases"),
-        F.round(F.col("sb").cast("double") / F.col("nb"), 4).alias(
+        exact_mean(F.col("sb"), F.col("nb"), sum_scale=0, out_scale=4).alias(
             "mean_purchases"
         ),
         "chi2_srm", "srm_flag", "z_mean_diff",
@@ -5328,6 +5398,7 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s1",
             "s2",
+            # round-ok: kl_term is log-derived (continuous)
             F.round(
                 F.lit(0.5) * (kl_term(F.col("p1"), m) + kl_term(F.col("p2"), m)),
                 8,
@@ -5338,7 +5409,9 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.groupBy("s1", "s2")
-        .agg(F.round(F.sum("t").cast("double"), 6).alias("jsd"))
+        # round the exact DECIMAL(18,8) sum, not its double cast —
+        # an 8-dp rational CAN sit on a 6-dp boundary (tie class)
+        .agg(F.round(F.sum("t"), 6).cast("double").alias("jsd"))
         .orderBy("jsd", "s1", "s2")
     )
 
@@ -5369,6 +5442,9 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NULL/NaN a 0/0 division would poison the whole budget
             # with (the weight, share, and allocation rows downstream
             # all inherit it and the budget stops summing to 1000)
+            # σ quantizes to DECIMAL(28,8) at birth: every downstream
+            # product / rounding is then exact decimal arithmetic, not
+            # a double re-round (tie class)
             F.when(F.col("n_h") <= 1, F.lit(0.0))
             .otherwise(
                 F.round(
@@ -5384,26 +5460,32 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     8,
                 )
             )
+            .cast("decimal(28,8)")
             .alias("sigma"),
         )
         .withColumn(
             "wgt",
-            F.round(F.col("n_h") * F.col("sigma"), 8).cast("decimal(28,8)"),
+            (F.col("n_h") * F.col("sigma")).cast("decimal(28,8)"),
         )
     )
     tot = stats.agg(F.sum("wgt").alias("wtot"))
     shares = stats.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_h",
-        F.round("sigma", 4).alias("sigma"),
-        # both decimals cast to double BEFORE dividing — decimal ÷
-        # decimal rounds at an engine-specific intermediate scale
-        # (the PCA means lesson)
+        # σ is DECIMAL(28,8): this round is exact decimal arithmetic
+        F.round("sigma", 4).cast("double").alias("sigma"),
         exact_div_round(
             F.col("wgt") * 100000000,
             F.col("wtot") * 100000000,
             out_scale=8,
         ).alias("share"),
+        # the displayed 6-dp share re-derives from the exact integers
+        # (round(share, 6) of the 8-dp double is the tie class)
+        exact_div_round(
+            F.col("wgt") * 100000000,
+            F.col("wtot") * 100000000,
+            out_scale=6,
+        ).alias("share6"),
     )
     with_floor = shares.select(
         "*",
@@ -5423,7 +5505,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_h",
             "sigma",
-            F.round("share", 6).alias("neyman_share"),
+            F.col("share6").alias("neyman_share"),
             (
                 F.col("base")
                 + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
@@ -5456,39 +5538,58 @@ def a53_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     seas = daily.groupBy("event_type", "dow").agg(
         exact_mean(F.sum("v"), F.count(F.lit(1)), sum_scale=2, out_scale=8).alias("s")
     )
+    # r11: the whole moment computation moves to scaled integers —
+    # x_i = v·10² (exact long), r_i = v·10⁸ − s·10⁸ (exact long; s is
+    # exact_mean's q/10⁸, recovered as the integer q). Every sum /
+    # cross-product is then exact integer arithmetic and the variance
+    # ratios round half-up in integer arithmetic (round(double, 4) of
+    # an exact rational is the cross-engine tie class).
     resid = daily.join(seas, ["event_type", "dow"]).select(
         "event_type",
-        F.col("v").cast("double").alias("x"),
-        F.round(F.col("v").cast("double") - F.col("s"), 8).alias("r"),
+        (F.col("v") * 100).cast("long").alias("xi"),
+        (
+            (F.col("v") * 100).cast("long") * F.lit(1000000)
+            # round-ok: s is q/1e8 by construction (exact_mean) — the
+            # ×1e8 round recovers the exact integer q, never a .5
+            - F.round(F.col("s") * 1e8, 0).cast("long")
+        ).alias("ri"),
     )
     stats = resid.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.sum(F.round(F.col("x"), 8).cast("decimal(28,8)")).alias("sx"),
-        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(38,8)")).alias(
-            "sxx"
-        ),
-        F.sum(F.col("r").cast("decimal(28,8)")).alias("sr"),
-        F.sum(F.round(F.col("r") * F.col("r"), 8).cast("decimal(38,8)")).alias(
-            "srr"
-        ),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum("ri").alias("sr"),
+        F.sum(
+            F.col("ri").cast("decimal(19,0)") * F.col("ri").cast("decimal(19,0)")
+        ).alias("srr"),
     )
-    n = F.col("n_days").cast("double")
-    var_x = (
-        n * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
-    ) / (n * (n - F.lit(1.0)))
-    var_r = (
-        n * F.col("srr").cast("double")
-        - F.col("sr").cast("double") * F.col("sr").cast("double")
-    ) / (n * (n - F.lit(1.0)))
+    _d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_d = _d(F.col("n_days"))
+    # units: sx/sxx carry 10⁻²/10⁻⁴, sr/srr carry 10⁻⁸/10⁻¹⁶
+    num_x = n_d * _d(F.col("sxx")) - _d(F.col("sx")) * _d(F.col("sx"))
+    num_r = n_d * _d(F.col("srr")) - _d(F.col("sr")) * _d(F.col("sr"))
+    den_n = n_d * (n_d - 1)
+    _sc4 = F.lit(10 ** 4).cast("decimal(20,0)")
+    _sc16 = F.lit(10 ** 16).cast("decimal(20,0)")
+    _sc12 = F.lit(10 ** 12).cast("decimal(20,0)")
+    guard = F.col("n_days") > 1
     return stats.select(
         "event_type",
         "n_days",
-        F.round(var_x, 4).alias("var_total"),
-        F.round(var_r, 4).alias("var_resid"),
-        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_x), 4).alias(
-            "seasonality_strength"
+        F.when(guard, exact_div_round(num_x, den_n * _sc4, out_scale=4)).alias(
+            "var_total"
         ),
+        F.when(guard, exact_div_round(num_r, den_n * _sc16, out_scale=4)).alias(
+            "var_resid"
+        ),
+        # 1 − var_r/var_x = (num_x·10¹² − num_r)/(num_x·10¹²) exactly
+        F.when(
+            guard & (num_x > 0),
+            F.greatest(
+                F.lit(0.0),
+                exact_div_round(num_x * _sc12 - num_r, num_x * _sc12, out_scale=4),
+            ),
+        ).alias("seasonality_strength"),
     ).orderBy("event_type")
 
 
@@ -5561,7 +5662,11 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact DECIMAL sum — a raw double sum of 2-dp values is
+            # partition-order-dependent at scale (determinism rule)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             "user_id",
@@ -5597,26 +5702,37 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("freq"), "w").limit(200)
     wr = Window.orderBy(F.desc("freq"), "w")
     pts = top.withColumn("rank", F.row_number().over(wr)).select(
-        F.round(F.log10("rank"), 6).cast("decimal(18,6)").alias("_x"),
-        F.round(F.log10("freq"), 6).cast("decimal(18,6)").alias("_y"),
+        # 6-dp logs as scaled BIGINTs (×10⁶): exact integer fit —
+        # same tie-class discipline as text_heaps_law
+        F.round(F.log10("rank") * 1e6, 0).cast("long").alias("_x"),
+        F.round(F.log10("freq") * 1e6, 0).cast("long").alias("_y"),
     )
-    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
-        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    _d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    _num_b = _d(F.col("_n")) * _d(F.col("_sxy")) - _d(F.col("_sx")) * _d(
+        F.col("_sy")
+    )
+    _num_i = _d(F.col("_sy")) * _d(F.col("_sxx")) - _d(F.col("_sx")) * _d(
+        F.col("_sxy")
+    )
+    _den = _d(F.col("_n")) * _d(F.col("_sxx")) - _d(F.col("_sx")) * _d(
+        F.col("_sx")
     )
     return (
         pts.agg(
             F.count(F.lit(1)).alias("n_terms"),
-            F.count(F.lit(1)).cast("double").alias("_n"),
-            F.sum("_x").cast("double").alias("_sx"),
-            F.sum("_y").cast("double").alias("_sy"),
-            F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
-            F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
         )
         .select(
             "n_terms",
-            F.round(slope, 4).alias("zipf_slope"),
-            F.round(
-                (F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 4
+            exact_div_round(_num_b, _den, out_scale=4).alias("zipf_slope"),
+            exact_div_round(
+                _num_i,
+                _den * F.lit(10 ** 6).cast("decimal(20,0)"),
+                out_scale=4,
             ).alias("log10_c"),
         )
     )
@@ -5717,7 +5833,8 @@ def a43_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         terms.groupBy("n", "r", "c")
-        .agg(F.round(F.sum("_t").cast("double"), 4).alias("chi2"))
+        # round the exact DECIMAL(18,6) sum (tie class at 4 dp)
+        .agg(F.round(F.sum("_t"), 4).cast("double").alias("chi2"))
         .select(
             "n",
             F.col("r").cast("long").alias("n_rows"),
@@ -5977,7 +6094,10 @@ def text_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(sizes, "doc_id")
         .withColumn(
             "containment",
-            F.round(F.col("n_shared") / F.col("n_doc_shingles").cast("double"), 6),
+            # exact integer-arithmetic containment (tie class at 6 dp)
+            exact_div_round(
+                F.col("n_shared"), F.col("n_doc_shingles"), out_scale=6
+            ),
         )
         .withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") == 1)
@@ -6036,7 +6156,10 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "boost",
             exact_div_round(
+                # round-ok: share is q/1e6 by construction — the ×1e6
+                # round recovers the exact integer q, never a .5
                 F.round(F.col("temp_share") * 1e6, 0).cast("long"),
+                # round-ok: same integer recovery
                 F.round(F.col("natural_share") * 1e6, 0).cast("long"),
                 out_scale=4,
             ),
@@ -6525,9 +6648,10 @@ def q23_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decile").cast("long").alias("decile"),
             "n_customers",
             "revenue",
-            F.round((F.col("revenue") / F.col("total")).cast("double"), 6).alias(
-                "revenue_share"
-            ),
+            # exact integer-arithmetic share (tie class at 6 dp)
+            exact_div_round(
+                F.col("revenue") * 100, F.col("total") * 100, out_scale=6
+            ).alias("revenue_share"),
         )
         .orderBy("decile")
     )
@@ -6586,14 +6710,18 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_sent = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
     nw = F.size(w)
-    flesch = (
-        F.lit(206.835)
-        - F.lit(1.015) * (nw.cast("double") / n_sent.cast("double"))
-        - F.lit(84.6) * (syl.cast("double") / nw.cast("double"))
+    # flesch is an exact rational: (206835·ns·nw − 1015·nw² −
+    # 84600·syl·ns)/(1000·ns·nw) — integer-arithmetic round (tie class)
+    flesch = exact_div_round(
+        F.lit(206835) * n_sent * nw
+        - F.lit(1015) * nw * nw
+        - F.lit(84600) * syl * n_sent,
+        F.lit(1000) * n_sent * nw,
+        out_scale=8,
     )
     per_doc = spark.table("documents").select(
         "source",
-        F.round(flesch, 8).cast("decimal(18,8)").alias("fl"),
+        flesch.cast("decimal(18,8)").alias("fl"),
     )
     return (
         per_doc.groupBy("source")
@@ -6642,7 +6770,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "novel",
-            F.round(F.col("novel") / F.col("n_sh"), 8)
+            # exact integer-arithmetic novelty ratio (tie class)
+            exact_div_round(F.col("novel"), F.col("n_sh"), out_scale=8)
             .cast("decimal(18,8)")
             .alias("nov"),
         )
@@ -6819,10 +6948,11 @@ def sample_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "available_tokens",
             "target_tokens",
-            F.round(
-                F.col("target_tokens")
-                / F.col("available_tokens").cast("double"),
-                4,
+            # exact integer-arithmetic epoch ratio (tie class at 4 dp)
+            exact_div_round(
+                F.col("target_tokens"),
+                F.col("available_tokens"),
+                out_scale=4,
             ).alias("repeat_epochs"),
             F.least(
                 F.col("target_tokens"),
@@ -7149,7 +7279,8 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("contrib").alias("s")
     ).select(
         "source",
-        F.round(F.col("s") / (F.col("k") * W).cast("double"), 8)
+        # exact integer-arithmetic MATTR (tie class at 8 dp)
+        exact_div_round(F.col("s"), F.col("k") * W, out_scale=8)
         .cast("decimal(18,8)")
         .alias("mattr"),
     )
@@ -7275,10 +7406,10 @@ def w15_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
-    # outrank everything. Round 10 head = the 28 stalest rows (25 last
-    # checked r3, a36 r4, a19/embed_ivf_pq r5) + the oldest 22 of the
-    # r6 cohort, filling the window to exactly 50. Everything checked
-    # green in r9 (the r9 additions + er + q14/q15) moves to the back.
+    # outrank everything. Since round 11 the head window is applied
+    # PROGRAMMATICALLY via _HEAD_ROTATION below (computed each round
+    # from the CORRECTNESS_r*.json freshness histogram) — the literal
+    # order here is historical and no longer load-bearing.
     # --- last driver-checked r3 (oldest first) ---
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -7514,4 +7645,69 @@ QUERIES = {
     "er_part_name_clusters": er_part_name_clusters,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
+}
+
+#: Round-11 head-50 (r10 verdict #3): the 28 queries whose last green
+#: driver row is r6, then the 22 stalest of the r7 cohort (ranked by
+#: total-times-driver-checked, then first-checked round, then name —
+#: computed from the CORRECTNESS_r01..r10 artifacts). After this round
+#: no registered query's last green driver row predates r7.
+_HEAD_ROTATION = [
+    # --- last driver-checked r6 ---
+    "embed_srp_multiprobe",
+    "graph_hierarchy_rollup",
+    "graph_khop_reach",
+    "graph_pagerank",
+    "graph_triangles",
+    "j13_fuzzy_name_match",
+    "j14_max_concurrent_orders",
+    "j15_part_cooccurrence",
+    "j16_asof_tolerance",
+    "j17_lateral_topk",
+    "o12_variant_props",
+    "o13_token_positions",
+    "o14_snapshot_diff",
+    "q12_priority_shipping",
+    "sample_mixture_rates",
+    "sample_weighted_topk",
+    "t3_sliding_window",
+    "text_bpe_merges",
+    "text_bpe_top_tokens",
+    "text_dup_spans",
+    "text_ngram_entropy",
+    "text_tfidf_pairs",
+    "w10_time_weighted_avg",
+    "w11_last_touch_attribution",
+    "w12_cumulative_new_users",
+    "w13_ses_forecast",
+    "w8_resample_interpolate",
+    "w9_activity_islands",
+    # --- stalest 22 of the r7 cohort ---
+    "w6_sessionize",
+    "a11_colwise_max",
+    "a12_rollup_revenue",
+    "a1_relation_check",
+    "a2_group_any_flag",
+    "a3_latest_event_per_user",
+    "a4_nested_content",
+    "a4b_grouped_content",
+    "a6_distinct_segments",
+    "a7_hourly_event_counts",
+    "dedup_embed_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embed_knn_topk",
+    "embed_srp_ann",
+    "f1_filter_expressions",
+    "f2_null_filter",
+    "f3_capture_window",
+    "f6_pruned_incremental_scan",
+    "j10_composite_update_detection",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _HEAD_ROTATION},
+    **{k: v for k, v in QUERIES.items() if k not in _HEAD_ROTATION},
 }

@@ -40,8 +40,15 @@ def run_incremental_dedup_stream(
     text_col: str = "text",
     threshold: float = 0.5,
     trigger: dict | None = None,
+    staging: str = "local",
 ) -> StreamingQuery:
     """Start the ingestion-dedup stream.
+
+    ``staging`` picks the durability mode for the per-batch staged
+    frames (plans/staging.py): ``"local"`` (default — fastest) or
+    ``"checkpoint"`` for preemption-prone clusters, where losing an
+    executor mid-batch must re-read rather than fail the micro-batch
+    (``spark.sparkContext.setCheckpointDir`` must be configured).
 
     Per micro-batch: probe the store at ``store_path`` (empty on
     first batch), append decision rows (id, is_dup, dup_of,
@@ -77,6 +84,7 @@ def run_incremental_dedup_stream(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
+            staging=staging,
         ).persist()
         (
             decisions.withColumn("_batch_id", F.lit(str(batch_id)))

@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pipelines_spark.functions.exact import exact_div_round
+
 
 def reference_histogram(
     ref: DataFrame, value_col: str, *, bins: int = 10
@@ -173,7 +175,8 @@ def psi_per_window(
         .agg(
             F.max("n_events").cast("long").alias("n_events"),
             F.max("n_null").cast("long").alias("n_null"),
-            F.round(F.sum("t").cast("double"), 4).alias("psi"),
+            # round the exact DECIMAL(18,6) sum (tie class at 4 dp)
+            F.round(F.sum("t"), 4).cast("double").alias("psi"),
         )
         .select(
             "window_start",
@@ -271,7 +274,14 @@ def run_drift_monitor_stream(
                 null_breach,
                 F.concat(
                     F.lit("[null_values]null_frac="),
-                    F.round(null_frac, 4).cast("string"),
+                    # exact integer-arithmetic ratio (tie class): the
+                    # alert text must be byte-identical across engines
+                    # and replays
+                    exact_div_round(
+                        F.col("n_null"),
+                        F.col("n_events") + F.col("n_null"),
+                        out_scale=4,
+                    ).cast("string"),
                 ),
             )
             log = scored.select(

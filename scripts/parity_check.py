@@ -5,6 +5,20 @@ driver's gate. Usage:
 
     python scripts/parity_check.py q1_pricing_summary t3_sliding_window ...
 
+Diff-scoped gate mode (r10 verdict #4 — new/touched queries pay the
+sf0.1 parity toll every round, not just in one-off sweeps):
+
+    SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.1 \
+        python scripts/parity_check.py --touched [base-ref]
+
+``--touched`` computes the round's touched registry entries from
+``git diff <base-ref>..HEAD`` (default base-ref: the last driver
+round commit, ``git log --grep '^round '``): a query is touched if
+its defining function in queries.py changed, its ORACLES entry in
+oracles.py changed, or its function source references a changed
+pipelines_spark module (conservative substring match — over-selects,
+never under-selects within the registry's own code).
+
 Env: SPARK_GRAFT_PARITY_SF (default /root/testdata/sf0.01).
 """
 
@@ -44,8 +58,101 @@ def _canon(v):
     return v
 
 
+def _changed_lines(base: str, path: str) -> set[int]:
+    """NEW-side line numbers changed since ``base`` for ``path``."""
+    import re
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "diff", "--unified=0", base, "HEAD", "--", path],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        check=True,
+    ).stdout
+    lines: set[int] = set()
+    for m in re.finditer(r"^@@ -\S+ \+(\d+)(?:,(\d+))? @@", out, re.M):
+        start = int(m.group(1))
+        n = int(m.group(2)) if m.group(2) is not None else 1
+        lines.update(range(start, start + max(n, 1)))
+    return lines
+
+
+def _last_round_commit() -> str:
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "log", "--grep", "^round ", "-1", "--format=%H"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        check=True,
+    ).stdout.strip()
+    return out or "HEAD~1"
+
+
+def touched_queries(base: str | None = None) -> list[str]:
+    """Registry entries touched since ``base`` (see module docstring)."""
+    import ast
+    import inspect
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = base or _last_round_commit()
+    changed_files = subprocess.run(
+        ["git", "diff", "--name-only", base, "HEAD", "--", "pipelines_spark/"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        check=True,
+    ).stdout.split()
+    touched: set[str] = set()
+
+    def spans(path: str) -> list[tuple[str, int, int]]:
+        tree = ast.parse(open(os.path.join(repo, path)).read())
+        return [
+            (node.name, node.lineno, node.end_lineno or node.lineno)
+            for node in tree.body
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+
+    for path in ("pipelines_spark/queries.py", "pipelines_spark/oracles.py"):
+        if path not in changed_files:
+            continue
+        lines = _changed_lines(base, path)
+        for name, lo, hi in spans(path):
+            if name in QUERIES and lines & set(range(lo, hi + 1)):
+                touched.add(name)
+    # Any OTHER changed pipelines_spark module: every query whose
+    # function source mentions the module's basename is touched.
+    other = [
+        f
+        for f in changed_files
+        if f.endswith(".py")
+        and f not in ("pipelines_spark/queries.py", "pipelines_spark/oracles.py")
+    ]
+    for path in other:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        for name, fn in QUERIES.items():
+            try:
+                src = inspect.getsource(fn)
+            except (OSError, TypeError):  # pragma: no cover - builtins
+                continue
+            if stem in src:
+                touched.add(name)
+    return sorted(touched)
+
+
 def main() -> int:
-    names = sys.argv[1:] or list(QUERIES)
+    args = sys.argv[1:]
+    if args and args[0] == "--touched":
+        names = touched_queries(args[1] if len(args) > 1 else None)
+        if not names:
+            print("touched: none — no registry entries changed since base")
+            return 0
+        print(f"touched ({len(names)}): {' '.join(names)}")
+    else:
+        names = args or list(QUERIES)
     spark = get_spark("parity_check")
     con = duckdb.connect()
     for t in TABLES:

@@ -66,6 +66,19 @@ def test_every_query_has_oracle():
     assert set(QUERIES) == set(ORACLES)
 
 
+def test_head_rotation_applied():
+    """The driver samples the FIRST 50 registry keys; the rotation
+    policy (stalest-driver-checked first) is applied programmatically
+    via _HEAD_ROTATION — pin that the reorder actually leads the dict
+    and stays oracle-covered."""
+    from pipelines_spark.queries import _HEAD_ROTATION
+
+    head = list(QUERIES)[:50]
+    assert head == _HEAD_ROTATION
+    assert len(set(_HEAD_ROTATION)) == 50
+    assert set(_HEAD_ROTATION) <= set(ORACLES)
+
+
 def _spark_family(dt) -> str:
     """Coarse type family for a Spark DataType."""
     from pyspark.sql import types as T

@@ -326,6 +326,9 @@ EXTENDED = [
     "text_js_divergence_sources",
     "sample_neyman_allocation",
     "a53_seasonality_strength",
+    # r11: curriculum ordering + BH drift FDR
+    "sample_curriculum_order",
+    "a54_bh_drift_fdr",
 ]
 
 

@@ -5846,4 +5846,78 @@ ORACLES: dict[str, str] = {
                      4) AS corr_with_total
         FROM stats WHERE n = 14 ORDER BY event_type, day
     """,
+    # r11: curriculum ordering — difficulty ntile + deterministic md5
+    # within-stage shuffle; all integer arithmetic
+    "sample_curriculum_order": f"""
+        WITH staged AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   ntile(10) OVER (ORDER BY n_chars, doc_id) AS stage,
+                   CAST({_md5_bucket("doc_id", 4294967296)} AS BIGINT)
+                       AS hash_ord
+            FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+               CAST(stage AS BIGINT) AS stage, hash_ord,
+               CAST(row_number() OVER (ORDER BY stage, hash_ord, doc_id)
+                    AS BIGINT) AS curriculum_pos
+        FROM staged ORDER BY curriculum_pos
+    """,
+    # r11: BH step-up FDR over per-type KS drift p-values; D is the
+    # exact integer rational, p is quantized to DECIMAL(18,8) before
+    # any rank/compare (round-before-compare), the BH threshold test
+    # p <= i*0.05/m runs as the exact decimal comparison p8*(20m) <= i
+    "a54_bh_drift_fdr": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        ), cut AS (SELECT min(day) + 15 AS _cut FROM daily),
+        marked AS (
+            SELECT event_type, v,
+                   CASE WHEN day < _cut THEN 1 ELSE 0 END AS is_ref
+            FROM daily, cut
+        ), counts AS (
+            SELECT event_type, v, sum(is_ref) AS nr,
+                   sum(1 - is_ref) AS nc
+            FROM marked GROUP BY event_type, v
+        ), cum AS (
+            SELECT event_type,
+                   sum(nr) OVER wv AS c_ref,
+                   sum(nc) OVER wv AS c_cur,
+                   sum(nr) OVER wt AS n_ref,
+                   sum(nc) OVER wt AS n_cur
+            FROM counts
+            WINDOW wv AS (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wt AS (PARTITION BY event_type)
+        ), per_type AS (
+            SELECT event_type,
+                   max(abs(c_ref * n_cur - c_cur * n_ref)) AS d_num,
+                   max(n_ref) AS n_ref, max(n_cur) AS n_cur
+            FROM cum GROUP BY event_type
+        ), scored AS (
+            SELECT event_type,
+                   CAST({_exact_mean_sql("d_num", "(n_ref * n_cur)", sum_scale=0, out_scale=6)}
+                        AS DOUBLE) AS d_stat,
+                   -- round-ok: quantize-before-compare (exp is continuous)
+                   CAST(round(least(2.0 * exp(-2.0
+                            * CAST(d_num * d_num AS DOUBLE)
+                            / CAST(n_ref * n_cur * (n_ref + n_cur)
+                                   AS DOUBLE)), 1.0), 8)
+                        AS DECIMAL(18,8)) AS p8
+            FROM per_type
+        ), ranked AS (
+            SELECT event_type, d_stat, p8,
+                   row_number() OVER (ORDER BY p8, event_type) AS p_rank,
+                   count(*) OVER () AS m
+            FROM scored
+        )
+        SELECT event_type, d_stat, CAST(p8 AS DOUBLE) AS p_value,
+               CAST(p_rank AS BIGINT) AS p_rank,
+               p_rank <= max(CASE WHEN p8 * (20 * m) <= p_rank
+                                  THEN p_rank ELSE 0 END) OVER ()
+                   AS bh_reject
+        FROM ranked ORDER BY p_rank
+    """,
 }

@@ -7403,6 +7403,153 @@ def w15_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training-data scheduling: documents are
+    staged easiest-first by a difficulty proxy (n_chars — swap for a
+    model score in production), split into 10 difficulty stages, and
+    deterministically shuffled WITHIN each stage by the repo's md5
+    hash convention (reproducible across engines and reruns — the
+    anti-clumping shuffle curriculum training needs so a stage isn't
+    consumed in source order). Output: one curriculum row per doc with
+    its stage and global position — all integer arithmetic, no
+    rounding surface.
+
+    Scale note: ntile/global row_number imply a total sort — correct
+    and cheap at catalogue granularity (one row per doc of METADATA,
+    not text). At 100 TB-corpus catalogue sizes, swap the ntile for
+    a40_equidepth_histogram's broadcast-boundary staging and write
+    per-stage files; the within-stage hash order is embarrassingly
+    parallel either way. Reference spec: the deterministic md5
+    split/shard discipline (llm/sampling.py) applied to ordering."""
+    register(spark, sf_dir, ("documents",))
+    wd = Window.orderBy("n_chars", "doc_id")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hash_ord")
+    )
+    staged = spark.table("documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.ntile(10).over(wd).alias("stage"),
+        h,
+    )
+    wp = Window.orderBy("stage", "hash_ord", "doc_id")
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        F.col("stage").cast("long").alias("stage"),
+        "hash_ord",
+        F.row_number().over(wp).cast("long").alias("curriculum_pos"),
+    ).orderBy("curriculum_pos")
+
+
+def a54_bh_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over per-type drift tests — the
+    multiple-testing discipline a fleet of drift monitors needs (at
+    100 TB you watch hundreds of columns; without FDR control the
+    per-test α guarantees a false alarm every run). Per event type, a
+    two-sample KS test on daily totals (first 15 days = reference):
+    the D statistic is the exact integer rational
+    max|cum_ref·n_cur − cum_cur·n_ref|/(n_ref·n_cur); the asymptotic
+    p-value 2·exp(−2·D²·n₁n₂/(n₁+n₂)) is continuous (exp) and is
+    QUANTIZED to an 8-dp DECIMAL before any ranking or comparison
+    (the a35 round-before-compare convention: a last-ulp cross-engine
+    exp() difference cannot reorder ranks or flip a reject). The BH
+    step-up rule then runs in EXACT arithmetic: reject all types with
+    rank ≤ max{i : p₈·(20·m) ≤ i} for α = 0.05 (p₈·20m ≤ i ⇔ p ≤
+    i·α/m with both sides exact decimals). Bounded m-row windows; one
+    shuffle on event_type."""
+    register(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias("v"))
+    )
+    cut = daily.agg(F.date_add(F.min("day"), 15).alias("_cut"))
+    marked = daily.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "v",
+        F.when(F.col("day") < F.col("_cut"), 1).otherwise(0).alias("_is_ref"),
+    )
+    # group per DISTINCT value first (the ks_drift discipline): the
+    # cumulative ECDF sums then run over a total order — tied daily
+    # totals cannot make the partial sums engine/partition-dependent
+    counts = marked.groupBy("event_type", "v").agg(
+        F.sum("_is_ref").alias("_nr"),
+        F.sum(F.lit(1) - F.col("_is_ref")).alias("_nc"),
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("_nr").over(wv).alias("_c_ref"),
+        F.sum("_nc").over(wv).alias("_c_cur"),
+        F.sum("_nr").over(wt).alias("_n_ref"),
+        F.sum("_nc").over(wt).alias("_n_cur"),
+    )
+    per_type = cum.groupBy("event_type").agg(
+        F.max(
+            F.abs(
+                F.col("_c_ref") * F.col("_n_cur")
+                - F.col("_c_cur") * F.col("_n_ref")
+            )
+        ).alias("d_num"),
+        F.max("_n_ref").alias("n_ref"),
+        F.max("_n_cur").alias("n_cur"),
+    )
+    # p = 2·exp(−2·D²·n₁n₂/(n₁+n₂)) with D = d_num/(n₁·n₂):
+    # −2·d_num²/(n₁·n₂·(n₁+n₂)) — exact integer ratio into exp
+    arg = (
+        F.lit(-2.0)
+        * (F.col("d_num") * F.col("d_num")).cast("double")
+        / (
+            F.col("n_ref") * F.col("n_cur") * (F.col("n_ref") + F.col("n_cur"))
+        ).cast("double")
+    )
+    scored = per_type.select(
+        "event_type",
+        exact_div_round(F.col("d_num"), F.col("n_ref") * F.col("n_cur"),
+                        out_scale=6).alias("d_stat"),
+        # round-ok: quantize-before-compare (exp is continuous; the
+        # 8-dp decimal is what every downstream rank/compare sees)
+        F.round(F.least(F.lit(2.0) * F.exp(arg), F.lit(1.0)), 8)
+        .cast("decimal(18,8)")
+        .alias("_p8"),
+    )
+    wr = Window.orderBy("_p8", "event_type")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "event_type",
+        "d_stat",
+        "_p8",
+        F.row_number().over(wr).alias("p_rank"),
+        F.count(F.lit(1)).over(wall).alias("_m"),
+    )
+    k = F.max(
+        F.when(
+            F.col("_p8") * (20 * F.col("_m")) <= F.col("p_rank"),
+            F.col("p_rank"),
+        ).otherwise(F.lit(0))
+    ).over(wall)
+    return (
+        ranked.select(
+            "event_type",
+            "d_stat",
+            F.col("_p8").cast("double").alias("p_value"),
+            F.col("p_rank").cast("long").alias("p_rank"),
+            (F.col("p_rank") <= k).alias("bh_reject"),
+        )
+        .orderBy("p_rank")
+    )
+
+
 QUERIES = {
     # Driver samples the FIRST 50 keys each round. Rotation policy:
     # oldest-driver-checked queries lead; never-driver-checked queries
@@ -7645,14 +7792,23 @@ QUERIES = {
     "er_part_name_clusters": er_part_name_clusters,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
+    # --- r11 additions ---
+    "sample_curriculum_order": sample_curriculum_order,
+    "a54_bh_drift_fdr": a54_bh_drift_fdr,
 }
 
-#: Round-11 head-50 (r10 verdict #3): the 28 queries whose last green
-#: driver row is r6, then the 22 stalest of the r7 cohort (ranked by
-#: total-times-driver-checked, then first-checked round, then name —
-#: computed from the CORRECTNESS_r01..r10 artifacts). After this round
-#: no registered query's last green driver row predates r7.
+#: Round-11 head-50 (r10 verdict #3): never-driver-checked queries
+#: outrank everything (the two r11 additions lead), then the 28
+#: queries whose last green driver row is r6, then the stalest of the
+#: r7 cohort (ranked by total-times-driver-checked, then
+#: first-checked round, then name — computed from the
+#: CORRECTNESS_r01..r10 artifacts), filling the window to exactly 50.
+#: After this round no registered query's last green driver row
+#: predates r7.
 _HEAD_ROTATION = [
+    # --- never driver-checked (r11 additions) ---
+    "sample_curriculum_order",
+    "a54_bh_drift_fdr",
     # --- last driver-checked r6 ---
     "embed_srp_multiprobe",
     "graph_hierarchy_rollup",
@@ -7703,8 +7859,6 @@ _HEAD_ROTATION = [
     "f1_filter_expressions",
     "f2_null_filter",
     "f3_capture_window",
-    "f6_pruned_incremental_scan",
-    "j10_composite_update_detection",
 ]
 
 QUERIES = {

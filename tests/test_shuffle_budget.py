@@ -362,6 +362,13 @@ BUDGETS = {
     # rows (the only global ordering) + 1-row shortfall + sort
     "sample_neyman_allocation": 6,
     "a53_seasonality_strength": 5,  # daily agg + dow means + joins + agg
+    # r11: two global windows over catalogue-granularity rows (the
+    # documented total-sort cost; a40-boundary staging at 100 TB)
+    "sample_curriculum_order": 2,
+    # daily agg + per-value ECDF counts + per-type windows/agg +
+    # the m-row global BH windows + the m-row output sort; the date
+    # cut broadcasts. Everything after the daily agg is m-row-bounded.
+    "a54_bh_drift_fdr": 5,
 }
 
 

@@ -239,6 +239,43 @@ def test_incremental_dedup_two_batches_equals_oneshot(spark, sf_small):
     ), "expected at least one batch-2 doc duplicating a store doc"
 
 
+def test_incremental_dedup_checkpoint_staging_mode(spark, sf_small, tmp_path):
+    """staging="checkpoint" (the durable posture for preemption-prone
+    clusters) writes the staged frames to the reliable checkpoint dir
+    and yields EXACTLY the decisions of the default local mode."""
+    from pipelines_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_fingerprints,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    fps = minhash_fingerprints(store, id_col="doc_id", text_col="text")
+    local = {
+        tuple(r) for r in incremental_dedup_batch(batch, fps, store).collect()
+    }
+    durable = {
+        tuple(r)
+        for r in incremental_dedup_batch(
+            batch, fps, store, staging="checkpoint"
+        ).collect()
+    }
+    assert durable == local
+    # the durable mode actually wrote checkpoint files
+    import os
+
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "ckpt")
+        for f in fs
+    ]
+    assert ckpt_files, "checkpoint mode produced no reliable-checkpoint files"
+
+
 def test_persist_fingerprints_idempotent_rerun(spark, tmp_path):
     """Re-running an ingestion batch replaces its own fingerprint
     partition instead of duplicating rows (the idempotent-load

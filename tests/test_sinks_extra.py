@@ -73,6 +73,33 @@ def test_append_capture_log_partitions(spark, tmp_path):
     assert failed["data"] == "2024-01-01"
 
 
+def test_capture_log_one_schema_for_all_producers(spark, tmp_path):
+    """The K10 log table is written by three producers (batch
+    append_capture_log, the capture stream's per-batch rows, the drift
+    monitor's verdicts). They must share ONE schema — batch appends
+    carry batch_id as NULL — so a plain (non-mergeSchema) read sees
+    every column regardless of which file's footer Spark samples."""
+    path = str(tmp_path / "logs")
+    append_capture_log(spark, path, [datetime(2024, 1, 2, 0, 0)], success=True)
+    # a streaming-writer-shaped row into the SAME table
+    (
+        spark.createDataFrame(
+            [(7, True, None)], "batch_id long, sucesso boolean, erro string"
+        )
+        .withColumn("timestamp_captura", F.lit(datetime(2024, 1, 2, 0, 5)))
+        .withColumn("data", F.date_format("timestamp_captura", "yyyy-MM-dd"))
+        .write.mode("append")
+        .partitionBy("data")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path)
+    assert {"timestamp_captura", "sucesso", "erro", "batch_id", "data"} <= set(
+        df.columns
+    )
+    rows = {r["batch_id"] for r in df.collect()}
+    assert rows == {None, 7}
+
+
 def test_haversine_and_grid(spark):
     df = spark.createDataFrame(
         [(-22.9068, -43.1729, -23.5505, -46.6333)], "la1 double, lo1 double, la2 double, lo2 double"

@@ -326,9 +326,10 @@ EXTENDED = [
     "text_js_divergence_sources",
     "sample_neyman_allocation",
     "a53_seasonality_strength",
-    # r11: curriculum ordering + BH drift FDR
+    # r11: curriculum ordering + BH drift FDR + PQ recall audit
     "sample_curriculum_order",
     "a54_bh_drift_fdr",
+    "embed_pq_recall_audit",
 ]
 
 

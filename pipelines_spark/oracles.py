@@ -642,6 +642,64 @@ def _curation_pipeline_sql(cte: str, cfg: dict) -> str:
     """
 
 
+_COS_DOT_BQ = (
+    "list_sum(list_transform(list_zip(bc.cv, bq.qv), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_COS_NC_BC = "sqrt(list_sum(list_transform(bc.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_COS_NQ_BQ = "sqrt(list_sum(list_transform(bq.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+#: shared PQ/ADC CTE chain (codebook -> codes -> query tables ->
+#: ADC scores) used by embed_pq_adc and embed_pq_recall_audit —
+#: one copy so the replayed quantization cannot drift between them
+_PQ_ADC_CTES = """        WITH samp0 AS (
+            SELECT vec_id, embedding,
+                   md5('pq|' || CAST(vec_id AS VARCHAR)) AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT 16
+        ),
+        cb AS (
+            SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cw,
+                   s.s AS sub,
+                   embedding[s.s * 16 + 1 : s.s * 16 + 16] AS subvec
+            FROM samp0, (SELECT unnest(range(0, 4)) AS s) s
+        ),
+        cand AS (
+            SELECT e.vec_id AS pid, cb.sub, cb.cw,
+                   list_sum(list_transform(
+                       list_zip(e.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
+                                cb.subvec),
+                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                   )) AS dist
+            FROM embeddings e CROSS JOIN cb
+        ),
+        codes AS (
+            SELECT pid, sub, cw FROM (
+                SELECT pid, sub, cw,
+                       row_number() OVER (PARTITION BY pid, sub
+                                          ORDER BY dist, cw) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT q.vec_id AS query_id, cb.sub, cb.cw,
+                   CAST(round(list_sum(list_transform(
+                       list_zip(q.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
+                                cb.subvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+                   )), 6) AS DECIMAL(18,6)) AS contrib
+            FROM embeddings q CROSS JOIN cb
+            WHERE q.vec_id < 50
+        ),
+        scored AS (
+            SELECT t.query_id, c.pid AS neighbor_id,
+                   CAST(sum(t.contrib) AS DOUBLE) AS adc_dot
+            FROM codes c JOIN qtab t ON c.sub = t.sub AND c.cw = t.cw
+            WHERE c.pid <> t.query_id
+            GROUP BY 1, 2
+        )"""
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1375,53 +1433,8 @@ ORACLES: dict[str, str] = {
     # PQ/ADC replay: hash-sampled codebook, per-(vector, subspace)
     # argmin with (dist, cw) tie-break, per-subspace dot contributions
     # rounded + DECIMAL-summed.
-    "embed_pq_adc": """
-        WITH samp0 AS (
-            SELECT vec_id, embedding,
-                   md5('pq|' || CAST(vec_id AS VARCHAR)) AS h
-            FROM embeddings ORDER BY h, vec_id LIMIT 16
-        ),
-        cb AS (
-            SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cw,
-                   s.s AS sub,
-                   embedding[s.s * 16 + 1 : s.s * 16 + 16] AS subvec
-            FROM samp0, (SELECT unnest(range(0, 4)) AS s) s
-        ),
-        cand AS (
-            SELECT e.vec_id AS pid, cb.sub, cb.cw,
-                   list_sum(list_transform(
-                       list_zip(e.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
-                                cb.subvec),
-                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-                            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-                   )) AS dist
-            FROM embeddings e CROSS JOIN cb
-        ),
-        codes AS (
-            SELECT pid, sub, cw FROM (
-                SELECT pid, sub, cw,
-                       row_number() OVER (PARTITION BY pid, sub
-                                          ORDER BY dist, cw) AS rn
-                FROM cand
-            ) WHERE rn = 1
-        ),
-        qtab AS (
-            SELECT q.vec_id AS query_id, cb.sub, cb.cw,
-                   CAST(round(list_sum(list_transform(
-                       list_zip(q.embedding[cb.sub * 16 + 1 : cb.sub * 16 + 16],
-                                cb.subvec),
-                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
-                   )), 6) AS DECIMAL(18,6)) AS contrib
-            FROM embeddings q CROSS JOIN cb
-            WHERE q.vec_id < 50
-        ),
-        scored AS (
-            SELECT t.query_id, c.pid AS neighbor_id,
-                   CAST(sum(t.contrib) AS DOUBLE) AS adc_dot
-            FROM codes c JOIN qtab t ON c.sub = t.sub AND c.cw = t.cw
-            WHERE c.pid <> t.query_id
-            GROUP BY 1, 2
-        )
+    "embed_pq_adc": f"""
+{_PQ_ADC_CTES}
         SELECT query_id, neighbor_id, adc_dot, CAST(rn AS BIGINT) AS rank
         FROM (
             SELECT *, row_number() OVER (
@@ -5919,5 +5932,50 @@ ORACLES: dict[str, str] = {
                                   THEN p_rank ELSE 0 END) OVER ()
                    AS bh_reject
         FROM ranked ORDER BY p_rank
+    """,
+    # r11: measured PQ/ADC recall@5 vs brute force — completes the ANN
+    # audit family (SRP bucketing: embed_srp_recall_audit; dimension
+    # cut: embed_truncated_recall; byte-code quantization: this).
+    # Shares _PQ_ADC_CTES with embed_pq_adc so the replayed
+    # quantization cannot drift between the score query and its audit.
+    "embed_pq_recall_audit": f"""
+{_PQ_ADC_CTES},
+        pq5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dot DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 5
+        ), bq AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 50
+        ), bc AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), fscored AS (
+            SELECT bq.query_id, bc.neighbor_id,
+                   round({_COS_DOT_BQ} / ({_COS_NC_BC} * {_COS_NQ_BQ}), 4)
+                       AS cosine
+            FROM bc CROSS JOIN bq
+            WHERE bc.neighbor_id <> bq.query_id
+        ), full5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM fscored
+            ) WHERE rn <= 5
+        ), h AS (
+            SELECT f.query_id,
+                   sum(CASE WHEN p.neighbor_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS hits
+            FROM full5 f LEFT JOIN pq5 p
+              ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+            GROUP BY f.query_id
+        )
+        SELECT query_id, CAST(hits AS BIGINT) AS hits,
+               CAST({_exact_mean_sql("hits", "5", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS recall_at_5
+        FROM h ORDER BY query_id
     """,
 }

@@ -7444,6 +7444,54 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("curriculum_pos")
 
 
+def embed_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of PQ/ADC byte-code scoring against brute
+    force — the third leg of the ANN audit family (SRP bucketing:
+    embed_srp_recall_audit; dimension cut: embed_truncated_recall;
+    16× byte-code quantization: this). Composes the two already
+    oracle-checked legs (brute_force_topk ∧ pq_adc_topk, identical
+    configs to embed_knn_topk / embed_pq_adc) and joins their top-5
+    lists per query. At 100 TB you run the audit on a query SAMPLE —
+    the brute-force leg is the audit's cost, and 50 queries price the
+    quantization as well as 5000 (same posture as the SRP audit).
+
+    Measured: mean recall@5 ≈ 0.15 at sf0.01, ≈ 0.06 at sf0.1 — the
+    synthetic corpus is deliberately near-isotropic (the PCA query's
+    documented property), so a 4×16 codebook has no cluster structure
+    to exploit and ADC ranking is weak. That NUMBER is the point: the
+    audit is what tells you this index config can't ship, before a
+    rollout does."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import pq_adc_topk
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    exact = brute_force_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    pq5 = pq_adc_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(
+            pq5.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            # exact integer-arithmetic recall ratio (tie class)
+            exact_div_round(F.col("hits"), F.lit(5), out_scale=4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def a54_bh_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg FDR control over per-type drift tests — the
     multiple-testing discipline a fleet of drift monitors needs (at
@@ -7795,6 +7843,7 @@ QUERIES = {
     # --- r11 additions ---
     "sample_curriculum_order": sample_curriculum_order,
     "a54_bh_drift_fdr": a54_bh_drift_fdr,
+    "embed_pq_recall_audit": embed_pq_recall_audit,
 }
 
 #: Round-11 head-50 (r10 verdict #3): never-driver-checked queries
@@ -7809,6 +7858,7 @@ _HEAD_ROTATION = [
     # --- never driver-checked (r11 additions) ---
     "sample_curriculum_order",
     "a54_bh_drift_fdr",
+    "embed_pq_recall_audit",
     # --- last driver-checked r6 ---
     "embed_srp_multiprobe",
     "graph_hierarchy_rollup",
@@ -7858,7 +7908,6 @@ _HEAD_ROTATION = [
     "embed_srp_ann",
     "f1_filter_expressions",
     "f2_null_filter",
-    "f3_capture_window",
 ]
 
 QUERIES = {

@@ -369,6 +369,10 @@ BUDGETS = {
     # the m-row global BH windows + the m-row output sort; the date
     # cut broadcasts. Everything after the daily agg is m-row-bounded.
     "a54_bh_drift_fdr": 5,
+    # composes the two already-pinned legs (brute-force window + PQ
+    # encode argmin + ADC score/top-k) + the hit join/agg/sort; the
+    # brute-force leg is the audit's deliberate cost (sampled queries)
+    "embed_pq_recall_audit": 8,
 }
 
 

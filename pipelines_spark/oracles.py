@@ -5550,7 +5550,7 @@ ORACLES: dict[str, str] = {
         ), st AS (
             SELECT event_type, count(*) AS n_days,
                    CAST(sum(xi) AS HUGEINT) AS sx,
-                   CAST(sum(xi * xi) AS HUGEINT) AS sxx,
+                   sum(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT)) AS sxx,
                    CAST(sum(ri) AS HUGEINT) AS sr,
                    sum(CAST(ri AS HUGEINT) * CAST(ri AS HUGEINT)) AS srr
             FROM resid GROUP BY event_type

@@ -5557,7 +5557,9 @@ def a53_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = resid.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("xi").alias("sx"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(
+            F.col("xi").cast("decimal(19,0)") * F.col("xi").cast("decimal(19,0)")
+        ).alias("sxx"),
         F.sum("ri").alias("sr"),
         F.sum(
             F.col("ri").cast("decimal(19,0)") * F.col("ri").cast("decimal(19,0)")

@@ -14,10 +14,12 @@ sf0.1 parity toll every round, not just in one-off sweeps):
 ``--touched`` computes the round's touched registry entries from
 ``git diff <base-ref>..HEAD`` (default base-ref: the last driver
 round commit, ``git log --grep '^round '``): a query is touched if
-its defining function in queries.py changed, its ORACLES entry in
-oracles.py changed, or its function source references a changed
-pipelines_spark module (conservative substring match — over-selects,
-never under-selects within the registry's own code).
+its defining function in queries.py changed, its RENDERED ORACLES
+value differs from the base revision (replayed via ``git show`` so
+helper-CTE edits select their dependents), or its function source
+references a changed pipelines_spark module (conservative substring
+match — over-selects, never under-selects within the registry's own
+code).
 
 Env: SPARK_GRAFT_PARITY_SF (default /root/testdata/sf0.01).
 """
@@ -91,6 +93,30 @@ def _last_round_commit() -> str:
     return out or "HEAD~1"
 
 
+def _oracle_entries_changed(base: str, repo: str) -> set[str]:
+    """ORACLES keys whose rendered SQL differs from the ``base``
+    revision: exec the old oracles.py and compare values key-by-key.
+    Any failure to replay the base (missing file, import drift)
+    over-selects to the full registry — never under-selects."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "show", f"{base}:pipelines_spark/oracles.py"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    if out.returncode != 0:  # file absent at base: everything is new
+        return set(ORACLES)
+    ns: dict = {}
+    try:
+        exec(compile(out.stdout, "<oracles@base>", "exec"), ns)
+        old = ns["ORACLES"]
+    except Exception:
+        return set(ORACLES)
+    return {k for k, v in ORACLES.items() if old.get(k) != v}
+
+
 def touched_queries(base: str | None = None) -> list[str]:
     """Registry entries touched since ``base`` (see module docstring)."""
     import ast
@@ -116,13 +142,18 @@ def touched_queries(base: str | None = None) -> list[str]:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
         ]
 
-    for path in ("pipelines_spark/queries.py", "pipelines_spark/oracles.py"):
-        if path not in changed_files:
-            continue
-        lines = _changed_lines(base, path)
-        for name, lo, hi in spans(path):
+    if "pipelines_spark/queries.py" in changed_files:
+        lines = _changed_lines(base, "pipelines_spark/queries.py")
+        for name, lo, hi in spans("pipelines_spark/queries.py"):
             if name in QUERIES and lines & set(range(lo, hi + 1)):
                 touched.add(name)
+    # oracles.py holds ORACLES as ONE dict literal (no per-query
+    # defs), so span mapping can't see entry edits (r11 ADVICE):
+    # instead replay the base revision and diff the RENDERED SQL per
+    # key — which also selects every entry fed by an edited helper
+    # CTE/constant (e.g. _PQ_ADC_CTES), not just dict-literal lines.
+    if "pipelines_spark/oracles.py" in changed_files:
+        touched |= _oracle_entries_changed(base, repo)
     # Any OTHER changed pipelines_spark module: every query whose
     # function source mentions the module's basename is touched.
     other = [

@@ -437,6 +437,121 @@ def pq_codebook(
     return coded.select("cw", subs).select("cw", "p.sub", "p.subvec")
 
 
+def pq_codebook_trained(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    salt: str = "pq|",
+) -> DataFrame:
+    """Per-subspace Lloyd's-k-means PQ codebook (the trained upgrade
+    the r11 PQ recall audit demanded): same (cw, sub, subvec) shape
+    as ``pq_codebook``, so it drops into ``pq_encode`` /
+    ``pq_adc_topk`` without touching the encode/search plan.
+
+    - **Init** = ``pq_codebook``'s hash-ordered sample (iters=0
+      reproduces the untrained codebook bit-for-bit).
+    - **Assign** (per iteration): squared-L2 argmin against the
+      broadcast codebook — the ``pq_encode`` plan verbatim — with
+      distances rounded half-up to 6 dp before compare (the repo's
+      quantize-before-compare tie discipline), ties to the lower cw.
+      One map-side-combinable MIN(struct) agg, no window.
+    - **Update**: per-(sub, cw) elementwise mean over components
+      floor-quantized to 1e-10 and summed as DECIMAL(38,0) — exact
+      integer sums, so means are order-independent and bit-identical
+      across engines (``kmeans_train``'s discipline). Cells left
+      empty keep their previous codeword.
+
+    Everything is JVM-side DataFrame ops — no Python UDF of any
+    kind. Per iteration: one broadcast join + two agg shuffles over
+    (pid, sub) / (sub, cw, idx) keys, all map-side combinable, then
+    the n_sub·n_codes-row codebook collects to the driver and
+    re-broadcasts as a local relation (``kmeans_train``'s documented
+    fixed-k driver-state discipline — O(n_sub·n_codes·sub_len) at any
+    corpus size, and it keeps the encode/qtab stages from replaying
+    the whole training lineage). At 100 TB the corpus streams through
+    the assign scan once per iteration — the textbook scalable
+    Lloyd's step,×n_sub subspaces in the same pass."""
+    sub_len = dim // n_sub
+    cb = pq_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
+        n_codes=n_codes, salt=salt,
+    ).select(
+        "cw", "sub",
+        F.transform(F.col("subvec"), lambda x: x.cast("double")).alias("subvec"),
+    )
+    subs = corpus.select(
+        F.col(id_col).alias("pid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(
+                            F.col(vec_col), s * sub_len + 1, sub_len
+                        ).alias("subv"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("p"),
+    ).select("pid", "p.sub", "p.subv")
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(cb), "sub")
+            .withColumn(
+                "_dist", F.round(_sq_l2(F.col("subv"), F.col("subvec")), 6)
+            )
+            .groupBy("pid", "sub")
+            .agg(F.min(F.struct("_dist", "cw", "subv")).alias("_best"))
+            .select("sub", F.col("_best.cw").alias("cw"), F.col("_best.subv").alias("subv"))
+        )
+        comp = assigned.select(
+            "sub", "cw", F.posexplode(F.col("subv")).alias("idx", "_c")
+        )
+        means = (
+            comp.groupBy("sub", "cw", "idx")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(
+                    F.floor(F.col("_c").cast("double") * F.lit(1e10)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("_s"),
+            )
+            .select(
+                "sub",
+                "cw",
+                "idx",
+                (F.col("_s").cast("double") / F.col("_n") / F.lit(1e10)).alias(
+                    "_m"
+                ),
+            )
+        )
+        newvec = means.groupBy("sub", "cw").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "_m"))),
+                lambda x: x["_m"],
+            ).alias("_mv")
+        )
+        cb = (
+            cb.join(newvec, ["sub", "cw"], "left")
+            .select(
+                "cw", "sub", F.coalesce(F.col("_mv"), F.col("subvec")).alias("subvec")
+            )
+        )
+        # fixed-k driver state (kmeans_train discipline): 512 rows at
+        # the shipping 32×16 config, independent of corpus size
+        cb = corpus.sparkSession.createDataFrame(
+            cb.collect(), schema="cw int, sub int, subvec array<double>"
+        )
+    return cb
+
+
 def _sq_l2(a: Column, b: Column) -> Column:
     """Fixed-order squared L2 between two float arrays. Explicit
     (x−y)·(x−y), not pow(x−y, 2) — pow may differ from the plain
@@ -498,6 +613,7 @@ def pq_adc_topk(
     dim: int = 64,
     n_sub: int = 4,
     n_codes: int = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search (Jégou et al., TPAMI 2011): the
     corpus is stored as ``n_sub`` byte codes per vector (16×
@@ -510,9 +626,13 @@ def pq_adc_topk(
     Returns (query_id, neighbor_id, adc_dot, rank): approximate dot
     product, ranked desc with neighbor-id tie-break. Per-subspace
     contributions round to 6 dp and DECIMAL-sum, so scores are
-    engine/partitioning-exact (the repo's float convention)."""
+    engine/partitioning-exact (the repo's float convention).
+
+    ``codebook`` swaps in an alternative (cw, sub, subvec) codebook —
+    e.g. ``pq_codebook_trained`` — leaving the encode/ADC plan below
+    untouched (the r11 verdict's "same plan, trained model" seam)."""
     sub_len = dim // n_sub
-    cb = pq_codebook(
+    cb = codebook if codebook is not None else pq_codebook(
         corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
         n_codes=n_codes,
     )

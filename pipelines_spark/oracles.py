@@ -700,6 +700,103 @@ _PQ_ADC_CTES = """        WITH samp0 AS (
         )"""
 
 
+def _pq_trained_ctes(
+    n_sub: int = 32, n_codes: int = 16, iters: int = 2, dim: int = 64
+) -> str:
+    """CTE chain replaying llm/similarity.pq_codebook_trained +
+    pq_adc_topk at the shipping config: hash-ordered init codebook,
+    ``iters`` Lloyd rounds (squared-L2 assign rounded to 6 dp before
+    argmin with cw-asc ties; per-(sub, cw) elementwise means over
+    1e-10 floor-quantized components summed as HUGEINT — exact, so
+    the trained model itself is replayed bit-for-bit), then the
+    standard encode → query-table → ADC chain against the final
+    codebook. Ends with the ``scored`` relation."""
+    sl = dim // n_sub
+    slice_ = f"[cb.sub * {sl} + 1 : cb.sub * {sl} + {sl}]"
+    sq = (
+        f"list_sum(list_transform(list_zip(e.embedding{slice_}, cb.subvec), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    parts = [
+        f"""        WITH samp0 AS (
+            SELECT vec_id, embedding,
+                   md5('pq|' || CAST(vec_id AS VARCHAR)) AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT {n_codes}
+        ),
+        cb0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cw,
+                   s.s AS sub,
+                   list_transform(
+                       embedding[s.s * {sl} + 1 : s.s * {sl} + {sl}],
+                       x -> CAST(x AS DOUBLE)) AS subvec
+            FROM samp0, (SELECT unnest(range(0, {n_sub})) AS s) s
+        )"""
+    ]
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        parts.append(f"""        asg{i} AS (
+            SELECT sub, cw, subv FROM (
+                SELECT cb.sub, cb.cw, e.embedding{slice_} AS subv,
+                       row_number() OVER (PARTITION BY e.vec_id, cb.sub
+                           ORDER BY round({sq}, 6) ASC, cb.cw ASC) AS rn
+                FROM embeddings e CROSS JOIN {prev} cb
+            ) WHERE rn = 1
+        ),
+        sums{i} AS (
+            SELECT sub, cw, idx, count(*) AS n,
+                   sum(CAST(floor(CAST(v AS DOUBLE) * 1e10) AS HUGEINT)) AS s
+            FROM (SELECT sub, cw, unnest(subv) AS v,
+                         unnest(range(1, {sl + 1})) AS idx
+                  FROM asg{i})
+            GROUP BY 1, 2, 3
+        ),
+        cb{i} AS (
+            SELECT c.cw, c.sub, coalesce(m.mv, c.subvec) AS subvec
+            FROM {prev} c LEFT JOIN (
+                SELECT sub, cw,
+                       list(CAST(s AS DOUBLE) / n / 1e10 ORDER BY idx) AS mv
+                FROM sums{i} GROUP BY 1, 2
+            ) m ON m.sub = c.sub AND m.cw = c.cw
+        )""")
+        prev = f"cb{i}"
+    parts.append(f"""        cand AS (
+            SELECT e.vec_id AS pid, cb.sub, cb.cw, {sq} AS dist
+            FROM embeddings e CROSS JOIN {prev} cb
+        ),
+        codes AS (
+            SELECT pid, sub, cw FROM (
+                SELECT pid, sub, cw,
+                       row_number() OVER (PARTITION BY pid, sub
+                                          ORDER BY dist, cw) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT e.vec_id AS query_id, cb.sub, cb.cw,
+                   CAST(round(list_sum(list_transform(
+                       list_zip(e.embedding{slice_}, cb.subvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+                   )), 6) AS DECIMAL(18,6)) AS contrib
+            FROM embeddings e CROSS JOIN {prev} cb
+            WHERE e.vec_id < 50
+        ),
+        scored AS (
+            SELECT t.query_id, c.pid AS neighbor_id,
+                   CAST(sum(t.contrib) AS DOUBLE) AS adc_dot
+            FROM codes c JOIN qtab t ON c.sub = t.sub AND c.cw = t.cw
+            WHERE c.pid <> t.query_id
+            GROUP BY 1, 2
+        )""")
+    return ",\n".join(parts)
+
+
+#: one rendered copy shared by embed_pq_adc_trained and its audit —
+#: the audited quantization cannot drift from the audit (the
+#: _PQ_ADC_CTES discipline, applied to the trained variant)
+_PQ_TRAINED_CTES = _pq_trained_ctes()
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -5940,6 +6037,61 @@ ORACLES: dict[str, str] = {
     # quantization cannot drift between the score query and its audit.
     "embed_pq_recall_audit": f"""
 {_PQ_ADC_CTES},
+        pq5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dot DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 5
+        ), bq AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 50
+        ), bc AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), fscored AS (
+            SELECT bq.query_id, bc.neighbor_id,
+                   round({_COS_DOT_BQ} / ({_COS_NC_BC} * {_COS_NQ_BQ}), 4)
+                       AS cosine
+            FROM bc CROSS JOIN bq
+            WHERE bc.neighbor_id <> bq.query_id
+        ), full5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM fscored
+            ) WHERE rn <= 5
+        ), h AS (
+            SELECT f.query_id,
+                   sum(CASE WHEN p.neighbor_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS hits
+            FROM full5 f LEFT JOIN pq5 p
+              ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+            GROUP BY f.query_id
+        )
+        SELECT query_id, CAST(hits AS BIGINT) AS hits,
+               CAST({_exact_mean_sql("hits", "5", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS recall_at_5
+        FROM h ORDER BY query_id
+    """,
+    # r12: trained-codebook PQ/ADC at the shipping 32×16 config —
+    # full Lloyd's training replayed in SQL (see _pq_trained_ctes)
+    "embed_pq_adc_trained": f"""
+{_PQ_TRAINED_CTES}
+        SELECT query_id, neighbor_id, adc_dot, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dot DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    # r12: the audit re-run against the trained 32×16 index — shares
+    # _PQ_TRAINED_CTES with embed_pq_adc_trained so the audited
+    # quantization cannot drift from the audit
+    "embed_pq_trained_recall_audit": f"""
+{_PQ_TRAINED_CTES},
         pq5 AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT *, row_number() OVER (

@@ -373,6 +373,15 @@ BUDGETS = {
     # encode argmin + ADC score/top-k) + the hit join/agg/sort; the
     # brute-force leg is the audit's deliberate cost (sampled queries)
     "embed_pq_recall_audit": 8,
+    # r12 trained-codebook PQ: training runs eagerly (per-iteration
+    # fixed-k collect, kmeans_train discipline), so the FINAL plan is
+    # just encode argmin + ADC score + top-k over a local-relation
+    # codebook — the same 3 exchanges as embed_pq_adc. Per training
+    # iteration (not in this plan): 2 agg shuffles over (pid, sub) /
+    # (sub, cw, idx), both map-side combined.
+    "embed_pq_adc_trained": 3,
+    # audit = brute-force leg + trained-PQ leg + hit join/agg/sort
+    "embed_pq_trained_recall_audit": 8,
 }
 
 

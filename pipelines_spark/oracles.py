@@ -739,6 +739,7 @@ def _pq_trained_ctes(
             SELECT sub, cw, subv FROM (
                 SELECT cb.sub, cb.cw, e.embedding{slice_} AS subv,
                        row_number() OVER (PARTITION BY e.vec_id, cb.sub
+                           -- round-ok: quantize-before-compare argmin (Spark twin rounds identically)
                            ORDER BY round({sq}, 6) ASC, cb.cw ASC) AS rn
                 FROM embeddings e CROSS JOIN {prev} cb
             ) WHERE rn = 1
@@ -6086,6 +6087,40 @@ ORACLES: dict[str, str] = {
                 ORDER BY adc_dot DESC, neighbor_id ASC) AS rn
             FROM scored
         ) WHERE rn <= 5
+    """,
+    # r12: the end-to-end pretraining composition — the ENTIRE scored
+    # curation cascade (shared _CURATION_SCORED_CTE, so this chain
+    # cannot drift from curation_pipeline_scored's), then train
+    # split, curriculum ntile + md5 within-stage shuffle, and token
+    # shards packed along the curriculum order. One CTE cascade on
+    # one config constant: any stage-contract drift hash-mismatches.
+    "pretrain_composition": f"""
+        WITH RECURSIVE {_CURATION_SCORED_CTE},
+        p_assigned AS (
+            SELECT *,
+                   CASE WHEN {_md5_bucket("doc_id", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket("doc_id", 100)} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM curated
+        ),
+        p_staged AS (
+            SELECT doc_id, quality, detected_lang, n_tokens, component_id,
+                   ntile(10) OVER (ORDER BY n_tokens, doc_id) AS stage,
+                   CAST({_md5_bucket("doc_id", 4294967296)} AS BIGINT)
+                       AS hash_ord
+            FROM p_assigned WHERE split = 'train'
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, detected_lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens, component_id,
+               CAST(stage AS BIGINT) AS stage, hash_ord,
+               CAST(row_number() OVER (ORDER BY stage, hash_ord, doc_id)
+                    AS BIGINT) AS curriculum_pos,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   ORDER BY stage, hash_ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {float(_CURCFG_SCORED["shard_tokens"])}) AS BIGINT)
+                   AS curriculum_shard
+        FROM p_staged ORDER BY curriculum_pos
     """,
     # r12: the audit re-run against the trained 32×16 index — shares
     # _PQ_TRAINED_CTES with embed_pq_adc_trained so the audited

@@ -7584,6 +7584,78 @@ def embed_pq_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def pretrain_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-data composition (r11 verdict #5):
+    ingest → quality/lang gates → classifier gate → source cap →
+    exact dedup → LM-entropy gate → span-dedup gate → LSH near-dup
+    canonical (all eight stages of llm/curation.py::curate_corpus at
+    BENCH_CONFIG_SCORED — each individually driver-green) → train
+    split → curriculum ordering over the SURVIVORS (difficulty =
+    n_tokens ntile(10), deterministic md5 within-stage shuffle — the
+    sample_curriculum_order discipline applied post-curation) →
+    token shards packed IN CURRICULUM ORDER (shard boundary = every
+    shard_tokens cumulative tokens along the curriculum, so a shard
+    is a contiguous curriculum segment — what a data loader streams).
+
+    The pieces are all individually green; this row exists because
+    stage-contract drift hides BETWEEN stages (a renamed column, a
+    split applied before dedup instead of after, a shard packed on
+    the wrong ordering) — the oracle replays the entire chain as one
+    CTE cascade on the same config constant, so any seam drift is a
+    hash mismatch.
+
+    Scale: stages 1–8 carry curate_corpus's documented budgets; the
+    curriculum tail adds one catalogue-granularity total sort
+    (metadata rows, not text — the sample_curriculum_order posture,
+    incl. the a40-style broadcast-boundary swap at 100 TB) and the
+    shard cumsum rides the same sort. No new shuffle class."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.curation import (
+        BENCH_CONFIG_SCORED,
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    curated, _ = curate_corpus(
+        docs, CurationConfig(**BENCH_CONFIG_SCORED), collect_stats=False
+    )
+    train = curated.filter(F.col("split") == "train")
+    wd = Window.orderBy("n_tokens", "doc_id")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hash_ord")
+    )
+    staged = train.select(
+        "doc_id",
+        "quality",
+        "detected_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("component_id").cast("long").alias("component_id"),
+        F.ntile(10).over(wd).alias("stage"),
+        h,
+    )
+    wp = Window.orderBy("stage", "hash_ord", "doc_id")
+    wcum = wp.rowsBetween(Window.unboundedPreceding, -1)
+    return staged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "quality",
+        "detected_lang",
+        "n_tokens",
+        "component_id",
+        F.col("stage").cast("long").alias("stage"),
+        "hash_ord",
+        F.row_number().over(wp).cast("long").alias("curriculum_pos"),
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(wcum), F.lit(0))
+            / F.lit(float(BENCH_CONFIG_SCORED["shard_tokens"]))
+        )
+        .cast("long")
+        .alias("curriculum_shard"),
+    ).orderBy("curriculum_pos")
+
+
 def a54_bh_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg FDR control over per-type drift tests — the
     multiple-testing discipline a fleet of drift monitors needs (at
@@ -7939,70 +8011,71 @@ QUERIES = {
     # --- r12 additions ---
     "embed_pq_adc_trained": embed_pq_adc_trained,
     "embed_pq_trained_recall_audit": embed_pq_trained_recall_audit,
+    "pretrain_composition": pretrain_composition,
 }
 
-#: Round-11 head-50 (r10 verdict #3): never-driver-checked queries
-#: outrank everything (the two r11 additions lead), then the 28
-#: queries whose last green driver row is r6, then the stalest of the
-#: r7 cohort (ranked by total-times-driver-checked, then
-#: first-checked round, then name — computed from the
-#: CORRECTNESS_r01..r10 artifacts), filling the window to exactly 50.
-#: After this round no registered query's last green driver row
-#: predates r7.
+#: Round-12 head-50 (r11 verdict #4): never-driver-checked queries
+#: outrank everything (the three r12 additions lead), then the FULL
+#: r7-stale cohort (the 31 queries whose last green driver row is
+#: r7, computed from the CORRECTNESS_r01..r11 artifacts), then the
+#: 16 stalest of the r8 cohort (ranked by total-times-driver-
+#: checked, then first-checked round, then name), filling the window
+#: to exactly 50. After this round no registered query's last green
+#: driver row predates r8 — the two-window freshness invariant.
 _HEAD_ROTATION = [
-    # --- never driver-checked (r11 additions) ---
-    "sample_curriculum_order",
-    "a54_bh_drift_fdr",
-    "embed_pq_recall_audit",
-    # --- last driver-checked r6 ---
-    "embed_srp_multiprobe",
-    "graph_hierarchy_rollup",
-    "graph_khop_reach",
-    "graph_pagerank",
-    "graph_triangles",
-    "j13_fuzzy_name_match",
-    "j14_max_concurrent_orders",
-    "j15_part_cooccurrence",
-    "j16_asof_tolerance",
-    "j17_lateral_topk",
-    "o12_variant_props",
-    "o13_token_positions",
-    "o14_snapshot_diff",
-    "q12_priority_shipping",
-    "sample_mixture_rates",
-    "sample_weighted_topk",
-    "t3_sliding_window",
-    "text_bpe_merges",
-    "text_bpe_top_tokens",
-    "text_dup_spans",
-    "text_ngram_entropy",
-    "text_tfidf_pairs",
-    "w10_time_weighted_avg",
-    "w11_last_touch_attribution",
-    "w12_cumulative_new_users",
-    "w13_ses_forecast",
-    "w8_resample_interpolate",
-    "w9_activity_islands",
-    # --- stalest 22 of the r7 cohort ---
-    "w6_sessionize",
-    "a11_colwise_max",
-    "a12_rollup_revenue",
-    "a1_relation_check",
-    "a2_group_any_flag",
-    "a3_latest_event_per_user",
-    "a4_nested_content",
-    "a4b_grouped_content",
-    "a6_distinct_segments",
-    "a7_hourly_event_counts",
-    "dedup_embed_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embed_knn_topk",
-    "embed_srp_ann",
-    "f1_filter_expressions",
-    "f2_null_filter",
+    # --- never driver-checked (r12 additions) ---
+    "embed_pq_adc_trained",
+    "embed_pq_trained_recall_audit",
+    "pretrain_composition",
+    # --- last driver-checked r7 (all 31) ---
+    "f3_capture_window",
+    "f6_pruned_incremental_scan",
+    "j10_composite_update_detection",
+    "j1_orders_enriched",
+    "j2_full_outer_nation_flows",
+    "j3_customers_without_orders",
+    "j5_capture_gaps",
+    "j7_shipdate_range_join",
+    "j9_idw_interpolation",
+    "k4_partition_derivation",
+    "o1_multikey_sort",
+    "o5_union_priorities",
+    "o6_pivot_event_types",
+    "o7_json_props_extract",
+    "o9_except_nations",
+    "p2_rename_projection",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "revenue_by_month",
+    "scalar_gauntlet",
+    "t1_tumbling_5min",
+    "t2_incremental_window",
+    "text_fingerprints",
+    "text_langid_counts",
+    "text_quality_by_source",
+    "text_token_stats",
+    "top_customers_by_revenue",
+    "w4_rolling_hourly_sum",
+    "w5_lag_event_gap",
+    # --- stalest 16 of the r8 cohort ---
+    "a37_weighted_median",
+    "a38_gini_concentration",
+    "a39_cusum_changepoints",
+    "a40_equidepth_histogram",
+    "a41_cms_join_size",
+    "curation_funnel_full",
+    "curation_funnel_stats",
+    "curation_pipeline",
+    "curation_pipeline_full",
+    "dedup_incremental_batch",
+    "dedup_prefix_jaccard",
+    "embed_knn_graph",
+    "embed_knn_graph_capped",
+    "embed_truncated_recall",
+    "funnel_time_to_convert",
+    "funnel_windowed_conversion",
 ]
 
 QUERIES = {

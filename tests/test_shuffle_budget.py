@@ -382,6 +382,12 @@ BUDGETS = {
     "embed_pq_adc_trained": 3,
     # audit = brute-force leg + trained-PQ leg + hit join/agg/sort
     "embed_pq_trained_recall_audit": 8,
+    # r12 end-to-end composition: the curation cascade's shuffles sit
+    # behind its lazy localCheckpoint boundaries (LogicalRDD inputs —
+    # budgeted stage-by-stage in curate_corpus/SCALE.md, not here);
+    # the VISIBLE tail is the curriculum ntile + position + shard
+    # cumsum riding ONE catalogue-granularity total sort.
+    "pretrain_composition": 1,
 }
 
 

@@ -586,10 +586,28 @@ def incremental_dedup_batch(
     # copies of the band-probe subtree. GC-freed, nothing to release.
     from pipelines_spark.plans.staging import stage
 
+    # Replay guard, part 2 (r12): after a crash between the store
+    # write and the decision commit, the replayed batch's OWN
+    # fingerprints are in the store — so the store probe can emit
+    # (new, prev) pairs whose prev is a LARGER-id batchmate, which
+    # the "previously seen = store doc or smaller-id batch doc"
+    # semantics must not count (caught by the restart-resume test:
+    # doc 260 flipped to dup_of 391). A prev that belongs to the
+    # current batch only counts under the smaller-id rule, whichever
+    # side it arrived from. One candidate-bounded equi-join against
+    # the batch's id set — no store-sized work.
+    batch_ids = batch.select(F.col(id_col).alias("_prev_id")).withColumn(
+        "_in_batch", F.lit(True)
+    )
     cands = stage(
         cand_store.select("_new_id", "_prev_id")
         .unionByName(cand_batch.select("_new_id", "_prev_id"))
-        .dropDuplicates(["_new_id", "_prev_id"]),
+        .dropDuplicates(["_new_id", "_prev_id"])
+        .join(batch_ids, "_prev_id", "left")
+        .filter(
+            (F.col("_prev_id") < F.col("_new_id")) | F.col("_in_batch").isNull()
+        )
+        .drop("_in_batch"),
         eager=False,
         staging=staging,
     )

@@ -39,8 +39,13 @@ def write_partitioned(
 
     Modes: ``append`` | ``overwrite`` (whole table) |
     ``overwrite_partitions`` (dynamic: only incoming partitions are
-    replaced; requires partitionOverwriteMode=dynamic, set by
-    session.get_spark).
+    replaced — enforced per-write via the writer-level
+    ``partitionOverwriteMode`` option, so the semantics hold in ANY
+    session. r12: this used to rely on the session-wide conf from
+    session.get_spark; under a vanilla session (static mode — e.g.
+    the external driver's) the same call silently overwrote the
+    WHOLE table, which the restart-resume test caught as a
+    fingerprint store losing its history partitions).
 
     ``sort_cols`` sorts rows inside each write task (a task-local
     sort, no extra shuffle). Parquet footer min/max stats per row
@@ -64,6 +69,8 @@ def write_partitioned(
             *partition_cols, *sort_cols
         )
     writer = writer_df.write.mode(save_mode).format(file_format)
+    if mode == "overwrite_partitions":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)

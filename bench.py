@@ -330,6 +330,11 @@ EXTENDED = [
     "sample_curriculum_order",
     "a54_bh_drift_fdr",
     "embed_pq_recall_audit",
+    # r12: trained-codebook PQ at the audit-approved 32x16 config,
+    # its recall re-audit, and the end-to-end pretraining composition
+    "embed_pq_adc_trained",
+    "embed_pq_trained_recall_audit",
+    "pretrain_composition",
 ]
 
 
@@ -559,10 +564,25 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     load_gate = _wait_for_quiet_box()
     loadavg_start = _loadavg()
+    # Sentinel control FIRST (r11 verdict #2): the fresh-JVM best-of-3
+    # control runs INSIDE the quiet window the gate just certified —
+    # before the ~175-query suite self-loads the box — so sub-2 s
+    # sentinel swings are adjudicated against a reading whose loadavg
+    # is itself ≤ the gate threshold. (The r11 artifact measured its
+    # control after the suite, at loadavg 6.7-8.4, making it useless
+    # exactly when it was needed.) A post-suite control is kept under
+    # ``control_post`` for continuity with r8-r11 artifacts.
+    control: dict = {}
+    if os.environ.get("SPARK_GRAFT_CONTROL", "1") != "0":
+        control = _run_isolated_control()
     spark = get_spark("pipelines_spark_bench")
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    #: loadavg sampled at group boundaries (r11 verdict #7): lets a
+    #: contaminated run be localized to a query group instead of
+    #: discarded whole (end loadavg alone is self-load-dominated).
+    loadavg_groups: dict[str, list[float]] = {"after_control": _loadavg()}
 
     # warm the JVM/session once on the smallest query so first-query
     # timing doesn't absorb session startup.
@@ -573,6 +593,11 @@ def main() -> None:
     # compile amortizes into run 1, so run 2 ≈ steady-state). All runs
     # are recorded in BENCH_full.json ("spreads") so noise is
     # machine-adjudicable instead of needing prose caveats.
+    # Sub-2 s headline entries get a THIRD run (r11 verdict #3): at
+    # that magnitude a single bad scheduling quantum moves the min by
+    # tens of percent (r11's dedup_exact 0.73->1.17 s "regression"
+    # was unadjudicatable from two runs); the extra run costs <2 s
+    # and the full spread is recorded.
     # NOTE on staged operators (r11, docs/SCALE.md): operators whose
     # staging is localCheckpoint-based pay their full cold cost on
     # EVERY run — unlike the persist() era, where run 2's identical
@@ -580,18 +605,25 @@ def main() -> None:
     # subtrees. Cross-round comparisons against pre-r10 numbers for
     # such operators (e.g. dedup_incremental_batch) compare cold cost
     # against cache-warm cost; the cold number is the production one.
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         runs = []
         for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(QUERIES[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        if min(runs) < 2.0:
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
         spreads[name] = runs
         _release_all_cached(spark)
+        if (i + 1) % 12 == 0:
+            loadavg_groups[f"headline_{i + 1}"] = _loadavg()
+    loadavg_groups["after_headline"] = _loadavg()
 
     runs = []
-    for _ in range(2):
+    for _ in range(3):  # dump is a sub-2 s sentinel: best-of-3
         out_dir = tempfile.mkdtemp(prefix="bench_dump_")
         try:
             t0 = time.perf_counter()
@@ -601,9 +633,10 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["dump_pipeline"] = min(runs)
     spreads["dump_pipeline"] = runs
+    loadavg_groups["after_dump"] = _loadavg()
 
     extended: dict[str, float] = {}
-    for name in EXTENDED:
+    for i, name in enumerate(EXTENDED):
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -612,6 +645,9 @@ def main() -> None:
         extended[name] = min(runs)
         spreads[name] = runs
         _release_all_cached(spark)
+        if (i + 1) % 25 == 0:
+            loadavg_groups[f"extended_{i + 1}"] = _loadavg()
+    loadavg_groups["after_extended"] = _loadavg()
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -623,7 +659,10 @@ def main() -> None:
         "spreads": spreads,
         "sf": sf,
         "loadavg_start": loadavg_start,
+        "loadavg_groups": loadavg_groups,
         "load_gate": load_gate,
+        # the certified-quiet-window control (ran BEFORE the suite)
+        "control": control,
         # False means the gate timed out on a hot box: the headline is
         # NOT round-over-round comparable and the sentinel controls are
         # the only valid cross-round signal in this artifact.
@@ -657,13 +696,11 @@ def main() -> None:
             )
     result["loadavg_end"] = _loadavg()
     spark.stop()
-    # isolated sentinel control: fresh JVM AFTER the suite session is
-    # gone — the in-artifact adjudicator for cross-round comparisons
-    # (disable with SPARK_GRAFT_CONTROL=0)
-    control: dict = {}
+    # post-suite control kept for continuity with the r8-r11 artifact
+    # layout; the canonical adjudicator is the PRE-suite ``control``
+    # above (certified quiet window). Disable with SPARK_GRAFT_CONTROL=0
     if os.environ.get("SPARK_GRAFT_CONTROL", "1") != "0":
-        control = _run_isolated_control()
-        result["control"] = control
+        result["control_post"] = _run_isolated_control()
     # Full detail (extended timings, spreads, scale probes) goes to a
     # file; the FINAL stdout line is a compact headline-only JSON small
     # enough for the driver's output-tail capture (round 3 lost its

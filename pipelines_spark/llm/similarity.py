@@ -503,6 +503,8 @@ def pq_codebook_trained(
     for _ in range(iters):
         assigned = (
             subs.join(F.broadcast(cb), "sub")
+            # round-ok: quantize-before-compare — the argmin ranks on
+            # the 6-dp value in BOTH engines, killing the 1-ulp class
             .withColumn(
                 "_dist", F.round(_sq_l2(F.col("subv"), F.col("subvec")), 6)
             )

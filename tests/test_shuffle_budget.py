@@ -388,6 +388,10 @@ BUDGETS = {
     # the VISIBLE tail is the curriculum ntile + position + shard
     # cumsum riding ONE catalogue-granularity total sort.
     "pretrain_composition": 1,
+    # r12 LSH-banding recall audit: exact-truth leg (shingle join +
+    # pair agg) + md5-signature min agg + band-collision join/agg +
+    # the final audit join — every stage map-side combinable
+    "dedup_lsh_recall_audit": 5,
 }
 
 

@@ -336,6 +336,7 @@ EXTENDED = [
     "embed_pq_trained_recall_audit",
     "pretrain_composition",
     "dedup_lsh_recall_audit",
+    "embed_ivf_pq_trained",
 ]
 
 

@@ -698,6 +698,8 @@ def ivf_pq_topk(
     n_sub: int = 4,
     n_codes: int = 16,
     round_digits: int = 4,
+    codebook: DataFrame | None = None,
+    cells: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS production architecture — a coarse inverted
     index bounds WHICH candidates are scored (nprobe cells instead of
@@ -713,16 +715,24 @@ def ivf_pq_topk(
     rounded+DECIMAL-summed lookups). Non-residual codes — classic
     IVF-PQ subtracts the cell centroid first; same plan, one more
     map-side arithmetic stage if recall demands it."""
-    # --- coarse quantizer: mirrors ivf_topk's sampled centroids ----
-    cent_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
-    cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    # --- coarse quantizer: mirrors ivf_topk's sampled centroids;
+    # ``cells`` (r12) swaps in a TRAINED (k, dim) matrix from
+    # kmeans_train (cell ids 0..k-1) — probe plan identical, and
+    # ``codebook`` swaps a trained PQ codebook into the unchanged
+    # encode/ADC stages (the pq_adc_topk seam)
+    if cells is not None:
+        cent_ids = np.arange(len(cells), dtype=np.int64)
+        cent_mat = np.asarray(cells, dtype=np.float64)
+    else:
+        cent_rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+        cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+        cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
     cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
     def _nearest(vec_series: pd.Series, n: int) -> pd.Series:
@@ -748,7 +758,7 @@ def ivf_pq_topk(
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     # --- PQ store + query tables: mirrors pq_adc_topk --------------
-    cb = pq_codebook(
+    cb = codebook if codebook is not None else pq_codebook(
         corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
         n_codes=n_codes,
     )

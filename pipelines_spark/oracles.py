@@ -700,17 +700,18 @@ _PQ_ADC_CTES = """        WITH samp0 AS (
         )"""
 
 
-def _pq_trained_ctes(
-    n_sub: int = 32, n_codes: int = 16, iters: int = 2, dim: int = 64
-) -> str:
-    """CTE chain replaying llm/similarity.pq_codebook_trained +
-    pq_adc_topk at the shipping config: hash-ordered init codebook,
-    ``iters`` Lloyd rounds (squared-L2 assign rounded to 6 dp before
-    argmin with cw-asc ties; per-(sub, cw) elementwise means over
-    1e-10 floor-quantized components summed as HUGEINT — exact, so
-    the trained model itself is replayed bit-for-bit), then the
-    standard encode → query-table → ADC chain against the final
-    codebook. Ends with the ``scored`` relation."""
+def _pq_trained_cb(
+    n_sub: int = 32, n_codes: int = 16, iters: int = 2, dim: int = 64,
+    prefix: str = "",
+) -> tuple[str, str]:
+    """The TRAINING half of the trained-PQ replay: hash-ordered init
+    codebook + ``iters`` Lloyd rounds (squared-L2 assign rounded to
+    6 dp before argmin with cw-asc ties; per-(sub, cw) elementwise
+    means over 1e-10 floor-quantized components summed as HUGEINT —
+    exact, so the trained model itself is replayed bit-for-bit).
+    Returns (cte_fragment_without_WITH, name_of_final_codebook) so
+    both the standalone ADC chain and the IVF-PQ composition can
+    consume one copy of the training arithmetic."""
     sl = dim // n_sub
     slice_ = f"[cb.sub * {sl} + 1 : cb.sub * {sl} + {sl}]"
     sq = (
@@ -719,23 +720,23 @@ def _pq_trained_ctes(
         "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
     )
     parts = [
-        f"""        WITH samp0 AS (
+        f"""{prefix}samp0 AS (
             SELECT vec_id, embedding,
                    md5('pq|' || CAST(vec_id AS VARCHAR)) AS h
             FROM embeddings ORDER BY h, vec_id LIMIT {n_codes}
         ),
-        cb0 AS (
+        {prefix}cb0 AS (
             SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cw,
                    s.s AS sub,
                    list_transform(
                        embedding[s.s * {sl} + 1 : s.s * {sl} + {sl}],
                        x -> CAST(x AS DOUBLE)) AS subvec
-            FROM samp0, (SELECT unnest(range(0, {n_sub})) AS s) s
+            FROM {prefix}samp0, (SELECT unnest(range(0, {n_sub})) AS s) s
         )"""
     ]
-    prev = "cb0"
+    prev = f"{prefix}cb0"
     for i in range(1, iters + 1):
-        parts.append(f"""        asg{i} AS (
+        parts.append(f"""        {prefix}asg{i} AS (
             SELECT sub, cw, subv FROM (
                 SELECT cb.sub, cb.cw, e.embedding{slice_} AS subv,
                        row_number() OVER (PARTITION BY e.vec_id, cb.sub
@@ -744,23 +745,43 @@ def _pq_trained_ctes(
                 FROM embeddings e CROSS JOIN {prev} cb
             ) WHERE rn = 1
         ),
-        sums{i} AS (
+        {prefix}sums{i} AS (
             SELECT sub, cw, idx, count(*) AS n,
                    sum(CAST(floor(CAST(v AS DOUBLE) * 1e10) AS HUGEINT)) AS s
             FROM (SELECT sub, cw, unnest(subv) AS v,
                          unnest(range(1, {sl + 1})) AS idx
-                  FROM asg{i})
+                  FROM {prefix}asg{i})
             GROUP BY 1, 2, 3
         ),
-        cb{i} AS (
+        {prefix}cb{i} AS (
             SELECT c.cw, c.sub, coalesce(m.mv, c.subvec) AS subvec
             FROM {prev} c LEFT JOIN (
                 SELECT sub, cw,
                        list(CAST(s AS DOUBLE) / n / 1e10 ORDER BY idx) AS mv
-                FROM sums{i} GROUP BY 1, 2
+                FROM {prefix}sums{i} GROUP BY 1, 2
             ) m ON m.sub = c.sub AND m.cw = c.cw
         )""")
-        prev = f"cb{i}"
+        prev = f"{prefix}cb{i}"
+    return ",\n".join(parts), prev
+
+
+def _pq_trained_ctes(
+    n_sub: int = 32, n_codes: int = 16, iters: int = 2, dim: int = 64
+) -> str:
+    """CTE chain replaying llm/similarity.pq_codebook_trained +
+    pq_adc_topk at the shipping config: the ``_pq_trained_cb``
+    training rounds, then the standard encode → query-table → ADC
+    chain against the final codebook. Ends with the ``scored``
+    relation."""
+    sl = dim // n_sub
+    slice_ = f"[cb.sub * {sl} + 1 : cb.sub * {sl} + {sl}]"
+    sq = (
+        f"list_sum(list_transform(list_zip(e.embedding{slice_}, cb.subvec), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    frag, prev = _pq_trained_cb(n_sub, n_codes, iters, dim)
+    parts = ["        WITH " + frag]
     parts.append(f"""        cand AS (
             SELECT e.vec_id AS pid, cb.sub, cb.cw, {sq} AS dist
             FROM embeddings e CROSS JOIN {prev} cb
@@ -6177,6 +6198,82 @@ ORACLES: dict[str, str] = {
                (c.nb IS NOT NULL) AS caught
         FROM truth t LEFT JOIN cand c USING (id_a, id_b)
         ORDER BY id_a, id_b
+    """,
+    # r12: fully-trained IVF-PQ — BOTH training loops replayed (the
+    # embed_ivf_kmeans cosine k-means chain for the coarse cells, the
+    # _pq_trained_cb squared-L2 chain — prefixed 't' to keep CTE
+    # names disjoint — for the codebook) plus the IVF-PQ composition
+    "embed_ivf_pq_trained": f"""
+        WITH cent0 AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 8
+        ), {_kmeans_iter('cent0', 1)}, {_kmeans_iter('cent1', 2)},
+        ranked AS (
+            SELECT q.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_COS_DOT} / ({_COS_NC} * {_COS_NQ}), 4) DESC,
+                                c.cell ASC) AS cr
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings) q
+            CROSS JOIN cent2 c
+        ), corpus_cell AS (
+            SELECT vec_id AS pid, cell FROM ranked WHERE cr = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cell
+            FROM ranked WHERE cr <= 2 AND vec_id < 20
+        ),
+        {_pq_trained_cb(prefix="t")[0]},
+        pqcand AS (
+            SELECT e.vec_id AS pid, cb.sub, cb.cw,
+                   list_sum(list_transform(
+                       list_zip(e.embedding[cb.sub * 2 + 1 : cb.sub * 2 + 2],
+                                cb.subvec),
+                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                   )) AS dist
+            FROM embeddings e CROSS JOIN tcb2 cb
+        ),
+        codes AS (
+            SELECT pid, sub, cw FROM (
+                SELECT pid, sub, cw,
+                       row_number() OVER (PARTITION BY pid, sub
+                                          ORDER BY dist, cw) AS rn
+                FROM pqcand
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT q.vec_id AS query_id, cb.sub, cb.cw,
+                   CAST(round(list_sum(list_transform(
+                       list_zip(q.embedding[cb.sub * 2 + 1 : cb.sub * 2 + 2],
+                                cb.subvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+                   )), 6) AS DECIMAL(18,6)) AS contrib
+            FROM embeddings q CROSS JOIN tcb2 cb
+            WHERE q.vec_id < 20
+        ),
+        pairs AS (
+            SELECT DISTINCT p.query_id, cc.pid
+            FROM probes p JOIN corpus_cell cc USING (cell)
+            WHERE cc.pid <> p.query_id
+        ),
+        scored AS (
+            SELECT pr.query_id, pr.pid AS neighbor_id,
+                   CAST(sum(t.contrib) AS DOUBLE) AS adc_dot
+            FROM pairs pr
+            JOIN codes c ON c.pid = pr.pid
+            JOIN qtab t ON t.query_id = pr.query_id
+                       AND t.sub = c.sub AND t.cw = c.cw
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adc_dot, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dot DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
     """,
     # r12: the audit re-run against the trained 32×16 index — shares
     # _PQ_TRAINED_CTES with embed_pq_adc_trained so the audited

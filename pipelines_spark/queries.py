@@ -7656,6 +7656,43 @@ def pretrain_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("curriculum_pos")
 
 
+def embed_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-TRAINED IVF-PQ — the FAISS production composition with
+    both halves trained: Lloyd's coarse centroids (kmeans_train, 8
+    cells × 2 iterations — the embed_ivf_kmeans arithmetic) bound
+    WHICH candidates are scored (nprobe=2), and the trained 32×16 PQ
+    codebook (pq_codebook_trained — the audit-approved config from
+    embed_pq_adc_trained) bounds storage and scoring. Composes the
+    two trained seams of ivf_pq_topk; the probe/encode/ADC plan is
+    byte-for-byte the hash-sampled embed_ivf_pq's. The oracle replays
+    BOTH training loops (cosine k-means CTEs ∘ squared-L2 PQ CTEs)
+    plus the composition — the deepest replayed chain in the
+    registry."""
+    register(spark, sf_dir, ("embeddings",))
+    from pipelines_spark.llm.similarity import (
+        ivf_pq_topk,
+        kmeans_train,
+        pq_codebook_trained,
+    )
+
+    emb = spark.table("embeddings")
+    cells = kmeans_train(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=2,
+    )
+    cb = pq_codebook_trained(
+        emb, id_col="vec_id", vec_col="embedding", n_sub=32, n_codes=16,
+        iters=2,
+    )
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", k=5, nprobe=2, n_sub=32, n_codes=16,
+        codebook=cb, cells=cells,
+    ).select(
+        "query_id", "neighbor_id", "adc_dot",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured LSH-banding recall over the actual corpus
     (llm/dedup.py::minhash_band_audit) — the dedup-family analog of
@@ -8034,6 +8071,7 @@ QUERIES = {
     "embed_pq_trained_recall_audit": embed_pq_trained_recall_audit,
     "pretrain_composition": pretrain_composition,
     "dedup_lsh_recall_audit": dedup_lsh_recall_audit,
+    "embed_ivf_pq_trained": embed_ivf_pq_trained,
 }
 
 #: Round-12 head-50 (r11 verdict #4): never-driver-checked queries
@@ -8044,14 +8082,16 @@ QUERIES = {
 #: checked, then first-checked round, then name), filling the window
 #: to exactly 50. After this round no registered query's last green
 #: driver row predates r8 — the two-window freshness invariant.
-#: (4 additions + 31 r7 + the 15 stalest r8; funnel_windowed_
-#: conversion, 16th-stalest, rotates out to make room.)
+#: (5 additions + 31 r7 + the 14 stalest r8; the 15th/16th-stalest
+#: r8 rows — funnel_time_to_convert, funnel_windowed_conversion —
+#: rotate out to make room for the additions.)
 _HEAD_ROTATION = [
     # --- never driver-checked (r12 additions) ---
     "embed_pq_adc_trained",
     "embed_pq_trained_recall_audit",
     "pretrain_composition",
     "dedup_lsh_recall_audit",
+    "embed_ivf_pq_trained",
     # --- last driver-checked r7 (all 31) ---
     "f3_capture_window",
     "f6_pruned_incremental_scan",
@@ -8084,7 +8124,7 @@ _HEAD_ROTATION = [
     "top_customers_by_revenue",
     "w4_rolling_hourly_sum",
     "w5_lag_event_gap",
-    # --- stalest 15 of the r8 cohort ---
+    # --- stalest 14 of the r8 cohort ---
     "a37_weighted_median",
     "a38_gini_concentration",
     "a39_cusum_changepoints",
@@ -8099,7 +8139,6 @@ _HEAD_ROTATION = [
     "embed_knn_graph",
     "embed_knn_graph_capped",
     "embed_truncated_recall",
-    "funnel_time_to_convert",
 ]
 
 QUERIES = {

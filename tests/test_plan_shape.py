@@ -79,6 +79,7 @@ def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
         "embed_ivf_kmeans",
         "dedup_semantic",
         "embed_ivf_pq",  # same numpy-matmul cell assignment as ivf_ann
+        "embed_ivf_pq_trained",  # same kernels over TRAINED cells (r12)
         "embed_knn_graph",  # same numpy-matmul cell assignment (knn_graph)
         "embed_knn_graph_capped",
     }

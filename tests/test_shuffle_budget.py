@@ -392,6 +392,10 @@ BUDGETS = {
     # pair agg) + md5-signature min agg + band-collision join/agg +
     # the final audit join — every stage map-side combinable
     "dedup_lsh_recall_audit": 5,
+    # r12 fully-trained IVF-PQ: both training loops run EAGERLY
+    # (fixed-k driver state), so the final plan is the embed_ivf_pq
+    # probe/encode/ADC shape over local-relation models
+    "embed_ivf_pq_trained": 5,
 }
 
 

@@ -477,81 +477,71 @@ def pq_codebook_trained(
     the assign scan once per iteration — the textbook scalable
     Lloyd's step,×n_sub subspaces in the same pass."""
     sub_len = dim // n_sub
-    cb = pq_codebook(
-        corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
-        n_codes=n_codes, salt=salt,
-    ).select(
-        "cw", "sub",
-        F.transform(F.col("subvec"), lambda x: x.cast("double")).alias("subvec"),
+    # r12 optimization (guide §2.3/§2.4): the codebook is fixed-k
+    # driver state by contract, so collect the INIT sample once and
+    # run every Lloyd iteration as (map-only literal-argmin assign) →
+    # (ONE map-side-combined (sub, cw) aggregate) → driver mean — the
+    # broadcast-join + (pid, sub)-keyed argmin shuffle + posexplode +
+    # per-(sub, cw, idx) shuffle of the previous formulation carried
+    # corpus-sized intermediates through three exchanges per
+    # iteration for a decision that needs only the row and 512
+    # literal codewords. Numerics replay exactly: same _sq_l2 fold
+    # order (flat unroll), same round-6 quantize-before-compare, same
+    # MIN(dist, cw) tie order, same floor(·1e10) DECIMAL(38,0) sums,
+    # and the driver mean float(_s)/n/1e10 is the kmeans_train
+    # discipline (decimal→double cast, then two IEEE divides).
+    cb_rows = _codebook_rows(
+        pq_codebook(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
+            n_codes=n_codes, salt=salt,
+        )
     )
-    subs = corpus.select(
-        F.col(id_col).alias("pid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.slice(
-                            F.col(vec_col), s * sub_len + 1, sub_len
-                        ).alias("subv"),
-                    )
-                    for s in range(n_sub)
-                ]
-            )
-        ).alias("p"),
-    ).select("pid", "p.sub", "p.subv")
     for _ in range(iters):
-        assigned = (
-            subs.join(F.broadcast(cb), "sub")
-            # round-ok: quantize-before-compare — the argmin ranks on
-            # the 6-dp value in BOTH engines, killing the 1-ulp class
-            .withColumn(
-                "_dist", F.round(_sq_l2(F.col("subv"), F.col("subvec")), 6)
-            )
-            .groupBy("pid", "sub")
-            .agg(F.min(F.struct("_dist", "cw", "subv")).alias("_best"))
-            .select("sub", F.col("_best.cw").alias("cw"), F.col("_best.subv").alias("subv"))
+        by_sub = _codebook_by_sub(cb_rows)
+        # round-ok: quantize-before-compare — the argmin ranks on the
+        # 6-dp value in BOTH engines, killing the 1-ulp class
+        assigns = F.expr(
+            "array(" + ",".join(
+                f"named_struct('sub',{s},"
+                f"'cw',{_sql_argmin_cw('_v', s * sub_len, sub_len, by_sub[s], round_digits=6)},"
+                f"'subv',slice(_v,{s * sub_len + 1},{sub_len}))"
+                for s in range(n_sub)
+            ) + ")"
         )
-        comp = assigned.select(
-            "sub", "cw", F.posexplode(F.col("subv")).alias("idx", "_c")
-        )
-        means = (
-            comp.groupBy("sub", "cw", "idx")
+        stats = (
+            corpus.select(F.col(vec_col).alias("_v"))
+            .select(F.explode(assigns).alias("p"))
+            .select("p.sub", "p.cw", "p.subv")
+            .groupBy("sub", "cw")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                F.sum(
-                    F.floor(F.col("_c").cast("double") * F.lit(1e10)).cast(
-                        "decimal(38,0)"
-                    )
-                ).alias("_s"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("subv", i + 1).cast("double")
+                            * F.lit(1e10)
+                        ).cast("decimal(38,0)")
+                    ).alias(f"_s{i}")
+                    for i in range(sub_len)
+                ],
             )
-            .select(
-                "sub",
-                "cw",
-                "idx",
-                (F.col("_s").cast("double") / F.col("_n") / F.lit(1e10)).alias(
-                    "_m"
-                ),
-            )
+            .collect()
         )
-        newvec = means.groupBy("sub", "cw").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "_m"))),
-                lambda x: x["_m"],
-            ).alias("_mv")
-        )
-        cb = (
-            cb.join(newvec, ["sub", "cw"], "left")
-            .select(
-                "cw", "sub", F.coalesce(F.col("_mv"), F.col("subvec")).alias("subvec")
-            )
-        )
-        # fixed-k driver state (kmeans_train discipline): 512 rows at
-        # the shipping 32×16 config, independent of corpus size
-        cb = corpus.sparkSession.createDataFrame(
-            cb.collect(), schema="cw int, sub int, subvec array<double>"
-        )
-    return cb
+        new_means: dict[tuple[int, int], list[float]] = {}
+        for r in stats:
+            n = int(r["_n"])
+            new_means[(int(r["sub"]), int(r["cw"]))] = [
+                float(r[f"_s{i}"]) / n / 1e10 for i in range(sub_len)
+            ]
+        # cells left empty by an iteration keep their previous codeword
+        cb_rows = [
+            (cw, sub, new_means.get((sub, cw), vec)) for cw, sub, vec in cb_rows
+        ]
+    # fixed-k driver state (kmeans_train discipline): 512 rows at
+    # the shipping 32×16 config, independent of corpus size
+    return corpus.sparkSession.createDataFrame(
+        cb_rows, schema="cw int, sub int, subvec array<double>"
+    )
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
@@ -570,6 +560,102 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+#: above this many literal multiply-accumulate terms
+#: (n_sub·n_codes·sub_len) the literal-codebook codegen path falls
+#: back to the broadcast-join formulation — expression size is a
+#: CONFIG property (codebook dims), never a corpus-size property, so
+#: the shipping configs (4×16×16 and 32×16×2 = 1024 terms) stay far
+#: under it at any scale.
+_PQ_LITERAL_MAX_TERMS = 65536
+
+
+def _codebook_rows(cb) -> list[tuple[int, int, list[float]]]:
+    """Collect a (cw, sub, subvec) codebook into the fixed-k driver
+    state the literal encode/assign path consumes — O(n_sub·n_codes·
+    sub_len) at any corpus size (the kmeans_train discipline). Accepts
+    a DataFrame (one tiny job) or an already-collected row list;
+    returns rows sorted by (sub, cw). Collected Python floats are
+    IEEE doubles, so re-embedding them as literals is value-exact."""
+    if isinstance(cb, DataFrame):
+        rows = [
+            (int(r["cw"]), int(r["sub"]), [float(x) for x in r["subvec"]])
+            for r in cb.collect()
+        ]
+    else:
+        rows = [(int(c), int(s), [float(x) for x in v]) for c, s, v in cb]
+    return sorted(rows, key=lambda t: (t[1], t[0]))
+
+
+def _codebook_by_sub(
+    rows: list[tuple[int, int, list[float]]],
+) -> dict[int, list[tuple[int, list[float]]]]:
+    out: dict[int, list[tuple[int, list[float]]]] = {}
+    for cw, sub, vec in rows:
+        out.setdefault(sub, []).append((cw, vec))
+    for sub in out:
+        out[sub].sort()
+    return out
+
+
+def _sql_double(x: float) -> str:
+    """Exact double literal: repr() round-trips the IEEE value and the
+    ``D`` suffix makes the SQL parser read it as DOUBLE (a bare
+    decimal literal would parse as DECIMAL)."""
+    return f"{x!r}D"
+
+
+def _sql_arr(vec: list[float]) -> str:
+    return "array(" + ",".join(_sql_double(float(x)) for x in vec) + ")"
+
+
+def _sql_argmin_cw(
+    vec_sql: str,
+    pos0: int,
+    sub_len: int,
+    cands: list[tuple[int, list[float]]],
+    *,
+    round_digits: int | None = None,
+) -> str:
+    """Nearest-codeword id by squared L2 over literal codewords —
+    ties to the lower cw, replaying MIN(struct(dist, cw)) as a
+    ``least``-fold over the cw-ascending candidate array (no
+    broadcast join, no shuffle: the argmin decision needs only the
+    row and the fixed-k codebook — guide §2.4's remove-the-exchange
+    move). The distance replays ``_sq_l2``'s zip_with/aggregate fold
+    verbatim, so doubles are bit-identical to the join formulation
+    this replaces. Rendered as ONE SQL string parsed by a single
+    ``F.expr`` — building the same tree through the Column API costs
+    thousands of py4j round trips (~9 s of pure driver time per
+    iteration at the 32×16 config, measured)."""
+    cands_sql = "array(" + ",".join(
+        f"named_struct('c',{int(cw)},'v',{_sql_arr(v)})" for cw, v in cands
+    ) + ")"
+    dist = (
+        f"aggregate(zip_with(slice({vec_sql},{pos0 + 1},{sub_len}),cand.v,"
+        "(x,y)->(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))),"
+        "0.0D,(acc2,v2)->acc2+v2)"
+    )
+    if round_digits is not None:
+        dist = f"round({dist},{round_digits})"
+    # least(acc, cand_struct) == MIN(struct(dist, cw)): smaller (d, c)
+    # wins, and on a distance tie the lower cw does (cw unique)
+    return (
+        f"aggregate({cands_sql},"
+        "named_struct('d',CAST('Infinity' AS DOUBLE),'c',-1),"
+        f"(acc,cand)->least(acc,named_struct('d',{dist},'c',cand.c))).c"
+    )
+
+
+def _sql_dot(vec_sql: str, pos0: int, sub_len: int, codeword: list[float]) -> str:
+    """Query-side ADC table entry: the verbatim zip_with/aggregate dot
+    fold of pq_adc_topk's qtab, with the codeword as a literal array
+    instead of a broadcast column — same values, no broadcast."""
+    return (
+        f"aggregate(zip_with(slice({vec_sql},{pos0 + 1},{sub_len}),{_sql_arr(codeword)},"
+        "(x,y)->CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),0.0D,(acc,v)->acc+v)"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -585,8 +671,52 @@ def pq_encode(
     MIN(struct(dist, cw)) — one aggregation keyed on (id, sub),
     never a window over the exploded candidates. At 64× corpus rows
     of candidates this is the real PQ build cost, linear and
-    shuffle-bounded by the (id, sub) key space."""
+    shuffle-bounded by the (id, sub) key space.
+
+    r12 optimization (guide §2.4): the codebook is fixed-k driver
+    state, so the argmin runs as a literal-codeword codegen
+    PROJECTION — encode is now map-only (zero shuffle, zero
+    broadcast); the former broadcast-join + MIN(struct) agg shuffled
+    n_sub rows per corpus vector to make a decision that needs only
+    the row and ≤512 codewords. Distances replay ``_sq_l2``'s fold
+    order exactly (raw doubles, no rounding — the original argmin
+    semantics), ties to the lower cw. Codebooks bigger than
+    ``_PQ_LITERAL_MAX_TERMS`` terms fall back to the join plan."""
     sub_len = dim // n_sub
+    rows = _codebook_rows(codebook)
+    if len(rows) * sub_len > _PQ_LITERAL_MAX_TERMS:  # pragma: no cover
+        return _pq_encode_join(
+            corpus, rows, id_col=id_col, vec_col=vec_col, sub_len=sub_len
+        )
+    by_sub = _codebook_by_sub(rows)
+    assigns = F.expr(
+        "array(" + ",".join(
+            f"named_struct('sub',{s},"
+            f"'cw',{_sql_argmin_cw('_v', s * sub_len, sub_len, by_sub[s])})"
+            for s in sorted(by_sub)
+        ) + ")"
+    )
+    return (
+        corpus.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("_v"))
+        .select("pid", F.explode(assigns).alias("p"))
+        .select("pid", "p.sub", "p.cw")
+    )
+
+
+def _pq_encode_join(
+    corpus: DataFrame,
+    cb_rows: list[tuple[int, int, list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+    sub_len: int,
+) -> DataFrame:  # pragma: no cover - big-codebook fallback
+    """The pre-r12 broadcast-join encode, kept for codebooks too large
+    for the literal-projection path (a config property, not a corpus
+    property — no registered config reaches it)."""
+    codebook = corpus.sparkSession.createDataFrame(
+        cb_rows, schema="cw int, sub int, subvec array<double>"
+    )
     cand = (
         corpus.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(codebook))
@@ -602,6 +732,35 @@ def pq_encode(
         cand.groupBy("pid", "sub")
         .agg(F.min(F.struct("_dist", "cw")).alias("_best"))
         .select("pid", "sub", F.col("_best.cw").alias("cw"))
+    )
+
+
+def _pq_query_table(
+    queries: DataFrame,
+    cb_rows: list[tuple[int, int, list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+    sub_len: int,
+) -> DataFrame:
+    """Per-query ADC lookup table (query_id, sub, cw, contrib) as a
+    literal-codeword projection — replaces the crossJoin(broadcast(cb))
+    formulation (one fewer broadcast exchange and no codebook-subtree
+    re-materialization). contrib replays the zip_with/aggregate dot
+    fold exactly: ((0.0 + x1·y1) + x2·y2)…, round 6, DECIMAL(18,6)."""
+    entries = F.expr(
+        "array(" + ",".join(
+            f"named_struct('sub',{int(sub)},'cw',{int(cw)},"
+            f"'contrib',CAST(round({_sql_dot('_qv', sub * sub_len, sub_len, cvec)},6) AS DECIMAL(18,6)))"
+            for cw, sub, cvec in cb_rows
+        ) + ")"
+    )
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .select("query_id", F.explode(entries).alias("p"))
+        .select("query_id", "p.sub", "p.cw", "p.contrib")
     )
 
 
@@ -632,38 +791,28 @@ def pq_adc_topk(
 
     ``codebook`` swaps in an alternative (cw, sub, subvec) codebook —
     e.g. ``pq_codebook_trained`` — leaving the encode/ADC plan below
-    untouched (the r11 verdict's "same plan, trained model" seam)."""
+    untouched (the r11 verdict's "same plan, trained model" seam).
+
+    r12 optimization (guide §2.4): the codebook collects once
+    (fixed-k driver state) and both the corpus encode and the
+    per-query lookup tables are literal-codeword codegen projections
+    — the two broadcast exchanges of the codebook subtree (which each
+    re-materialized the hash-ordered sample scan) and the encode's
+    (pid, sub) argmin shuffle are gone; the ADC join/agg/window plan
+    is unchanged. Dot products replay the zip_with/aggregate fold
+    order exactly."""
     sub_len = dim // n_sub
-    cb = codebook if codebook is not None else pq_codebook(
-        corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
-        n_codes=n_codes,
-    )
-    codes = pq_encode(
-        corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub
-    )
-    qtab = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "query_id",
-            "sub",
-            "cw",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("_qv"), F.col("sub") * sub_len + 1, sub_len),
-                        F.col("subvec"),
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("contrib"),
+    cb_rows = _codebook_rows(
+        codebook if codebook is not None else pq_codebook(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
+            n_codes=n_codes,
         )
     )
+    codes = pq_encode(
+        corpus, cb_rows, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub
+    )
+    qtab = _pq_query_table(queries, cb_rows, id_col=id_col, vec_col=vec_col,
+                           sub_len=sub_len)
     scored = (
         codes.join(F.broadcast(qtab), ["sub", "cw"])
         .filter(F.col("pid") != F.col("query_id"))
@@ -757,38 +906,20 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
-    # --- PQ store + query tables: mirrors pq_adc_topk --------------
-    cb = codebook if codebook is not None else pq_codebook(
-        corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
-        n_codes=n_codes,
-    )
-    codes = pq_encode(
-        corpus, cb, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub
-    )
-    sub_len = dim // n_sub
-    qtab = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "query_id",
-            "sub",
-            "cw",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("_qv"), F.col("sub") * sub_len + 1, sub_len),
-                        F.col("subvec"),
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("contrib"),
+    # --- PQ store + query tables: mirrors pq_adc_topk (r12: literal
+    # collected codebook — map-only encode/qtab, see pq_adc_topk) ----
+    cb_rows = _codebook_rows(
+        codebook if codebook is not None else pq_codebook(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub,
+            n_codes=n_codes,
         )
     )
+    codes = pq_encode(
+        corpus, cb_rows, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub
+    )
+    sub_len = dim // n_sub
+    qtab = _pq_query_table(queries, cb_rows, id_col=id_col, vec_col=vec_col,
+                           sub_len=sub_len)
     pairs = (
         probes.join(corpus_cell, "cell")
         .select("query_id", "pid")

@@ -90,10 +90,11 @@ BUDGETS = {
     # k-means bucket staging is checkpointed; visible plan = bucketed
     # pair join + dedup exchange
     "dedup_semantic": 1,
-    # 16-row centroid collect + broadcast codebook: cell equi-join is
-    # broadcast, ADC scoring map-side; exchanges = cell assignment agg
-    # + top-k windows
-    "embed_ivf_pq": 5,
+    # 16-row centroid collect + literal codebook (r12: encode/qtab are
+    # map-only literal-argmin projections — the codebook broadcast and
+    # the encode's (pid, sub) argmin shuffle are gone): cell equi-join
+    # is broadcast; exchanges = ADC agg + top-k window
+    "embed_ivf_pq": 2,
     # window expansion is map-side (explode of 4 assignments); one
     # agg exchange on (window_start, event_type)
     "t3_sliding_window": 1,
@@ -155,8 +156,10 @@ BUDGETS = {
     "a14_cube_revenue": 1,
     # bucketed candidate join (one stored corpus key) + top-k window
     "embed_srp_multiprobe": 1,
-    # codebook broadcast; train collects precede the plan
-    "embed_pq_adc": 3,
+    # r12: collected literal codebook — encode + qtab are map-only
+    # projections (no codebook broadcast, no (pid, sub) argmin
+    # shuffle); exchanges = ADC agg + top-k window
+    "embed_pq_adc": 2,
     # two sub-corpus KMV sketches + set-algebra spine: every exchange
     # moves <= k x partitions candidate rows, never the key sets
     "a34_kmv_set_ops": 12,
@@ -372,16 +375,17 @@ BUDGETS = {
     # composes the two already-pinned legs (brute-force window + PQ
     # encode argmin + ADC score/top-k) + the hit join/agg/sort; the
     # brute-force leg is the audit's deliberate cost (sampled queries)
-    "embed_pq_recall_audit": 8,
+    "embed_pq_recall_audit": 7,
     # r12 trained-codebook PQ: training runs eagerly (per-iteration
     # fixed-k collect, kmeans_train discipline), so the FINAL plan is
-    # just encode argmin + ADC score + top-k over a local-relation
-    # codebook — the same 3 exchanges as embed_pq_adc. Per training
-    # iteration (not in this plan): 2 agg shuffles over (pid, sub) /
-    # (sub, cw, idx), both map-side combined.
-    "embed_pq_adc_trained": 3,
+    # just the literal-argmin encode + ADC score + top-k — the same 2
+    # exchanges as embed_pq_adc. Per training iteration (not in this
+    # plan): ONE map-side-combined (sub, cw) agg shuffle — the
+    # literal-argmin assign is map-only (optimization r12: was 2 agg
+    # shuffles + a broadcast join).
+    "embed_pq_adc_trained": 2,
     # audit = brute-force leg + trained-PQ leg + hit join/agg/sort
-    "embed_pq_trained_recall_audit": 8,
+    "embed_pq_trained_recall_audit": 7,
     # r12 end-to-end composition: the curation cascade's shuffles sit
     # behind its lazy localCheckpoint boundaries (LogicalRDD inputs —
     # budgeted stage-by-stage in curate_corpus/SCALE.md, not here);
@@ -394,8 +398,8 @@ BUDGETS = {
     "dedup_lsh_recall_audit": 5,
     # r12 fully-trained IVF-PQ: both training loops run EAGERLY
     # (fixed-k driver state), so the final plan is the embed_ivf_pq
-    # probe/encode/ADC shape over local-relation models
-    "embed_ivf_pq_trained": 5,
+    # probe/encode/ADC shape over literal models
+    "embed_ivf_pq_trained": 2,
 }
 
 

@@ -712,17 +712,19 @@ def ngram_jaccard_pairs(
     ``None`` (default, the oracle-parity configuration) keeps the
     fully exact behavior.
     """
+    # persisted: the shingle table feeds every downstream consumer —
+    # the per-doc sizes (both join legs) and both sides of the
+    # inverted-index self-join. Without staging each consumer re-scans
+    # the corpus and re-runs the shingle transform (the r12 before-plan
+    # showed 4 scans and ~8 evaluations of the split/transform
+    # expression); one staging table is the same LSH discipline
+    # minhash_near_dup_pairs applies.
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
-    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
-    inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
-    staged: list[DataFrame] = []
+    ).filter(F.size("_shingles") > 0).persist()
+    staged: list[DataFrame] = [shingled]
     if max_shingle_freq is not None:
-        # persisted: the posting list feeds the probe and (when hot
-        # shingles exist) both sides of the candidate self-join
-        inv = inv.persist()
-        staged.append(inv)
+        inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
         hot = (
             inv.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -741,20 +743,67 @@ def ngram_jaccard_pairs(
             # in the same universe as the intersection, or scores
             # deflate for boilerplate-heavy near-dups
             sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+            inter = (
+                inv.alias("l")
+                .join(inv.alias("r"), "_sh")
+                .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                .groupBy(
+                    F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                )
+                .agg(F.count(F.lit(1)).alias("_inter"))
+            )
+            scored = (
+                inter.join(
+                    sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a"
+                )
+                .join(
+                    sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b"
+                )
+                .withColumn(
+                    "jaccard",
+                    F.col("_inter")
+                    / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select(
+                    "id_a",
+                    "id_b",
+                    exact_div_round(
+                        F.col("_inter"),
+                        F.col("_na") + F.col("_nb") - F.col("_inter"),
+                    ).alias("jaccard"),
+                )
+            )
+            return _attach_staging(scored, staged)
+        # no hot shingles: fall through to the exact plan below
 
+    # exact path: carry each document's set size THROUGH the exploded
+    # index (a few bytes per membership row — guide §2.3, shuffle keys
+    # and metadata, not payloads) so the pair aggregation already holds
+    # both denominators and the two sizes joins disappear. min() over a
+    # per-id-constant column is exact, so scores are bit-identical to
+    # the joined formulation.
+    inv_n = shingled.select(
+        F.col(id_col),
+        F.explode("_shingles").alias("_sh"),
+        F.size("_shingles").alias("_n"),
+    )
     inter = (
-        inv.alias("l")
-        .join(inv.alias("r"), "_sh")
+        inv_n.alias("l")
+        .join(inv_n.alias("r"), "_sh")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.min(F.col("l._n")).alias("_na"),
+            F.min(F.col("r._n")).alias("_nb"),
+        )
     )
     scored = (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
         )
@@ -819,26 +868,36 @@ def minhash_band_audit(
 
     frac = Fraction(threshold).limit_denominator(10_000)
     rows_per_band = num_hashes // bands
+    # persisted: the shingle table feeds the truth leg (both self-join
+    # sides, sizes carried through the index) AND the signature leg —
+    # without staging each consumer re-scans the corpus and re-runs the
+    # shingle transform (same discipline as ngram_jaccard_pairs).
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
-    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
+    ).filter(F.size("_shingles") > 0).persist()
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
+    inv_n = shingled.select(
+        F.col(id_col),
+        F.explode("_shingles").alias("_sh"),
+        F.size("_shingles").alias("_n"),
+    )
     inter = (
-        inv.alias("l")
-        .join(inv.alias("r"), "_sh")
+        inv_n.alias("l")
+        .join(inv_n.alias("r"), "_sh")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.min(F.col("l._n")).alias("_na"),
+            F.min(F.col("r._n")).alias("_nb"),
+        )
     )
     union_ = F.col("_na") + F.col("_nb") - F.col("_inter")
     truth = (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
-        .filter(
+        inter.filter(
             F.col("_inter") * F.lit(frac.denominator)
             >= union_ * F.lit(frac.numerator)
         )
@@ -895,7 +954,7 @@ def minhash_band_audit(
         )
         .agg(F.count_distinct(F.col("band_no")).alias("_nb_hit"))
     )
-    return (
+    out = (
         truth.join(cand, ["id_a", "id_b"], "left")
         .select(
             "id_a",
@@ -908,6 +967,7 @@ def minhash_band_audit(
         )
         .orderBy("id_a", "id_b")
     )
+    return _attach_staging(out, (shingled,))
 
 
 def containment_pairs(
@@ -936,15 +996,15 @@ def containment_pairs(
     shingle universe — numerator and denominators alike). Returns
     (contained_id, container_id, containment) with the smaller set
     (ties: smaller id) as contained."""
+    # persisted: one staging table for every consumer (sizes legs +
+    # both self-join sides) — same rationale as ngram_jaccard_pairs.
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
-    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
-    inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
-    staged: list[DataFrame] = []
+    ).filter(F.size("_shingles") > 0).persist()
+    staged: list[DataFrame] = [shingled]
+    capped = False
     if max_shingle_freq is not None:
-        inv = inv.persist()
-        staged.append(inv)
+        inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
         hot = (
             inv.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -958,21 +1018,45 @@ def containment_pairs(
                 "over the surviving shingle universe",
                 n_hot, max_shingle_freq,
             )
+            capped = True
             inv = inv.join(F.broadcast(hot.select("_sh")), "_sh", "left_anti")
             sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    inter = (
-        inv.alias("l")
-        .join(inv.alias("r"), "_sh")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    if capped:
+        inter = (
+            inv.alias("l")
+            .join(inv.alias("r"), "_sh")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .groupBy(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("_inter"))
         )
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+        inter = inter.join(
+            sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a"
+        ).join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
+    else:
+        # exact path: carry set sizes through the exploded index (the
+        # ngram_jaccard_pairs metadata-carry trick) — no sizes joins
+        inv_n = shingled.select(
+            F.col(id_col),
+            F.explode("_shingles").alias("_sh"),
+            F.size("_shingles").alias("_n"),
+        )
+        inter = (
+            inv_n.alias("l")
+            .join(inv_n.alias("r"), "_sh")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .groupBy(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("_inter"),
+                F.min(F.col("l._n")).alias("_na"),
+                F.min(F.col("r._n")).alias("_nb"),
+            )
+        )
     scored = (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "containment",
             F.col("_inter") / F.least("_na", "_nb").cast("double"),
         )
@@ -1272,7 +1356,6 @@ def semantic_dedup(
 
     from pipelines_spark.llm.similarity import (
         _round_half_up,
-        cosine_similarity,
         kmeans_train,
     )
 
@@ -1295,23 +1378,40 @@ def semantic_dedup(
     # triangle_count's `oriented`); the checkpointed blocks free on GC
     from pipelines_spark.plans.staging import stage
 
+    from pipelines_spark.llm.similarity import _norm_col, _pair_cosine
+
+    # norms are hoisted into the staged assignment (computed once per
+    # vector, materialized with the checkpoint) instead of re-derived
+    # inside every in-cell pair — dot/(na*nb) is the same float
+    # expression, so scores are bit-identical (similarity._pair_cosine)
     assigned = stage(
         corpus.select(
-            F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
+            F.col(id_col),
+            F.col(vec_col),
+            nearest_cell(F.col(vec_col)).alias("_cell"),
+            _norm_col(F.col(vec_col), dim).alias("_vn"),
         ),
         staging=staging,
     )
     a = assigned.select(
-        F.col("_cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+        F.col("_cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("_vn").alias("_na"),
     )
     b = assigned.select(
-        F.col("_cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+        F.col("_cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("_vn").alias("_nb"),
     )
     pairs = (
         a.join(b, "_cell")
         .filter(F.col("_ida") < F.col("_idb"))
         .withColumn(
-            "_cos", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_digits)
+            "_cos",
+            F.round(
+                _pair_cosine(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
+                ),
+                round_digits,
+            ),
         )
         .filter(F.col("_cos") >= threshold)
     )

@@ -42,20 +42,64 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product in double. With ``dim`` given, an explicit unrolled
+    left-to-right addition chain — whole-stage-codegen'd, where the
+    higher-order ``aggregate``/``zip_with`` fold is interpreted per
+    element (the measured ~5× gap the minhash docstring records). The
+    chain starts from ``lit(0.0)`` exactly like the fold's zero
+    accumulator, so the float summation order — and therefore every
+    bit of the result — is identical between the two forms."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
+        )
+    return acc
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm in double; same unrolled-chain contract as ``_dot``."""
+    if dim is None:
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two numeric arrays, computed in double."""
-    ad, bd = _as_double(a), _as_double(b)
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two numeric arrays, computed in double.
+
+    ``dim`` (when statically known — every registered corpus is
+    64-dim) selects the unrolled codegen form of the dot/norm chains:
+    bit-identical values, ~5× less per-pair work than the interpreted
+    higher-order fold. ``None`` keeps the dimension-generic fold."""
+    if dim is None:
+        ad, bd = _as_double(a), _as_double(b)
+        return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+
+
+def _norm_col(vec: Column, dim: int | None) -> Column:
+    """Per-row L2 norm for hoisting OUT of pair joins: computing each
+    side's norm once per vector (instead of once per candidate pair)
+    divides the per-pair cosine work by ~3 with bit-identical values —
+    ``dot/(norm_a*norm_b)`` is the same float expression either way."""
+    return _norm(_as_double(vec) if dim is None else vec, dim)
+
+
+def _pair_cosine(cv: Column, qv: Column, cn: Column, qn: Column, dim: int | None) -> Column:
+    """``dot(cv,qv)/(cn*qn)`` with the dot in unrolled-codegen form
+    when ``dim`` is known — the hoisted-norms companion of
+    :func:`cosine_similarity` (same multiply order, same bits)."""
+    dot = _dot(_as_double(cv), _as_double(qv)) if dim is None else _dot(cv, qv, dim)
+    return dot / (cn * qn)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -81,23 +125,40 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
     Self-matches excluded. Similarity is rounded before ranking so
     ranks are reproducible across engines; ties break on neighbor id.
-    """
+
+    With ``dim`` statically known (the registered corpora are 64-dim)
+    the per-vector norms are computed ONCE per row before the join —
+    not once per candidate pair — and the per-pair dot is the unrolled
+    codegen chain (bit-identical to the fold; see ``_dot``). The
+    per-pair cost drops from dot+2 norms interpreted to one codegen
+    dot."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm_col(F.col(vec_col), dim).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm_col(F.col(vec_col), dim).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
+            "cosine",
+            F.round(
+                _pair_cosine(
+                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
+                ),
+                round_digits,
+            ),
         )
     )
     return _rank_topk(scored, k)
@@ -275,6 +336,7 @@ def srp_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        _norm_col(F.col(vec_col), dim).alias("_qn"),
     )
     corpus_key = (
         F.col(corpus_bucket_col)
@@ -285,12 +347,19 @@ def srp_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         corpus_key.alias("_bucket"),
+        _norm_col(F.col(vec_col), dim).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
+            "cosine",
+            F.round(
+                _pair_cosine(
+                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -363,6 +432,7 @@ def srp_multiprobe_topk(
             F.col(vec_col).alias("_qv"),
             srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_key"),
             cand.alias("_cand"),
+            _norm_col(F.col(vec_col), dim).alias("_qn"),
         )
         .withColumn("_bucket", F.explode(F.expr(f"array({', '.join(probe_terms)})")))
         .drop("_key", "_cand")
@@ -376,13 +446,19 @@ def srp_multiprobe_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         corpus_key.alias("_bucket"),
+        _norm_col(F.col(vec_col), dim).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits),
+            F.round(
+                _pair_cosine(
+                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1091,17 +1167,25 @@ def ivf_kmeans_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         nearest_cell(F.col(vec_col)).alias("_cell"),
+        _norm_col(F.col(vec_col), dim).alias("_cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        _norm_col(F.col(vec_col), dim).alias("_qn"),
     )
     scored = (
         c.join(F.broadcast(q), "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
+            "cosine",
+            F.round(
+                _pair_cosine(
+                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1149,6 +1233,7 @@ def knn_graph(
     n_centroids: int = 16,
     round_digits: int = 4,
     max_cell_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate kNN GRAPH: every corpus vector's top-``k``
     neighbors among the vectors sharing its IVF cell —
@@ -1194,6 +1279,7 @@ def knn_graph(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         nearest_cell(F.col(vec_col)).alias("_cell"),
+        _norm_col(F.col(vec_col), dim).alias("_n"),
     )
     nbrs = assigned
     if max_cell_rows is not None:
@@ -1206,15 +1292,24 @@ def knn_graph(
             .drop("_cr")
         )
     a = assigned.select(
-        F.col("_id").alias("src_id"), F.col("_v").alias("_av"), "_cell"
+        F.col("_id").alias("src_id"), F.col("_v").alias("_av"), "_cell",
+        F.col("_n").alias("_an"),
     )
-    b = nbrs.select(F.col("_id").alias("dst_id"), F.col("_v").alias("_bv"), "_cell")
+    b = nbrs.select(
+        F.col("_id").alias("dst_id"), F.col("_v").alias("_bv"), "_cell",
+        F.col("_n").alias("_bn"),
+    )
     scored = (
         a.join(b, "_cell")
         .filter(F.col("src_id") != F.col("dst_id"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("_av"), F.col("_bv")), round_digits),
+            F.round(
+                _pair_cosine(
+                    F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn"), dim
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("src_id").orderBy(
@@ -1237,6 +1332,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     round_digits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: (query_id, neighbor_id, cosine, rank).
 
@@ -1283,17 +1379,25 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         nearest_cell(F.col(vec_col)).alias("_cell"),
+        _norm_col(F.col(vec_col), dim).alias("_cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        _norm_col(F.col(vec_col), dim).alias("_qn"),
     )
     scored = (
         c.join(F.broadcast(q), "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), round_digits)
+            "cosine",
+            F.round(
+                _pair_cosine(
+                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1315,6 +1419,7 @@ def truncated_recall(
     dims: int = 16,
     k: int = 5,
     round_digits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Recall@k of TRUNCATED-dimension search against full-dimension
     search — the measurement behind Matryoshka-style embedding
@@ -1331,7 +1436,7 @@ def truncated_recall(
     """
     full = brute_force_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
-        round_digits=round_digits,
+        round_digits=round_digits, dim=dim,
     ).select("query_id", "neighbor_id")
     trunc_corpus = corpus.select(
         F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
@@ -1339,9 +1444,12 @@ def truncated_recall(
     trunc_queries = queries.select(
         F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
     )
+    # the truncated side is exactly ``dims`` wide by construction, so
+    # its unrolled length is statically known even when the caller
+    # leaves the full-corpus ``dim`` generic
     trunc = brute_force_topk(
         trunc_corpus, trunc_queries, id_col=id_col, vec_col=vec_col, k=k,
-        round_digits=round_digits,
+        round_digits=round_digits, dim=dims,
     ).select("query_id", F.col("neighbor_id").alias("_tn"))
     overlap = (
         full.join(
@@ -1417,11 +1525,13 @@ def margin_bitext_topk(
     a = corpus_a.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        _norm_col(F.col(vec_col), dim).alias("_qn"),
         *([bucket(F.col(vec_col)).alias("_bucket")] if bucket else []),
     )
     b = corpus_b.select(
         F.col(id_col).alias("target_id"),
         F.col(vec_col).alias("_tv"),
+        _norm_col(F.col(vec_col), dim).alias("_tn"),
         *([bucket(F.col(vec_col)).alias("_bucket")] if bucket else []),
     )
     cand = (
@@ -1431,7 +1541,12 @@ def margin_bitext_topk(
         cand.select(
             "query_id",
             "target_id",
-            F.round(cosine_similarity(F.col("_tv"), F.col("_qv")), round_digits)
+            F.round(
+                _pair_cosine(
+                    F.col("_tv"), F.col("_qv"), F.col("_tn"), F.col("_qn"), dim
+                ),
+                round_digits,
+            )
             .cast("decimal(10,4)")
             .alias("cos"),
         )

@@ -948,13 +948,30 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is the SRP-bucketed variant (embed_srp_ann)."""
     register(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    from pipelines_spark.llm.similarity import cosine_similarity
+    from pipelines_spark.llm.similarity import _norm_col, _pair_cosine
 
+    # per-vector norms hoisted out of the O(n²) pair condition —
+    # bit-identical scores (similarity._pair_cosine), one codegen dot
+    # per pair instead of three interpreted HOF folds
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
+        _norm_col(F.col("embedding"), 64).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
+        _norm_col(F.col("embedding"), 64).alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                _pair_cosine(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), 64
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
     )
@@ -1007,7 +1024,7 @@ def embed_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     return brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id",
-        vec_col="embedding", k=5,
+        vec_col="embedding", k=5, dim=64,
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
@@ -1380,7 +1397,7 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
-        vec_col="embedding", k=5, n_centroids=16, nprobe=2,
+        vec_col="embedding", k=5, n_centroids=16, nprobe=2, dim=64,
     ).select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
@@ -4239,7 +4256,7 @@ def embed_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     return truncated_recall(
-        emb, emb.filter(F.col("vec_id") < 10), dims=16, k=5
+        emb, emb.filter(F.col("vec_id") < 10), dims=16, k=5, dim=64
     ).orderBy("query_id")
 
 
@@ -4265,7 +4282,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("rank").cast("long").alias("r_lex"))
     emb = spark.table("embeddings")
     dense = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") == 0), k=20
+        emb, emb.filter(F.col("vec_id") == 0), k=20, dim=64
     ).select(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("long").alias("r_dense"),
@@ -4486,7 +4503,7 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelines_spark.llm.similarity import knn_graph
 
     emb = spark.table("embeddings").select("vec_id", "embedding")
-    return knn_graph(emb, k=3, n_centroids=16)
+    return knn_graph(emb, k=3, n_centroids=16, dim=64)
 
 
 def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4818,7 +4835,7 @@ def embed_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelines_spark.llm.similarity import knn_graph
 
     emb = spark.table("embeddings").select("vec_id", "embedding")
-    return knn_graph(emb, k=3, n_centroids=16, max_cell_rows=20)
+    return knn_graph(emb, k=3, n_centroids=16, max_cell_rows=20, dim=64)
 
 
 from pipelines_spark.llm.curation import BENCH_CONFIG as _CURATION_CONFIG
@@ -4987,7 +5004,7 @@ def embed_srp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     qs = emb.filter(F.col("vec_id") < 50)
     exact = brute_force_topk(
-        emb, qs, id_col="vec_id", vec_col="embedding", k=5
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5, dim=64
     ).select("query_id", "neighbor_id")
     ann = srp_bucketed_topk(
         emb, qs, id_col="vec_id", vec_col="embedding", k=5, n_planes=8
@@ -6231,7 +6248,7 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted collect — state is |labels|×dims, never vectors². The
     per-vector cosine is one broadcast join back onto the corpus."""
     register(spark, sf_dir, ("embeddings",))
-    from pipelines_spark.llm.similarity import cosine_similarity
+    from pipelines_spark.llm.similarity import _norm_col, _pair_cosine
 
     emb = spark.table("embeddings")
     dims = emb.select(
@@ -6249,11 +6266,27 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
         ).alias("centroid")
     )
+    # centroid norm computed ONCE per label on the broadcast side
+    # (not per corpus row), per-pair cosine is the unrolled codegen
+    # chain — dot/(norm_emb*norm_cent) in the same float order as the
+    # interpreted fold, so scores are bit-identical (similarity._dot)
+    cent_arr = cent_arr.select(
+        "label", "centroid", _norm_col(F.col("centroid"), 64).alias("_cn")
+    )
     return (
         emb.join(F.broadcast(cent_arr), "label")
         .select(
             "label",
-            F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 4)
+            F.round(
+                _pair_cosine(
+                    F.col("embedding"),
+                    F.col("centroid"),
+                    _norm_col(F.col("embedding"), 64),
+                    F.col("_cn"),
+                    64,
+                ),
+                4,
+            )
             .cast("decimal(10,4)")
             .alias("_cos"),
         )
@@ -7061,7 +7094,7 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             F.round(
-                cosine_similarity(F.col("embedding"), F.col("qv")), 4
+                cosine_similarity(F.col("embedding"), F.col("qv"), 64), 4
             ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -7087,7 +7120,7 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("a_id"),
             "b_id",
             F.round(
-                cosine_similarity(F.col("embedding"), F.col("b_emb")), 4
+                cosine_similarity(F.col("embedding"), F.col("b_emb"), 64), 4
             ).alias("sim"),
         )
     )
@@ -7469,7 +7502,7 @@ def embed_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     qs = emb.filter(F.col("vec_id") < 50)
     exact = brute_force_topk(
-        emb, qs, id_col="vec_id", vec_col="embedding", k=5
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5, dim=64
     ).select("query_id", "neighbor_id")
     pq5 = pq_adc_topk(
         emb, qs, id_col="vec_id", vec_col="embedding", k=5
@@ -7555,7 +7588,7 @@ def embed_pq_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = spark.table("embeddings")
     qs = emb.filter(F.col("vec_id") < 50)
     exact = brute_force_topk(
-        emb, qs, id_col="vec_id", vec_col="embedding", k=5
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5, dim=64
     ).select("query_id", "neighbor_id")
     cb = pq_codebook_trained(
         emb, id_col="vec_id", vec_col="embedding", n_sub=32, n_codes=16,

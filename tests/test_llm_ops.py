@@ -511,6 +511,51 @@ def test_brute_force_topk_exact_neighbor(spark):
     assert got[0] == (2, 1)
 
 
+def test_cosine_unrolled_bit_identical_to_fold(spark):
+    """r12: the unrolled codegen dot/norm chains (``dim`` given) and
+    the hoisted-norm pair form must be BIT-identical to the original
+    interpreted higher-order fold — same left-to-right float addition
+    order — or every rounded-then-ranked consumer could flip a rank
+    at the rounding boundary."""
+    from pyspark.sql import Row
+
+    from pipelines_spark.llm.similarity import (
+        _norm_col,
+        _pair_cosine,
+        cosine_similarity,
+    )
+
+    import random
+
+    rng = random.Random(12)
+    rows = [
+        Row(i=i, a=[rng.uniform(-1, 1) for _ in range(64)],
+            b=[rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    out = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("fold"),
+        cosine_similarity(F.col("a"), F.col("b"), 64).alias("unrolled"),
+        _pair_cosine(
+            F.col("a"), F.col("b"),
+            _norm_col(F.col("a"), 64), _norm_col(F.col("b"), 64), 64,
+        ).alias("hoisted"),
+    ).collect()
+    for r in out:
+        assert repr(r["fold"]) == repr(r["unrolled"]) == repr(r["hoisted"])
+
+
+def test_brute_force_topk_default_dim_generic(spark):
+    """The ``dim`` unroll must stay opt-in: the default path has to
+    keep working for vectors of ANY width (the unrolled chain indexes
+    past the end of short arrays)."""
+    rows = [(i, [float(i == j) for j in range(5)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert len(out) == 2 and all(r["cosine"] is not None for r in out)
+
+
 def test_language_id_und_and_en(spark):
     df = spark.createDataFrame(
         [(1, "qqq www zzz"), (2, "the cat sat on the mat for a while")],

@@ -1826,6 +1826,59 @@ def test_srp_multiprobe_recall_dominates_single_probe(spark, sf_medium):
     assert r_multi > 0.0
 
 
+def test_pq_literal_value_codebook_bit_identical(spark, sf_medium):
+    """r12: the literal-VALUE codebook (one constant-folded from_json
+    literal + generic transform/aggregate argmin) must reproduce the
+    literal-AST formulation bit-for-bit — same assignments, same ADC
+    contribs — or the trained-PQ oracles would hash-mismatch. The AST
+    helpers (_sql_argmin_cw/_sql_dot) stay as the reference
+    implementation this test replays."""
+    from pyspark.sql import functions as F
+
+    from pipelines_spark.llm import similarity as S
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    n_sub, n_codes, dim = 8, 16, 64
+    sub_len = dim // n_sub
+    cb_rows = S._codebook_rows(S.pq_codebook(emb, n_sub=n_sub, n_codes=n_codes))
+    by_sub = S._codebook_by_sub(cb_rows)
+
+    # encode: value path (production) vs AST reference
+    ast_assigns = F.expr(
+        "array(" + ",".join(
+            f"named_struct('sub',{s},"
+            f"'cw',{S._sql_argmin_cw('_v', s * sub_len, sub_len, by_sub[s])})"
+            for s in sorted(by_sub)
+        ) + ")"
+    )
+    ref = (
+        emb.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("_v"))
+        .select("pid", F.explode(ast_assigns).alias("p"))
+        .select("pid", "p.sub", "p.cw")
+    )
+    got = S.pq_encode(emb, cb_rows, n_sub=n_sub)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    # qtab: value path vs AST reference (exact DECIMAL contribs)
+    qs = emb.filter(F.col("vec_id") < 5)
+    ast_entries = F.expr(
+        "array(" + ",".join(
+            f"named_struct('sub',{int(sub)},'cw',{int(cw)},"
+            f"'contrib',CAST(round({S._sql_dot('_qv', sub * sub_len, sub_len, cvec)},6) AS DECIMAL(18,6)))"
+            for cw, sub, cvec in cb_rows
+        ) + ")"
+    )
+    ref_q = (
+        qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+        .select("query_id", F.explode(ast_entries).alias("p"))
+        .select("query_id", "p.sub", "p.cw", "p.contrib")
+    )
+    got_q = S._pq_query_table(
+        qs, cb_rows, id_col="vec_id", vec_col="embedding", sub_len=sub_len
+    )
+    assert sorted(map(tuple, got_q.collect())) == sorted(map(tuple, ref_q.collect()))
+
+
 def test_pq_codes_shape_and_adc_recall(spark, sf_medium):
     """PQ: every vector gets exactly n_sub codes from a 16-codeword
     book (the 16x compression contract), and ADC ranking retrieves a

@@ -1344,52 +1344,59 @@ def semantic_dedup(
     assignment uses the same rounded-cosine/lowest-cell rule, so a SQL
     oracle can replay the whole pipeline bit-for-bit.
 
-    Scale: training is O(k·dim) driver state; assignment is map-only
-    Arrow; the pair join shuffles each vector ONCE on its cell id. At
+    Scale: training is O(k·dim) driver state; assignment is a
+    map-only JVM fold (r12 — no Python boundary); the pair join
+    shuffles each vector ONCE on its cell id. At
     100 TB pick ``n_clusters`` so n/k vectors fit a task (the paper
     runs k in the tens of thousands for web-scale corpora) — cluster
     size bounds the per-task pair fan-out. ``staging="checkpoint"``
     makes the assignment staging survive executor loss
     (plans/staging.py).
     """
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    from pipelines_spark.llm.similarity import (
-        _round_half_up,
-        kmeans_train,
-    )
+    from pipelines_spark.llm.similarity import kmeans_train
 
     cents = kmeans_train(
         corpus, id_col=id_col, vec_col=vec_col, k=n_clusters,
         iters=iters, dim=dim, assign_digits=round_digits,
     )
-    cent_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-
-    @pandas_udf("bigint")
-    def nearest_cell(vec: pd.Series) -> pd.Series:
-        mat = np.array(vec.to_list(), dtype=np.float64)
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cos = _round_half_up(unit @ cent_unit.T, round_digits)
-        return pd.Series(np.argmax(cos == cos.max(axis=1, keepdims=True), axis=1))
 
     # eager lineage cut: `assigned` feeds BOTH sides of the pair join,
-    # and without it each side re-runs the corpus scan + Arrow
-    # assignment UDF (the same multiply-referenced-staging pattern as
+    # and without it each side re-runs the corpus scan + assignment
+    # (the same multiply-referenced-staging pattern as
     # triangle_count's `oriented`); the checkpointed blocks free on GC
     from pipelines_spark.plans.staging import stage
 
-    from pipelines_spark.llm.similarity import _norm_col, _pair_cosine
+    from pipelines_spark.llm.similarity import (
+        _cents_value_col,
+        _norm_col,
+        _pair_cosine,
+        _sql_best_cell,
+    )
 
-    # norms are hoisted into the staged assignment (computed once per
+    # r12: cell assignment is a JVM greatest-fold over the literal-
+    # VALUE trained centroids — the oracle's (rounded cosine DESC,
+    # cell ASC) arithmetic verbatim — replacing the Arrow numpy-matmul
+    # kernel (similarity._sql_cand_cos has the exactness argument).
+    # Norms are hoisted into the staged assignment (computed once per
     # vector, materialized with the checkpoint) instead of re-derived
     # inside every in-cell pair — dot/(na*nb) is the same float
     # expression, so scores are bit-identical (similarity._pair_cosine)
+    cent_pairs = [
+        (i, [float(x) for x in cents[i]]) for i in range(n_clusters)
+    ]
     assigned = stage(
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
-            nearest_cell(F.col(vec_col)).alias("_cell"),
+            _cents_value_col(cent_pairs).alias("_cents"),
             _norm_col(F.col(vec_col), dim).alias("_vn"),
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(_sql_best_cell(vec_col, "_cents", round_digits)).alias(
+                "_cell"
+            ),
+            F.col("_vn"),
         ),
         staging=staging,
     )

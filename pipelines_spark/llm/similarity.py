@@ -16,11 +16,12 @@
   independent of corpus size) deterministic centroid set is collected
   to the driver (index-build phase — IVF centroid tables
   are always driver-scale); every corpus vector is assigned to its
-  nearest centroid in a *map-only* Arrow-batched stage (one numpy
-  matmul per batch — no shuffle, no cross-join blow-up); queries
-  probe their ``nprobe`` nearest centroid cells and run exact cosine
-  top-k against only those cells' members. At 100 TB the corpus is
-  partitioned by centroid id once and probed by equi-join forever.
+  nearest centroid in a *map-only* JVM fold over the constant-folded
+  centroid literal (no shuffle, no cross-join blow-up, no Python
+  boundary — r12); queries probe their ``nprobe`` nearest centroid
+  cells and run exact cosine top-k against only those cells' members.
+  At 100 TB the corpus is partitioned by centroid id once and probed
+  by equi-join forever.
 - ``knn_graph``: the graph-construction twin of ``ivf_topk`` — the
   whole corpus's top-k edge list via one co-partitioned self-join on
   the cell id (both sides corpus-scale, so nothing broadcasts);
@@ -32,10 +33,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from pipelines_spark.functions.exact import exact_div_round
 
@@ -777,6 +776,80 @@ def _sql_argmin_all_subs(
     )
 
 
+def _cents_value_col(pairs: list[tuple[int, list[float]]]) -> Column:
+    """Centroid set (cell_id, RAW vector) as ONE constant-folded
+    literal VALUE — ``array<struct<c:bigint,v:array<double>>>`` —
+    for the JVM cell-assignment folds below (same literal-value
+    rationale and exactness argument as ``_cb_value_col``)."""
+    ent = []
+    for cid, vec in pairs:
+        vals = [float(x) for x in vec]
+        if not all(math.isfinite(x) for x in vals):  # pragma: no cover
+            raise ValueError("centroid set contains non-finite values")
+        ent.append(
+            '{"c":%d,"v":[%s]}' % (int(cid), ",".join(repr(x) for x in vals))
+        )
+    return F.from_json(
+        F.lit("[" + ",".join(ent) + "]"),
+        "array<struct<c:bigint,v:array<double>>>",
+    )
+
+
+def _sql_cand_cos(vec_sql: str, round_digits: int) -> str:
+    """round(dot/(nc·nq), d) between ``cand.v`` (bound by the
+    enclosing lambda) and the ``vec_sql`` column — the DuckDB oracle's
+    assignment cosine VERBATIM (``round({_COS_DOT}/({_COS_NC}*
+    {_COS_NQ}), 4)`` in oracles.py): zip dot and per-side sum-of-
+    squares folds from 0.0, one multiply, one divide, round half-up.
+
+    r12: this replaces the numpy unit-normalize+matmul Arrow kernel.
+    The numpy form agreed with the oracle only after the 4-dp
+    rounding (unit@unit vs dot/(nc·nq) differ in the last ulp); this
+    fold IS the oracle's float expression, so assignment parity holds
+    by construction rather than by rounding luck — and the corpus
+    assignment stage stops crossing the JVM↔Python boundary
+    entirely (guide §4.1: built-ins over UDFs)."""
+    dot = (
+        f"aggregate(zip_with(cand.v,{vec_sql},"
+        "(x,y)->CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),0.0D,(acc2,v2)->acc2+v2)"
+    )
+    nc = "sqrt(aggregate(cand.v,0.0D,(acc2,x)->acc2+CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    nq = (
+        f"sqrt(aggregate({vec_sql},0.0D,"
+        "(acc2,x)->acc2+CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    )
+    return f"round({dot}/({nc}*{nq}),{round_digits})"
+
+
+def _sql_best_cell(vec_sql: str, cents_sql: str, round_digits: int) -> str:
+    """Nearest-cell id by (rounded cosine DESC, cell ASC) — the
+    oracle's ``row_number() ... WHERE rn = 1`` replayed as one
+    greatest-fold over the literal centroid set: larger cosine wins,
+    and on a rounded-cosine tie the larger ``-c`` (= lower cell id)
+    does. Returns BIGINT (the pandas_udf contract this replaces)."""
+    return (
+        f"-aggregate({cents_sql},"
+        "named_struct('s',CAST('-Infinity' AS DOUBLE),'nc',CAST(-9223372036854775807 AS BIGINT)),"
+        f"(acc,cand)->greatest(acc,named_struct('s',{_sql_cand_cos(vec_sql, round_digits)},'nc',-cand.c))).nc"
+    )
+
+
+def _sql_probe_cells(
+    vec_sql: str, cents_sql: str, nprobe: int, round_digits: int
+) -> str:
+    """The query's ``nprobe`` nearest cell ids, (rounded cosine DESC,
+    cell ASC) — the oracle's ``rn <= nprobe`` replayed as one
+    array_sort with an explicit comparator + slice. Returns
+    array<bigint> in probe order."""
+    return (
+        f"transform(slice(array_sort(transform({cents_sql},"
+        f"cand->named_struct('s',{_sql_cand_cos(vec_sql, round_digits)},'c',cand.c)),"
+        "(l,r)->CASE WHEN l.s>r.s THEN -1 WHEN l.s<r.s THEN 1"
+        " WHEN l.c<r.c THEN -1 WHEN l.c>r.c THEN 1 ELSE 0 END),"
+        f"1,{nprobe}),e->e.c)"
+    )
+
+
 def _sql_argmin_cw(
     vec_sql: str,
     pos0: int,
@@ -1041,7 +1114,7 @@ def ivf_pq_topk(
 
     Composition of the two existing machines, unchanged: cell
     sample/assignment mirrors ``ivf_topk`` (hash-ordered fixed-k
-    centroids, map-only Arrow assignment); codes/tables mirror
+    centroids, map-only JVM fold assignment); codes/tables mirror
     ``pq_adc_topk`` (broadcast codebook, MIN(struct) argmin,
     rounded+DECIMAL-summed lookups). Non-residual codes — classic
     IVF-PQ subtracts the cell centroid first; same plan, one more
@@ -1052,41 +1125,32 @@ def ivf_pq_topk(
     # ``codebook`` swaps a trained PQ codebook into the unchanged
     # encode/ADC stages (the pq_adc_topk seam)
     if cells is not None:
-        cent_ids = np.arange(len(cells), dtype=np.int64)
-        cent_mat = np.asarray(cells, dtype=np.float64)
+        cent_pairs = [
+            (i, [float(x) for x in np.asarray(cells, dtype=np.float64)[i]])
+            for i in range(len(cells))
+        ]
     else:
-        cent_rows = sorted(
-            (int(r[0]), [float(x) for x in r[1]])
-            for r in corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(n_centroids)
-            .collect()
-        )
-        cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
-        cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
-    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
-
-    def _nearest(vec_series: pd.Series, n: int) -> pd.Series:
-        mat = np.array(vec_series.to_list(), dtype=np.float64)
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cos = _round_half_up(unit @ cent_unit.T, round_digits)
-        idx = np.argsort(-cos, axis=1, kind="stable")[:, :n]
-        return pd.Series(list(cent_ids[idx]))
-
-    @pandas_udf("bigint")
-    def nearest_cell(vec: pd.Series) -> pd.Series:
-        return _nearest(vec, 1).map(lambda a: int(a[0]))
-
-    @pandas_udf("array<bigint>")
-    def probe_cells(vec: pd.Series) -> pd.Series:
-        return _nearest(vec, nprobe).map(list)
-
+        cent_pairs = _hash_centroid_rows(corpus, id_col, vec_col, n_centroids)
+    # r12: JVM greatest-fold assignment / array_sort probe over the
+    # literal-VALUE centroid set (oracle arithmetic verbatim) — no
+    # ArrowEvalPython on either side
     corpus_cell = corpus.select(
-        F.col(id_col).alias("pid"), nearest_cell(F.col(vec_col)).alias("cell")
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).alias("_v"),
+        _cents_value_col(cent_pairs).alias("_cents"),
+    ).select(
+        "pid",
+        F.expr(_sql_best_cell("_v", "_cents", round_digits)).alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.col(vec_col).alias("_v"),
+        _cents_value_col(cent_pairs).alias("_cents"),
+    ).select(
+        "query_id",
+        F.explode(
+            F.expr(_sql_probe_cells("_v", "_cents", nprobe, round_digits))
+        ).alias("cell"),
     )
     # --- PQ store + query tables: mirrors pq_adc_topk (r12: literal
     # collected codebook — map-only encode/qtab, see pq_adc_topk) ----
@@ -1127,15 +1191,6 @@ def ivf_pq_topk(
     )
 
 
-def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
-    """Round half away from zero, matching SQL ROUND (Spark F.round /
-    DuckDB round) rather than numpy's banker's rounding — a cosine
-    landing exactly on a midpoint must assign identically across
-    engines."""
-    factor = 10.0**digits
-    return np.sign(x) * np.floor(np.abs(x) * factor + 0.5) / factor
-
-
 def kmeans_train(
     corpus: DataFrame,
     *,
@@ -1154,7 +1209,8 @@ def kmeans_train(
       ``md5(cast(id as string))`` (hash-ordered ``LIMIT k`` — a
       TakeOrdered, O(k·dim) on the driver at any corpus size),
       centroid index = rank position.
-    - **Assign** (map-only, Arrow-batched): nearest centroid by
+    - **Assign** (map-only, JVM fold over the literal-value
+      centroids — r12, no Python boundary): nearest centroid by
       cosine rounded half-up to ``assign_digits``; ties break toward
       the lower centroid index. Zero shuffle.
     - **Update** (one agg shuffle per iteration, map-side combined):
@@ -1169,7 +1225,7 @@ def kmeans_train(
 
     Per iteration the driver holds exactly k aggregate rows —
     O(k·dim) regardless of corpus size. At 100 TB: the corpus
-    streams through the assign stage (numpy matmul per Arrow batch),
+    streams through the assign stage (one JVM fold per row),
     and each update is a single 64-column BIGINT-sum aggregation with
     partial map-side combine — the textbook scalable Lloyd's step.
     (Upgrade of the hash-sampled IVF centroid stand-in the round-1
@@ -1186,34 +1242,49 @@ def kmeans_train(
         [[float(x) for x in r[1]] for r in rows], dtype=np.float64
     )
 
+    # r12 (guide §4.1 + the literal-value discipline): the assignment
+    # is a JVM greatest-fold over the literal-VALUE centroids — the
+    # oracle's round(dot/(nc·nq), d) arithmetic VERBATIM instead of
+    # the numpy unit-normalize+matmul Arrow kernel (which matched the
+    # oracle only after rounding) — and the update is ONE
+    # (cell, idx)-keyed sum over posexploded components instead of a
+    # 64-column aggregate (same DECIMAL(38,0) sums reassembled on the
+    # driver; the 64-expression agg cost ~2 s analysis + a fresh
+    # codegen compile per iteration).
     for _ in range(iters):
-        cent_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-
-        @pandas_udf("bigint")
-        def nearest(vec: pd.Series) -> pd.Series:
-            mat = np.array(vec.to_list(), dtype=np.float64)
-            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            cos = _round_half_up(unit @ cent_unit.T, assign_digits)
-            return pd.Series(np.argmax(cos == cos.max(axis=1, keepdims=True), axis=1))
-
-        quant = [
-            F.sum(
-                F.floor(F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(1e10)).cast(
-                    "decimal(38,0)"
-                )
-            ).alias(f"_s{i}")
-            for i in range(dim)
-        ]
+        cent_pairs = [(i, [float(x) for x in cents[i]]) for i in range(k)]
         stats = (
-            corpus.select(nearest(F.col(vec_col)).alias("_cell"), F.col(vec_col))
-            .groupBy("_cell")
-            .agg(F.count(F.lit(1)).alias("_n"), *quant)
+            corpus.select(
+                F.col(vec_col).alias("_v"),
+                _cents_value_col(cent_pairs).alias("_cents"),
+            )
+            .select(
+                F.expr(_sql_best_cell("_v", "_cents", assign_digits)).alias(
+                    "_cell"
+                ),
+                F.posexplode(F.col("_v")).alias("_idx", "_x"),
+            )
+            .select(
+                "_cell",
+                "_idx",
+                F.floor(F.col("_x").cast("double") * F.lit(1e10))
+                .cast("decimal(38,0)")
+                .alias("_q"),
+            )
+            .groupBy("_cell", "_idx")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_q").alias("_s"))
             .collect()
         )
         new = cents.copy()
+        per_cell: dict[int, list] = {}
         for row in stats:
-            cell, n = int(row["_cell"]), int(row["_n"])
-            new[cell] = [float(row[f"_s{i}"]) / n / 1e10 for i in range(dim)]
+            per_cell.setdefault(int(row["_cell"]), []).append(row)
+        for cell, cell_rows in per_cell.items():
+            n = int(cell_rows[0]["_n"])
+            means = [0.0] * dim
+            for row in cell_rows:
+                means[int(row["_idx"])] = float(row["_s"]) / n / 1e10
+            new[cell] = means
         cents = new
     return cents
 
@@ -1234,7 +1305,7 @@ def ivf_kmeans_topk(
     """IVF ANN over TRAINED (Lloyd's) centroids:
     (query_id, neighbor_id, cosine, rank).
 
-    Same probe plan shape as ``ivf_topk`` — map-only Arrow assignment
+    Same probe plan shape as ``ivf_topk`` — map-only JVM fold assignment
     of the corpus, broadcast probe side exploded over its ``nprobe``
     nearest cells, candidate equi-join on cell id, JVM cosine, window
     top-k — but the cells come from ``kmeans_train``, so occupancy is
@@ -1251,35 +1322,33 @@ def ivf_kmeans_topk(
         dim=dim,
         assign_digits=round_digits,
     )
-    cent_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    cent_ids = np.arange(n_centroids, dtype=np.int64)
-
-    def _nearest_cells(vec_series: pd.Series, n: int) -> pd.Series:
-        mat = np.array(vec_series.to_list(), dtype=np.float64)
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cos = _round_half_up(unit @ cent_unit.T, round_digits)
-        idx = np.argsort(-cos, axis=1, kind="stable")[:, :n]
-        return pd.Series(list(cent_ids[idx]))
-
-    @pandas_udf("bigint")
-    def nearest_cell(vec: pd.Series) -> pd.Series:
-        return _nearest_cells(vec, 1).map(lambda a: int(a[0]))
-
-    @pandas_udf("array<bigint>")
-    def probe_cells(vec: pd.Series) -> pd.Series:
-        return _nearest_cells(vec, nprobe).map(lambda a: [int(x) for x in a])
-
+    cent_pairs = [(i, [float(x) for x in cents[i]]) for i in range(n_centroids)]
+    # r12: JVM greatest-fold assignment / array_sort probe over the
+    # literal-VALUE trained centroids (oracle arithmetic verbatim) —
+    # no ArrowEvalPython on either side
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        nearest_cell(F.col(vec_col)).alias("_cell"),
+        _cents_value_col(cent_pairs).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_cn"),
+    ).select(
+        "neighbor_id",
+        "_cv",
+        F.expr(_sql_best_cell("_cv", "_cents", round_digits)).alias("_cell"),
+        "_cn",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        _cents_value_col(cent_pairs).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_qn"),
+    ).select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.expr(_sql_probe_cells("_qv", "_cents", nprobe, round_digits))
+        ).alias("_cell"),
+        "_qn",
     )
     scored = (
         c.join(F.broadcast(q), "_cell")
@@ -1304,30 +1373,21 @@ def ivf_kmeans_topk(
     )
 
 
-def _hash_centroid_matrix(
+def _hash_centroid_rows(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic hash-sampled centroid set: the ``n_centroids``
-    corpus vectors ranked first by ``md5(cast(id as string))`` (id as
-    tiebreak) — a uniform pseudo-random but reproducible and
-    oracle-checkable sample standing in for trained k-means. The
-    selection is a TakeOrdered (per-partition top-k + driver merge,
-    never a full sort or collect), so it is O(n_centroids · dim)
-    driver state regardless of corpus size. Returns (ids asc,
-    unit-normalized matrix in the same order)."""
-    cent_rows = sorted(
+) -> list[tuple[int, list[float]]]:
+    """Deterministic hash-sampled centroid set as RAW (id, vector)
+    pairs, id-ascending — the driver state the JVM assignment folds
+    consume (``_cents_value_col``). Same TakeOrdered selection as
+    the numpy variant this replaced: O(n_centroids · dim) at any corpus
+    size, never a full sort or collect."""
+    return sorted(
         (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(
-            F.col(id_col), F.col(vec_col)
-        )
+        for r in corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .collect()
     )
-    cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
-    cent_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
-    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
-    return cent_ids, cent_unit
 
 
 def knn_graph(
@@ -1355,9 +1415,9 @@ def knn_graph(
     cell id and Catalyst picks the strategy from statistics — a
     co-partitioned sort-merge/shuffle-hash join at corpus scale, a
     legitimate broadcast at test scale where the corpus fits. The
-    assignment pass before it is map-only and Arrow-batched (one
-    numpy matmul per batch against the O(n_centroids · dim)
-    broadcast centroid matrix). Per-cell work is quadratic in the CELL size, not the
+    assignment pass before it is a map-only JVM fold against the
+    O(n_centroids · dim) constant-folded centroid literal (r12 — no
+    Python boundary). Per-cell work is quadratic in the CELL size, not the
     corpus: with C cells the expected pair volume is n²/C, the
     semantic_dedup posture. For skewed/untrained centroids,
     ``max_cell_rows`` caps the NEIGHBOR side per cell by the same
@@ -1371,21 +1431,19 @@ def knn_graph(
     list a pure function of the corpus — a DuckDB oracle replays it
     exactly.
     """
-    cent_ids, cent_unit = _hash_centroid_matrix(corpus, id_col, vec_col, n_centroids)
-
-    @pandas_udf("bigint")
-    def nearest_cell(vec: pd.Series) -> pd.Series:
-        mat = np.array(vec.to_list(), dtype=np.float64)
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cos = _round_half_up(unit @ cent_unit.T, round_digits)
-        idx = np.argsort(-cos, axis=1, kind="stable")[:, 0]
-        return pd.Series(cent_ids[idx])
-
+    cents = _hash_centroid_rows(corpus, id_col, vec_col, n_centroids)
+    # r12: JVM greatest-fold assignment over the literal-VALUE
+    # centroid set (oracle arithmetic verbatim) — no ArrowEvalPython
     assigned = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        nearest_cell(F.col(vec_col)).alias("_cell"),
+        _cents_value_col(cents).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_n"),
+    ).select(
+        "_id",
+        "_v",
+        F.expr(_sql_best_cell("_v", "_cents", round_digits)).alias("_cell"),
+        "_n",
     )
     nbrs = assigned
     if max_cell_rows is not None:
@@ -1454,44 +1512,43 @@ def ivf_topk(
     Plan shape at scale: the centroid set is O(n_centroids · dim)
     regardless of corpus size — selection is a TakeOrdered (per-
     partition top-k + driver merge, never a full sort or full
-    collect) — and ships to workers inside an Arrow-batched pandas
-    UDF; corpus assignment is then a *map-only* ArrowEvalPython stage
-    doing one numpy matmul per batch (zero shuffle, no per-centroid
-    expression blow-up); the only shuffles are the candidate
-    equi-join on centroid id (query side broadcast) and the final
-    top-k window on query_id. Candidate scoring stays JVM-side
-    (zip_with/aggregate), identical to the oracle's arithmetic.
+    collect) — and rides as a constant-folded literal VALUE
+    (``_cents_value_col``); corpus assignment is a *map-only* JVM
+    greatest-fold (zero shuffle, no Python boundary — r12 replaced
+    the Arrow numpy-matmul kernel; see ``_sql_cand_cos``); the only
+    shuffles are the candidate equi-join on centroid id (query side
+    broadcast) and the final top-k window on query_id. Candidate
+    scoring stays JVM-side, identical to the oracle's arithmetic.
     """
-    cent_ids, cent_unit = _hash_centroid_matrix(corpus, id_col, vec_col, n_centroids)
-
-    def _nearest_cells(vec_series: pd.Series, n: int) -> pd.Series:
-        mat = np.array(vec_series.to_list(), dtype=np.float64)
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cos = _round_half_up(unit @ cent_unit.T, round_digits)
-        # stable argsort on -cos: ties keep centroid-id-ascending
-        # order because cent_ids is sorted ascending
-        idx = np.argsort(-cos, axis=1, kind="stable")[:, :n]
-        return pd.Series(list(cent_ids[idx]))
-
-    @pandas_udf("bigint")
-    def nearest_cell(vec: pd.Series) -> pd.Series:
-        return _nearest_cells(vec, 1).map(lambda a: int(a[0]))
-
-    @pandas_udf("array<bigint>")
-    def probe_cells(vec: pd.Series) -> pd.Series:
-        return _nearest_cells(vec, nprobe).map(lambda a: [int(x) for x in a])
-
+    cents = _hash_centroid_rows(corpus, id_col, vec_col, n_centroids)
+    # r12: cell assignment is a JVM greatest-fold over the literal-
+    # VALUE centroid set — the oracle's (rounded cosine DESC, cell
+    # ASC) arithmetic verbatim — replacing the Arrow numpy-matmul
+    # kernel (no ArrowEvalPython stage, no Python workers on the
+    # corpus path; see _sql_cand_cos for the exactness argument)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        nearest_cell(F.col(vec_col)).alias("_cell"),
+        _cents_value_col(cents).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_cn"),
+    ).select(
+        "neighbor_id",
+        "_cv",
+        F.expr(_sql_best_cell("_cv", "_cents", round_digits)).alias("_cell"),
+        "_cn",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        _cents_value_col(cents).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_qn"),
+    ).select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.expr(_sql_probe_cells("_qv", "_cents", nprobe, round_digits))
+        ).alias("_cell"),
+        "_qn",
     )
     scored = (
         c.join(F.broadcast(q), "_cell")

@@ -69,20 +69,12 @@ def test_no_python_udf_in_relational_paths(spark, sf_medium):
 
 def test_whole_inventory_stays_off_the_python_slow_path(spark, sf_medium):
     """Sweep EVERY query: row-at-a-time Python (BatchEvalPython) is
-    banned everywhere; Arrow-batched Python (ArrowEvalPython) is
-    allowed only where a numpy/codec kernel is the design
-    (IVF centroid assignment)."""
-    # the IVF variants and SemDeDup assign cells via one numpy matmul
-    # per Arrow batch — the documented exception to the no-Python rule
-    arrow_allowed = {
-        "embed_ivf_ann",
-        "embed_ivf_kmeans",
-        "dedup_semantic",
-        "embed_ivf_pq",  # same numpy-matmul cell assignment as ivf_ann
-        "embed_ivf_pq_trained",  # same kernels over TRAINED cells (r12)
-        "embed_knn_graph",  # same numpy-matmul cell assignment (knn_graph)
-        "embed_knn_graph_capped",
-    }
+    banned everywhere, and — r12 — so is Arrow-batched Python
+    (ArrowEvalPython): the last holdouts (the IVF/SemDeDup numpy-
+    matmul cell assignments) became JVM greatest-folds over
+    constant-folded centroid literals, so the whole registry now
+    executes without crossing the JVM↔Python boundary."""
+    arrow_allowed: set[str] = set()
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, sf_medium))
         assert "BatchEvalPython" not in plan, name

@@ -141,6 +141,16 @@ def curate_corpus(
     id_c, text_c = cfg.id_col, cfg.text_col
     spark = docs.sparkSession
 
+    # r12 (guide §2.5): single-row-group / tiny-file inputs scan as
+    # ONE partition, pinning every map-only gate (quality/lang/token
+    # scoring, shingling) to one core; widen_scan round-robins the
+    # input once when — and only when — the scan is under-parallel
+    # (no-op on any real multi-split table), and every downstream
+    # stage boundary inherits the parallel layout.
+    from pipelines_spark.plans.staging import widen_scan
+
+    docs = widen_scan(docs)
+
     def persist(df: DataFrame) -> DataFrame:
         # stats path: explicit persist + unpersist (we control when
         # everything materializes). Lazy path: LAZY localCheckpoint —

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 
 from pipelines_spark.functions.exact import exact_div_round
+from pipelines_spark.plans.staging import widen_scan
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger("pipelines_spark.llm.dedup")
@@ -194,7 +195,7 @@ def minhash_near_dup_pairs(
     # of the verification join); cache them once. At cluster scale
     # this is the classic LSH staging table — swap persist() for a
     # checkpoint/temp table when the corpus exceeds cluster memory.
-    shingled = df.select(
+    shingled = widen_scan(df).select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0)
     if persist_staging:
@@ -381,7 +382,7 @@ def prefix_filter_jaccard_pairs(
     # sides of the candidate self-join — same staging discipline as
     # minhash_near_dup_pairs (without it the shingle/df stages
     # recompute per consumer; measured 18.9 s → 6.2 s warm at sf0.1)
-    shingled = df.select(
+    shingled = widen_scan(df).select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0).persist()
     sets = shingled.select(F.col(id_col), "_shingles", F.size("_shingles").alias("_n"))
@@ -457,7 +458,7 @@ def minhash_fingerprints(
     never re-shuffled per ingestion batch (plan pinned in
     tests/test_bucketing.py).
     """
-    shingled = df.select(
+    shingled = widen_scan(df).select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0)
     sigs = _minhash_signatures(shingled, id_col, F.col("_shingles"), num_hashes)
@@ -635,6 +636,13 @@ def incremental_dedup_batch(
     # the frame — a long-lived ingestion loop calling this per batch
     # must not accrete CacheManager entries (release_staging stays a
     # harmless no-op on it)
+    # NOT widened (widen_scan): all_docs is already candidate-pruned
+    # by the semi-joins above, and the structural pin
+    # (test_bucketing.py: shingle Project DIRECTLY above LeftSemi)
+    # guarantees the store corpus is never shingled in full — a
+    # repartition between them would break the pin for no measured
+    # gain (6.34 s → 6.63 s when tried; the operator's heavy side is
+    # the fingerprint pipeline, which minhash_fingerprints widens).
     sets = _maybe_stage(
         all_docs.select(
             F.col(id_col), word_shingles(text_col, shingle_words).alias("_sh")
@@ -719,7 +727,7 @@ def ngram_jaccard_pairs(
     # showed 4 scans and ~8 evaluations of the split/transform
     # expression); one staging table is the same LSH discipline
     # minhash_near_dup_pairs applies.
-    shingled = df.select(
+    shingled = widen_scan(df).select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0).persist()
     staged: list[DataFrame] = [shingled]
@@ -872,7 +880,7 @@ def minhash_band_audit(
     # sides, sizes carried through the index) AND the signature leg —
     # without staging each consumer re-scans the corpus and re-runs the
     # shingle transform (same discipline as ngram_jaccard_pairs).
-    shingled = df.select(
+    shingled = widen_scan(df).select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0).persist()
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
@@ -998,7 +1006,7 @@ def containment_pairs(
     (ties: smaller id) as contained."""
     # persisted: one staging table for every consumer (sizes legs +
     # both self-join sides) — same rationale as ngram_jaccard_pairs.
-    shingled = df.select(
+    shingled = widen_scan(df).select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     ).filter(F.size("_shingles") > 0).persist()
     staged: list[DataFrame] = [shingled]

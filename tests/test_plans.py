@@ -193,3 +193,29 @@ def test_dump_flow_enrichment_uses_advisor(spark, tmp_path):
         staging.filter(F.col("region_name") == "north").count() == 20
     )
     spark.sql("DROP TABLE IF EXISTS dump_enriched_staging")
+
+
+def test_widen_scan_conditional_repartition(spark, monkeypatch):
+    """widen_scan (plans/staging.py, r12 guide §2.5): under-parallel
+    inputs gain ONE round-robin exchange up to defaultParallelism;
+    already-parallel inputs (≥ half of it) pass through untouched —
+    so at real scale (multi-split tables) the helper is a no-op and
+    the exchange exists only where the file layout would pin the map
+    side to one core. Results are row-identical either way."""
+    from pipelines_spark.plans.staging import widen_scan
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_WIDEN", raising=False)
+    n = spark.sparkContext.defaultParallelism
+    rows = [(i, f"doc {i}") for i in range(100)]
+    narrow = spark.createDataFrame(rows, "id long, text string").coalesce(1)
+    widened = widen_scan(narrow)
+    assert widened.rdd.getNumPartitions() == n
+    assert "Repartition" in widened._jdf.queryExecution().optimizedPlan().toString()
+    # row-identical (round-robin moves rows, never changes them)
+    assert sorted(map(tuple, widened.collect())) == sorted(map(tuple, narrow.collect()))
+    # already-parallel input: identity (no exchange added)
+    wide = spark.createDataFrame(rows, "id long, text string").repartition(n)
+    assert widen_scan(wide) is wide
+    # measurement kill-switch: identity regardless of layout
+    monkeypatch.setenv("SPARK_GRAFT_NO_WIDEN", "1")
+    assert widen_scan(narrow) is narrow

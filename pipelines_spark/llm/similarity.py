@@ -764,6 +764,9 @@ def _sql_argmin_all_subs(
     broadcast-join formulations."""
     dist = _SQL_SUB_DIST.format(V=vec_sql, L=sub_len)
     if round_digits is not None:
+        # round-ok: quantize-before-compare — the argmin ranks on the
+        # quantized distance in BOTH engines (same discipline as the
+        # annotated kmeans assign above), killing the 1-ulp class
         dist = f"round({dist},{round_digits})"
     subv = f",'subv',slice({vec_sql},s*{sub_len}+1,{sub_len})" if with_subv else ""
     return (
@@ -878,6 +881,9 @@ def _sql_argmin_cw(
         "0.0D,(acc2,v2)->acc2+v2)"
     )
     if round_digits is not None:
+        # round-ok: quantize-before-compare — the argmin ranks on the
+        # quantized distance in BOTH engines (the kmeans-assign
+        # discipline), killing the 1-ulp class
         dist = f"round({dist},{round_digits})"
     # least(acc, cand_struct) == MIN(struct(dist, cw)): smaller (d, c)
     # wins, and on a distance tie the lower cw does (cw unique)

@@ -1401,9 +1401,12 @@ def semantic_dedup(
         ).select(
             F.col(id_col),
             F.col(vec_col),
-            F.expr(_sql_best_cell(vec_col, "_cents", round_digits)).alias(
-                "_cell"
-            ),
+            F.expr(
+                _sql_best_cell(
+                    vec_col, "_cents", round_digits,
+                    k=len(cent_pairs), dim=dim, nq_sql="_vn",
+                )
+            ).alias("_cell"),
             F.col("_vn"),
         ),
         staging=staging,

@@ -780,21 +780,36 @@ def _sql_argmin_all_subs(
 
 
 def _cents_value_col(pairs: list[tuple[int, list[float]]]) -> Column:
-    """Centroid set (cell_id, RAW vector) as ONE constant-folded
-    literal VALUE — ``array<struct<c:bigint,v:array<double>>>`` —
-    for the JVM cell-assignment folds below (same literal-value
-    rationale and exactness argument as ``_cb_value_col``)."""
+    """Centroid set (cell_id, norm, RAW vector) as ONE constant-folded
+    literal VALUE — ``array<struct<c:bigint,n:double,v:array<double>>>``
+    — for the JVM cell-assignment expressions below (same literal-value
+    rationale and exactness argument as ``_cb_value_col``).
+
+    ``n`` is the centroid's L2 norm precomputed on the DRIVER with the
+    identical float recurrence the SQL fold runs — ``acc += x*x`` left
+    to right from 0.0, then sqrt — so it is bit-for-bit the value
+    ``sqrt(aggregate(cand.v, 0.0D, (a,x)->a+x*x))`` would produce
+    (IEEE double add/multiply are deterministic and Python floats ARE
+    IEEE doubles; both engines' sqrt is correctly rounded). Carrying
+    it as data keeps the generated code value-independent — a norm
+    inlined as a double literal would recompile codegen every Lloyd
+    iteration — while removing the per-candidate norm fold from every
+    corpus row."""
     ent = []
     for cid, vec in pairs:
         vals = [float(x) for x in vec]
         if not all(math.isfinite(x) for x in vals):  # pragma: no cover
             raise ValueError("centroid set contains non-finite values")
+        acc = 0.0
+        for x in vals:
+            acc += x * x
         ent.append(
-            '{"c":%d,"v":[%s]}' % (int(cid), ",".join(repr(x) for x in vals))
+            '{"c":%d,"n":%s,"v":[%s]}'
+            % (int(cid), repr(math.sqrt(acc)), ",".join(repr(x) for x in vals))
         )
     return F.from_json(
         F.lit("[" + ",".join(ent) + "]"),
-        "array<struct<c:bigint,v:array<double>>>",
+        "array<struct<c:bigint,n:double,v:array<double>>>",
     )
 
 
@@ -824,29 +839,91 @@ def _sql_cand_cos(vec_sql: str, round_digits: int) -> str:
     return f"round({dot}/({nc}*{nq}),{round_digits})"
 
 
-def _sql_best_cell(vec_sql: str, cents_sql: str, round_digits: int) -> str:
+def _sql_cand_cos_unrolled(
+    vec_sql: str, dim: int, round_digits: int, nq_sql: str
+) -> str:
+    """``round(dot/(nc·nq), d)`` against the lambda-bound candidate
+    ``cand`` with the per-element work UNROLLED — bit-identical to the
+    interpreted ``_sql_cand_cos`` fold it replaces:
+
+    - the dot is the same left-to-right addition chain from ``0.0D``
+      (identical float summation order to the zip_with/aggregate
+      fold);
+    - ``nc`` is the driver-precomputed ``n`` field of the literal
+      centroid value (the identical recurrence — ``_cents_value_col``);
+    - ``nq`` is the caller's hoisted per-row ``_norm_col`` column
+      (the unrolled chain: same order, same bits as the fold).
+
+    Why this shape (measured, r12): the 3-fold form evaluated ~3·k·dim
+    interpreted lambda closures PER CORPUS ROW (k=8, dim=64 → ~1500
+    closures ≈ ms/row; the embed_ivf_kmeans assign stage ran 30+ s at
+    sf0.1 and grew with session age). This body keeps ONE closure per
+    candidate and evaluates a flat ~2·dim-node arithmetic tree inside
+    it. The fully-flat variant (no lambda, ``greatest`` over k unrolled
+    structs) was tried first and REJECTED: the single giant expression
+    blows the 64 KB codegen method limit, Janino fails, and the whole
+    stage falls back to interpreted — slower than the lambda form."""
+    terms = "".join(
+        f"+CAST(element_at(cand.v,{j}) AS DOUBLE)"
+        f"*CAST(element_at({vec_sql},{j}) AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    return f"round((0.0D{terms})/(cand.n*{nq_sql}),{round_digits})"
+
+
+def _sql_best_cell(
+    vec_sql: str,
+    cents_sql: str,
+    round_digits: int,
+    *,
+    k: int | None = None,
+    dim: int | None = None,
+    nq_sql: str | None = None,
+) -> str:
     """Nearest-cell id by (rounded cosine DESC, cell ASC) — the
     oracle's ``row_number() ... WHERE rn = 1`` replayed as one
     greatest-fold over the literal centroid set: larger cosine wins,
     and on a rounded-cosine tie the larger ``-c`` (= lower cell id)
-    does. Returns BIGINT (the pandas_udf contract this replaces)."""
+    does. Returns BIGINT (the pandas_udf contract this replaced).
+
+    With ``dim``/``nq_sql`` given (every registered call site — corpus
+    width is static), the per-candidate cosine body is the unrolled
+    chain of ``_sql_cand_cos_unrolled`` (one closure per candidate
+    instead of ~3·dim); without them, the dimension-generic fold is
+    kept for arbitrary-width callers."""
+    if dim is not None and nq_sql is not None:
+        cos = _sql_cand_cos_unrolled(vec_sql, dim, round_digits, nq_sql)
+    else:
+        cos = _sql_cand_cos(vec_sql, round_digits)
     return (
         f"-aggregate({cents_sql},"
         "named_struct('s',CAST('-Infinity' AS DOUBLE),'nc',CAST(-9223372036854775807 AS BIGINT)),"
-        f"(acc,cand)->greatest(acc,named_struct('s',{_sql_cand_cos(vec_sql, round_digits)},'nc',-cand.c))).nc"
+        f"(acc,cand)->greatest(acc,named_struct('s',{cos},'nc',-cand.c))).nc"
     )
 
 
 def _sql_probe_cells(
-    vec_sql: str, cents_sql: str, nprobe: int, round_digits: int
+    vec_sql: str,
+    cents_sql: str,
+    nprobe: int,
+    round_digits: int,
+    *,
+    k: int | None = None,
+    dim: int | None = None,
+    nq_sql: str | None = None,
 ) -> str:
     """The query's ``nprobe`` nearest cell ids, (rounded cosine DESC,
     cell ASC) — the oracle's ``rn <= nprobe`` replayed as one
     array_sort with an explicit comparator + slice. Returns
-    array<bigint> in probe order."""
+    array<bigint> in probe order. ``dim``/``nq_sql`` select the
+    unrolled per-candidate cosine body (see ``_sql_best_cell``)."""
+    if dim is not None and nq_sql is not None:
+        cos = _sql_cand_cos_unrolled(vec_sql, dim, round_digits, nq_sql)
+    else:
+        cos = _sql_cand_cos(vec_sql, round_digits)
     return (
         f"transform(slice(array_sort(transform({cents_sql},"
-        f"cand->named_struct('s',{_sql_cand_cos(vec_sql, round_digits)},'c',cand.c)),"
+        f"cand->named_struct('s',{cos},'c',cand.c)),"
         "(l,r)->CASE WHEN l.s>r.s THEN -1 WHEN l.s<r.s THEN 1"
         " WHEN l.c<r.c THEN -1 WHEN l.c>r.c THEN 1 ELSE 0 END),"
         f"1,{nprobe}),e->e.c)"
@@ -1144,18 +1221,30 @@ def ivf_pq_topk(
         F.col(id_col).alias("pid"),
         F.col(vec_col).alias("_v"),
         _cents_value_col(cent_pairs).alias("_cents"),
+        _norm_col(F.col(vec_col), dim).alias("_vn"),
     ).select(
         "pid",
-        F.expr(_sql_best_cell("_v", "_cents", round_digits)).alias("cell"),
+        F.expr(
+            _sql_best_cell(
+                "_v", "_cents", round_digits,
+                k=len(cent_pairs), dim=dim, nq_sql="_vn",
+            )
+        ).alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_v"),
         _cents_value_col(cent_pairs).alias("_cents"),
+        _norm_col(F.col(vec_col), dim).alias("_vn"),
     ).select(
         "query_id",
         F.explode(
-            F.expr(_sql_probe_cells("_v", "_cents", nprobe, round_digits))
+            F.expr(
+                _sql_probe_cells(
+                    "_v", "_cents", nprobe, round_digits,
+                    k=len(cent_pairs), dim=dim, nq_sql="_vn",
+                )
+            )
         ).alias("cell"),
     )
     # --- PQ store + query tables: mirrors pq_adc_topk (r12: literal
@@ -1263,11 +1352,15 @@ def kmeans_train(
             corpus.select(
                 F.col(vec_col).alias("_v"),
                 _cents_value_col(cent_pairs).alias("_cents"),
+                _norm_col(F.col(vec_col), dim).alias("_nq"),
             )
             .select(
-                F.expr(_sql_best_cell("_v", "_cents", assign_digits)).alias(
-                    "_cell"
-                ),
+                F.expr(
+                    _sql_best_cell(
+                        "_v", "_cents", assign_digits,
+                        k=len(cent_pairs), dim=dim, nq_sql="_nq",
+                    )
+                ).alias("_cell"),
                 F.posexplode(F.col("_v")).alias("_idx", "_x"),
             )
             .select(
@@ -1340,7 +1433,12 @@ def ivf_kmeans_topk(
     ).select(
         "neighbor_id",
         "_cv",
-        F.expr(_sql_best_cell("_cv", "_cents", round_digits)).alias("_cell"),
+        F.expr(
+            _sql_best_cell(
+                "_cv", "_cents", round_digits,
+                k=len(cent_pairs), dim=dim, nq_sql="_cn",
+            )
+        ).alias("_cell"),
         "_cn",
     )
     q = queries.select(
@@ -1352,7 +1450,12 @@ def ivf_kmeans_topk(
         "query_id",
         "_qv",
         F.explode(
-            F.expr(_sql_probe_cells("_qv", "_cents", nprobe, round_digits))
+            F.expr(
+                _sql_probe_cells(
+                    "_qv", "_cents", nprobe, round_digits,
+                    k=len(cent_pairs), dim=dim, nq_sql="_qn",
+                )
+            )
         ).alias("_cell"),
         "_qn",
     )
@@ -1448,7 +1551,12 @@ def knn_graph(
     ).select(
         "_id",
         "_v",
-        F.expr(_sql_best_cell("_v", "_cents", round_digits)).alias("_cell"),
+        F.expr(
+            _sql_best_cell(
+                "_v", "_cents", round_digits,
+                k=len(cents), dim=dim, nq_sql="_n",
+            )
+        ).alias("_cell"),
         "_n",
     )
     nbrs = assigned
@@ -1540,7 +1648,12 @@ def ivf_topk(
     ).select(
         "neighbor_id",
         "_cv",
-        F.expr(_sql_best_cell("_cv", "_cents", round_digits)).alias("_cell"),
+        F.expr(
+            _sql_best_cell(
+                "_cv", "_cents", round_digits,
+                k=len(cents), dim=dim, nq_sql="_cn",
+            )
+        ).alias("_cell"),
         "_cn",
     )
     q = queries.select(
@@ -1552,7 +1665,12 @@ def ivf_topk(
         "query_id",
         "_qv",
         F.explode(
-            F.expr(_sql_probe_cells("_qv", "_cents", nprobe, round_digits))
+            F.expr(
+                _sql_probe_cells(
+                    "_qv", "_cents", nprobe, round_digits,
+                    k=len(cents), dim=dim, nq_sql="_qn",
+                )
+            )
         ).alias("_cell"),
         "_qn",
     )

@@ -109,14 +109,62 @@ def register(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
                 )
         else:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t in ("documents", "embeddings"):
-            # Single small parquet file → one input split → the
-            # expensive per-row array/string work (shingling, hashing,
-            # vector math) would run on one core. Spread it. On a real
-            # lake these tables arrive in many splits and this is a
-            # no-op cost-wise.
-            df = df.repartition(parallelism)
+        if t in _WIDE_TABLES and _scan_is_under_parallel(
+            spark, f"{sf_dir}/{t}.parquet", df, parallelism
+        ):
+            # r12 (guide §2.5 input skew): a single-row-group parquet
+            # file scans as ONE task, pinning the whole map side of
+            # every consumer — scan decode, filters, partial
+            # aggregates, shingling, vector math — to one core of N.
+            # One round-robin exchange immediately after the read
+            # parallelizes everything downstream. Fires ONLY when the
+            # scan's split count is under half the session parallelism
+            # (cached per file): on a real lake these tables arrive in
+            # many splits and no exchange is added. Small dims
+            # (region/nation/supplier/customer/part) are excluded —
+            # they broadcast, and an exchange before a broadcast is
+            # pure overhead. Kill-switch: SPARK_GRAFT_NO_WIDEN.
+            #
+            # HASH partitioning on the table's unique key, not
+            # round-robin: a keyless repartition first pays a LOCAL
+            # SORT of its input (sortBeforeRepartition, guide §2.5) —
+            # serial on the one scan task, i.e. exactly where the
+            # bottleneck already is (measured: q3 0.90→1.39 s with
+            # round-robin vs no widen). Hashing a unique key skips
+            # the sort, distributes evenly, and is deterministic
+            # under task retry by construction.
+            df = df.repartition(parallelism, F.col(_WIDE_TABLES[t]))
         df.createOrReplaceTempView(t)
+
+
+#: fact-scale tables whose scans carry the map-side work worth
+#: parallelizing (table -> unique key to hash-distribute on); the
+#: broadcast-sized dims are deliberately absent
+_WIDE_TABLES = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: (path, parallelism) -> bool; the split count of an immutable test
+#: file cannot change within a session, and re-planning the scan per
+#: register() call would cost ~30 ms × hundreds of query builds
+_SCAN_WIDTH_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def _scan_is_under_parallel(spark, path: str, df: DataFrame, parallelism: int) -> bool:
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_WIDEN"):  # measurement kill-switch
+        return False
+    key = (path, parallelism)
+    hit = _SCAN_WIDTH_CACHE.get(key)
+    if hit is None:
+        hit = df.rdd.getNumPartitions() * 2 < parallelism
+        _SCAN_WIDTH_CACHE[key] = hit
+    return hit
 
 
 # ---------------------------------------------------------------------------

@@ -125,10 +125,13 @@ def test_q6_predicates_pushed_to_scan(spark, sf_medium):
     assert "LessThan(l_quantity" in plan
 
 
-def test_ivf_corpus_assignment_is_map_only(spark, sf_medium):
+def test_ivf_corpus_assignment_is_map_only(spark, sf_medium, monkeypatch):
     # the corpus-side cell assignment must not shuffle: the only
     # exchanges allowed are the candidate equi-join's broadcast and
-    # the final top-k window partitioning on query_id
+    # the final top-k window partitioning on query_id (the register()
+    # scan widen is infrastructural and pinned separately — probe the
+    # un-widened plan)
+    monkeypatch.setenv("SPARK_GRAFT_NO_WIDEN", "1")
     plan = _plan(QUERIES["embed_ivf_ann"](spark, sf_medium))
     import re
 
@@ -137,9 +140,10 @@ def test_ivf_corpus_assignment_is_map_only(spark, sf_medium):
     assert len(non_broadcast) <= 1, shuffles
 
 
-def test_asof_join_single_shuffle(spark, sf_medium):
+def test_asof_join_single_shuffle(spark, sf_medium, monkeypatch):
     from pipelines_spark.operators.joins import asof_join
 
+    monkeypatch.setenv("SPARK_GRAFT_NO_WIDEN", "1")
     register(spark, sf_medium, ("events",))
     ev = spark.table("events")
     left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")

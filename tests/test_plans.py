@@ -219,3 +219,37 @@ def test_widen_scan_conditional_repartition(spark, monkeypatch):
     # measurement kill-switch: identity regardless of layout
     monkeypatch.setenv("SPARK_GRAFT_NO_WIDEN", "1")
     assert widen_scan(narrow) is narrow
+
+
+def test_register_widens_fact_scans(spark, sf_medium, monkeypatch):
+    """register() (queries.py, r12 guide §2.5): an under-parallel
+    fact-table scan (single-row-group parquet = one task) gains ONE
+    hash exchange on the table's unique key — hash, not round-robin,
+    so no sortBeforeRepartition local sort rides the serial scan
+    task — and the small broadcast dims gain nothing. Kill-switch
+    restores the bare scan. Filter pushdown must survive the
+    exchange (the scan still carries PushedFilters)."""
+    from pyspark.sql import functions as F
+
+    from pipelines_spark.queries import register
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_WIDEN", raising=False)
+    register(spark, sf_medium, ("lineitem", "nation"))
+    plan = (
+        spark.table("lineitem")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    # dims are not widened (they broadcast; an exchange would be waste)
+    nplan = spark.table("nation")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in nplan, nplan
+    # pushdown reaches the scan THROUGH the widen exchange
+    q = spark.table("lineitem").filter(F.col("l_quantity") < 2.0).select("l_orderkey")
+    fplan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,2.0)]" in fplan, fplan
+    # kill-switch: bare scan again
+    monkeypatch.setenv("SPARK_GRAFT_NO_WIDEN", "1")
+    register(spark, sf_medium, ("lineitem",))
+    plan_off = (
+        spark.table("lineitem")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning" not in plan_off, plan_off

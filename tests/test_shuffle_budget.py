@@ -405,8 +405,19 @@ BUDGETS = {
 
 @pytest.fixture(scope="module")
 def no_aqe(spark):
+    import os
+
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # The catalog-level scan widen (queries.register, r12) adds one
+    # HASH exchange per under-parallel fact-table scan — an
+    # infrastructural, kill-switchable addition pinned by its own
+    # test (test_plans.py::test_register_widens_fact_scans). These
+    # budgets pin the OPERATOR-added shuffles (lost broadcast, extra
+    # repartition in operator code), so they probe the un-widened
+    # plan.
+    os.environ["SPARK_GRAFT_NO_WIDEN"] = "1"
     yield spark
+    del os.environ["SPARK_GRAFT_NO_WIDEN"]
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 

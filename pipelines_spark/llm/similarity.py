@@ -744,6 +744,26 @@ _SQL_SUB_DIST = (
 )
 
 
+def _sql_sub_dist_unrolled(vec_sql: str, sub_len: int) -> str:
+    """``_SQL_SUB_DIST`` with the per-element work UNROLLED — the
+    identical left-to-right sum from ``0.0D`` of the identical
+    ``(x−y)·(x−y)`` terms (bit-identical floats, same order), indexed
+    directly into the row vector (``s`` stays the enclosing lambda's
+    subspace variable) instead of allocating a ``slice`` and running
+    two interpreted folds per candidate. Same rationale as
+    ``_sql_cand_cos_unrolled``: the fold form cost ~2·sub_len lambda
+    closures + a slice allocation per (row, sub, codeword) — the
+    dominant per-row cost of the PQ encode stage."""
+    terms = "".join(
+        "+(CAST(element_at({V},s*{L}+{j}) AS DOUBLE)-CAST(element_at(cand.v,{j}) AS DOUBLE))"
+        "*(CAST(element_at({V},s*{L}+{j}) AS DOUBLE)-CAST(element_at(cand.v,{j}) AS DOUBLE))".format(
+            V=vec_sql, L=sub_len, j=j
+        )
+        for j in range(1, sub_len + 1)
+    )
+    return f"(0.0D{terms})"
+
+
 def _sql_argmin_all_subs(
     vec_sql: str,
     cb_sql: str,
@@ -759,10 +779,11 @@ def _sql_argmin_all_subs(
     [, subv]))`` — instead of n_sub copies of a per-codeword literal
     tree. The argmin replays MIN(struct(dist, cw)) as the same
     ``least``-fold as ``_sql_argmin_cw`` (init (Infinity, -1), ties to
-    the lower cw), and the dist fold replays ``_sq_l2`` verbatim, so
-    assignments are bit-identical to both the literal-AST and the
-    broadcast-join formulations."""
-    dist = _SQL_SUB_DIST.format(V=vec_sql, L=sub_len)
+    the lower cw), and the dist replays ``_sq_l2``'s summation order
+    verbatim (unrolled — ``_sql_sub_dist_unrolled``), so assignments
+    are bit-identical to both the literal-AST and the broadcast-join
+    formulations."""
+    dist = _sql_sub_dist_unrolled(vec_sql, sub_len)
     if round_digits is not None:
         # round-ok: quantize-before-compare — the argmin ranks on the
         # quantized distance in BOTH engines (same discipline as the
@@ -952,11 +973,13 @@ def _sql_argmin_cw(
     cands_sql = "array(" + ",".join(
         f"named_struct('c',{int(cw)},'v',{_sql_arr(v)})" for cw, v in cands
     ) + ")"
-    dist = (
-        f"aggregate(zip_with(slice({vec_sql},{pos0 + 1},{sub_len}),cand.v,"
-        "(x,y)->(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))),"
-        "0.0D,(acc2,v2)->acc2+v2)"
-    )
+    # unrolled (static subspace offset): identical left-to-right sum
+    # of identical (x−y)·(x−y) terms — see _sql_sub_dist_unrolled
+    dist = "(0.0D" + "".join(
+        f"+(CAST(element_at({vec_sql},{pos0 + j}) AS DOUBLE)-CAST(element_at(cand.v,{j}) AS DOUBLE))"
+        f"*(CAST(element_at({vec_sql},{pos0 + j}) AS DOUBLE)-CAST(element_at(cand.v,{j}) AS DOUBLE))"
+        for j in range(1, sub_len + 1)
+    ) + ")"
     if round_digits is not None:
         # round-ok: quantize-before-compare — the argmin ranks on the
         # quantized distance in BOTH engines (the kmeans-assign

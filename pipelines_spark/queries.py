@@ -5141,7 +5141,7 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order lambdas evaluate interpreted per element, the
     # minhash lesson); products are still born map-side inside the
     # partial aggregate and never shuffle
-    from pipelines_spark.plans.staging import stage as _cut_pca
+    import math
 
     cov = (
         centered.select("xc", F.posexplode("xc").alias("i", "x"))
@@ -5156,76 +5156,101 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.round(F.sum("p").cast("double"), 8).alias("c"))
     )
-    # staged, not persist(): the 4096-row covariance is the loop
-    # invariant of 8 matvec rounds — lazy localCheckpoint both caches
-    # it and cuts its lineage out of every round's plan, and the
-    # blocks free with the frame (no CacheManager residue)
-    cov = _cut_pca(cov, eager=False)
-    # v0 must not be a SHORT decimal: 0.125 × an 8-decimal c lands on
-    # exact round-8 ties (digits 9-11 ∈ {125,250,…,500…}) where the
-    # two engines' tie-breaking can split; a generic 8-decimal start
-    # keeps every product tie-free like the rest of the round-8 code
-    v = spark.range(64).select(
-        F.col("id").cast("int").alias("j"), F.lit(0.12345678).alias("v")
-    )
+    # r12 (guide §5 "the driver should do almost no data work" — and
+    # this is none): the covariance is O(dim²) = 4096 rows REGARDLESS
+    # of corpus size, i.e. fixed-k driver state by construction (the
+    # kmeans_train discipline). The previous formulation kept the 8
+    # matvec/normalize rounds as nested 64-row joins + broadcasts:
+    # zero cluster work, but EVERY lazy checkpoint and the final
+    # action re-planned the growing tree — 4-11 s of pure driver
+    # analysis per build (measured; the executed action itself was
+    # 0.3 s). The rounds now run on the collected covariance with the
+    # ENGINE'S arithmetic replicated exactly, term by term:
+    # - round(x, 8)  → Decimal(x) [exact binary] quantized at 1e-8
+    #   ROUND_HALF_UP (Spark's BigDecimal HALF_UP on the double's
+    #   exact expansion; Python floats ARE IEEE doubles);
+    # - cast(decimal) sums → exact Decimal sums (order-free);
+    # - cast(double)  → float(Decimal) (correctly rounded, same as
+    #   BigDecimal.doubleValue);
+    # - sqrt/divide   → IEEE-correct in both runtimes.
+    # Values are therefore bit-identical to the joined form, and the
+    # DuckDB oracle (which replays the same rounds in SQL) stays
+    # hash-exact — verified at sf0.01 and sf0.1.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def matvec(vec: DataFrame) -> DataFrame:
-        return (
-            cov.join(F.broadcast(vec), "j")
-            .select(
-                "i",
-                F.round(F.col("c") * F.col("v"), 8)
-                .cast("decimal(18,8)")
-                .alias("t"),
-            )
-            .groupBy("i")
-            .agg(F.round(F.sum("t").cast("double"), 8).alias("w"))
-        )
+    _q8 = Decimal("1e-8")
 
-    from pipelines_spark.plans.staging import stage as _cut
+    def _dec(x: float) -> Decimal:
+        # Spark's round(double, d) and cast(double AS DECIMAL) both go
+        # through BigDecimal.valueOf = Double.toString — the SHORTEST
+        # round-trip decimal, not the exact binary expansion. Python's
+        # repr is the same shortest string, so Decimal(repr(x)) is the
+        # engine's BigDecimal bit-for-bit; Decimal(x) (exact binary)
+        # diverges exactly ON half-way values (caught at sf0.01: one
+        # loading read 0.313837 vs the engines' 0.313838 because the
+        # double sits a hair below 0.3138375 while its shortest repr
+        # IS 0.3138375).
+        return Decimal(repr(x))
 
-    for r in range(8):
-        w = matvec(v)
-        nrm = w.select(
-            F.round(F.col("w") * F.col("w"), 8).cast("decimal(18,8)").alias("s")
-        ).agg(F.sqrt(F.sum("s").cast("double")).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"),
-            F.round(F.col("w") / F.col("nrm"), 8).alias("v"),
-        )
-        # lineage-cut every OTHER 64-row iterate: w is referenced
-        # twice per round (norm + normalize), so the raw tree doubles
-        # per round — 2^8 copies for Catalyst to re-analyze without
-        # cuts (the SCALE.md "cache ≠ lineage cut" lesson). Cutting
-        # alternate rounds bounds the tree at 4× per cut while
-        # halving the per-checkpoint job overhead that dominates on
-        # these tiny frames.
-        if r % 2 == 1:
-            v = _cut(v, eager=False)
-    w4 = matvec(v)
-    lam = (
-        v.join(w4, F.col("j") == F.col("i"))
-        .select(
-            F.round(F.col("v") * F.col("w"), 8).cast("decimal(18,8)").alias("t")
-        )
-        .agg(F.round(F.sum("t").cast("double"), 8).alias("eigenvalue"))
+    def _r8(x: float) -> float:
+        return float(_dec(x).quantize(_q8, rounding=ROUND_HALF_UP))
+
+    cov_rows = cov.collect()  # 4096 (i, j, c) rows — one job
+    c_mat: dict[tuple[int, int], float] = {
+        (row["i"], row["j"]): row["c"] for row in cov_rows
+    }
+    dim_n = 64
+    vec = [0.12345678] * dim_n  # the generic tie-free start (v0)
+
+    def matvec(vcur: list[float]) -> list[float]:
+        out = []
+        for i in range(dim_n):
+            s = Decimal(0)
+            for j in range(dim_n):
+                c = c_mat.get((i, j))
+                if c is not None:
+                    # round(c*v, 8) then DECIMAL(18,8) sum — exact
+                    s += _dec(c * vcur[j]).quantize(
+                        _q8, rounding=ROUND_HALF_UP
+                    )
+            out.append(_r8(float(s)))
+        return out
+
+    for _ in range(8):
+        w = matvec(vec)
+        ssum = Decimal(0)
+        for wi in w:
+            ssum += _dec(wi * wi).quantize(_q8, rounding=ROUND_HALF_UP)
+        nrm = math.sqrt(float(ssum))
+        vec = [_r8(wi / nrm) for wi in w]
+    w4 = matvec(vec)
+    lsum = Decimal(0)
+    for vi, wi in zip(vec, w4):
+        lsum += _dec(vi * wi).quantize(_q8, rounding=ROUND_HALF_UP)
+    eigenvalue = _r8(float(lsum))
+    tsum = Decimal(0)
+    for d in range(dim_n):
+        c = c_mat.get((d, d))
+        if c is not None:
+            # cast(c AS DECIMAL(18,8)) is exact round-half-up at 8 dp
+            tsum += _dec(c).quantize(_q8, rounding=ROUND_HALF_UP)
+    trace = _r8(float(tsum))
+    _q6 = Decimal("1e-6")
+    var_share = float(
+        _dec(eigenvalue / trace).quantize(_q6, rounding=ROUND_HALF_UP)
     )
-    tr = cov.filter(F.col("i") == F.col("j")).agg(
-        F.round(F.sum(F.col("c").cast("decimal(18,8)")).cast("double"), 8).alias(
-            "trace"
+    out_rows = [
+        (
+            d,
+            float(_dec(vec[d]).quantize(_q6, rounding=ROUND_HALF_UP)),
+            eigenvalue,
+            var_share,
         )
-    )
-    return (
-        v.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            F.col("j").alias("dim"),
-            F.round(F.col("v"), 6).alias("loading"),
-            "eigenvalue",
-            F.round(F.col("eigenvalue") / F.col("trace"), 6).alias("var_share"),
-        )
-        .orderBy("dim")
-    )
+        for d in range(dim_n)
+    ]
+    return spark.createDataFrame(
+        out_rows, "dim int, loading double, eigenvalue double, var_share double"
+    ).orderBy("dim")
 
 
 #: stopword delimiter for RAKE phrase extraction — the en stopword

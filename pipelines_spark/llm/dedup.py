@@ -1379,6 +1379,8 @@ def semantic_dedup(
         _norm_col,
         _pair_cosine,
         _sql_best_cell,
+        _sql_best_cell_compiled,
+        _use_compiled_assign,
     )
 
     # r12: cell assignment is a JVM greatest-fold over the literal-
@@ -1392,12 +1394,29 @@ def semantic_dedup(
     cent_pairs = [
         (i, [float(x) for x in cents[i]]) for i in range(n_clusters)
     ]
-    assigned = stage(
-        corpus.select(
+    # corpus-scale assignment: scale-adaptive between the compiled
+    # nested-greatest form and the interpreted literal-VALUE fold
+    # (bit-identical; similarity._sql_best_cell_compiled /
+    # _use_compiled_assign have the arguments)
+    pre = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_col(F.col(vec_col), dim).alias("_vn"),
+    )
+    if _use_compiled_assign(corpus):
+        assign_sel = pre.select(
             F.col(id_col),
             F.col(vec_col),
-            _cents_value_col(cent_pairs).alias("_cents"),
-            _norm_col(F.col(vec_col), dim).alias("_vn"),
+            F.expr(
+                _sql_best_cell_compiled(
+                    vec_col, "_vn", cent_pairs, round_digits, dim=dim,
+                )
+            ).alias("_cell"),
+            F.col("_vn"),
+        )
+    else:
+        assign_sel = pre.withColumn(
+            "_cents", _cents_value_col(cent_pairs)
         ).select(
             F.col(id_col),
             F.col(vec_col),
@@ -1408,9 +1427,8 @@ def semantic_dedup(
                 )
             ).alias("_cell"),
             F.col("_vn"),
-        ),
-        staging=staging,
-    )
+        )
+    assigned = stage(assign_sel, staging=staging)
     a = assigned.select(
         F.col("_cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
         F.col("_vn").alias("_na"),

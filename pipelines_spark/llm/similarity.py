@@ -923,6 +923,130 @@ def _sql_best_cell(
     )
 
 
+#: corpus-size estimate (bytes) at and above which cell assignment
+#: uses the compiled nested-greatest form instead of the interpreted
+#: literal-VALUE fold. Measured crossover at k=16/dim=64 (same box,
+#: best-of-3 full embed_ivf_ann): interpreted wins at sf0.1
+#: (est 0.8 MB: 2.9 s vs 5.3 s — the compiled form carries a
+#: scale-independent ~2 s/run driver+plan constant from its ~5k-node
+#: expression tree), compiled wins from the 10× probe up (est
+#: 3.4 MB: 5.6 s vs 7.3 s; 30×: 5.8 s vs 18.5 s/28.9 s). Both forms
+#: are bit-identical (oracle-checked at sf0.01 AND sf0.1 on each
+#: path), so this is plan selection, not semantics. Env override:
+#: SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES (0 forces compiled
+#: everywhere; a huge value forces the interpreted fold).
+_COMPILED_ASSIGN_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _use_compiled_assign(corpus: DataFrame) -> bool:
+    """Scale-adaptive form selection for corpus cell assignment
+    (guide §1.2: fix the algorithm for the scale you actually run
+    at). Uses Catalyst's own size estimate — the same statistic
+    broadcast decisions run on — so the choice is derived from input
+    size, not hard-coded for either local mode or the cluster; at
+    100 TB every corpus takes the compiled path."""
+    import os
+
+    try:
+        thr = int(
+            os.environ.get(
+                "SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES",
+                _COMPILED_ASSIGN_MIN_BYTES,
+            )
+        )
+    except ValueError:  # pragma: no cover
+        thr = _COMPILED_ASSIGN_MIN_BYTES
+    try:
+        est = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - conservative: keep the
+        return False  # interpreted fold when no estimate exists
+    return est >= thr
+
+
+def _sql_lit_d(x: float) -> str:
+    """SQL double literal with exact value round-trip: ``repr`` of an
+    IEEE double is its shortest uniquely-identifying decimal string,
+    and the SQL parser returns the nearest double — i.e. the same
+    bits (the identical argument ``_cb_value_col`` makes for JSON
+    number parsing)."""
+    if not math.isfinite(x):  # pragma: no cover
+        raise ValueError("non-finite literal in centroid set")
+    return repr(float(x)).upper() + "D"
+
+
+def _sql_best_cell_compiled(
+    vec_sql: str,
+    nq_sql: str,
+    cent_pairs: list[tuple[int, list[float]]],
+    round_digits: int,
+    *,
+    dim: int,
+) -> str:
+    """``_sql_best_cell`` as ONE fully-codegen'd nested expression —
+    the compiled form for CORPUS-scale assignment (r12 session 4).
+
+    Shape: ``-greatest(...greatest(greatest(init, s_0, s_0), s_1,
+    s_1)..., s_{k-1}, s_{k-1}).nc`` where ``s_i = named_struct('s',
+    round(dot_i/(n_i·nq), d), 'nc', -c_i)`` with the candidate's
+    components and driver-precomputed norm inlined as exact double
+    literals (``_sql_lit_d``).
+
+    Bit-identity with the interpreted fold it replaces:
+
+    - ``aggregate(cents, init, (acc,cand)->greatest(acc, s(cand)))``
+      IS by definition the left-nested chain
+      ``greatest(...greatest(init, s_0)..., s_{k-1})``; and
+      ``greatest(a, b, b) == greatest(a, b)`` exactly (a duplicated
+      argument can never change a maximum, including Spark's NaN-
+      largest / null-skipping semantics), so the duplicated ``s_i``
+      is a pure identity.
+    - each dot is the identical left-to-right addition chain from
+      ``0.0D`` (same float summation order); the candidate norm is
+      the identical driver recurrence ``_cents_value_col`` computes;
+      ``nq`` is the caller's hoisted ``_norm_col`` column; same
+      ``round``, same init struct, same final ``-….nc``.
+
+    Why the duplicated struct argument (measured, r12): with each
+    ``s_i`` appearing twice, whole-stage codegen's subexpression
+    elimination extracts every candidate's cosine chain into its own
+    generated method (~3-5 KB bytecode each, JIT-compilable), leaving
+    only the k greatest() merges inline in ``processNext`` — max
+    generated method 7.6 KB at k=16/dim=64. With single-use ``s_i``
+    the chains inline into one method that blows the 64 KB codegen
+    wall at k=16 (Janino fails, the stage falls back to interpreted,
+    and every execution re-attempts the doomed compile). The lambda
+    fold this replaces kept codegen alive but evaluated ~k·dim
+    interpreted closure nodes per corpus row — invisible at sf0.1,
+    the dominant cost at the 10×/30× probes (embed_ivf_ann 30×:
+    28.9 s interpreted vs ~6 s compiled).
+
+    Trade-off (documented): the generated code is value-DEPENDENT
+    (literals inline), so a changed centroid set recompiles (~0.3 s)
+    — right for one-shot corpus assignment where the per-row win is
+    unbounded; per-iteration training loops amortize it over a full
+    corpus pass at scale."""
+    acc = (
+        "named_struct('s',CAST('-Infinity' AS DOUBLE),"
+        "'nc',CAST(-9223372036854775807 AS BIGINT))"
+    )
+    for cid, vec_vals in cent_pairs:
+        nacc = 0.0
+        for x in vec_vals:
+            nacc += float(x) * float(x)
+        n = math.sqrt(nacc)
+        terms = "".join(
+            f"+CAST(element_at({vec_sql},{j}) AS DOUBLE)"
+            f"*{_sql_lit_d(float(vec_vals[j - 1]))}"
+            for j in range(1, dim + 1)
+        )
+        cos = f"round((0.0D{terms})/({_sql_lit_d(n)}*{nq_sql}),{round_digits})"
+        s = f"named_struct('s',{cos},'nc',{-int(cid)}L)"
+        acc = f"greatest({acc},{s},{s})"
+    return f"-{acc}.nc"
+
+
 def _sql_probe_cells(
     vec_sql: str,
     cents_sql: str,
@@ -1240,20 +1364,35 @@ def ivf_pq_topk(
     # r12: JVM greatest-fold assignment / array_sort probe over the
     # literal-VALUE centroid set (oracle arithmetic verbatim) — no
     # ArrowEvalPython on either side
-    corpus_cell = corpus.select(
+    # corpus-scale assignment: scale-adaptive between the compiled
+    # nested-greatest form and the interpreted literal-VALUE fold
+    # (bit-identical; see _sql_best_cell_compiled / _use_compiled_assign)
+    pre_c = corpus.select(
         F.col(id_col).alias("pid"),
         F.col(vec_col).alias("_v"),
-        _cents_value_col(cent_pairs).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_vn"),
-    ).select(
-        "pid",
-        F.expr(
-            _sql_best_cell(
-                "_v", "_cents", round_digits,
-                k=len(cent_pairs), dim=dim, nq_sql="_vn",
-            )
-        ).alias("cell"),
     )
+    if _use_compiled_assign(corpus):
+        corpus_cell = pre_c.select(
+            "pid",
+            F.expr(
+                _sql_best_cell_compiled(
+                    "_v", "_vn", cent_pairs, round_digits, dim=dim,
+                )
+            ).alias("cell"),
+        )
+    else:
+        corpus_cell = pre_c.withColumn(
+            "_cents", _cents_value_col(cent_pairs)
+        ).select(
+            "pid",
+            F.expr(
+                _sql_best_cell(
+                    "_v", "_cents", round_digits,
+                    k=len(cent_pairs), dim=dim, nq_sql="_vn",
+                )
+            ).alias("cell"),
+        )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_v"),
@@ -1448,22 +1587,36 @@ def ivf_kmeans_topk(
     # r12: JVM greatest-fold assignment / array_sort probe over the
     # literal-VALUE trained centroids (oracle arithmetic verbatim) —
     # no ArrowEvalPython on either side
-    c = corpus.select(
+    # corpus-scale assignment: scale-adaptive compiled/interpreted
+    # (bit-identical; see _sql_best_cell_compiled / _use_compiled_assign)
+    pre_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _cents_value_col(cent_pairs).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_cn"),
-    ).select(
-        "neighbor_id",
-        "_cv",
-        F.expr(
-            _sql_best_cell(
-                "_cv", "_cents", round_digits,
-                k=len(cent_pairs), dim=dim, nq_sql="_cn",
-            )
-        ).alias("_cell"),
-        "_cn",
     )
+    if _use_compiled_assign(corpus):
+        c = pre_c.select(
+            "neighbor_id",
+            "_cv",
+            F.expr(
+                _sql_best_cell_compiled(
+                    "_cv", "_cn", cent_pairs, round_digits, dim=dim,
+                )
+            ).alias("_cell"),
+            "_cn",
+        )
+    else:
+        c = pre_c.withColumn("_cents", _cents_value_col(cent_pairs)).select(
+            "neighbor_id",
+            "_cv",
+            F.expr(
+                _sql_best_cell(
+                    "_cv", "_cents", round_digits,
+                    k=len(cent_pairs), dim=dim, nq_sql="_cn",
+                )
+            ).alias("_cell"),
+            "_cn",
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -1566,22 +1719,30 @@ def knn_graph(
     cents = _hash_centroid_rows(corpus, id_col, vec_col, n_centroids)
     # r12: JVM greatest-fold assignment over the literal-VALUE
     # centroid set (oracle arithmetic verbatim) — no ArrowEvalPython
-    assigned = corpus.select(
+    pre = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _cents_value_col(cents).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_n"),
-    ).select(
-        "_id",
-        "_v",
-        F.expr(
-            _sql_best_cell(
-                "_v", "_cents", round_digits,
-                k=len(cents), dim=dim, nq_sql="_n",
-            )
-        ).alias("_cell"),
-        "_n",
     )
+    if dim is not None and _use_compiled_assign(corpus):
+        # corpus-scale assignment: compiled nested-greatest form
+        # (bit-identical; see _sql_best_cell_compiled / _use_compiled_assign)
+        best = _sql_best_cell_compiled("_v", "_n", cents, round_digits, dim=dim)
+        assigned = pre.select("_id", "_v", F.expr(best).alias("_cell"), "_n")
+    else:
+        assigned = pre.withColumn(
+            "_cents", _cents_value_col(cents)
+        ).select(
+            "_id",
+            "_v",
+            F.expr(
+                _sql_best_cell(
+                    "_v", "_cents", round_digits,
+                    k=len(cents), dim=dim, nq_sql="_n",
+                )
+            ).alias("_cell"),
+            "_n",
+        )
     nbrs = assigned
     if max_cell_rows is not None:
         wcap = Window.partitionBy("_cell").orderBy(
@@ -1663,22 +1824,28 @@ def ivf_topk(
     # ASC) arithmetic verbatim — replacing the Arrow numpy-matmul
     # kernel (no ArrowEvalPython stage, no Python workers on the
     # corpus path; see _sql_cand_cos for the exactness argument)
-    c = corpus.select(
+    pre = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _cents_value_col(cents).alias("_cents"),
         _norm_col(F.col(vec_col), dim).alias("_cn"),
-    ).select(
-        "neighbor_id",
-        "_cv",
-        F.expr(
-            _sql_best_cell(
-                "_cv", "_cents", round_digits,
-                k=len(cents), dim=dim, nq_sql="_cn",
-            )
-        ).alias("_cell"),
-        "_cn",
     )
+    if dim is not None and _use_compiled_assign(corpus):
+        # corpus-scale assignment: compiled nested-greatest form
+        # (bit-identical; see _sql_best_cell_compiled / _use_compiled_assign)
+        best = _sql_best_cell_compiled("_cv", "_cn", cents, round_digits, dim=dim)
+        c = pre.select("neighbor_id", "_cv", F.expr(best).alias("_cell"), "_cn")
+    else:
+        c = pre.withColumn("_cents", _cents_value_col(cents)).select(
+            "neighbor_id",
+            "_cv",
+            F.expr(
+                _sql_best_cell(
+                    "_cv", "_cents", round_digits,
+                    k=len(cents), dim=dim, nq_sql="_cn",
+                )
+            ).alias("_cell"),
+            "_cn",
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

@@ -2183,3 +2183,45 @@ def test_mmr_select_matches_pure_python_greedy(spark, sf_medium):
         picks.append((rank, i, cand[i], red, score))
         selected.add(i)
     assert out == picks
+
+
+def test_compiled_assign_paths_bit_identical(spark, sf_medium, monkeypatch):
+    """r12 session 4: corpus cell assignment is scale-adaptive between
+    the interpreted literal-VALUE greatest-fold and the compiled
+    nested-greatest expression (similarity._sql_best_cell_compiled).
+    The two formulations must be BIT-identical — force each via the
+    size-threshold env knob and compare the full ivf_topk output,
+    floats included, row for row."""
+    from pyspark.sql import functions as F
+
+    from pipelines_spark.llm.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    outs = {}
+    for tag, thr in (("interp", str(1 << 60)), ("compiled", "0")):
+        monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", thr)
+        outs[tag] = sorted(
+            (r["query_id"], r["neighbor_id"], repr(r["cosine"]), r["rank"])
+            for r in ivf_topk(
+                emb, queries, k=5, n_centroids=16, nprobe=2, dim=64
+            ).collect()
+        )
+    assert outs["interp"] == outs["compiled"]
+    assert len(outs["interp"]) == 50
+
+
+def test_compiled_assign_threshold_is_size_adaptive(spark, sf_medium, monkeypatch):
+    """The form selection derives from Catalyst's size estimate, not a
+    constant: under the default threshold the sf0.01 corpus stays on
+    the interpreted fold; forcing the threshold to 0 selects the
+    compiled form; a huge threshold never does."""
+    from pipelines_spark.llm.similarity import _use_compiled_assign
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    monkeypatch.delenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", raising=False)
+    assert _use_compiled_assign(emb) is False
+    monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", "0")
+    assert _use_compiled_assign(emb) is True
+    monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", str(1 << 60))
+    assert _use_compiled_assign(emb) is False

@@ -76,6 +76,7 @@ def bpe_train(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_merges: int = 8,
+    wf: DataFrame | None = None,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     [{rank, left_sym, right_sym, pair_count}, ...] in merge order.
@@ -90,8 +91,15 @@ def bpe_train(
     child's — so the loop runs ONE job per merge instead of two (and
     never materializes the final, unused fold). Stops early if no
     adjacency occurs at least twice (merging singletons would just
-    memorize hapax words)."""
-    wf = word_frequencies(docs, id_col=id_col, text_col=text_col)
+    memorize hapax words).
+
+    ``wf`` (r12, guide §2.4): a precomputed (word, freq) vocabulary —
+    callers that ALSO need the vocabulary downstream (the encode
+    path) pass a staged copy so the corpus-scale word-frequency
+    aggregation — the only corpus-sized stage in BPE — runs once per
+    query instead of once per consumer. Same values by construction."""
+    if wf is None:
+        wf = word_frequencies(docs, id_col=id_col, text_col=text_col)
     words = wf.select(_char_symbols(F.col("word")).alias("syms"), "freq").persist()
     prev: DataFrame | None = None
     merges: list[dict] = []
@@ -158,11 +166,19 @@ def bpe_encode_words(wf: DataFrame, merges: list[dict]) -> DataFrame:
     return wf.select("word", "freq", syms.alias("syms"))
 
 
-def bpe_token_counts(docs: DataFrame, merges: list[dict], **kw) -> DataFrame:
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[dict],
+    *,
+    wf: DataFrame | None = None,
+    **kw,
+) -> DataFrame:
     """Corpus token frequencies under the learned BPE vocabulary:
     (token, n). Weighted by word frequency so the corpus is tokenized
-    once per DISTINCT word, never per occurrence."""
-    wf = word_frequencies(docs, **kw)
+    once per DISTINCT word, never per occurrence. ``wf`` shares a
+    staged vocabulary with training (see ``bpe_train``)."""
+    if wf is None:
+        wf = word_frequencies(docs, **kw)
     enc = bpe_encode_words(wf, merges)
     return (
         enc.select(F.explode("syms").alias("token"), "freq")

@@ -3890,12 +3890,23 @@ def text_bpe_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (tokenize once per distinct word, never per
     occurrence), top 20 tokens with deterministic tie-break."""
     register(spark, sf_dir, ("documents",))
-    from pipelines_spark.llm.bpe import bpe_token_counts, bpe_train
+    from pipelines_spark.llm.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        word_frequencies,
+    )
+    from pipelines_spark.plans.staging import stage
 
     docs = spark.table("documents")
-    merges = bpe_train(docs, n_merges=8)
+    # r12 (guide §2.4): training AND encoding consume the same
+    # (word, freq) vocabulary — stage it once (vocabulary-sized, the
+    # bounded output of BPE's only corpus-scale aggregation) instead
+    # of running the corpus explode+agg pass twice. Values unchanged:
+    # both consumers read the identical materialized rows.
+    wf = stage(word_frequencies(docs))
+    merges = bpe_train(docs, n_merges=8, wf=wf)
     return (
-        bpe_token_counts(docs, merges)
+        bpe_token_counts(docs, merges, wf=wf)
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )

@@ -348,6 +348,8 @@ def label_propagation(
     Returns ``(node, label)`` — nodes sharing a label after the final
     round are one community.
     """
+    from pyspark.sql import Window
+
     e = stage(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct(),
         staging=staging,
@@ -359,34 +361,17 @@ def label_propagation(
         staging=staging,
     )
     labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label").asc())
     for _ in range(iterations):
         freq = (
             labels.join(e, labels["node"] == e["_s"])
             .groupBy(F.col("_d").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        # r12 (guide §2.3): the per-node argmax is MIN(struct(-count,
-        # label)) — a map-side-combinable aggregate — instead of a
-        # row_number window: the window needed a full sort of the
-        # (node, label) counts per round, where the partial min
-        # combines to one row per node per map task before the
-        # exchange. Selection is IDENTICAL: minimizing (-_c, label)
-        # is ordering by (count DESC, label ASC), the same total
-        # order the window ranked on (counts are exact longs, labels
-        # unique per group; same binary string comparator). Measured
-        # at the 10× probe: graph LPA 16-20 s → 11.6-13.3 s, 0
-        # label diffs across the full node set.
         best = (
-            freq.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("_c")).alias("_nc"),
-                        F.col("label").alias("_l"),
-                    )
-                ).alias("_b")
-            )
-            .select("node", F.col("_b._l").alias("_new"))
+            freq.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
         )
         # every node in the universe has degree >= 1 (the universe IS
         # the edge endpoints), so the left join never misses; coalesce

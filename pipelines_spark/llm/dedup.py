@@ -1401,7 +1401,7 @@ def semantic_dedup(
     pre = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        _norm_col(F.col(vec_col), dim).alias("_vn"),
+        _norm_col(vec_col, dim).alias("_vn"),
     )
     if _use_compiled_assign(corpus):
         assign_sel = pre.select(
@@ -1443,9 +1443,7 @@ def semantic_dedup(
         .withColumn(
             "_cos",
             F.round(
-                _pair_cosine(
-                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
-                ),
+                _pair_cosine("_va", "_vb", "_na", "_nb", dim),
                 round_digits,
             ),
         )

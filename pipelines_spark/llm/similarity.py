@@ -43,18 +43,63 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _ref(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _sql_name(c: str) -> str:
+    """Backtick-quoted column reference for the SQL-string builders."""
+    return f"`{c}`"
+
+
+def _sql_elem(name: str, j: int) -> str:
+    return f"CAST(element_at({_sql_name(name)},{j}) AS DOUBLE)"
+
+
+def _sql_dot_chain(a: str, b: str, dim: int) -> str:
+    """The unrolled dot chain as ONE SQL string: identical expression
+    tree (same element_at/cast/multiply/add sequence from ``0.0D``) to
+    the Column-built chain, but constructed by the JVM parser in one
+    call instead of ~4·dim py4j round-trips. Measured (r13): building
+    a 64-term chain through the Python Column API costs ~0.45 s of
+    pure driver time PER CHAIN PER QUERY BUILD; the string form is
+    ~0.06 s — the difference is the whole sf0.1 regression of the
+    brute-force/SRP ANN family. Values are bit-identical: the parser
+    yields the same functions, the same literal types, and the same
+    left-to-right float summation order."""
+    return "0.0D" + "".join(
+        f"+{_sql_elem(a, j)}*{_sql_elem(b, j)}" for j in range(1, dim + 1)
+    )
+
+
+def _sql_norm_chain(a: str, dim: int) -> str:
+    """Unrolled L2 norm as one SQL string (see ``_sql_dot_chain``)."""
+    terms = "".join(
+        f"+{_sql_elem(a, j)}*{_sql_elem(a, j)}" for j in range(1, dim + 1)
+    )
+    return f"sqrt(0.0D{terms})"
+
+
+def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product in double. With ``dim`` given, an explicit unrolled
     left-to-right addition chain — whole-stage-codegen'd, where the
     higher-order ``aggregate``/``zip_with`` fold is interpreted per
     element (the measured ~5× gap the minhash docstring records). The
     chain starts from ``lit(0.0)`` exactly like the fold's zero
     accumulator, so the float summation order — and therefore every
-    bit of the result — is identical between the two forms."""
+    bit of the result — is identical between the two forms.
+
+    With ``dim`` given AND both sides named by string, the chain is
+    built as one parsed SQL string (``_sql_dot_chain``) — same tree,
+    none of the per-term py4j construction cost."""
     if dim is None:
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            F.zip_with(_ref(a), _ref(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sql_dot_chain(a, b, dim))
     acc: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
@@ -63,10 +108,12 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     return acc
 
 
-def _norm(a: Column, dim: int | None = None) -> Column:
+def _norm(a: Column | str, dim: int | None = None) -> Column:
     """L2 norm in double; same unrolled-chain contract as ``_dot``."""
     if dim is None:
-        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.sqrt(F.aggregate(_ref(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    if isinstance(a, str):
+        return F.expr(_sql_norm_chain(a, dim))
     acc: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         x = F.element_at(a, i).cast("double")
@@ -74,33 +121,59 @@ def _norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(acc)
 
 
-def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity of two numeric arrays, computed in double.
 
     ``dim`` (when statically known — every registered corpus is
     64-dim) selects the unrolled codegen form of the dot/norm chains:
     bit-identical values, ~5× less per-pair work than the interpreted
-    higher-order fold. ``None`` keeps the dimension-generic fold."""
+    higher-order fold. ``None`` keeps the dimension-generic fold.
+    String-named sides build the chains as one parsed SQL expression
+    (see ``_sql_dot_chain`` — the py4j construction cost, not the
+    executed plan, is what changes)."""
     if dim is None:
-        ad, bd = _as_double(a), _as_double(b)
+        ad, bd = _as_double(_ref(a)), _as_double(_ref(b))
         return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_sql_dot_chain(a, b, dim)})"
+            f"/({_sql_norm_chain(a, dim)}*{_sql_norm_chain(b, dim)})"
+        )
     return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
-def _norm_col(vec: Column, dim: int | None) -> Column:
+def _norm_col(vec: Column | str, dim: int | None) -> Column:
     """Per-row L2 norm for hoisting OUT of pair joins: computing each
     side's norm once per vector (instead of once per candidate pair)
     divides the per-pair cosine work by ~3 with bit-identical values —
     ``dot/(norm_a*norm_b)`` is the same float expression either way."""
-    return _norm(_as_double(vec) if dim is None else vec, dim)
+    if dim is None:
+        return _norm(_as_double(_ref(vec)), None)
+    return _norm(vec, dim)
 
 
-def _pair_cosine(cv: Column, qv: Column, cn: Column, qn: Column, dim: int | None) -> Column:
+def _pair_cosine(
+    cv: Column | str,
+    qv: Column | str,
+    cn: Column | str,
+    qn: Column | str,
+    dim: int | None,
+) -> Column:
     """``dot(cv,qv)/(cn*qn)`` with the dot in unrolled-codegen form
     when ``dim`` is known — the hoisted-norms companion of
-    :func:`cosine_similarity` (same multiply order, same bits)."""
-    dot = _dot(_as_double(cv), _as_double(qv)) if dim is None else _dot(cv, qv, dim)
-    return dot / (cn * qn)
+    :func:`cosine_similarity` (same multiply order, same bits). With
+    every side named by string the whole quotient is one parsed SQL
+    expression (``_sql_dot_chain`` — kills the py4j build constant)."""
+    if dim is not None and all(isinstance(c, str) for c in (cv, qv, cn, qn)):
+        return F.expr(
+            f"({_sql_dot_chain(cv, qv, dim)})"
+            f"/({_sql_name(cn)}*{_sql_name(qn)})"
+        )
+    if dim is None:
+        dot = _dot(_as_double(_ref(cv)), _as_double(_ref(qv)))
+    else:
+        dot = _dot(cv, qv, dim)
+    return dot / (_ref(cn) * _ref(qn))
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -142,12 +215,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm_col(F.col(vec_col), dim).alias("_qn"),
+        _norm_col(vec_col, dim).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm_col(F.col(vec_col), dim).alias("_cn"),
+        _norm_col(vec_col, dim).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -155,9 +228,7 @@ def brute_force_topk(
         .withColumn(
             "cosine",
             F.round(
-                _pair_cosine(
-                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
-                ),
+                _pair_cosine("_cv", "_qv", "_cn", "_qn", dim),
                 round_digits,
             ),
         )
@@ -266,7 +337,19 @@ def quantized_topk(
     return _rank_topk(scored, k)
 
 
-def srp_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def _sql_srp_proj(name: str, dim: int, n_planes: int, i: int) -> str:
+    """Plane ``i``'s projection as a SQL string: the identical
+    left-to-right ±1 alternating-sign sum the Column builder made
+    (multiplying by ``-1.0D`` parses as a folded exact literal —
+    same float product, same summation order)."""
+    parts = []
+    for m, j in enumerate(range(i, dim, n_planes)):
+        sign = "1.0D" if m % 2 == 0 else "-1.0D"
+        parts.append(f"{_sql_elem(name, j + 1)}*{sign}")
+    return "+".join(parts)
+
+
+def srp_bucket_key(vec: Column | str, dim: int, n_planes: int = 8) -> Column:
     """Deterministic sign-projection bucket: bit i = sign of a fixed
     sparse ±1 projection over coordinates ≡ i (mod n_planes).
 
@@ -274,8 +357,17 @@ def srp_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
     deterministic, no RNG — which keeps the ANN result reproducible
     (and oracle-checkable) while still splitting the space into
     2^n_planes buckets. Built as an explicit left-to-right addition
-    chain so the float summation order is engine-independent.
-    """
+    chain so the float summation order is engine-independent. A
+    string-named ``vec`` builds the whole key as one parsed SQL
+    expression (same tree; see ``_sql_dot_chain`` for the measured
+    py4j construction cost this avoids)."""
+    if isinstance(vec, str):
+        bits = "+".join(
+            f"(CASE WHEN ({_sql_srp_proj(vec, dim, n_planes, i)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        return F.expr(f"0+{bits}")
     key: Column = F.lit(0)
     for i in range(n_planes):
         proj: Column | None = None
@@ -306,7 +398,7 @@ def with_srp_bucket(
     to ``srp_bucketed_topk(corpus_bucket_col=...)``.
     """
     dim = dim or 64
-    return df.withColumn(out_col, srp_bucket_key(F.col(vec_col), dim, n_planes))
+    return df.withColumn(out_col, srp_bucket_key(vec_col, dim, n_planes))
 
 
 def srp_bucketed_topk(
@@ -336,19 +428,19 @@ def srp_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_bucket"),
-        _norm_col(F.col(vec_col), dim).alias("_qn"),
+        srp_bucket_key(vec_col, dim, n_planes).alias("_bucket"),
+        _norm_col(vec_col, dim).alias("_qn"),
     )
     corpus_key = (
         F.col(corpus_bucket_col)
         if corpus_bucket_col is not None
-        else srp_bucket_key(F.col(vec_col), dim, n_planes)
+        else srp_bucket_key(vec_col, dim, n_planes)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         corpus_key.alias("_bucket"),
-        _norm_col(F.col(vec_col), dim).alias("_cn"),
+        _norm_col(vec_col, dim).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
@@ -356,9 +448,7 @@ def srp_bucketed_topk(
         .withColumn(
             "cosine",
             F.round(
-                _pair_cosine(
-                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
-                ),
+                _pair_cosine("_cv", "_qv", "_cn", "_qn", dim),
                 round_digits,
             ),
         )
@@ -373,9 +463,14 @@ def srp_bucketed_topk(
     )
 
 
-def _srp_projections(vec: Column, dim: int, n_planes: int) -> list[Column]:
+def _srp_projections(vec: Column | str, dim: int, n_planes: int) -> list[Column]:
     """The raw per-plane projection values behind ``srp_bucket_key``
-    (same terms, same left-to-right addition order)."""
+    (same terms, same left-to-right addition order; string-named
+    ``vec`` parses each plane's chain in one call)."""
+    if isinstance(vec, str):
+        return [
+            F.expr(_sql_srp_proj(vec, dim, n_planes, i)) for i in range(n_planes)
+        ]
     projs: list[Column] = []
     for i in range(n_planes):
         proj: Column | None = None
@@ -414,7 +509,7 @@ def srp_multiprobe_topk(
     Deterministic: margins are the same fixed-order sums as the key,
     ties break toward the lower plane index."""
     dim = dim or 64
-    projs = _srp_projections(F.col(vec_col), dim, n_planes)
+    projs = _srp_projections(vec_col, dim, n_planes)
     cand = F.array_sort(
         F.array(
             *[
@@ -431,9 +526,9 @@ def srp_multiprobe_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            srp_bucket_key(F.col(vec_col), dim, n_planes).alias("_key"),
+            srp_bucket_key(vec_col, dim, n_planes).alias("_key"),
             cand.alias("_cand"),
-            _norm_col(F.col(vec_col), dim).alias("_qn"),
+            _norm_col(vec_col, dim).alias("_qn"),
         )
         .withColumn("_bucket", F.explode(F.expr(f"array({', '.join(probe_terms)})")))
         .drop("_key", "_cand")
@@ -441,13 +536,13 @@ def srp_multiprobe_topk(
     corpus_key = (
         F.col(corpus_bucket_col)
         if corpus_bucket_col is not None
-        else srp_bucket_key(F.col(vec_col), dim, n_planes)
+        else srp_bucket_key(vec_col, dim, n_planes)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         corpus_key.alias("_bucket"),
-        _norm_col(F.col(vec_col), dim).alias("_cn"),
+        _norm_col(vec_col, dim).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
@@ -455,9 +550,7 @@ def srp_multiprobe_topk(
         .withColumn(
             "cosine",
             F.round(
-                _pair_cosine(
-                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
-                ),
+                _pair_cosine("_cv", "_qv", "_cn", "_qn", dim),
                 round_digits,
             ),
         )
@@ -1370,7 +1463,7 @@ def ivf_pq_topk(
     pre_c = corpus.select(
         F.col(id_col).alias("pid"),
         F.col(vec_col).alias("_v"),
-        _norm_col(F.col(vec_col), dim).alias("_vn"),
+        _norm_col(vec_col, dim).alias("_vn"),
     )
     if _use_compiled_assign(corpus):
         corpus_cell = pre_c.select(
@@ -1397,7 +1490,7 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_v"),
         _cents_value_col(cent_pairs).alias("_cents"),
-        _norm_col(F.col(vec_col), dim).alias("_vn"),
+        _norm_col(vec_col, dim).alias("_vn"),
     ).select(
         "query_id",
         F.explode(
@@ -1514,7 +1607,7 @@ def kmeans_train(
             corpus.select(
                 F.col(vec_col).alias("_v"),
                 _cents_value_col(cent_pairs).alias("_cents"),
-                _norm_col(F.col(vec_col), dim).alias("_nq"),
+                _norm_col(vec_col, dim).alias("_nq"),
             )
             .select(
                 F.expr(
@@ -1592,7 +1685,7 @@ def ivf_kmeans_topk(
     pre_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm_col(F.col(vec_col), dim).alias("_cn"),
+        _norm_col(vec_col, dim).alias("_cn"),
     )
     if _use_compiled_assign(corpus):
         c = pre_c.select(
@@ -1621,7 +1714,7 @@ def ivf_kmeans_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _cents_value_col(cent_pairs).alias("_cents"),
-        _norm_col(F.col(vec_col), dim).alias("_qn"),
+        _norm_col(vec_col, dim).alias("_qn"),
     ).select(
         "query_id",
         "_qv",
@@ -1641,9 +1734,7 @@ def ivf_kmeans_topk(
         .withColumn(
             "cosine",
             F.round(
-                _pair_cosine(
-                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
-                ),
+                _pair_cosine("_cv", "_qv", "_cn", "_qn", dim),
                 round_digits,
             ),
         )
@@ -1722,7 +1813,7 @@ def knn_graph(
     pre = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _norm_col(F.col(vec_col), dim).alias("_n"),
+        _norm_col(vec_col, dim).alias("_n"),
     )
     if dim is not None and _use_compiled_assign(corpus):
         # corpus-scale assignment: compiled nested-greatest form
@@ -1767,9 +1858,7 @@ def knn_graph(
         .withColumn(
             "cosine",
             F.round(
-                _pair_cosine(
-                    F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn"), dim
-                ),
+                _pair_cosine("_av", "_bv", "_an", "_bn", dim),
                 round_digits,
             ),
         )
@@ -1827,7 +1916,7 @@ def ivf_topk(
     pre = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm_col(F.col(vec_col), dim).alias("_cn"),
+        _norm_col(vec_col, dim).alias("_cn"),
     )
     if dim is not None and _use_compiled_assign(corpus):
         # corpus-scale assignment: compiled nested-greatest form
@@ -1850,7 +1939,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _cents_value_col(cents).alias("_cents"),
-        _norm_col(F.col(vec_col), dim).alias("_qn"),
+        _norm_col(vec_col, dim).alias("_qn"),
     ).select(
         "query_id",
         "_qv",
@@ -1870,9 +1959,7 @@ def ivf_topk(
         .withColumn(
             "cosine",
             F.round(
-                _pair_cosine(
-                    F.col("_cv"), F.col("_qv"), F.col("_cn"), F.col("_qn"), dim
-                ),
+                _pair_cosine("_cv", "_qv", "_cn", "_qn", dim),
                 round_digits,
             ),
         )
@@ -2002,14 +2089,14 @@ def margin_bitext_topk(
     a = corpus_a.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm_col(F.col(vec_col), dim).alias("_qn"),
-        *([bucket(F.col(vec_col)).alias("_bucket")] if bucket else []),
+        _norm_col(vec_col, dim).alias("_qn"),
+        *([bucket(vec_col).alias("_bucket")] if bucket else []),
     )
     b = corpus_b.select(
         F.col(id_col).alias("target_id"),
         F.col(vec_col).alias("_tv"),
-        _norm_col(F.col(vec_col), dim).alias("_tn"),
-        *([bucket(F.col(vec_col)).alias("_bucket")] if bucket else []),
+        _norm_col(vec_col, dim).alias("_tn"),
+        *([bucket(vec_col).alias("_bucket")] if bucket else []),
     )
     cand = (
         b.join(F.broadcast(a), "_bucket") if bucket else b.crossJoin(F.broadcast(a))
@@ -2019,9 +2106,7 @@ def margin_bitext_topk(
             "query_id",
             "target_id",
             F.round(
-                _pair_cosine(
-                    F.col("_tv"), F.col("_qv"), F.col("_tn"), F.col("_qn"), dim
-                ),
+                _pair_cosine("_tv", "_qv", "_tn", "_qn", dim),
                 round_digits,
             )
             .cast("decimal(10,4)")

@@ -1003,20 +1003,18 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per pair instead of three interpreted HOF folds
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
-        _norm_col(F.col("embedding"), 64).alias("_na"),
+        _norm_col("embedding", 64).alias("_na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
-        _norm_col(F.col("embedding"), 64).alias("_nb"),
+        _norm_col("embedding", 64).alias("_nb"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
             F.round(
-                _pair_cosine(
-                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), 64
-                ),
+                _pair_cosine("_va", "_vb", "_na", "_nb", 64),
                 4,
             ),
         )
@@ -6355,7 +6353,7 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain — dot/(norm_emb*norm_cent) in the same float order as the
     # interpreted fold, so scores are bit-identical (similarity._dot)
     cent_arr = cent_arr.select(
-        "label", "centroid", _norm_col(F.col("centroid"), 64).alias("_cn")
+        "label", "centroid", _norm_col("centroid", 64).alias("_cn")
     )
     return (
         emb.join(F.broadcast(cent_arr), "label")
@@ -6363,10 +6361,10 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.round(
                 _pair_cosine(
-                    F.col("embedding"),
-                    F.col("centroid"),
-                    _norm_col(F.col("embedding"), 64),
-                    F.col("_cn"),
+                    "embedding",
+                    "centroid",
+                    _norm_col("embedding", 64),
+                    "_cn",
                     64,
                 ),
                 4,
@@ -7178,7 +7176,7 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             F.round(
-                cosine_similarity(F.col("embedding"), F.col("qv"), 64), 4
+                cosine_similarity("embedding", "qv", 64), 4
             ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -7204,7 +7202,7 @@ def embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("a_id"),
             "b_id",
             F.round(
-                cosine_similarity(F.col("embedding"), F.col("b_emb"), 64), 4
+                cosine_similarity("embedding", "b_emb", 64), 4
             ).alias("sim"),
         )
     )

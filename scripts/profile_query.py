@@ -28,10 +28,10 @@ from pipelines_spark.queries import QUERIES  # noqa: E402
 from pipelines_spark.session import get_spark  # noqa: E402
 
 
-def profile(names, tag="before", runs=2, plans_only=False, sf_dir=None):
+def profile(names, tag="before", runs=2, plans_only=False, sf_dir=None, round_dir="r13"):
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir
     )
     os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark("pipelines_spark_profile")

@@ -109,62 +109,117 @@ def register(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
                 )
         else:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t in _WIDE_TABLES and _scan_is_under_parallel(
-            spark, f"{sf_dir}/{t}.parquet", df, parallelism
-        ):
-            # r12 (guide §2.5 input skew): a single-row-group parquet
-            # file scans as ONE task, pinning the whole map side of
-            # every consumer — scan decode, filters, partial
-            # aggregates, shingling, vector math — to one core of N.
-            # One round-robin exchange immediately after the read
-            # parallelizes everything downstream. Fires ONLY when the
-            # scan's split count is under half the session parallelism
-            # (cached per file): on a real lake these tables arrive in
-            # many splits and no exchange is added. Small dims
-            # (region/nation/supplier/customer/part) are excluded —
-            # they broadcast, and an exchange before a broadcast is
-            # pure overhead. Kill-switch: SPARK_GRAFT_NO_WIDEN.
-            #
-            # HASH partitioning on the table's unique key, not
-            # round-robin: a keyless repartition first pays a LOCAL
-            # SORT of its input (sortBeforeRepartition, guide §2.5) —
-            # serial on the one scan task, i.e. exactly where the
-            # bottleneck already is (measured: q3 0.90→1.39 s with
-            # round-robin vs no widen). Hashing a unique key skips
-            # the sort, distributes evenly, and is deterministic
-            # under task retry by construction.
-            df = df.repartition(parallelism, F.col(_WIDE_TABLES[t]))
+        if t in _WIDE_TABLES:
+            n_target = _widen_target(
+                spark, f"{sf_dir}/{t}.parquet", df, parallelism, t
+            )
+            if n_target is not None:
+                # r12 (guide §2.5 input skew): a single-row-group
+                # parquet file scans as ONE task, pinning the whole map
+                # side of every consumer — scan decode, filters,
+                # partial aggregates, shingling, vector math — to one
+                # core of N. One hash exchange immediately after the
+                # read parallelizes everything downstream. Small dims
+                # (region/nation/supplier/customer/part) are excluded —
+                # they broadcast, and an exchange before a broadcast is
+                # pure overhead. Kill-switch: SPARK_GRAFT_NO_WIDEN.
+                #
+                # HASH partitioning on the table's unique key, not
+                # round-robin: a keyless repartition first pays a LOCAL
+                # SORT of its input (sortBeforeRepartition, guide §2.5)
+                # — serial on the one scan task, i.e. exactly where the
+                # bottleneck already is (measured: q3 0.90→1.39 s with
+                # round-robin vs no widen). Hashing a unique key skips
+                # the sort, distributes evenly, and is deterministic
+                # under task retry by construction.
+                #
+                # r13 (guide §2.2/§2.5): the target split count is
+                # derived from the scan's own size estimate — one task
+                # per _WIDEN_SPLIT_BYTES of input, weighted by the
+                # table's measured per-byte compute, capped at the
+                # session parallelism — instead of flat parallelism.
+                # The r12 form fanned a 2 MB events scan into 32
+                # near-empty tasks, and the per-task scheduling floor
+                # made every sub-second consumer SLOWER at 32 cores
+                # than at 8 (driver r12: a3 0.81 s at 32c vs 0.29 s at
+                # 8c). Measured grid at sf0.1/local[32] (best-of-3
+                # isolated): events queries prefer ~4 tasks over 32
+                # (a3 0.58/32t 1.20; t1 0.43/0.93), orders likewise
+                # (j11 0.94 at scan width vs 1.77 at 32), lineitem
+                # peaks near 16-22 (q1 0.71 at 16 vs 1.14 unwidened),
+                # while documents/embeddings — whose consumers do
+                # orders-of-magnitude more per-byte work (shingling,
+                # 64-dim vector math) — still want 16-32 (ngram
+                # jaccard 0.80 at 32t vs 2.54 unwidened; knn_topk 0.82
+                # vs 1.11). At 100 TB every estimate clears the cap,
+                # so production behavior is unchanged: full
+                # parallelism whenever the physical layout under-splits
+                # a big table, nothing otherwise.
+                df = df.repartition(n_target, F.col(_WIDE_TABLES[t][0]))
         df.createOrReplaceTempView(t)
 
 
 #: fact-scale tables whose scans carry the map-side work worth
-#: parallelizing (table -> unique key to hash-distribute on); the
-#: broadcast-sized dims are deliberately absent
+#: parallelizing: table -> (unique key to hash-distribute on,
+#: per-byte compute weight). The broadcast-sized dims are
+#: deliberately absent. Weight 1 = scan/decode-bound row data; the
+#: payload tables (documents, embeddings) carry ~16-32x the per-byte
+#: downstream work (shingle explosion, unrolled 64-dim cosine), so a
+#: byte of them earns proportionally more tasks (measured — see the
+#: register() comment).
 _WIDE_TABLES = {
-    "orders": "o_orderkey",
-    "lineitem": "l_orderkey",
-    "events": "event_id",
-    "documents": "doc_id",
-    "embeddings": "vec_id",
+    "orders": ("o_orderkey", 1),
+    "lineitem": ("l_orderkey", 1),
+    "events": ("event_id", 1),
+    "documents": ("doc_id", 16),
+    "embeddings": ("vec_id", 16),
 }
 
-#: (path, parallelism) -> bool; the split count of an immutable test
-#: file cannot change within a session, and re-planning the scan per
-#: register() call would cost ~30 ms × hundreds of query builds
-_SCAN_WIDTH_CACHE: dict[tuple[str, int], bool] = {}
+#: bytes of (weighted) scan input per widen task. Local default
+#: 512 KiB: matches the measured per-table optima above at sf0.1 —
+#: lineitem 10.8 MB -> 22 tasks, orders 2.7 MB -> 6, events 2 MB ->
+#: 4, documents/embeddings -> 19/25 with their compute weight. On a
+#: cluster the cap (defaultParallelism) binds long before this does;
+#: override with SPARK_GRAFT_WIDEN_SPLIT_BYTES when task-scheduling
+#: overhead differs materially from this box.
+_WIDEN_SPLIT_BYTES = 512 * 1024
+
+#: (path, parallelism) -> target split count or None; the split count
+#: of an immutable test file cannot change within a session, and
+#: re-planning the scan per register() call would cost ~30 ms ×
+#: hundreds of query builds
+_SCAN_WIDTH_CACHE: dict[tuple[str, int], int | None] = {}
 
 
-def _scan_is_under_parallel(spark, path: str, df: DataFrame, parallelism: int) -> bool:
+def _widen_target(
+    spark, path: str, df: DataFrame, parallelism: int, table: str
+) -> int | None:
+    """Size-derived widen target: ``ceil(weighted_bytes / split)``
+    capped at the session parallelism, or ``None`` when the scan is
+    already at least half that parallel (every real multi-split lake
+    table)."""
+    import math as _math
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_NO_WIDEN"):  # measurement kill-switch
-        return False
+        return None
     key = (path, parallelism)
-    hit = _SCAN_WIDTH_CACHE.get(key)
-    if hit is None:
-        hit = df.rdd.getNumPartitions() * 2 < parallelism
-        _SCAN_WIDTH_CACHE[key] = hit
-    return hit
+    if key in _SCAN_WIDTH_CACHE:
+        return _SCAN_WIDTH_CACHE[key]
+    try:
+        split = int(
+            _os.environ.get("SPARK_GRAFT_WIDEN_SPLIT_BYTES", _WIDEN_SPLIT_BYTES)
+        )
+    except ValueError:  # pragma: no cover
+        split = _WIDEN_SPLIT_BYTES
+    weight = _WIDE_TABLES[table][1]
+    # Catalyst's own estimate: on-disk bytes for a bare parquet scan —
+    # the same statistic broadcast planning runs on
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = min(parallelism, max(1, _math.ceil(est * weight / split)))
+    target = n if df.rdd.getNumPartitions() * 2 < n else None
+    _SCAN_WIDTH_CACHE[key] = target
+    return target
 
 
 # ---------------------------------------------------------------------------

@@ -97,7 +97,14 @@ def bpe_train(
     callers that ALSO need the vocabulary downstream (the encode
     path) pass a staged copy so the corpus-scale word-frequency
     aggregation — the only corpus-sized stage in BPE — runs once per
-    query instead of once per consumer. Same values by construction."""
+    query instead of once per consumer. Same values by construction.
+    Mutually exclusive with non-default ``id_col``/``text_col`` (the
+    vocabulary already fixed its columns)."""
+    if wf is not None and (id_col, text_col) != ("doc_id", "text"):
+        raise ValueError(
+            "bpe_train: wf is mutually exclusive with non-default "
+            "id_col/text_col"
+        )
     if wf is None:
         wf = word_frequencies(docs, id_col=id_col, text_col=text_col)
     words = wf.select(_char_symbols(F.col("word")).alias("syms"), "freq").persist()
@@ -176,7 +183,15 @@ def bpe_token_counts(
     """Corpus token frequencies under the learned BPE vocabulary:
     (token, n). Weighted by word frequency so the corpus is tokenized
     once per DISTINCT word, never per occurrence. ``wf`` shares a
-    staged vocabulary with training (see ``bpe_train``)."""
+    staged vocabulary with training (see ``bpe_train``) and is
+    mutually exclusive with the column kwargs — a precomputed
+    vocabulary already fixed its columns, so silently dropping
+    ``id_col``/``text_col`` would hide a caller bug."""
+    if wf is not None and kw:
+        raise ValueError(
+            "bpe_token_counts: wf is mutually exclusive with column "
+            f"kwargs (got {sorted(kw)})"
+        )
     if wf is None:
         wf = word_frequencies(docs, **kw)
     enc = bpe_encode_words(wf, merges)

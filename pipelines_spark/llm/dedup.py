@@ -1403,7 +1403,7 @@ def semantic_dedup(
         F.col(vec_col),
         _norm_col(vec_col, dim).alias("_vn"),
     )
-    if _use_compiled_assign(corpus):
+    if _use_compiled_assign(corpus, k=len(cent_pairs), dim=dim):
         assign_sel = pre.select(
             F.col(id_col),
             F.col(vec_col),

@@ -1030,16 +1030,47 @@ def _sql_best_cell(
 #: everywhere; a huge value forces the interpreted fold).
 _COMPILED_ASSIGN_MIN_BYTES = 2 * 1024 * 1024
 
+#: cap on k·dim for the compiled nested-greatest form: its expression
+#: text and codegen footprint grow O(k·dim) with every candidate
+#: struct duplicated; the validated envelope is k=16/dim=64 (1024 —
+#: max generated method 7.6 KB, 1.5 MB source). Far above it (tens of
+#: thousands of clusters at web scale) the inlined-literal SQL string
+#: reaches hundreds of MB — a driver OOM or parser failure, not a
+#: slow plan — so the interpreted literal-VALUE fold (whose state is
+#: one array literal) is the only safe form. 2048 keeps a 2× margin
+#: over the measured point. Env: SPARK_GRAFT_COMPILED_ASSIGN_MAX_KDIM.
+_COMPILED_ASSIGN_MAX_KDIM = 2048
 
-def _use_compiled_assign(corpus: DataFrame) -> bool:
+
+def _use_compiled_assign(
+    corpus: DataFrame, *, k: int | None = None, dim: int | None = None
+) -> bool:
     """Scale-adaptive form selection for corpus cell assignment
     (guide §1.2: fix the algorithm for the scale you actually run
     at). Uses Catalyst's own size estimate — the same statistic
     broadcast decisions run on — so the choice is derived from input
     size, not hard-coded for either local mode or the cluster; at
-    100 TB every corpus takes the compiled path."""
+    100 TB every corpus takes the compiled path. Two guards keep the
+    compiled form inside its measured envelope: ``k·dim`` must stay
+    under ``_COMPILED_ASSIGN_MAX_KDIM``, and an estimate equal to
+    ``spark.sql.defaultSizeInBytes`` (Long.MaxValue unless
+    configured) is treated as UNKNOWN — plans without real statistics
+    report exactly that value, and the conservative posture when no
+    estimate exists is the interpreted fold."""
     import os
 
+    if k is not None and dim is not None:
+        try:
+            max_kdim = int(
+                os.environ.get(
+                    "SPARK_GRAFT_COMPILED_ASSIGN_MAX_KDIM",
+                    _COMPILED_ASSIGN_MAX_KDIM,
+                )
+            )
+        except ValueError:  # pragma: no cover
+            max_kdim = _COMPILED_ASSIGN_MAX_KDIM
+        if k * dim > max_kdim:
+            return False
     try:
         thr = int(
             os.environ.get(
@@ -1053,8 +1084,15 @@ def _use_compiled_assign(corpus: DataFrame) -> bool:
         est = int(
             corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        unknown = int(
+            corpus.sparkSession.conf.get(
+                "spark.sql.defaultSizeInBytes", str(2**63 - 1)
+            )
+        )
     except Exception:  # pragma: no cover - conservative: keep the
         return False  # interpreted fold when no estimate exists
+    if est == unknown:  # stats absent, not "huge" (ADVICE r12)
+        return False
     return est >= thr
 
 
@@ -1465,7 +1503,7 @@ def ivf_pq_topk(
         F.col(vec_col).alias("_v"),
         _norm_col(vec_col, dim).alias("_vn"),
     )
-    if _use_compiled_assign(corpus):
+    if _use_compiled_assign(corpus, k=len(cent_pairs), dim=dim):
         corpus_cell = pre_c.select(
             "pid",
             F.expr(
@@ -1687,7 +1725,7 @@ def ivf_kmeans_topk(
         F.col(vec_col).alias("_cv"),
         _norm_col(vec_col, dim).alias("_cn"),
     )
-    if _use_compiled_assign(corpus):
+    if _use_compiled_assign(corpus, k=len(cent_pairs), dim=dim):
         c = pre_c.select(
             "neighbor_id",
             "_cv",
@@ -1815,7 +1853,7 @@ def knn_graph(
         F.col(vec_col).alias("_v"),
         _norm_col(vec_col, dim).alias("_n"),
     )
-    if dim is not None and _use_compiled_assign(corpus):
+    if dim is not None and _use_compiled_assign(corpus, k=len(cents), dim=dim):
         # corpus-scale assignment: compiled nested-greatest form
         # (bit-identical; see _sql_best_cell_compiled / _use_compiled_assign)
         best = _sql_best_cell_compiled("_v", "_n", cents, round_digits, dim=dim)
@@ -1918,7 +1956,7 @@ def ivf_topk(
         F.col(vec_col).alias("_cv"),
         _norm_col(vec_col, dim).alias("_cn"),
     )
-    if dim is not None and _use_compiled_assign(corpus):
+    if dim is not None and _use_compiled_assign(corpus, k=len(cents), dim=dim):
         # corpus-scale assignment: compiled nested-greatest form
         # (bit-identical; see _sql_best_cell_compiled / _use_compiled_assign)
         best = _sql_best_cell_compiled("_cv", "_cn", cents, round_digits, dim=dim)

@@ -2225,3 +2225,50 @@ def test_compiled_assign_threshold_is_size_adaptive(spark, sf_medium, monkeypatc
     assert _use_compiled_assign(emb) is True
     monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", str(1 << 60))
     assert _use_compiled_assign(emb) is False
+
+
+def test_compiled_assign_guards(spark, sf_medium, monkeypatch):
+    """r13 (ADVICE r12): the compiled form is refused outside its
+    measured envelope — (a) k*dim above the cap would generate a
+    multi-hundred-MB SQL string at web-scale cluster counts (driver
+    OOM, not a slow plan); (b) a size estimate equal to
+    spark.sql.defaultSizeInBytes means NO statistics, not a huge
+    corpus, and must keep the conservative interpreted fold."""
+    from pipelines_spark.llm.similarity import _use_compiled_assign
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", "0")
+    # inside the envelope: k=16/dim=64 -> compiled
+    assert _use_compiled_assign(emb, k=16, dim=64) is True
+    # k*dim above the cap -> interpreted, regardless of corpus size
+    assert _use_compiled_assign(emb, k=1000, dim=64) is False
+    monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MAX_KDIM", str(1000 * 64))
+    assert _use_compiled_assign(emb, k=1000, dim=64) is True
+    # a stats-free plan reports defaultSizeInBytes exactly: unknown,
+    # never "huge" — localCheckpoint-derived inputs are the real case
+    from pyspark.sql import functions as F
+
+    rdd_backed = spark.createDataFrame(
+        emb.limit(4).collect()
+    ).localCheckpoint(eager=True)
+    est = int(
+        rdd_backed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    unknown = int(spark.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1)))
+    if est == unknown:  # only assert the guard where the premise holds
+        assert _use_compiled_assign(rdd_backed, k=16, dim=64) is False
+
+
+def test_bpe_wf_kwargs_mutually_exclusive(spark, sf_medium):
+    """r13 (ADVICE r12): passing a precomputed vocabulary together
+    with column kwargs is a caller bug, not a silent no-op."""
+    import pytest as _pytest
+
+    from pipelines_spark.llm.bpe import bpe_token_counts, bpe_train, word_frequencies
+
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    wf = word_frequencies(docs)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        bpe_train(docs, wf=wf, id_col="other")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        bpe_token_counts(docs, [], wf=wf, id_col="other")

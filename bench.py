@@ -401,6 +401,13 @@ SCALE_PROBE_QUERIES = [
     # r8: incremental probe is one batch×store equi-join — growth
     # should track the band-table sizes, never store×store
     "dedup_incremental_batch",
+    # r13: the PQ family joins the probe set so its per-row encode
+    # cost is artifact-visible (the r12 verdict's ask): both entries
+    # run the 4×16 encode config, where the compiled argmin keeps the
+    # per-row cost flat at scale (the 32×16 trained config stays on
+    # the interpreted fold by the measured chain-count cap)
+    "embed_pq_adc",
+    "embed_ivf_pq",
 ]
 
 

@@ -893,6 +893,64 @@ def _sql_argmin_all_subs(
     )
 
 
+#: cap on n_sub·n_codes for the compiled PQ encode: every argmin
+#: least-merge stays INLINE in the generated processNext (only the
+#: duplicated distance chains are extracted into their own methods),
+#: so the merge count is what approaches the 64 KB codegen wall.
+#: Measured (r13, sf0.1 replicas): the 4×16 config (64 chains)
+#: compiles clean and beats the interpreted fold 5.4 -> 2.4 s at 10×;
+#: the 32×16 config (512 chains) trips "Code grows beyond 64 KB" and
+#: its whole-column-dup workaround compiles but RUNS slower than the
+#: fold (15.4 vs 6.8 s at 10×) — so past this cap the interpreted
+#: literal-VALUE fold is kept deliberately, a measured ruling, not a
+#: missing case. Env: SPARK_GRAFT_COMPILED_ENCODE_MAX_CHAINS.
+_COMPILED_ENCODE_MAX_CHAINS = 128
+
+
+def _sql_argmin_sub_compiled(
+    vec_sql: str,
+    s: int,
+    sub_len: int,
+    codewords: list[tuple[int, list[float]]],
+) -> str:
+    """One subspace of ``_sql_argmin_all_subs`` as a fully-codegen'd
+    nested expression — the compiled form for CORPUS-scale PQ encode
+    (r13; the proven ``_sql_best_cell_compiled`` recipe applied to
+    the argmin): ``least(...least(init, d_0, d_0)..., d_{k-1},
+    d_{k-1}).c`` where ``d_i = named_struct('d', 0.0D + Σ_j
+    (x_{s·L+j} − y_j)·(x_{s·L+j} − y_j), 'c', c_i)`` with the
+    codeword components inlined as exact ``repr`` double literals and
+    the subspace offsets folded to static indices.
+
+    Bit-identity with the interpreted fold: ``aggregate(arr, init,
+    (acc,cand)->least(acc, d(cand)))`` IS the left-nested least chain
+    by definition; ``least(a, b, b) == least(a, b)`` exactly (a
+    duplicated argument cannot change a minimum, including null/NaN
+    semantics); each distance is the identical left-to-right sum from
+    ``0.0D`` of the identical ``(x−y)·(x−y)`` terms
+    (``_sql_sub_dist_unrolled`` with ``s`` folded to its literal
+    value — ``element_at(v, 17)`` vs ``element_at(v, s*16+1)`` at
+    ``s=1`` is the same lookup); same init ``(Infinity, -1)``, same
+    tie order (lower cw), same int types. The duplicated struct
+    argument makes whole-stage codegen's subexpression elimination
+    extract every candidate's distance chain into its own generated
+    method (the r12 ivf lesson)."""
+    acc = "named_struct('d',CAST('Infinity' AS DOUBLE),'c',-1)"
+    for cw, vec in codewords:
+        # the literal is parenthesized: a negative repr after the
+        # minus would otherwise read as ``--``, a SQL comment
+        terms = "".join(
+            f"+(CAST(element_at({vec_sql},{s * sub_len + j}) AS DOUBLE)"
+            f"-({_sql_lit_d(float(vec[j - 1]))}))"
+            f"*(CAST(element_at({vec_sql},{s * sub_len + j}) AS DOUBLE)"
+            f"-({_sql_lit_d(float(vec[j - 1]))}))"
+            for j in range(1, sub_len + 1)
+        )
+        d = f"named_struct('d',(0.0D{terms}),'c',{int(cw)})"
+        acc = f"least({acc},{d},{d})"
+    return f"{acc}.c"
+
+
 def _cents_value_col(pairs: list[tuple[int, list[float]]]) -> Column:
     """Centroid set (cell_id, norm, RAW vector) as ONE constant-folded
     literal VALUE — ``array<struct<c:bigint,n:double,v:array<double>>>``
@@ -1292,6 +1350,51 @@ def pq_encode(
             corpus, rows, id_col=id_col, vec_col=vec_col, sub_len=sub_len
         )
     by_sub = _codebook_by_sub(rows)
+    # corpus-scale encode: scale-adaptive between the compiled
+    # nested-least form and the interpreted literal-VALUE fold — the
+    # same selector (and the same bit-identity argument) as the IVF
+    # cell assignment; k·dim here is n_codes·dim, inside the
+    # validated envelope at both registered configs (4×16 and 32×16
+    # both give 16·64 = 1024)
+    n_codes = max(len(v) for v in by_sub.values())
+    import os as _os
+
+    try:
+        max_chains = int(
+            _os.environ.get(
+                "SPARK_GRAFT_COMPILED_ENCODE_MAX_CHAINS",
+                _COMPILED_ENCODE_MAX_CHAINS,
+            )
+        )
+    except ValueError:  # pragma: no cover
+        max_chains = _COMPILED_ENCODE_MAX_CHAINS
+    if n_sub * n_codes <= max_chains and _use_compiled_assign(
+        corpus, k=n_codes, dim=n_sub * sub_len
+    ):
+        # the argmin chains live in a PROJECT (one column per
+        # subspace), never inside the explode: whole-stage codegen
+        # splits a projection's dup-arg subexpressions into their own
+        # methods, while a generator input is emitted as one body
+        # that blows the 64 KB wall at every registered config
+        # (measured r13 — 12.7 s interpreted fallback vs 0.6 s)
+        coded = corpus.select(
+            F.col(id_col).alias("pid"),
+            *[
+                F.expr(
+                    _sql_argmin_sub_compiled(
+                        f"`{vec_col}`", s, sub_len, by_sub[s]
+                    )
+                ).alias(f"_cw{s}")
+                for s in range(n_sub)
+            ],
+        )
+        rows_sql = ",".join(
+            f"named_struct('sub',{s},'cw',_cw{s})" for s in range(n_sub)
+        )
+        return (
+            coded.select("pid", F.explode(F.expr(f"array({rows_sql})")).alias("p"))
+            .select("pid", "p.sub", "p.cw")
+        )
     # literal-VALUE codebook + one generic argmin expression (see
     # _cb_value_col): same map-only plan, same bits, none of the
     # per-value analysis/compile cost of the literal-AST form

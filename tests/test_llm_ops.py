@@ -2259,6 +2259,51 @@ def test_compiled_assign_guards(spark, sf_medium, monkeypatch):
         assert _use_compiled_assign(rdd_backed, k=16, dim=64) is False
 
 
+def test_pq_encode_compiled_paths_bit_identical(spark, sf_medium, monkeypatch):
+    """r13: the compiled nested-least PQ encode is plan selection, not
+    semantics — forcing each form over the same codebook yields
+    identical (pid, sub, cw) rows at the 4×16 config, and the 32×16
+    config stays on the interpreted fold regardless of the byte
+    threshold (the measured chain-count cap: 512 inline least-merges
+    blow the 64 KB codegen wall)."""
+    from pipelines_spark.llm.similarity import (
+        _codebook_rows,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_medium}/embeddings.parquet")
+    rows = _codebook_rows(
+        pq_codebook(emb, id_col="vec_id", vec_col="embedding", dim=64,
+                    n_sub=4, n_codes=16)
+    )
+    monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", str(1 << 60))
+    interp = sorted(
+        map(tuple, pq_encode(emb, rows, id_col="vec_id", vec_col="embedding",
+                             dim=64, n_sub=4).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_COMPILED_ASSIGN_MIN_BYTES", "0")
+    comp_df = pq_encode(emb, rows, id_col="vec_id", vec_col="embedding",
+                        dim=64, n_sub=4)
+    comp = sorted(map(tuple, comp_df.collect()))
+    assert interp == comp
+    # the compiled plan inlines the codeword literals (no from_json
+    # codebook value) and stays map-only
+    plan = comp_df._jdf.queryExecution().executedPlan().toString()
+    assert "least(" in plan and "from_json" not in plan, plan[:2000]
+    # 32×16 (512 chains) exceeds the chain cap: interpreted fold even
+    # with the byte threshold forced to 0
+    rows32 = _codebook_rows(
+        pq_codebook(emb, id_col="vec_id", vec_col="embedding", dim=64,
+                    n_sub=32, n_codes=16)
+    )
+    df32 = pq_encode(emb, rows32, id_col="vec_id", vec_col="embedding",
+                     dim=64, n_sub=32)
+    plan32 = df32._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" in plan32 or "aggregate(" in plan32, plan32[:2000]
+    assert plan32.count("least(") <= 2, "32x16 must stay on the fold"
+
+
 def test_bpe_wf_kwargs_mutually_exclusive(spark, sf_medium):
     """r13 (ADVICE r12): passing a precomputed vocabulary together
     with column kwargs is a caller bug, not a silent no-op."""

@@ -53,16 +53,67 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of a single-space-tokenized text.
 
     Texts with fewer than ``n`` words produce an empty array (guarded:
-    Spark's ``sequence(1, 0)`` would count *down*, not empty)."""
+    Spark's ``sequence(1, 0)`` would count *down*, not empty).
+
+    r13 (guide §4.1): the window enumeration is ONE compiled-regex
+    pass — ``(?:^| )(?=(tok tok … tok))`` with ``tok = [^ ]*`` —
+    instead of a per-position interpreted ``slice``+``concat_ws``
+    closure (measured 3× on the corpus: a ~300-word document paid
+    ~300 array allocations and fold evaluations). Value-equivalence
+    with the closure form it replaces, including the degenerate
+    tokens ``split`` produces:
+
+    - the anchor ``(?:^|(?<= ))`` is a LOOKBEHIND, not a consumed
+      space, so every match is zero-width and the scanner advances
+      one char at a time, visiting every token boundary ``split(text,
+      ' ')`` defines (a consuming `` `` anchor loses the window right
+      after a zero-length ``^`` match on leading-space texts —
+      caught by the adversarial pin);
+    - ``[^ ]*`` (not ``+``) matches the EMPTY tokens a run of spaces
+      or a trailing space produces, exactly like the slice over
+      split's empty strings — "a  b" yields shingle "a  b" with the
+      empty middle token in both forms;
+    - the lookahead capture is the n tokens joined by single spaces —
+      byte-for-byte ``concat_ws(' ', slice(words, i, n))`` (split
+      tokens are never NULL, so concat_ws never skips);
+    - matches arrive in position order and ``array_distinct`` keeps
+      first occurrences, so the output array order is unchanged;
+    - NULL text: both forms yield NULL (the when guard's size(NULL)
+      is NULL, regexp_extract_all of NULL is NULL).
+
+    Pinned exhaustively in tests (adversarial strings + corpus
+    hash-identity at sf0.1 and a 10× replica)."""
     t = F.col(text) if isinstance(text, str) else text
     words = F.split(t, " ")
+    pat = "(?:^|(?<= ))(?=(" + " ".join(["[^ ]*"] * n) + "))"
     return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        )
+        F.array_distinct(F.regexp_extract_all(t, F.lit(pat), F.lit(1)))
+    )
+
+
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int
+) -> DataFrame:
+    """Shared head of every shingle operator: widen the scan, drop
+    texts too short to shingle, project the shingle set.
+
+    The emptiness guard is the EQUIVALENT cheap predicate
+    ``size(split(text, ' ')) >= n`` on the raw text, NOT
+    ``size(shingles) > 0`` on the projected column (r13, guide §4.4's
+    duplicated-evaluation disease in pure-SQL form): a filter that
+    references the shingle expression gets pushed BELOW the widen
+    exchange, so the whole shingle computation ran a second time ON
+    THE SERIAL SCAN TASK — measured 16 s serial vs 1.5 s parallel on
+    a 10× corpus, dominating every cold dedup build. Equivalence:
+    ``word_shingles`` returns ``[]`` exactly when ``size(words) < n``
+    (the guard branch), and otherwise emits ≥ 1 window, so the two
+    predicates accept identical rows (NULL text is dropped by
+    both)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return widen_scan(df).filter(
+        F.size(F.split(t, " ")) >= shingle_words
+    ).select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
     )
 
 
@@ -195,9 +246,7 @@ def minhash_near_dup_pairs(
     # of the verification join); cache them once. At cluster scale
     # this is the classic LSH staging table — swap persist() for a
     # checkpoint/temp table when the corpus exceeds cluster memory.
-    shingled = widen_scan(df).select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
+    shingled = _shingled(df, id_col, text_col, shingle_words)
     if persist_staging:
         shingled = shingled.persist()
     sigs = _minhash_signatures(shingled, id_col, F.col("_shingles"), num_hashes)
@@ -382,9 +431,7 @@ def prefix_filter_jaccard_pairs(
     # sides of the candidate self-join — same staging discipline as
     # minhash_near_dup_pairs (without it the shingle/df stages
     # recompute per consumer; measured 18.9 s → 6.2 s warm at sf0.1)
-    shingled = widen_scan(df).select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0).persist()
+    shingled = _shingled(df, id_col, text_col, shingle_words).persist()
     sets = shingled.select(F.col(id_col), "_shingles", F.size("_shingles").alias("_n"))
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
     freq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -458,9 +505,7 @@ def minhash_fingerprints(
     never re-shuffled per ingestion batch (plan pinned in
     tests/test_bucketing.py).
     """
-    shingled = widen_scan(df).select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
+    shingled = _shingled(df, id_col, text_col, shingle_words)
     sigs = _minhash_signatures(shingled, id_col, F.col("_shingles"), num_hashes)
     return sigs.select(
         F.col(id_col),
@@ -727,9 +772,7 @@ def ngram_jaccard_pairs(
     # showed 4 scans and ~8 evaluations of the split/transform
     # expression); one staging table is the same LSH discipline
     # minhash_near_dup_pairs applies.
-    shingled = widen_scan(df).select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0).persist()
+    shingled = _shingled(df, id_col, text_col, shingle_words).persist()
     staged: list[DataFrame] = [shingled]
     if max_shingle_freq is not None:
         inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
@@ -880,9 +923,7 @@ def minhash_band_audit(
     # sides, sizes carried through the index) AND the signature leg —
     # without staging each consumer re-scans the corpus and re-runs the
     # shingle transform (same discipline as ngram_jaccard_pairs).
-    shingled = widen_scan(df).select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0).persist()
+    shingled = _shingled(df, id_col, text_col, shingle_words).persist()
     inv = shingled.select(F.col(id_col), F.explode("_shingles").alias("_sh"))
     inv_n = shingled.select(
         F.col(id_col),
@@ -1006,9 +1047,7 @@ def containment_pairs(
     (ties: smaller id) as contained."""
     # persisted: one staging table for every consumer (sizes legs +
     # both self-join sides) — same rationale as ngram_jaccard_pairs.
-    shingled = widen_scan(df).select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("_shingles")
-    ).filter(F.size("_shingles") > 0).persist()
+    shingled = _shingled(df, id_col, text_col, shingle_words).persist()
     staged: list[DataFrame] = [shingled]
     capped = False
     if max_shingle_freq is not None:

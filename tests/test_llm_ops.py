@@ -2259,6 +2259,47 @@ def test_compiled_assign_guards(spark, sf_medium, monkeypatch):
         assert _use_compiled_assign(rdd_backed, k=16, dim=64) is False
 
 
+def test_word_shingles_regex_matches_closure_form(spark):
+    """r13: the one-regex-pass shingle enumeration is value-identical
+    to the slice+concat_ws closure form it replaced, including the
+    degenerate tokens split() produces (leading/trailing/multiple
+    spaces -> empty tokens; tabs/newlines/emoji are token chars; NULL
+    text stays NULL-ish i.e. filtered the same way)."""
+    from pyspark.sql import functions as F
+
+    from pipelines_spark.llm.dedup import word_shingles
+
+    def closure_form(text, n):
+        t = F.col(text) if isinstance(text, str) else text
+        words = F.split(t, " ")
+        return F.when(
+            F.size(words) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                )
+            )
+        )
+
+    cases = [
+        "a b c d e", "a b", "", " ", "  ", "a  b c", " a b c", "a b c ",
+        "a b c  ", "  a  b  ", "a\tb c d", "a\nb c d e", "x x x x",
+        "a b c a b c", "one", "α β γ δ", "   ", "word " * 50,
+        "sp  ecial *chars* (?=x) [^ ]* \\ regex $1 a b",
+        "trail space ", " lead space x", "\t\t a b c \t",
+        "a \t b \n c \r d", "🙂 🚀 emoji test 🌟 a b", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, text string"
+    )
+    for n in (2, 3, 4, 5):
+        a = {r["i"]: r["o"] for r in df.select("i", closure_form("text", n).alias("o")).collect()}
+        b = {r["i"]: r["o"] for r in df.select("i", word_shingles("text", n).alias("o")).collect()}
+        assert a == b, (n, {i: (a[i], b[i]) for i in a if a[i] != b[i]})
+
+
 def test_pq_encode_compiled_paths_bit_identical(spark, sf_medium, monkeypatch):
     """r13: the compiled nested-least PQ encode is plan selection, not
     semantics — forcing each form over the same codebook yields

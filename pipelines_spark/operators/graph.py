@@ -43,6 +43,7 @@ def pagerank(
     iterations: int = 2,
     damping_pct: int = 85,
     staging: str = "local",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -67,8 +68,17 @@ def pagerank(
     # session end (the round-4 staging-leak pattern). At 100 TB pass
     # staging="checkpoint" for a reliable checkpoint that survives
     # executor loss (plans/staging.py documents the trade).
+    # r13 (guide §2.4): ``assume_distinct`` skips the edge-dedup
+    # exchange when the CALLER constructed a provably-distinct list —
+    # the registered trade-graph queries union a distinct (c*, s*)
+    # pair set with its flipped copy, whose src prefixes are disjoint,
+    # so the union is distinct by construction and the operator's
+    # guard dedup re-shuffled the full edge list for nothing
+    # (measured at 10×: edge staging 7.2 -> 4.8 s warm). Identical
+    # results whenever the precondition holds; default stays safe.
+    sel = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     e = stage(
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct(),
+        sel if assume_distinct else sel.distinct(),
         staging=staging,
     )
     nodes = stage(
@@ -215,6 +225,7 @@ def khop_reachability(
     node_col: str = "node",
     max_hops: int = 2,
     staging: str = "local",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Minimum hop distance from a source node set, bounded by
     ``max_hops`` (BFS unrolled a fixed number of levels).
@@ -233,8 +244,9 @@ def khop_reachability(
     # it once so each level joins against stored partitions instead of
     # re-expanding the distinct in the plan (same discipline as
     # pagerank above)
+    sel = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     e = stage(
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct(),
+        sel if assume_distinct else sel.distinct(),
         staging=staging,
     )
     reached = sources.select(
@@ -314,6 +326,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 3,
     staging: str = "local",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan,
     Albert & Kumara 2007) with fully deterministic tie-breaks —
@@ -350,8 +363,11 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    # assume_distinct: see pagerank — same caller contract, same
+    # skipped edge-dedup exchange
+    sel = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     e = stage(
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct(),
+        sel if assume_distinct else sel.distinct(),
         staging=staging,
     )
     nodes = stage(

@@ -3107,7 +3107,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(bi, iterations=2)
+    # bi is distinct by construction: a distinct (c*, s*) pair set
+    # unioned with its flip, whose src prefixes are disjoint
+    return pagerank(bi, iterations=2, assume_distinct=True)
 
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3243,7 +3245,8 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") == 0)
         .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
     )
-    return khop_reachability(bi, sources, max_hops=2)
+    # bi distinct by construction (see graph_pagerank)
+    return khop_reachability(bi, sources, max_hops=2, assume_distinct=True)
 
 
 def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4589,7 +4592,7 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = label_propagation(bi, iterations=2)
+    labels = label_propagation(bi, iterations=2, assume_distinct=True)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -4888,7 +4891,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    labels = label_propagation(bi, iterations=2)
+    labels = label_propagation(bi, iterations=2, assume_distinct=True)
     return (
         community_modularity(bi, labels)
         .orderBy(F.col("n_members").desc(), F.col("community").asc())

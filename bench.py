@@ -659,6 +659,28 @@ def main() -> None:
     loadavg_groups["after_extended"] = _loadavg()
 
     total = round(sum(timings.values()), 3)
+    # r13 (r12 verdict #8): per-query contention-suspect flagging. A
+    # steady plan cost reproduces within ~20% across best-of runs on a
+    # quiet box; a wide swing WITHIN one query's own runs means the
+    # box (scheduling quantum, GC, competing load), not the code — the
+    # r12 driver read 17 sub-second "regressions" at loadavg 4-8 that
+    # its own 8-core artifact showed at or below prior levels. The
+    # flag makes that adjudication machine-readable: cross-round
+    # deltas on flagged entries should be read against the sentinel
+    # controls, never as plan regressions. Additions-only: no existing
+    # key changes.
+    def _suspect(runs: list[float]) -> bool:
+        lo = min(runs)
+        if lo <= 0:
+            return True
+        ratio = max(runs) / lo
+        return ratio > (1.5 if lo < 2.0 else 2.0)
+
+    contention_suspect = sorted(
+        name
+        for name, runs in spreads.items()
+        if len(runs) >= 2 and _suspect(runs)
+    )
     result = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -666,6 +688,7 @@ def main() -> None:
         "queries": timings,
         "extended": extended,
         "spreads": spreads,
+        "contention_suspect": contention_suspect,
         "sf": sf,
         "loadavg_start": loadavg_start,
         "loadavg_groups": loadavg_groups,
@@ -730,6 +753,9 @@ def main() -> None:
         "load_gate": load_gate,
         "headline_comparable": result["headline_comparable"],
         "control": control,
+        "contention_suspect": [
+            n for n in contention_suspect if n in timings
+        ],
         "detail": "BENCH_full.json",
     }
     print(json.dumps(compact))
